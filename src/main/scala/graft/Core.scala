@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine capability: a named Spark query over a scale-factor
+  * directory plus (when SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * Every computed column is aliased identically in the Spark plan and
+  * the oracle, every query ends in a deterministic total ORDER BY, and
+  * no money/measure aggregation is done in raw floating point (decimal
+  * accumulate, cast to double at the end) so both engines agree
+  * bit-for-bit regardless of partitioning / merge order.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    build: (SparkSession, String) => DataFrame)
+
+/** Parquet table loaders for the driver test data.
+  *
+  * Always `spark.read.parquet` — Catalyst prunes columns and pushes
+  * predicates into the scan, which is what makes these plans survive a
+  * 100 TB scale-up (the scan reads only the referenced columns).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and we rebuild a microsecond TIMESTAMP_NTZ here (floor-truncation,
+    * the same thing a native ns→µs read would do). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Portable deterministic building blocks computed identically by
+  * Spark SQL and DuckDB, so LSH/minhash pipelines can be verified
+  * bit-for-bit against the DuckDB oracle.
+  *
+  * The 60-bit hash takes the first 15 hex chars of md5 (both engines
+  * agree on md5 of UTF-8 text) and reads them as an integer; 60 bits
+  * always fits a signed 64-bit long.
+  */
+object Portable {
+  /** Mersenne prime 2^31-1; minhash arithmetic stays under 2^62. */
+  val P: Long = 2147483647L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands // 4
+
+  /** Fixed affine constants (Knuth multiplicative + Numerical Recipes
+    * LCG increments), reduced mod P. Same literals are interpolated
+    * into the oracle SQL, so both sides share them by construction. */
+  val A: IndexedSeq[Long] = (0 until NumHashes).map(j => (j * 2654435761L + 1013904223L) % P)
+  val B: IndexedSeq[Long] = (0 until NumHashes).map(j => (j * 805306457L + 12345L) % P)
+
+  // ---- Spark side ----
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Distinct word k-shingles of a token array column (expects >= k tokens). */
+  def wordShingles(tokens: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tokens) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(tokens, i + o)): _*)))
+
+  def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => (lit(A(j)) * (h60(s) % P) + lit(B(j))) % P))
+
+  // ---- DuckDB oracle side (same math, same constants) ----
+  def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  def normTextSql(e: String): String =
+    s"lower(trim(regexp_replace($e, '\\s+', ' ', 'g')))"
+
+  def wordShinglesSql(tokens: String, k: Int = 3): String = {
+    val parts = (0 until k).map(o => if (o == 0) s"$tokens[i]" else s"$tokens[i+$o]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len($tokens) - ${k - 2}), i -> $parts))"
+  }
+
+  def minhashSql(shingles: String, j: Int): String =
+    s"list_min(list_transform($shingles, s -> (${A(j)} * (${h60Sql("s")} % $P) + ${B(j)}) % $P))"
+}

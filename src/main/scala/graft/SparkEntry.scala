@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every capability row maps to one entry here; names match the
+  * SURVEY tables. Oracle SQL is DuckDB dialect over the same parquet
+  * tables, generated next to each Spark plan (shared constants) so
+  * the two sides agree by construction.
+  */
 object SparkEntry {
+  private def all: Seq[QueryDef] =
+    operators.Relational.defs ++
+      functions.TextAnalysis.defs ++
+      dedup.Dedup.defs ++
+      similarity.Similarity.defs ++
+      multimodal.Multimodal.defs ++
+      operators.Sketches.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q1.build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  /** DuckDB-runnable equivalent SQL for each hash-checked query. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

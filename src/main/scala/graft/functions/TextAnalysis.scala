@@ -1,0 +1,128 @@
+package graft.functions
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §2.5): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure per-row column expressions —
+  * embarrassingly parallel, fully codegen'd, no shuffle at all (the
+  * ORDER BY in each query exists only for oracle determinism).
+  */
+object TextAnalysis {
+  import Portable.{normText, normTextSql}
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+  /** tiny per-language marker lists for the n-gram/stopword heuristic */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  private def inListSql(e: String, xs: Seq[String]) =
+    xs.map(x => s"'$x'").mkString(s"$e IN (", ", ", ")")
+
+  // ---------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens and a BPE-ish regex
+    * segmentation (alpha runs / digit runs / single punctuation). */
+  private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val tokens = QueryDef(
+    "text_tokens",
+    Some(s"""SELECT doc_id, n_chars, length(text) AS text_len,
+      len(string_split(${normTextSql("text")}, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '$TokRe')) AS n_re_tokens
+      FROM documents ORDER BY doc_id"""),
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), length(col("text")).as("text_len"),
+        size(split(normText(col("text")), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(TokRe), lit(0))).as("n_re_tokens"))
+      .orderBy(col("doc_id")))
+
+  // ---------------------------------------------------------- quality
+  /** Quality scoring: length gate, unique-token ratio, alpha ratio,
+    * stopword ratio — the standard cheap pre-filters before expensive
+    * dedup/model scoring stages. */
+  val quality = QueryDef(
+    "text_quality",
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(${normTextSql("text")}, ' ') AS toks FROM documents)
+      SELECT doc_id, len(toks) AS n_tokens,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+        round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+        round(CAST(len(list_filter(toks, w -> ${inListSql("w", Stopwords)})) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+        CASE WHEN len(toks) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS len_ok
+      FROM t ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = split(normText(col("text")), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          round(size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")), 6).as("uniq_ratio"),
+          round(length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) / length(col("text")), 6).as("alpha_ratio"),
+          round(size(filter(col("toks"), w => w.isInCollection(Stopwords))).cast(DoubleType) / size(col("toks")), 6).as("stop_ratio"),
+          when(size(col("toks")).between(20, 80), 1).otherwise(0).as("len_ok"))
+        .orderBy(col("doc_id"))
+    })
+
+  // ---------------------------------------------------------- langid
+  /** Language-ID heuristic: marker-word overlap score per language,
+    * deterministic argmax (priority order on ties), 'und' when no
+    * marker hits. A real system swaps in larger n-gram tables; the
+    * plumbing (per-row scoring, argmax) is the operator. */
+  val langid = QueryDef(
+    "text_langid",
+    Some {
+      val scores = Markers.map { case (l, ws) =>
+        s"len(list_filter(toks, w -> ${inListSql("w", ws)})) AS n_$l"
+      }.mkString(", ")
+      val argmax = Markers.map(_._1).map { l =>
+        val others = Markers.map(_._1).filterNot(_ == l).map(o => s"n_$l >= n_$o").mkString(" AND ")
+        s"WHEN n_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        sc AS (SELECT doc_id, $scores FROM t)
+        SELECT doc_id, ${Markers.map("n_" + _._1).mkString(", ")},
+          CASE $argmax ELSE 'und' END AS pred_lang
+        FROM sc ORDER BY doc_id"""
+    },
+    (s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id") +: Markers.map { case (l, ws) =>
+          size(filter(col("toks"), w => w.isInCollection(ws))).as(s"n_$l")
+        }: _*)
+      val pred = Markers.foldLeft(when(lit(false), "und")) { case (acc, (l, _)) =>
+        val others = Markers.map(_._1).filterNot(_ == l)
+          .map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _)
+        acc.when(col(s"n_$l") > 0 && others, l)
+      }.otherwise("und")
+      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+    })
+
+  // ------------------------------------------------------ fingerprint
+  /** Document fingerprinting: md5 content hash + 64-bit-safe
+    * polynomial rolling hash over codepoints (h = h*31 + c mod 1e9+7),
+    * the classic Rabin-style fingerprint. Both engines fold
+    * left-to-right, so values agree exactly. */
+  val RollMod = 1000000007L
+  val fingerprint = QueryDef(
+    "text_fingerprint",
+    Some(s"""WITH n AS (SELECT doc_id, ${normTextSql("text")} AS s FROM documents)
+      SELECT doc_id, md5(s) AS fp_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(regexp_extract_all(s, '.'), c -> CAST(unicode(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % $RollMod) AS fp_roll
+      FROM n ORDER BY doc_id"""),
+    (s, d) => {
+      RollingHash.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), normText(col("text")).as("s"))
+        .select(col("doc_id"), md5(col("s")).as("fp_md5"),
+          RollingHash.rollingHash(col("s"), RollMod).as("fp_roll"))
+        .orderBy(col("doc_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint)
+}

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.6).
+  *
+  * Blobs are opaque `binary` columns with a typed metadata struct —
+  * the layout a 100 TB image/audio corpus uses (content in parquet
+  * binary or pointed-to object storage, metadata columns for pruning).
+  * The real decode kernel (JPEG/audio codec) is NOT available in this
+  * environment, so `decodeStub` is a clearly-marked deterministic
+  * fake; everything around it — pruned binary scan, per-partition
+  * batch iteration, typed output schema — is the real pipeline shape.
+  *
+  * The fake features are pure functions of the bytes (md5-derived), so
+  * the whole pipeline is verified bit-for-bit against the DuckDB
+  * oracle even though the codec is stubbed.
+  */
+object Multimodal {
+
+  /** Typed per-blob feature row (what a real decoder would emit). */
+  final case class BlobFeatures(
+      doc_id: Long, n_bytes: Long, fake_width: Long, fake_height: Long,
+      channels: Int, codec: String)
+
+  /** STUB decode kernel: stands in for an image decoder. Deterministic
+    * md5-derived dimensions so the plumbing is verifiable end-to-end.
+    * A real deployment swaps only this function (and keeps the
+    * mapPartitions batching around it). */
+  def decodeStub(docId: Long, content: Array[Byte]): BlobFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(content)
+    val hex = md.take(8).map(b => f"$b%02x").mkString // first 15 of 16 hex chars
+    val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    BlobFeatures(docId, content.length.toLong, h60 % 512, (h60 >> 9) % 512, 3, "stub-rgb8")
+  }
+
+  /** Binary-column feature extraction over a per-partition iterator
+    * (the `mapPartitions` shape lets a real decoder amortize codec
+    * init per partition, exactly like `mapInPandas` batching). */
+  val features = QueryDef(
+    "mm_features",
+    Some(s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 512 AS fake_width,
+      (CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) >> 9) % 512 AS fake_height,
+      3 AS channels, 'stub-rgb8' AS codec
+      FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val sp = s
+      import sp.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // per-partition: real codecs would init native resources here
+          it.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(features)
+}

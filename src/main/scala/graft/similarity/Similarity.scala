@@ -1,0 +1,138 @@
+package graft.similarity
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH (Charikar 2002) bucketed variant as the
+  * scale path. Vector math uses codegen'd higher-order array
+  * functions (`zip_with`/`aggregate`) — no UDFs, stays inside
+  * whole-stage codegen.
+  *
+  * Scale: probes are broadcast (a probe set is small by definition);
+  * the corpus is never shuffled for brute-force. For LSH, the only
+  * shuffle is corpus→bucket, and bucket sizes are tuned by the number
+  * of hyperplanes.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane matrix, derived from the md5-based
+    * portable hash so the oracle shares it by construction. */
+  val Planes = 8
+  val Dim = 64
+  private def sign(p: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${p}_$i".getBytes("UTF-8"))
+    if ((md(0) & 1) == 1) 1 else -1
+  }
+  private val signs: IndexedSeq[IndexedSeq[Int]] =
+    (0 until Planes).map(p => (0 until Dim).map(i => sign(p, i)))
+
+  private def normDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+
+  private val normSqlCte =
+    """vx AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       nx AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx)"""
+
+  private val dotSpark =
+    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+
+  // ----------------------------------------------------- brute top-k
+  /** Exact cosine top-5 neighbors for the probe set (vec_id < 10). */
+  val bruteTopK = QueryDef(
+    "ann_brute_topk",
+    Some(s"""WITH $normSqlCte
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => {
+      val n = normDf(s, d)
+      val probes = n.filter(col("vec_id") < 10)
+      probes.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("id_p"), col("b.vec_id").as("id_c"),
+          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
+            .orderBy(col("c").desc, col("id_c"))))
+        .filter(col("rk") <= 5)
+        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
+        .orderBy(col("id_p"), col("rk"))
+    })
+
+  // ------------------------------------------------------------- lsh
+  /** Random-hyperplane LSH: 8-bit bucket per vector (sign of ±1
+    * projections), candidates restricted to the probe's bucket, exact
+    * cosine re-rank inside. Deterministic plane matrix ⇒ oracle-able.
+    * Recall vs the brute baseline is asserted in SimilaritySpec. */
+  private def bucketExprSpark: String = {
+    val bits = (0 until Planes).map { p =>
+      val terms = signs(p).zipWithIndex
+        .map { case (sg, i) => if (sg > 0) s"v[$i]" else s"(- v[$i])" }
+        .grouped(8).map(_.mkString(" + ")).mkString(" + ")
+      s"IF(($terms) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), $p), CAST(0 AS BIGINT))"
+    }
+    bits.mkString(" + ")
+  }
+  private def bucketExprSql: String = {
+    val bits = (0 until Planes).map { p =>
+      val terms = signs(p).zipWithIndex
+        .map { case (sg, i) => if (sg > 0) s"v[${i + 1}]" else s"(- v[${i + 1}])" }
+        .grouped(8).map(_.mkString(" + ")).mkString(" + ")
+      s"CASE WHEN ($terms) > CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"
+    }
+    bits.mkString(" + ")
+  }
+
+  val lsh = QueryDef(
+    "ann_lsh",
+    Some(s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, v, nrm, $bucketExprSql AS bucket FROM nx)
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => {
+      val bk = normDf(s, d).withColumn("bucket", expr(bucketExprSpark))
+      val probes = bk.filter(col("vec_id") < 10)
+      probes.as("a").join(bk.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("id_p"), col("b.vec_id").as("id_c"),
+          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
+            .orderBy(col("c").desc, col("id_c"))))
+        .filter(col("rk") <= 5)
+        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
+        .orderBy(col("id_p"), col("rk"))
+    })
+
+  // ------------------------------------------------------- vec stats
+  /** Per-label vector statistics (decimal-exact mean norm). */
+  val vecStats = QueryDef(
+    "vec_stats",
+    Some(s"""WITH $normSqlCte
+      SELECT label, count(*) AS n,
+        round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_norm,
+        round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+      FROM nx GROUP BY label ORDER BY label"""),
+    (s, d) => normDf(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("nrm").cast(DecimalType(18, 9))).cast(DoubleType) / count(lit(1)), 6).as("mean_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label")))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, vecStats)
+}

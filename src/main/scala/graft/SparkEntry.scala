@@ -15,7 +15,8 @@ object SparkEntry {
       dedup.Dedup.defs ++
       similarity.Similarity.defs ++
       multimodal.Multimodal.defs ++
-      operators.Sketches.defs
+      operators.Sketches.defs ++
+      schema.SchemaQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

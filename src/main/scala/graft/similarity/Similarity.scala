@@ -20,8 +20,14 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Deterministic ±1 hyperplane matrix, derived from the md5-based
-    * portable hash so the oracle shares it by construction. */
-  val Planes = 8
+    * portable hash so the oracle shares it by construction. Multi-table
+    * LSH (Indyk–Motwani): `NumTables` independent tables of
+    * `PlanesPerTable` hyperplanes; candidates are the union of bucket
+    * matches across tables, which trades one extra shuffle fan-out for
+    * much higher recall than a single wide code. */
+  val NumTables = 4
+  val PlanesPerTable = 4
+  val Planes = NumTables * PlanesPerTable
   val Dim = 64
   private def sign(p: Int, i: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -70,45 +76,66 @@ object Similarity {
     })
 
   // ------------------------------------------------------------- lsh
-  /** Random-hyperplane LSH: 8-bit bucket per vector (sign of ±1
-    * projections), candidates restricted to the probe's bucket, exact
-    * cosine re-rank inside. Deterministic plane matrix ⇒ oracle-able.
-    * Recall vs the brute baseline is asserted in SimilaritySpec. */
-  private def bucketExprSpark: String = {
-    val bits = (0 until Planes).map { p =>
+  /** Random-hyperplane LSH ANN: per table, a 4-bit sign-code bucket;
+    * candidates are the union of same-bucket matches over the 4
+    * tables, then an exact cosine re-rank picks top-5. One shuffle
+    * into (table, bucket), candidate set bounded by bucket sizes.
+    * Deterministic plane matrix ⇒ oracle-able; recall vs the brute
+    * baseline asserted in EngineSpec. */
+  private def bucketExprSpark(table: Int): String = {
+    val bits = (0 until PlanesPerTable).map { b =>
+      val p = table * PlanesPerTable + b
       val terms = signs(p).zipWithIndex
         .map { case (sg, i) => if (sg > 0) s"v[$i]" else s"(- v[$i])" }
-        .grouped(8).map(_.mkString(" + ")).mkString(" + ")
-      s"IF(($terms) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), $p), CAST(0 AS BIGINT))"
+        .mkString(" + ")
+      s"IF(($terms) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
     }
     bits.mkString(" + ")
   }
-  private def bucketExprSql: String = {
-    val bits = (0 until Planes).map { p =>
+  private def bucketExprSql(table: Int): String = {
+    val bits = (0 until PlanesPerTable).map { b =>
+      val p = table * PlanesPerTable + b
       val terms = signs(p).zipWithIndex
         .map { case (sg, i) => if (sg > 0) s"v[${i + 1}]" else s"(- v[${i + 1}])" }
-        .grouped(8).map(_.mkString(" + ")).mkString(" + ")
-      s"CASE WHEN ($terms) > CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"
+        .mkString(" + ")
+      s"CASE WHEN ($terms) > CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
     }
     bits.mkString(" + ")
   }
 
   val lsh = QueryDef(
     "ann_lsh",
-    Some(s"""WITH $normSqlCte,
-      bk AS (SELECT vec_id, v, nrm, $bucketExprSql AS bucket FROM nx)
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS id_p, cb.vec_id AS id_c
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk
+          AND ca.vec_id < 10 AND ca.vec_id <> cb.vec_id)
       SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
-        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
-          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id) t
-      WHERE rk <= 5 ORDER BY id_p, rk"""),
+        SELECT cd.id_p, cd.id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY cd.id_p ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.id_c) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
     (s, d) => {
-      val bk = normDf(s, d).withColumn("bucket", expr(bucketExprSpark))
-      val probes = bk.filter(col("vec_id") < 10)
-      probes.as("a").join(bk.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("id_p"), col("b.vec_id").as("id_c"),
-          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
+      val n = normDf(s, d)
+      val tables = (0 until NumTables).map(t =>
+        struct(lit(t).as("t"), expr(bucketExprSpark(t)).as("bk")))
+      val tb = n.withColumn("tbl", explode(array(tables: _*)))
+        .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
+      val cand = tb.as("ca").join(tb.as("cb"),
+          col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
+          col("ca.vec_id") < 10 && col("ca.vec_id") =!= col("cb.vec_id"))
+        .select(col("ca.vec_id").as("id_p"), col("cb.vec_id").as("id_c"))
+        .distinct()
+      cand.join(n.as("a"), col("a.vec_id") === col("id_p"))
+        .join(n.as("b"), col("b.vec_id") === col("id_c"))
+        .select(col("id_p"), col("id_c"), expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
             .orderBy(col("c").desc, col("id_c"))))

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.7): watermarked
+  * tumbling-window aggregation and stateful gap sessionization. Batch
+  * twins `q16_events_window` / `q17_sessionize` are oracle-verified;
+  * these streaming versions are exercised in StreamingSpec via
+  * MemoryStream with event-time control.
+  *
+  * Scale: state is partitioned by the grouping key (window key /
+  * user), watermarks bound state size; both run identically on a
+  * 1000-executor cluster with a real source (Kafka/files) swapped in.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+  final case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark —
+    * streaming twin of q16. Late events beyond the watermark drop out;
+    * everything else matches the batch date_trunc aggregation. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState
+    * — streaming twin of q17. Emits a session when the gap timeout
+    * expires. State per user is one open session: O(users) state. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          val gapMs = gapMinutes * 60000L
+          var closed = List.empty[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.total)
+            state.remove()
+            closed.iterator
+          } else {
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source streaming read: watch `streamDir` for parquet event
+    * files (schema taken from the batch events table at `schemaDir`) —
+    * readStream → transform → sink wiring. */
+  def eventsStream(spark: SparkSession, schemaDir: String, streamDir: String): DataFrame = {
+    val schema = graft.Tables.events(spark, schemaDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-level checks: plans (pushdown, broadcast), flagship rows,
+  * sketch error bounds, native expression vs independent impl. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and matches its oracle's column set") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, d)
+      assert(df.columns.nonEmpty, name)
+      // force a small execution
+      df.limit(1).collect()
+    }
+  }
+
+  test("q2 pushes filters and prunes columns at the parquet scan") {
+    val plan = operators.Relational.q2.build(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    // pruned read schema: no l_extendedprice in the scan
+    assert(!plan.contains("l_extendedprice"), "scan must not read unused columns")
+  }
+
+  test("q12 broadcasts the dimension tables") {
+    val plan = operators.Relational.q12.build(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("approx_distinct within configured 2% rsd of exact (loose 10% gate)") {
+    val rows = operators.Sketches.approxDistinct.build(spark, d).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("native rolling-hash expression matches an independent fold") {
+    functions.RollingHash.ensure(spark)
+    import spark.implicits._
+    val texts = Seq("hello world", "", "héllo ünïcode ☃", "a" * 1000)
+    val df = texts.toDF("s")
+      .withColumn("h", functions.RollingHash.rollingHash(col("s"), 1000000007L))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ref(s: String): Long = // independent: fold over codepoints
+      s.codePoints.toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    texts.foreach(t => assert(got(t) == ref(t), s"mismatch for '$t'"))
+  }
+
+  test("rolling hash participates in codegen (no fallback errors) and works in SQL") {
+    functions.RollingHash.ensure(spark)
+    val n = spark.sql("SELECT graft_rolling_hash('abc', 1000000007) AS h").collect()(0).getLong(0)
+    assert(n == (((('a'.toLong * 31) + 'b') * 31 + 'c') % 1000000007L))
+  }
+
+  test("dedup_exact keeps one row per distinct normalized text") {
+    val out = dedup.Dedup.exact.build(spark, d).collect()
+    val docs = Tables.documents(spark, d).count()
+    assert(out.map(_.getAs[Long]("n_copies")).sum == docs)
+  }
+
+  test("ann_lsh recall vs brute force is nontrivial") {
+    val brute = similarity.Similarity.bruteTopK.build(spark, d)
+      .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = similarity.Similarity.lsh.build(spark, d)
+      .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.15, s"LSH recall too low: $recall") // 8-bit buckets, small corpus
+    assert(lsh.nonEmpty)
+  }
+}

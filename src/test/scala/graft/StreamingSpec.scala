@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming specs: file source → watermark → windowed agg,
+  * and stateful sessionization, driven in event-time order with
+  * one-file-per-microbatch so the watermark advances between batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def writeBatches(dir: String, batches: Seq[Seq[Streams.Event]]): Unit = {
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF().coalesce(1).write.parquet(f"$dir/b$i%03d")
+    }
+  }
+
+  test("windowed aggregation with watermark emits closed windows") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val batch1 = Seq(
+      Streams.Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Streams.Event(2, ts("2024-01-01 00:45:00"), 1, "click", 2.0),
+      Streams.Event(3, ts("2024-01-01 01:10:00"), 2, "view", 3.0))
+    // batch 2 advances the max event time; batch 3 starts with watermark
+    // 06:30-2h=04:30 > both early windows → they emit during batch 3
+    val batch2 = Seq(Streams.Event(4, ts("2024-01-01 06:30:00"), 1, "click", 4.0))
+    val batch3 = Seq(Streams.Event(5, ts("2024-01-01 12:00:00"), 3, "view", 1.0))
+    writeBatches(in, Seq(batch1, batch2, batch3))
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+    val q = Streams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("win_out")
+      .select(col("hour_start").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)), rows.toString)
+    assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)), rows.toString)
+  }
+
+  test("stateful sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-sess-in").toString
+    val batch1 = Seq(
+      Streams.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Streams.Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0),   // same session
+      Streams.Event(3, ts("2024-01-01 02:00:00"), 7, "click", 5.0))   // new session (gap > 30m)
+    // batch 2 advances max event time to 09:00; batch 3 runs with
+    // watermark 07:00 → both user-7 session timeouts fire and emit
+    val batch2 = Seq(Streams.Event(4, ts("2024-01-01 09:00:00"), 8, "view", 1.0))
+    val batch3 = Seq(Streams.Event(5, ts("2024-01-01 20:00:00"), 9, "view", 1.0))
+    writeBatches(in, Seq(batch1, batch2, batch3))
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+      .as[Streams.Event]
+    val q = Streams.sessionize(stream)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // the first session of user 7 (2 events) must have closed
+    assert(rows.contains((7L, "2024-01-01 00:00:00", 2L, 3.0)), rows.toString)
+    // the 02:00 session closes once the batch-2 watermark passes its gap
+    assert(rows.contains((7L, "2024-01-01 02:00:00", 1L, 5.0)), rows.toString)
+  }
+}

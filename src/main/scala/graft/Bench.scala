@@ -30,6 +30,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timings (tiny sf, flagship plan)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()

@@ -88,6 +88,16 @@ object Portable {
   def minhash(shingles: Column, j: Int): Column =
     array_min(transform(shingles, s => (lit(A(j)) * (h60(s) % P) + lit(B(j))) % P))
 
+  /** Shingle hashes reduced mod P, computed once and shared by all
+    * `NumHashes` affine functions (16× less md5 work than hashing
+    * inside each minhash). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => h60(s) % P)
+
+  /** Minhash over pre-computed (mod-P) shingle hashes. */
+  def minhashOfHashes(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h => (lit(A(j)) * h + lit(B(j))) % P))
+
   // ---- DuckDB oracle side (same math, same constants) ----
   def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"

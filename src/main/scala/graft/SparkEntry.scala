@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Extra.defs ++
       functions.TextAnalysis.defs ++
       dedup.Dedup.defs ++
       similarity.Similarity.defs ++

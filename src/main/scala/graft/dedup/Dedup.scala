@@ -39,8 +39,9 @@ object Dedup {
       .select(col("doc_id"), wordShingles(col("toks")).as("sh"))
 
   private def bandsDf(s: SparkSession, d: String): DataFrame = {
-    val sig = shingleDf(s, d).select(
-      col("doc_id") +: (0 until NumHashes).map(j => minhash(col("sh"), j).as(s"m$j")): _*)
+    val sig = shingleDf(s, d)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j => minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("band_key"))

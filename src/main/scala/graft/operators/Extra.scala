@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of relational coverage (SURVEY.md §2.2 extension):
+  * cube, pivot, navigation windows, grouping sets, calendar breakdown,
+  * schema-aware union-by-name.
+  */
+object Extra {
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // --------------------------------------------------------------- q21
+  /** CUBE over two dims (all four grouping combinations). */
+  val q21 = QueryDef(
+    "q21_cube",
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls"""),
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls")))
+
+  // --------------------------------------------------------------- q22
+  /** PIVOT: one column per line status. Spark's pivot with explicit
+    * values keeps the plan a single pass (no per-value scans). */
+  val q22 = QueryDef(
+    "q22_pivot",
+    Some("""SELECT l_returnflag,
+      CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+      .orderBy(col("l_returnflag")))
+
+  // --------------------------------------------------------------- q23
+  /** Navigation window functions: lag/lead/first_value/ntile. */
+  val q23 = QueryDef(
+    "q23_window_nav",
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      first_value(o_orderkey) OVER w AS first_order,
+      ntile(4) OVER w AS quartile
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    })
+
+  // --------------------------------------------------------------- q24
+  /** Explicit GROUPING SETS with grouping() indicator. */
+  val q24 = QueryDef(
+    "q24_grouping_sets",
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS pri, coalesce(o_orderstatus, 'ALL') AS st,
+      CAST(grouping(o_orderpriority) AS INT) AS g_pri, count(*) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY pri, st, g_pri"""),
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT coalesce(o_orderpriority, 'ALL') AS pri, coalesce(o_orderstatus, 'ALL') AS st,
+        CAST(grouping(o_orderpriority) AS INT) AS g_pri, count(*) AS n
+        FROM graft_orders_gs GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, st, g_pri""")
+    })
+
+  // --------------------------------------------------------------- q25
+  /** Calendar breakdown (year/quarter/month extraction). */
+  val q25 = QueryDef(
+    "q25_date_parts",
+    Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+      count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    (s, d) => Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy(col("y"), col("q"), col("m")))
+
+  // --------------------------------------------------------------- q26
+  /** Schema-aware unionByName: two differently-shaped projections
+    * merged by column name, missing columns null-filled — the data
+    * twin of SchemaDiff.unionByName. */
+  val q26 = QueryDef(
+    "q26_union_by_name",
+    Some("""SELECT * FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice, 'a' AS src
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice, 'b' AS src
+      FROM lineitem WHERE l_linenumber = 2) t
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit("a").as("src"))
+      val b = li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), lit("b").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("src"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26)
+}

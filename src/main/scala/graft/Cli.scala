@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.schema._
+
+/** Command-line surface mirroring the reference CLI (reference
+  * iceberg_evolve/cli.py: diff / evolve / serialize), Spark-native:
+  *
+  *   graft.Cli diff <current.json> <new.json> [--match-by id|name] [--json]
+  *   graft.Cli evolve --data <path> --schema-path <new.json>
+  *            [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>]
+  *   graft.Cli serialize --data <path> --output-path <schema.json>
+  *
+  * `--data` is any Spark-readable parquet path (a file, directory, or
+  * `s3a://` URI on a real cluster). `evolve` prints the diff, the op
+  * plan and the ALTER TABLE DDL, and (without --dry-run) writes the
+  * migrated data to `--out`.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "diff" :: rest      => diff(rest)
+    case "evolve" :: rest    => evolve(rest)
+    case "serialize" :: rest => serialize(rest)
+    case other =>
+      System.err.println(s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
+      sys.exit(2)
+  }
+
+  private val usage =
+    """usage:
+      |  diff <current.json> <new.json> [--match-by id|name] [--json]
+      |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>]
+      |  serialize --data <path> --output-path <schema.json>""".stripMargin
+
+  private def flag(rest: List[String], name: String): Boolean = rest.contains(name)
+  private def opt(rest: List[String], name: String): Option[String] =
+    rest.sliding(2).collectFirst { case `name` :: v :: Nil => v }
+
+  private def loadSchema(path: String): GSchema = {
+    require(path.toLowerCase.endsWith(".json"), "Currently, only JSON files are supported for schema loading.")
+    SchemaJson.fromJson(Files.readString(Paths.get(path)))
+  }
+
+  def diff(rest: List[String]): Unit = {
+    val files = rest.filterNot(_.startsWith("--"))
+      .filterNot(f => opt(rest, "--match-by").contains(f))
+    val (cur, nxt) = (loadSchema(files(0)), loadSchema(files(1)))
+    val d = opt(rest, "--match-by") match {
+      case Some("name") => SchemaDiff.unionByName(cur, nxt)
+      case _            => SchemaDiff.byId(cur, nxt)
+    }
+    if (flag(rest, "--json")) {
+      val ops = d.toOperations.map(_.toSerializableMap)
+      val json = ops.map(m => m.map { case (k, v) =>
+        s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+        .mkString("{", ", ", "}")).mkString("[", ",\n ", "]")
+      println(json)
+    } else {
+      println(if (d.isEmpty) "Schemas are identical." else d.toString)
+    }
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder().master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def evolve(rest: List[String]): Unit = {
+    val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }
+    val schemaPath = opt(rest, "--schema-path").getOrElse { System.err.println(usage); sys.exit(2) }
+    val spark = session()
+    val df = spark.read.parquet(data)
+    val current = GSchema.fromSpark(df.schema)
+    val target = loadSchema(schemaPath)
+    // target JSON carries authoritative ids; align current ids by name
+    // where the target knows the same column name (the reference's
+    // name-match convenience for id-less sources)
+    val targetIds = target.fields.map(f => f.name -> f.id).toMap
+    val aligned = current.copy(fields = current.fields.map(f =>
+      targetIds.get(f.name).map(id => f.copy(id = id)).getOrElse(f)))
+    try {
+      val result = Evolver.evolve(aligned, target, Some(df),
+        table = opt(rest, "--table").getOrElse("t"),
+        strict = !flag(rest, "--no-strict"),
+        allowBreaking = flag(rest, "--allow-breaking"),
+        dryRun = flag(rest, "--dry-run"))
+      println("Schema Evolution Diff:\n")
+      println(SchemaDiff.byId(aligned, target).toString)
+      println("Evolution Operations:\n")
+      println(Render.ops(result.ops))
+      println("\nDDL:\n" + result.ddl.mkString("\n"))
+      if (flag(rest, "--dry-run")) println("\nDry Run - No Changes Applied")
+      else opt(rest, "--out") match {
+        case Some(out) =>
+          result.data.get.write.mode("overwrite").parquet(out)
+          println(s"\nMigrated data written to $out")
+        case None => println("\n(no --out given: schema evolved, data not written)")
+      }
+    } finally spark.stop()
+  }
+
+  def serialize(rest: List[String]): Unit = {
+    val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }
+    val outPath = opt(rest, "--output-path").getOrElse { System.err.println(usage); sys.exit(2) }
+    val spark = session()
+    try {
+      val schema = GSchema.fromSpark(spark.read.parquet(data).schema)
+      Files.writeString(Paths.get(outPath), SchemaJson.toJson(schema))
+      println(s"Schema written to $outPath")
+    } finally spark.stop()
+  }
+}

@@ -13,6 +13,8 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Extra.defs ++
       functions.TextAnalysis.defs ++
+      functions.Corpus.defs ++
+      sources.Sources.defs ++
       dedup.Dedup.defs ++
       similarity.Similarity.defs ++
       multimodal.Multimodal.defs ++

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level text/vector statistics (SURVEY.md §2.5 extension):
+  * global token frequencies and per-label embedding centroids. Both
+  * are the canonical map-side-combine shapes: explode → partial agg →
+  * single shuffle on the small key domain.
+  */
+object Corpus {
+  import Portable.{normText, normTextSql}
+
+  /** Exact corpus token frequency top-20 (count + doc frequency).
+    * Explode shuffles only (token, partial-count) pairs thanks to
+    * map-side combine; the heavy-hitter sketch variant
+    * (`TopKSketchSpec`) replaces the shuffle with a mergeable
+    * fixed-size summary for the 100 TB path. */
+  val topTokens = QueryDef(
+    "text_top_tokens",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      r AS (SELECT tok, n, df, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM f)
+      SELECT rk, tok, n, df FROM r WHERE rk <= 20 ORDER BY rk"""),
+    (s, d) => {
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("tok"), col("n"), col("df"))
+        .orderBy(col("rk"))
+    })
+
+  /** Per-label embedding centroid: position-wise decimal-exact mean,
+    * reassembled in order. Shuffles (label, pos) partials only. */
+  val centroids = QueryDef(
+    "vec_centroids",
+    Some("""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      p AS (SELECT label, i, v[i] AS x FROM v, (SELECT unnest(range(1, 65)) AS i))
+      SELECT label, i AS pos,
+        round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_x
+      FROM p GROUP BY label, i ORDER BY label, pos"""),
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).as("pos"), col("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1)), 6).as("mean_x"))
+      .orderBy(col("label"), col("pos"))
+    )
+
+  val defs: Seq[QueryDef] = Seq(topTokens, centroids)
+}

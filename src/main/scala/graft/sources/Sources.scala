@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY.md §2 sources): unified schema-checked
+  * readers and scale-aware writers for parquet/csv/json. Paths go
+  * through Hadoop FS, so the same calls read `s3a://`/`hdfs://` URIs
+  * on a real cluster.
+  */
+object Sources {
+
+  /** Read with an explicit schema (never infer on a 100 TB lake —
+    * inference is a full extra pass for csv/json). */
+  def read(spark: SparkSession, format: String, path: String,
+      schema: Option[StructType] = None, options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
+  /** Write with layout control: `partitionBy` prunes future reads on
+    * the partition key; `repartition` sizes output files (target
+    * 128 MB–1 GB per file at scale, never thousands of tiny files). */
+  def write(df: DataFrame, format: String, path: String,
+      partitionBy: Seq[String] = Nil, repartition: Option[Int] = None,
+      options: Map[String, String] = Map.empty): Unit = {
+    val sized = repartition.fold(df)(n =>
+      if (partitionBy.nonEmpty) df.repartition(n, partitionBy.map(col): _*) else df.repartition(n))
+    val w = sized.write.format(format).mode(SaveMode.Overwrite).options(options)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** CSV round-trip: events key columns → csv sink → schema-checked
+    * csv source → aggregate. The oracle reads the original parquet, so
+    * a pass proves the csv path is lossless for these types. */
+  val csvRoundtrip = QueryDef(
+    "src_csv_roundtrip",
+    Some("""SELECT event_type, count(*) AS n, sum(user_id) AS sum_users
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/csv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
+      write(src, "csv", tmp, repartition = Some(2), options = Map("header" -> "true"))
+      read(s, "csv", tmp, Some(src.schema), Map("header" -> "true"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+        .orderBy(col("event_type"))
+    })
+
+  /** JSON round-trip on string/long columns via the documents table. */
+  val jsonRoundtrip = QueryDef(
+    "src_json_roundtrip",
+    Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/json_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      write(src, "json", tmp, repartition = Some(2))
+      read(s, "json", tmp, Some(src.schema))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip)
+}

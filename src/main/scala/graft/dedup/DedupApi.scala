@@ -1,0 +1,122 @@
+package graft.dedup
+
+import graft.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** User-facing parameterized dedup API (the library surface a
+  * pipeline imports; the `Dedup` QueryDefs are thin instantiations).
+  * All pipelines are relational plans: signature build is map-side,
+  * the only shuffle keys are the bucket/block keys, candidate pairs
+  * form exclusively inside buckets with `idA < idB`.
+  */
+object DedupApi {
+  import Portable._
+
+  /** Exact dedup: one surviving (min-id) row id per normalized-text
+    * hash. `keep` joins back to the input for the surviving rows. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(normText(col(text))).as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exactKeep(df: DataFrame, id: String, text: String): DataFrame =
+    df.join(exactGroups(df, id, text).select(col("keep_id").as(id)), Seq(id), "left_semi")
+
+  /** Word-shingle sets per row (distinct k-shingles of the
+    * whitespace-normalized text); rows with < k tokens drop out. */
+  def shingles(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame =
+    df.select(col(id), split(normText(col(text)), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(id), wordShingles(col("toks"), k).as("sh"))
+
+  /** Exploded LSH band keys: numHashes minhash signatures split into
+    * `bands` bands. One row per (id, band). */
+  def minhashBands(sh: DataFrame, id: String,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    val rows = numHashes / bands
+    val sig = sh.select(col(id), shingleHashes(col("sh")).as("hs"))
+      .select(col(id) +: (0 until numHashes).map(j => minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
+    }
+    sig.select(col(id), explode(array(bandStructs: _*)).as("band"))
+      .select(col(id), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification. */
+  def minhashPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.6, k: Int = 3,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    val sh = shingles(df, id, text, k)
+    val bnd = minhashBands(sh, id, numHashes, bands)
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(sh.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).as("inter"),
+        size(col("s1.sh")).as("la"), size(col("s2.sh")).as("lb"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash signature per row (per-bit majority of distinct
+    * token hashes, Charikar 2002). Map-side only. */
+  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
+    val h60SparkSql = "CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT)"
+    df.select(col(id), split(normText(col(text)), " ").as("toks0"))
+      .select(col(id), expr(s"transform(array_distinct(toks0), t -> $h60SparkSql)").as("hs"))
+      .select(col(id), expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+           acc + IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),
+                    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("simhash"))
+  }
+
+  /** SimHash pairs within Hamming distance. `banded=true` restricts
+    * candidates to pairs agreeing on ≥1 of 4 signature bands
+    * (pigeonhole: exact for maxHamming ≤ 3, the scale path);
+    * `banded=false` is the exact quadratic scan. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 6, banded: Boolean = false): DataFrame = {
+    val sim = simhashSignatures(df, id, text)
+    val pairs =
+      if (!banded) sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
+      else {
+        val bandRows = sim.select(col(id), col("simhash"),
+          explode(expr("transform(sequence(0, 3), b -> named_struct('b', b, 'k', (simhash >> (b * 8)) & 255))")).as("band"))
+          .select(col(id), col("simhash"), col("band.b").as("b"), col("band.k").as("k"))
+        bandRows.as("a").join(bandRows.as("b"),
+            col("a.b") === col("b.b") && col("a.k") === col("b.k") && col(s"a.$id") < col(s"b.$id"))
+          .select(col(s"a.$id").as(s"a_$id"), col("a.simhash").as("a_sim"),
+            col(s"b.$id").as(s"b_$id"), col("b.simhash").as("b_sim"))
+          .distinct()
+          .select(struct(col(s"a_$id").as(id), col("a_sim").as("simhash")).as("a"),
+            struct(col(s"b_$id").as(id), col("b_sim").as("simhash")).as("b"))
+      }
+    pairs
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact cosine near-dup pairs over a float-array embedding column
+    * (deterministic left-to-right double fold). */
+  def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val n = df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+    n.as("a").join(n.as("b"), col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)
+             / (a.nrm * b.nrm)""").as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+  }
+}

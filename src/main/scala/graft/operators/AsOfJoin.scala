@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join: for each left row, attach the columns of the
+  * most recent right row with the same key and `rightTime <= leftTime`
+  * (inclusive). Left rows with no prior right row get nulls.
+  *
+  * Implementation is the union-merge technique: tag both inputs, sort
+  * once per key on (time, side, tie), and carry the latest right
+  * values forward with `last(..., ignoreNulls)` — one shuffle on the
+  * key and a single window pass, regardless of how many right rows
+  * precede each left row. A point-lookup join would be
+  * O(left × right-per-key); this is one sort per key partition, and
+  * AQE handles skewed keys like any other window shuffle. This is the
+  * scalable formulation for 100 TB event tables.
+  *
+  * `rightCols` are carried to the output as `<prefix><name>`; alias
+  * before calling if a name collides with a left column. `tieBreak`
+  * optionally names a (leftCol, rightCol) pair that disambiguates
+  * equal timestamps deterministically (e.g. an event id).
+  */
+object AsOfJoin {
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_",
+      tieBreak: Option[(String, String)] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val (lTie, rTie) = tieBreak match {
+      case Some((l, r)) => (col(l), col(r))
+      case None => (lit(0L), lit(0L))
+    }
+    val taggedLeft = left
+      .select(Seq(col(key).as("__asof_key"), col(leftTime).as("__asof_ts"),
+        lit(1).as("__asof_side"), lTie.as("__asof_tie")) ++
+        leftCols.map(c => col(c)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val taggedRight = right
+      .select(Seq(col(key).as("__asof_key"), col(rightTime).as("__asof_ts"),
+        lit(0).as("__asof_side"), rTie.as("__asof_tie")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+
+    // right (side=0) sorts before left (side=1) at equal ts ⇒ inclusive
+    val w = Window.partitionBy(col("__asof_key"))
+      .orderBy(col("__asof_ts"), col("__asof_side"), col("__asof_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedLeft.unionByName(taggedRight)
+      .select(col("*") +: rightCols.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+
+    carried.filter(col("__asof_side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+  }
+}

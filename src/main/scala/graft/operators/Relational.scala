@@ -373,23 +373,19 @@ object Relational {
       ORDER BY p.event_id"""),
     (s, d) => {
       val ev = Tables.events(s, d)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          lit(null).cast(DoubleType).as("c_value"), lit(1).as("is_p"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").as("c_value"), lit(0).as("is_p"))
-      // clicks sort before purchases at equal ts ⇒ inclusive as-of
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_p"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      p.unionByName(c)
-        .withColumn("last_click_ts", last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
-        .withColumn("last_click_value", last(when(col("is_p") === 0, col("c_value")), ignoreNulls = true).over(w))
-        .filter(col("is_p") === 1)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      AsOfJoin.join(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_ts", "click_value"), prefix = "last_",
+          tieBreak = Some(("event_id", "event_id")))
         .select(col("event_id"), col("user_id"),
           date_trunc("second", col("ts")).as("purchase_sec"),
           date_trunc("second", col("last_click_ts")).as("last_click_sec"),
-          col("last_click_value"))
+          col("last_click_value").as("last_click_value"))
         .orderBy(col("event_id"))
     })
 

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the user-facing operator APIs (AsOfJoin, DedupApi). */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AsOfJoin attaches most recent right row, inclusive, null when none") {
+    import spark.implicits._
+    val quotes = Seq( // key, time, price
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 101.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:03:00"), 200.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq( // key, time, qty
+      (1L, Timestamp.valueOf("2024-01-01 10:04:59"), 5L),  // → 100.0
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 6L),  // inclusive → 101.0
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),  // no prior quote → null
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), 8L)   // key unseen → null
+    ).toDF("sym", "tts", "qty")
+
+    val out = operators.AsOfJoin.join(trades, quotes,
+        key = "sym", leftTime = "tts", rightTime = "qts", rightCols = Seq("price"))
+      .orderBy("sym", "tts")
+      .select(col("sym"), col("qty"), col("asof_price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1L, 5L, Some(100.0)), (1L, 6L, Some(101.0)), (2L, 7L, None), (3L, 8L, None)))
+  }
+
+  test("banded simhash pairs = exact pairs for maxHamming <= 3 (pigeonhole)") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val exact = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 3, banded = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 3, banded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == banded)
+    assert(exact.nonEmpty) // planted near-dups guarantee hits
+  }
+
+  test("exactKeep returns one survivor per content hash") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val kept = dedup.DedupApi.exactKeep(docs, "doc_id", "text")
+    val groups = dedup.DedupApi.exactGroups(docs, "doc_id", "text")
+    assert(kept.count() == groups.count())
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("minhashPairs finds the planted near-duplicates") {
+    val pairs = dedup.DedupApi.minhashPairs(
+      Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", threshold = 0.8)
+    val n = pairs.count()
+    assert(n > 0, "expected planted near-dup pairs at jaccard >= 0.8")
+    assert(pairs.agg(min(col("jaccard"))).collect()(0).getDouble(0) >= 0.8)
+  }
+}

@@ -45,12 +45,16 @@ object DedupApi {
       .select(col(id), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
   }
 
-  /** MinHash+LSH near-dup pairs with exact Jaccard verification. */
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification.
+    * Shingle sets and band keys are persisted (memory-and-disk): both
+    * feed multiple joins, and recomputing them means re-hashing the
+    * corpus 3×. At 100 TB the same role is played by checkpointing
+    * the signature table to the lake between stages. */
   def minhashPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3,
       numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
-    val sh = shingles(df, id, text, k)
-    val bnd = minhashBands(sh, id, numHashes, bands)
+    val sh = shingles(df, id, text, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnd = minhashBands(sh, id, numHashes, bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&

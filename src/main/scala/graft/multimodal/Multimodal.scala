@@ -59,5 +59,42 @@ object Multimodal {
         .orderBy(col("doc_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(features)
+  /** Per-frame output of the stub "video" pipeline: deterministic
+    * frame sampling (every ~Nth byte offset as a frame boundary) with
+    * a resize-stub on the fake dimensions. The explode shape — one
+    * blob row in, k frame rows out — is exactly how a real
+    * frame-sampler fans out, and the per-frame features stay pure
+    * functions of the bytes so the whole fan-out is oracle-verified. */
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Int, frame_offset: Long,
+      resized_w: Long, resized_h: Long)
+
+  val frames = QueryDef(
+    "mm_frames",
+    Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 512 AS w,
+        (CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) >> 9) % 512 AS h
+        FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx, i * (n_bytes // 4) AS frame_offset,
+        CAST(least(w, 256) AS BIGINT) AS resized_w, CAST(least(h, 256) AS BIGINT) AS resized_h
+      FROM f, (SELECT unnest(range(0, 4)) AS i)
+      ORDER BY doc_id, frame_idx"""),
+    (s, d) => {
+      val sp = s
+      import sp.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val feat = decodeStub(id, bytes)
+          // STUB frame sampler: 4 evenly spaced offsets; a real decoder
+          // would seek keyframes here. Resize stub caps dims at 256.
+          (0 until 4).map(i => FrameRow(id, i, i.toLong * (feat.n_bytes / 4),
+            math.min(feat.fake_width, 256), math.min(feat.fake_height, 256)))
+        }
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(features, frames)
 }

@@ -105,14 +105,14 @@ object Relational {
       .orderBy(col("c_custkey")))
 
   // ---------------------------------------------------------------- q5
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers without any very large order. */
   val q5 = QueryDef(
     "q5_anti_join",
     Some("""SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       ORDER BY c_custkey"""),
     (s, d) => Tables.customer(s, d)
-      .join(broadcast(Tables.orders(s, d).select(col("o_custkey"))),
+      .join(broadcast(Tables.orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey"))),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey")))

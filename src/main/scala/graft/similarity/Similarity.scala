@@ -123,11 +123,14 @@ object Similarity {
       WHERE rk <= 5 ORDER BY id_p, rk"""
     },
     (s, d) => {
-      val n = normDf(s, d)
+      // normalized vectors feed three joins; bucket rows feed two —
+      // persist both rather than re-fold 64-dim arrays per use
+      val n = normDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tables = (0 until NumTables).map(t =>
         struct(lit(t).as("t"), expr(bucketExprSpark(t)).as("bk")))
       val tb = n.withColumn("tbl", explode(array(tables: _*)))
         .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = tb.as("ca").join(tb.as("cb"),
           col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
           col("ca.vec_id") < 10 && col("ca.vec_id") =!= col("cb.vec_id"))

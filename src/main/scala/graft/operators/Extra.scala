@@ -118,5 +118,43 @@ object Extra {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26)
+  // --------------------------------------------------------------- q27
+  /** Collect aggregation surfaced deterministically: the distinct set
+    * per group, sorted and joined (collect_set order is engine-defined,
+    * so the comparable form is the sorted string). */
+  val q27 = QueryDef(
+    "q27_collect_strings",
+    Some("""SELECT o_custkey,
+      array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      count(*) AS n_orders
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey")))
+
+  // --------------------------------------------------------------- q28
+  /** Sliding time-window frame: per-user running event value over the
+    * trailing hour. Spark's DSL has no interval RANGE frames, so both
+    * engines order by epoch microseconds with a numeric range — the
+    * portable formulation (and the one that survives engine swaps). */
+  val q28 = QueryDef(
+    "q28_time_range_frame",
+    Some("""SELECT user_id, event_id,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+      FROM events ORDER BY user_id, event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("hour_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28)
 }

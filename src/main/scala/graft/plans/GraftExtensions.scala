@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.ensureAll(session)
       _ => ()
     }
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 

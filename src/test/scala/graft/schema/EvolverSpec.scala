@@ -102,6 +102,40 @@ class EvolverSpec extends AnyFunSuite {
     assert(row.getAs[Int]("points") == 5)
   }
 
+  test("conform recurses through arrays of structs and map values") {
+    import scala.jdk.CollectionConverters._
+    val cur2 = GSchema(0, Seq(
+      GField(1, "id", required = true, GLong),
+      GField(2, "items", required = false, GList(3, elementRequired = false, GStruct(Seq(
+        GField(4, "sku", required = false, GString),
+        GField(5, "qty", required = false, GInt))))),
+      GField(6, "attrs", required = false, GMap(7, GString, 8, valueRequired = false, GStruct(Seq(
+        GField(9, "score", required = false, GInt)))))))
+    val rows = Seq(Row(1L,
+      Seq(Row("a", 2), Row("b", 3)),
+      Map("x" -> Row(7)))).asJava
+    val df = spark.createDataFrame(rows, GSchema.toSpark(cur2))
+
+    // evolve inside the containers: rename sku→code, widen qty→long,
+    // add discount to elements; widen map value score→long
+    val target = GSchema(0, Seq(
+      GField(1, "id", required = true, GLong),
+      GField(2, "items", required = false, GList(3, elementRequired = false, GStruct(Seq(
+        GField(4, "code", required = false, GString),
+        GField(5, "qty", required = false, GLong),
+        GField(10, "discount", required = false, GDouble))))),
+      GField(6, "attrs", required = false, GMap(7, GString, 8, valueRequired = false, GStruct(Seq(
+        GField(9, "score", required = false, GLong)))))))
+    val out = Evolver.conform(df, cur2, target)
+    val r = out.collect()(0)
+    val items = r.getSeq[Row](1)
+    assert(items.map(_.schema.fieldNames.toSeq).distinct == Seq(Seq("code", "qty", "discount")))
+    assert(items.map(i => (i.getString(0), i.getLong(1), i.isNullAt(2))) ==
+      Seq(("a", 2L, true), ("b", 3L, true)))
+    val attrs = r.getMap[String, Row](2)
+    assert(attrs("x").getLong(0) == 7L)
+  }
+
   test("rendering: schema tree and ops") {
     val tree = Render.schema(cur)
     assert(tree.contains("meta: struct"))

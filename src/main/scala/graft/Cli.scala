@@ -37,10 +37,7 @@ object Cli {
   private def opt(rest: List[String], name: String): Option[String] =
     rest.sliding(2).collectFirst { case `name` :: v :: Nil => v }
 
-  private def loadSchema(path: String): GSchema = {
-    require(path.toLowerCase.endsWith(".json"), "Currently, only JSON files are supported for schema loading.")
-    SchemaJson.fromJson(Files.readString(Paths.get(path)))
-  }
+  private def loadSchema(path: String): GSchema = GSchemaIO.fromFile(path)
 
   def diff(rest: List[String]): Unit = {
     val files = rest.filterNot(_.startsWith("--"))

@@ -124,5 +124,20 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint)
+  // -------------------------------------------------------- histogram
+  /** Token-length histogram (capped decile buckets) — the corpus-shape
+    * summary every ingest pipeline reports. Single shuffle on ≤10 keys. */
+  val lengthHistogram = QueryDef(
+    "text_length_histogram",
+    Some(s"""WITH t AS (SELECT len(string_split(${normTextSql("text")}, ' ')) AS n FROM documents)
+      SELECT least(n // 10, 9) AS bucket, count(*) AS n_docs, min(n) AS min_tokens, max(n) AS max_tokens
+      FROM t GROUP BY bucket ORDER BY bucket"""),
+    (s, d) => Tables.documents(s, d)
+      .select(size(split(normText(col("text")), " ")).as("n"))
+      .select(least(expr("n div 10"), lit(9)).as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy(col("bucket")))
+
+  val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint, lengthHistogram)
 }

@@ -156,5 +156,22 @@ object Extra {
         .orderBy(col("user_id"), col("event_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28)
+  // --------------------------------------------------------------- q29
+  /** Correlated scalar subquery — Catalyst de-correlates it into a
+    * left outer aggregate join (visible in the plan), so it scales
+    * like a join, not like per-row lookups. */
+  val q29 = QueryDef(
+    "q29_scalar_subquery",
+    Some("""SELECT c_custkey, c_name,
+      (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+      FROM customer ORDER BY c_custkey"""),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_sq")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+      s.sql("""SELECT c_custkey, c_name,
+        (SELECT max(o_totalprice) FROM graft_orders_sq WHERE o_custkey = c_custkey) AS max_order
+        FROM graft_customer_sq ORDER BY c_custkey""")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.schema.{CatalogLoadError, GSchemaIO, SchemaParseError}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-surface and operational-pattern specs: exception parity with
+  * the reference, pipeline metrics via observe(), permissive parsing
+  * of corrupt source records. */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fromFile: non-json rejected, bad json wrapped in SchemaParseError with path") {
+    intercept[IllegalArgumentException](GSchemaIO.fromFile("/tmp/x.yaml"))
+    val bad = Files.createTempFile("graft-bad", ".json")
+    Files.writeString(bad, """{"fields": "nope"}""")
+    val e = intercept[SchemaParseError](GSchemaIO.fromFile(bad.toString))
+    assert(e.path == bad.toString)
+  }
+
+  test("fromTable: missing table wrapped in CatalogLoadError with identifier") {
+    val e = intercept[CatalogLoadError](GSchemaIO.fromTable(spark, "nope.missing_table"))
+    assert(e.table == "nope.missing_table")
+  }
+
+  test("fromTable reads a registered table's schema with ids") {
+    Tables.nation(spark, TestSpark.sfDir).createOrReplaceTempView("graft_nation_ft")
+    val s = GSchemaIO.fromTable(spark, "graft_nation_ft")
+    assert(s.fields.map(_.name) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(s.fields.map(_.id) == Seq(1, 2, 3))
+  }
+
+  test("observe() exposes pipeline metrics without a second pass") {
+    val observed = Tables.lineitem(spark, TestSpark.sfDir)
+      .observe("ingest", count(lit(1)).as("rows"), sum(col("l_quantity")).as("qty"))
+      .filter(col("l_quantity") > 0)
+    observed.collect() // the dataset's own execution carries the metrics
+    val row = observed.queryExecution.observedMetrics("ingest")
+    assert(row.getAs[Long]("rows") > 0)
+  }
+
+  test("permissive json read surfaces corrupt records instead of failing") {
+    val dir = Files.createTempDirectory("graft-badjson")
+    Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "v": "ok"}
+        |not json at all
+        |{"id": 2, "v": "fine"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) == 1)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("id"))) == 2)
+  }
+}

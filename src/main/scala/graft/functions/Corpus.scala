@@ -53,5 +53,34 @@ object Corpus {
       .orderBy(col("label"), col("pos"))
     )
 
-  val defs: Seq[QueryDef] = Seq(topTokens, centroids)
+  /** The composed training-data pipeline: quality gate → exact dedup
+    * (keep min id) → per-language corpus stats. One pass of narrow
+    * ops + two hash shuffles (dedup hash, final group) — the shape of
+    * a real 100 TB ingest job, verified end-to-end against a single
+    * DuckDB CTE chain. */
+  val qualityDedupPipeline = QueryDef(
+    "pipeline_quality_dedup",
+    Some(s"""WITH t AS (SELECT doc_id, lang, n_chars, ${normTextSql("text")} AS s,
+          string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      q AS (SELECT * FROM t WHERE len(toks) BETWEEN 20 AND 80
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+      k AS (SELECT md5(s) AS h, min(doc_id) AS keep_id FROM q GROUP BY h),
+      kept AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id)
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) AS avg_tokens
+      FROM kept GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val filtered = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"), toks.as("toks"))
+        .filter(size(col("toks")).between(20, 80) &&
+          size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")) >= 0.3)
+      graft.dedup.DedupApi.exactKeep(filtered, "doc_id", "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          round(sum(size(col("toks"))).cast(DoubleType) / count(lit(1)), 6).as("avg_tokens"))
+        .orderBy(col("lang"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(topTokens, centroids, qualityDedupPipeline)
 }

@@ -147,6 +147,71 @@ object Similarity {
         .orderBy(col("id_p"), col("rk"))
     })
 
+  // ------------------------------------------------------------- ivf
+  /** IVF-style ANN: coarse quantizer = per-label centroids (the
+    * inverted-file cells), probes search only their 2 nearest cells,
+    * exact cosine re-rank inside. All reductions are decimal-exact
+    * (row order across partitions must not matter), so the whole
+    * index build + search is oracle-verifiable. At 100 TB the cells
+    * come from k-means and the per-cell candidate lists are the
+    * partition pruning — same plan shape. */
+  val ivf = QueryDef(
+    "ann_ivf",
+    Some(s"""WITH $normSqlCte,
+      pos AS (SELECT vec_id, label, i, v[i] AS x FROM nx, (SELECT unnest(range(1, 65)) AS i)),
+      cent AS (SELECT label, i, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+               FROM pos GROUP BY label, i),
+      cnorm AS (SELECT label, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
+                FROM cent GROUP BY label),
+      pdot AS (SELECT p.vec_id AS id_p, c.label,
+                 CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
+               FROM pos p JOIN cent c ON p.i = c.i WHERE p.vec_id < 10
+               GROUP BY p.vec_id, c.label),
+      top2 AS (SELECT id_p, label FROM (
+                 SELECT d.id_p, d.label,
+                   row_number() OVER (PARTITION BY d.id_p
+                     ORDER BY d.dt / (n.nrm * cn.cn) DESC, d.label) AS crk
+                 FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN cnorm cn ON cn.label = d.label) t
+               WHERE crk <= 2)
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM top2 t JOIN nx a ON a.vec_id = t.id_p
+        JOIN nx b ON b.label = t.label AND b.vec_id <> a.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => {
+      val n = normDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pos = n.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"), col("x"))
+      val cent = pos.groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+      val cnorm = cent.groupBy(col("label"))
+        .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
+      val pdot = pos.filter(col("vec_id") < 10).as("p")
+        .join(cent.as("c"), col("p.i") === col("c.i"))
+        .groupBy(col("p.vec_id").as("id_p"), col("c.label").as("label"))
+        .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
+      val top2 = pdot.as("d")
+        .join(n.select(col("vec_id"), col("nrm")).as("pn"), col("pn.vec_id") === col("d.id_p"))
+        .join(cnorm.as("cn"), col("cn.label") === col("d.label"))
+        .withColumn("crk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("d.id_p"))
+            .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.label"))))
+        .filter(col("crk") <= 2)
+        .select(col("d.id_p").as("id_p"), col("d.label").as("clabel"))
+      top2.join(n.as("a"), col("a.vec_id") === col("id_p"))
+        .join(n.as("b"), col("b.label") === col("clabel") && col("b.vec_id") =!= col("a.vec_id"))
+        .select(col("id_p"), col("b.vec_id").as("id_c"),
+          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
+            .orderBy(col("c").desc, col("id_c"))))
+        .filter(col("rk") <= 5)
+        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
+        .orderBy(col("id_p"), col("rk"))
+    })
+
   // ------------------------------------------------------- vec stats
   /** Per-label vector statistics (decimal-exact mean norm). */
   val vecStats = QueryDef(
@@ -164,5 +229,5 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, vecStats)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecStats)
 }

@@ -87,6 +87,22 @@ final case class MoveColumn(name: String, target: String, position: String) exte
   }
 }
 
+/** DDL emission for whole schemas (complement of the per-op ALTER
+  * statements): the CREATE TABLE a new lake table starts from. */
+object CreateTableDdl {
+  def apply(schema: GSchema, table: String, using: String = "iceberg",
+      partitionedBy: Seq[String] = Nil): String = {
+    val cols = schema.fields.map { f =>
+      val notNull = if (f.required) " NOT NULL" else ""
+      val comment = f.doc.map(d => s" COMMENT '${d.replace("'", "''")}'").getOrElse("")
+      s"  `${f.name}` ${GSchema.toSparkType(f.tpe).sql}$notNull$comment"
+    }.mkString(",\n")
+    val part = if (partitionedBy.nonEmpty)
+      s"\nPARTITIONED BY (${partitionedBy.map(p => s"`$p`").mkString(", ")})" else ""
+    s"CREATE TABLE $table (\n$cols\n) USING $using$part"
+  }
+}
+
 /** Merge-a-whole-schema op — declared but not auto-applied, matching
   * the reference where UnionSchema.is_supported is False
   * (migrate.py:352); `SchemaDiff.unionByName` + `Evolver` cover the

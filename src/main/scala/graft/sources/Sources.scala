@@ -32,6 +32,28 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Compact a parquet dataset's small files: size-aware repartition
+    * and rewrite (the maintenance job every streaming sink needs).
+    * Target file count = ceil(bytes / targetFileBytes), min 1. */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 512L << 20): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, (bytes / BigInt(targetFileBytes)).toLong +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1L else 0L))
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap (a real lake table does this via table commit)
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path.stripSuffix("/") + "__old")
+    fs.renameTo(bak)
+    new java.io.File(tmp).renameTo(fs)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(bak)
+    files
+  }
+
   /** CSV round-trip: events key columns → csv sink → schema-checked
     * csv source → aggregate. The oracle reads the original parquet, so
     * a pass proves the csv path is lossless for these types. */

@@ -13,6 +13,14 @@ class BucketingSpec extends AnyFunSuite {
     val d = TestSpark.sfDir
     spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    // in-memory catalog forgets tables between JVMs but their managed
+    // locations survive — clear them or saveAsTable refuses
+    Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { t =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
     Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -11,7 +11,8 @@ final case class FieldChange(
     doc: Option[String] = None,
     previousName: Option[String] = None,
     position: Option[String] = None,
-    relativeTo: Option[String] = None) {
+    relativeTo: Option[String] = None,
+    targetIndex: Option[Int] = None) {
 
   def pretty: String = change match {
     case "added"        => s"$name: ${newType.map(_.typeString).getOrElse("?")}"
@@ -56,9 +57,13 @@ final case class SchemaDiff(
     }
     val adds = added.map(fc => AddColumn(fc.name, fc.newType.getOrElse(GString), fc.doc))
     val drops = removed.map(fc => DropColumn(fc.name))
-    val moves = changed.collect { case fc if fc.change == "moved" =>
-      MoveColumn(fc.name, fc.relativeTo.getOrElse(""), fc.position.getOrElse("after"))
-    }
+    // position-fixing moves: reordered common fields plus positioned
+    // adds, applied in target-index order so each "after" predecessor
+    // is already in its final relative place
+    val moves = (changed.filter(_.change == "moved") ++
+        added.filter(fc => fc.position.isDefined && fc.targetIndex.isDefined))
+      .sortBy(_.targetIndex.getOrElse(Int.MaxValue))
+      .map(fc => MoveColumn(fc.name, fc.relativeTo.getOrElse(""), fc.position.getOrElse("after")))
     renames ++ updates ++ adds ++ drops ++ moves
   }
 }
@@ -75,11 +80,20 @@ object SchemaDiff {
       val curById = curFields.map(f => f.id -> f).toMap
       val newById = newFields.map(f => f.id -> f).toMap
 
-      newFields.foreach { nf =>
+      newFields.zipWithIndex.foreach { case (nf, idx) =>
         val path = if (parentPath.isEmpty) nf.name else s"$parentPath.${nf.name}"
         curById.get(nf.id) match {
           case None =>
-            added += FieldChange(path, "added", newType = Some(nf.tpe), doc = nf.doc)
+            // top-level adds carry their target position so the op plan
+            // can place them (the reference appends and loses the
+            // position — an enhancement our round-trip property needs)
+            val (pos, rel) =
+              if (parentPath.nonEmpty) (None, None)
+              else if (idx == 0) (Some("first"), None)
+              else (Some("after"), Some(newFields(idx - 1).name))
+            added += FieldChange(path, "added", newType = Some(nf.tpe), doc = nf.doc,
+              position = pos, relativeTo = rel,
+              targetIndex = if (parentPath.isEmpty) Some(idx) else None)
           case Some(cf) =>
             if (cf.name != nf.name)
               changed += FieldChange(path, "renamed", previousName = Some(cf.name),
@@ -106,7 +120,8 @@ object SchemaDiff {
           val i = newOrder.indexOf(fid)
           changed += FieldChange(name, "moved",
             position = Some(if (i > 0) "after" else "first"),
-            relativeTo = if (i > 0) Some(newById(newOrder(i - 1)).name) else None)
+            relativeTo = if (i > 0) Some(newById(newOrder(i - 1)).name) else None,
+            targetIndex = Some(i))
         }
       }
 

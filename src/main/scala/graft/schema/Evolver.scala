@@ -72,8 +72,16 @@ object Evolver {
   }
 
   // ------------------------------------------------- schema mutation
-  /** Apply one operation to a schema (metadata level). */
-  def applyOp(schema: GSchema, op: EvolutionOp): GSchema = op match {
+  /** Apply one operation to a schema (metadata level). The id
+    * highwater is carried forward so dropped-column ids are never
+    * reused (Iceberg last-column-id semantics). */
+  def applyOp(schema: GSchema, op: EvolutionOp): GSchema = {
+    val hw = schema.highwaterId
+    val out = applyOp0(schema.copy(lastColumnId = hw), op)
+    out.copy(lastColumnId = out.highwaterId)
+  }
+
+  private def applyOp0(schema: GSchema, op: EvolutionOp): GSchema = op match {
     case RenameColumn(path, target) =>
       mapField(schema, path)(f => Seq(f.copy(name = target)))
     case UpdateColumn(path, _, newType, doc) =>
@@ -81,7 +89,7 @@ object Evolver {
         tpe = newType.getOrElse(f.tpe),
         doc = doc.orElse(f.doc))))
     case AddColumn(path, tpe, doc) =>
-      val id = maxId(schema.struct) + 1
+      val id = schema.highwaterId + 1
       val (parent, leaf) = splitPath(path)
       if (parent.isEmpty)
         schema.copy(fields = schema.fields :+ GField(id, leaf, required = false, tpe, doc))
@@ -120,12 +128,6 @@ object Evolver {
     if (i < 0) ("", path) else (path.substring(0, i), path.substring(i + 1))
   }
 
-  private def maxId(t: GType): Int = t match {
-    case GStruct(fs) => (0 +: fs.map(f => math.max(f.id, maxId(f.tpe)))).max
-    case GList(eid, _, e) => math.max(eid, maxId(e))
-    case GMap(kid, k, vid, _, v) => Seq(kid, vid, maxId(k), maxId(v)).max
-    case _ => 0
-  }
 
   /** Rewrite the field at a dotted path (empty result = drop). */
   private def mapField(schema: GSchema, path: String)(f: GField => Seq[GField]): GSchema = {

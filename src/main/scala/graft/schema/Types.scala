@@ -61,9 +61,25 @@ final case class GStruct(fields: Seq[GField]) extends GType
 
 final case class GField(id: Int, name: String, required: Boolean, tpe: GType, doc: Option[String] = None)
 
-final case class GSchema(schemaId: Int, fields: Seq[GField]) {
+/** `lastColumnId` is the id highwater mark (Iceberg's
+  * `last-column-id` table-metadata field): ids of dropped columns are
+  * NEVER reused, otherwise an id-based diff would misread a later
+  * add as a rename+retype of the dropped column — a hazard our
+  * EvolvePropertySpec round-trip property actually caught. */
+final case class GSchema(schemaId: Int, fields: Seq[GField], lastColumnId: Int = 0) {
   def struct: GStruct = GStruct(fields)
   def fieldByName(name: String): Option[GField] = fields.find(_.name == name)
+  /** Highest id ever assigned: the stored highwater or the max id
+    * present in the tree, whichever is larger. */
+  def highwaterId: Int = {
+    def maxId(t: GType): Int = t match {
+      case GStruct(fs) => (0 +: fs.map(f => math.max(f.id, maxId(f.tpe)))).max
+      case GList(eid, _, e) => math.max(eid, maxId(e))
+      case GMap(kid, k, vid, _, v) => Seq(kid, vid, maxId(k), maxId(v)).max
+      case _ => 0
+    }
+    math.max(lastColumnId, maxId(GStruct(fields)))
+  }
 }
 
 object GSchema {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: materializes N× copies of the test tables (keys
+  * re-spaced so cardinalities scale too) under target/, then times the
+  * scale-critical pipelines at 1× and N×. Evidence for the SURVEY §4
+  * claim that the plans scale linearly-ish in data volume (constant
+  * shuffle rounds, no quadratic blowups outside the intentionally
+  * quadratic pair scans).
+  *
+  * Usage: runMain graft.ScaleProbe [factor=10] — writes nothing
+  * outside target/.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/root/repo/target/graft_tmp/scaled_x$factor"
+
+    def scale(name: String, keyCols: Seq[String], shift: Long): Unit = {
+      val df = Tables.table(spark, base, name)
+      val rep = df.crossJoin(spark.range(factor).toDF("__rep"))
+      val shifted = keyCols.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * shift)
+      }.drop("__rep")
+      shifted.write.mode("overwrite").parquet(s"$scaled/$name.parquet")
+    }
+    println(s"building ${factor}x copies under $scaled ...")
+    scale("lineitem", Seq("l_orderkey"), 10000000L)
+    scale("documents", Seq("doc_id"), 10000000L)
+    scale("embeddings", Seq("vec_id"), 10000000L)
+    scale("events", Seq("event_id", "user_id"), 10000000L)
+
+    def time(tag: String, f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$tag: $s%.2f s")
+      s
+    }
+    val probes: Seq[(String, String => DataFrame)] = Seq(
+      ("q1_pricing_summary", d => operators.Relational.q1.build(spark, d)),
+      ("q7_window_rank", d => operators.Relational.q7.build(spark, d)),
+      ("q17_sessionize", d => operators.Relational.q17.build(spark, d)),
+      ("dedup_exact", d => dedup.Dedup.exact.build(spark, d)),
+      ("dedup_minhash_lsh", d => dedup.Dedup.minhashLsh.build(spark, d)),
+      ("text_quality", d => functions.TextAnalysis.quality.build(spark, d)))
+    probes.foreach { case (tag, b) =>
+      val t1 = time(s"$tag @1x", b(base))
+      val tn = time(s"$tag @${factor}x", b(scaled))
+      println(f"$tag scaling ratio: ${tn / t1}%.1fx for ${factor}x data")
+    }
+    spark.stop()
+  }
+}

@@ -173,5 +173,65 @@ object Extra {
         FROM graft_customer_sq ORDER BY c_custkey""")
     })
 
-  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29)
+  // --------------------------------------------------------------- q30
+  /** Ranking distribution functions: rank/dense_rank/percent_rank/
+    * cume_dist (exact small rationals — identical formulas in both
+    * engines, no rounding needed). */
+  val q30 = QueryDef(
+    "q30_rank_distributions",
+    Some("""SELECT l_returnflag, l_quantity,
+      rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      percent_rank() OVER w AS prnk, cume_dist() OVER w AS cdist
+      FROM (SELECT DISTINCT l_returnflag, l_quantity FROM lineitem) t
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+      ORDER BY l_returnflag, l_quantity"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity")).distinct()
+        .select(col("l_returnflag"), col("l_quantity"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"))
+        .orderBy(col("l_returnflag"), col("l_quantity"))
+    })
+
+  // --------------------------------------------------------------- q31
+  /** Scalar string-function battery (upper/substr/replace/lpad/
+    * levenshtein/reverse) — pure codegen'd per-row work, no shuffle. */
+  val q31 = QueryDef(
+    "q31_string_funcs",
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+      replace(p_type, ' ', '_') AS type_u, lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+      levenshtein(p_brand, p_type) AS lev, reverse(p_name) AS rname
+      FROM part ORDER BY p_partkey"""),
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"), upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        reverse(col("p_name")).as("rname"))
+      .orderBy(col("p_partkey")))
+
+  // --------------------------------------------------------------- q32
+  /** Conditional scalar expressions: CASE chains, greatest/least,
+    * nullif/coalesce — the branching layer of any feature pipeline. */
+  val q32 = QueryDef(
+    "q32_conditional_exprs",
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_totalprice > 250000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band,
+      greatest(o_totalprice, 50000.0) AS floored,
+      least(CAST(o_custkey AS BIGINT), 100) AS capped_cust,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+      FROM orders ORDER BY o_orderkey"""),
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 250000, "high")
+          .when(col("o_totalprice") > 100000, "mid").otherwise("low").as("band"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floored"),
+        least(col("o_custkey").cast("long"), lit(100L)).as("capped_cust"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"))
+      .orderBy(col("o_orderkey")))
+
+  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

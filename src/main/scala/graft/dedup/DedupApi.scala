@@ -49,12 +49,36 @@ object DedupApi {
     * Shingle sets and band keys are persisted (memory-and-disk): both
     * feed multiple joins, and recomputing them means re-hashing the
     * corpus 3×. At 100 TB the same role is played by checkpointing
-    * the signature table to the lake between stages. */
+    * the signature table to the lake between stages.
+    *
+    * `maxBucketSize > 0` drops band buckets larger than the cap before
+    * the self-join — the guard against quadratic pair explosion on
+    * pathological buckets (boilerplate-heavy corpora): a bucket of m
+    * docs contributes m²/2 candidates, so one megabucket can dominate
+    * the whole job. Dropping a bucket loses its candidates unless the
+    * pair also co-occurs in a surviving bucket of one of the other
+    * `bands-1` bands — likely for ordinary near-dups, not guaranteed
+    * for pairs whose shared boilerplate lands them in oversized
+    * buckets in every band. */
   def minhashPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3,
-      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      maxBucketSize: Int = 0): DataFrame = {
     val sh = shingles(df, id, text, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bnd = minhashBands(sh, id, numHashes, bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bndAll = minhashBands(sh, id, numHashes, bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnd =
+      if (maxBucketSize <= 0) bndAll
+      else {
+        // broadcast the drop list, not the keep list: oversized buckets
+        // are rare by design, while buckets <= cap are nearly all of them
+        val oversized = bndAll.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("band_idx").as("f_idx"), col("band_key").as("f_key"))
+        bndAll.join(broadcast(oversized),
+            col("band_idx") === col("f_idx") && col("band_key") === col("f_key"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&

@@ -49,6 +49,20 @@ class ApiSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("minhashPairs bucket cap bounds candidates but multi-band redundancy keeps recall") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val uncapped = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 2 per bucket: near-dup buckets (size 2) all survive here
+    val capped = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.8, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.nonEmpty, "capped run must still find the planted dup pairs")
+    // cap of 1 kills every bucket with a pair in it → no candidates
+    val starved = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.8, maxBucketSize = 1)
+    assert(starved.count() == 0)
+  }
+
   test("minhashPairs finds the planted near-duplicates") {
     val pairs = dedup.DedupApi.minhashPairs(
       Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", threshold = 0.8)

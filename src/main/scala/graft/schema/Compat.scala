@@ -35,9 +35,18 @@ object Compat {
   private def checkType(w: GType, r: GType, path: String): Seq[Violation] = (w, r) match {
     case (a, b) if a.equivalent(b) => Nil
     case (ws: GStruct, rs: GStruct) => checkStruct(ws, rs, path)
-    case (wl: GList, rl: GList) => checkType(wl.element, rl.element, s"$path.element")
+    case (wl: GList, rl: GList) =>
+      checkType(wl.element, rl.element, s"$path.element") ++ (
+        if (rl.elementRequired && !wl.elementRequired)
+          Seq(Violation(s"$path.element", "nullability",
+            s"reader requires non-null elements in '$path' but writer may have written null elements"))
+        else Nil)
     case (wm: GMap, rm: GMap) =>
-      checkType(wm.key, rm.key, s"$path.key") ++ checkType(wm.value, rm.value, s"$path.value")
+      checkType(wm.key, rm.key, s"$path.key") ++ checkType(wm.value, rm.value, s"$path.value") ++ (
+        if (rm.valueRequired && !wm.valueRequired)
+          Seq(Violation(s"$path.value", "nullability",
+            s"reader requires non-null values in '$path' but writer may have written null values"))
+        else Nil)
     case (wp, rp) if Widening.isNarrowerThan(wp, rp) => Nil // widening read is safe
     case (wp, rp) =>
       Seq(Violation(path, "incompatible_type",

@@ -50,10 +50,22 @@ final case class SchemaDiff(
     * updates → adds → drops → moves (reference diff.py:270). */
   def toOperations: Seq[EvolutionOp] = {
     val renames = changed.collect { case fc if fc.change == "renamed" =>
-      RenameColumn(fc.previousName.getOrElse(""), fc.name)
+      // fc.name is the full new path; the source path is that path
+      // with the old leaf name, so nested renames address the field
+      // where it actually lives (parents are renamed first, so the
+      // parent prefix already carries new names by apply time)
+      val cut = fc.name.lastIndexOf('.')
+      val (prefix, newLeaf) =
+        if (cut < 0) ("", fc.name) else (fc.name.substring(0, cut + 1), fc.name.substring(cut + 1))
+      RenameColumn(prefix + fc.previousName.getOrElse(""), newLeaf)
     }
-    val updates = changed.collect { case fc if fc.change == "type_changed" || fc.change == "doc_changed" =>
-      UpdateColumn(fc.name, fc.currentType, fc.newType, fc.doc)
+    val updates = changed.collect {
+      case fc if fc.change == "type_changed" =>
+        UpdateColumn(fc.name, fc.currentType, fc.newType, fc.doc)
+      case fc if fc.change == "doc_changed" =>
+        // doc-only change: carry no type, or a struct-typed field's
+        // doc edit would read as an unsupported nested retype
+        UpdateColumn(fc.name, None, None, fc.doc, clearDoc = fc.doc.isEmpty)
     }
     val adds = added.map(fc => AddColumn(fc.name, fc.newType.getOrElse(GString), fc.doc))
     val drops = removed.map(fc => DropColumn(fc.name))
@@ -98,15 +110,19 @@ object SchemaDiff {
             if (cf.name != nf.name)
               changed += FieldChange(path, "renamed", previousName = Some(cf.name),
                 currentType = Some(cf.tpe), newType = Some(nf.tpe), doc = nf.doc)
-            if (!cf.tpe.equivalent(nf.tpe))
-              changed += FieldChange(path, "type_changed",
-                currentType = Some(cf.tpe), newType = Some(nf.tpe), doc = nf.doc)
             if (cf.doc != nf.doc)
               changed += FieldChange(path, "doc_changed",
                 currentType = Some(cf.tpe), newType = Some(nf.tpe), doc = nf.doc)
             (cf.tpe, nf.tpe) match {
+              // struct-vs-struct: the recursion below reports each
+              // member change precisely; also emitting a parent-level
+              // type_changed would double-report it as an unsupported
+              // whole-struct retype and abort strict evolution
               case (GStruct(cfs), GStruct(nfs)) => diffFields(cfs, nfs, path)
               case _ =>
+                if (!cf.tpe.equivalent(nf.tpe))
+                  changed += FieldChange(path, "type_changed",
+                    currentType = Some(cf.tpe), newType = Some(nf.tpe), doc = nf.doc)
             }
         }
       }

@@ -84,10 +84,10 @@ object Evolver {
   private def applyOp0(schema: GSchema, op: EvolutionOp): GSchema = op match {
     case RenameColumn(path, target) =>
       mapField(schema, path)(f => Seq(f.copy(name = target)))
-    case UpdateColumn(path, _, newType, doc) =>
+    case UpdateColumn(path, _, newType, doc, clearDoc) =>
       mapField(schema, path)(f => Seq(f.copy(
         tpe = newType.getOrElse(f.tpe),
-        doc = doc.orElse(f.doc))))
+        doc = if (clearDoc) None else doc.orElse(f.doc))))
     case AddColumn(path, tpe, doc) =>
       val id = schema.highwaterId + 1
       val (parent, leaf) = splitPath(path)

@@ -41,7 +41,7 @@ final case class DropColumn(name: String) extends EvolutionOp {
 
 final case class UpdateColumn(
     name: String, currentType: Option[GType], newType: Option[GType],
-    doc: Option[String] = None) extends EvolutionOp {
+    doc: Option[String] = None, clearDoc: Boolean = false) extends EvolutionOp {
   /** Nested (non-primitive) retypes are unsupported (migrate.py:169). */
   override def isSupported: Boolean = newType.forall(_.isPrimitive)
   /** Breaking iff the new type is narrower (migrate.py:228). */

@@ -18,9 +18,14 @@ object SchemaJson {
 
   // --------------------------------------------------------- serialize
   def toJson(schema: GSchema, pretty: Boolean = true): String = {
+    // last-column-id must survive serialization: a schema whose
+    // highest-id column was dropped would otherwise come back with a
+    // lower highwater and re-issue the dropped id on the next add —
+    // the exact id-reuse hazard GSchema.lastColumnId exists to prevent
     val j = JObject(
       "type" -> JString("struct"),
       "schema-id" -> JInt(schema.schemaId),
+      "last-column-id" -> JInt(schema.lastColumnId),
       "fields" -> JArray(schema.fields.map(fieldToJson).toList))
     if (pretty) JsonMethods.pretty(JsonMethods.render(j)) else JsonMethods.compact(JsonMethods.render(j))
   }
@@ -47,11 +52,12 @@ object SchemaJson {
   def fromJson(json: String): GSchema = {
     val j = JsonMethods.parse(json)
     val schemaId = (j \ "schema-id") match { case JInt(n) => n.toInt; case _ => 0 }
+    val lastColumnId = (j \ "last-column-id") match { case JInt(n) => n.toInt; case _ => 0 }
     val fields = (j \ "fields") match {
       case JArray(fs) => fs.map(parseField)
       case _ => throw new IllegalArgumentException("schema JSON needs a 'fields' array")
     }
-    GSchema(schemaId, fields)
+    GSchema(schemaId, fields, lastColumnId)
   }
 
   private def parseField(j: JValue): GField = {
@@ -117,7 +123,14 @@ object SchemaJson {
       case JString("object") =>
         (spec \ "properties") match {
           case JObject(props) =>
-            GStruct(props.map { case (n, sp) => convertDraftField(n, sp, alloc, required) })
+            // JSON-Schema 'required' is scoped per object: a nested
+            // object's members are governed by its own array, not the
+            // enclosing document's
+            val nestedRequired: Set[String] = (spec \ "required") match {
+              case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+              case _ => Set.empty
+            }
+            GStruct(props.map { case (n, sp) => convertDraftField(n, sp, alloc, nestedRequired) })
           case _ => (spec \ "additionalProperties") match {
             case JNothing => throw new IllegalArgumentException(
               s"Object field '$name' must define either 'properties' or 'additionalProperties'.")

@@ -15,14 +15,16 @@ object TypeParser {
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  /** Split on `sep` only at angle-bracket depth 0 (reference utils.py:43). */
+  /** Split on `sep` only at bracket depth 0 (reference utils.py:43).
+    * Parentheses count toward depth too, so the comma inside
+    * `decimal(10, 2)` never splits a struct/map member list. */
   def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val parts = Seq.newBuilder[String]
     val buf = new StringBuilder
     var depth = 0
     s.foreach { ch =>
-      if (ch == '<') depth += 1
-      else if (ch == '>') depth -= 1
+      if (ch == '<' || ch == '(') depth += 1
+      else if (ch == '>' || ch == ')') depth -= 1
       if (ch == sep && depth == 0) { parts += buf.toString; buf.clear() }
       else buf += ch
     }

@@ -28,12 +28,16 @@ sealed trait GType {
   }
 
   /** Canonical form: struct fields sorted by id, docs stripped
-    * (reference utils.py:318). */
+    * (reference utils.py:318). Container element/key/value ids are
+    * normalized to 0: Spark column metadata only carries *field* ids,
+    * so a schema read back from a DataFrame re-allocates container
+    * ids — they must not make otherwise-identical types inequivalent
+    * (which would surface as spurious unsupported type_changed diffs). */
   def canonical: GType = this match {
     case GStruct(fs) =>
       GStruct(fs.sortBy(_.id).map(f => f.copy(tpe = f.tpe.canonical, doc = None)))
-    case l: GList => l.copy(element = l.element.canonical)
-    case m: GMap  => m.copy(key = m.key.canonical, value = m.value.canonical)
+    case l: GList => l.copy(elementId = 0, element = l.element.canonical)
+    case m: GMap  => m.copy(keyId = 0, valueId = 0, key = m.key.canonical, value = m.value.canonical)
     case p => p
   }
 

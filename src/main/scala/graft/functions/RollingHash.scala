@@ -49,6 +49,7 @@ object RollingHash {
   /** Register `graft_rolling_hash(str, mod)` in the session's function
     * registry (idempotent), enabling use from SQL and `expr`. */
   def ensure(spark: SparkSession): Unit = if (!registered.contains(spark)) synchronized {
+    if (registered.contains(spark)) return // re-check under the lock
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash",
       { exprs =>

@@ -104,6 +104,7 @@ object TopKSketch {
 
   /** Register `graft_topk_sketch(col, k)` (k a literal int). */
   def ensure(spark: SparkSession): Unit = if (!registered.contains(spark)) synchronized {
+    if (registered.contains(spark)) return // re-check under the lock
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_sketch",
       { exprs =>

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import graft.{QueryDef, Tables}
+import graft.{Portable, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.6).
@@ -41,8 +41,8 @@ object Multimodal {
   val features = QueryDef(
     "mm_features",
     Some(s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 512 AS fake_width,
-      (CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) >> 9) % 512 AS fake_height,
+      ${Portable.h60Sql("text")} % 512 AS fake_width,
+      (${Portable.h60Sql("text")} >> 9) % 512 AS fake_height,
       3 AS channels, 'stub-rgb8' AS codec
       FROM documents ORDER BY doc_id"""),
     (s, d) => {
@@ -71,9 +71,9 @@ object Multimodal {
 
   val frames = QueryDef(
     "mm_frames",
-    Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 512 AS w,
-        (CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) >> 9) % 512 AS h
+    Some(s"""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        ${Portable.h60Sql("text")} % 512 AS w,
+        (${Portable.h60Sql("text")} >> 9) % 512 AS h
         FROM documents)
       SELECT doc_id, CAST(i AS INT) AS frame_idx, i * (n_bytes // 4) AS frame_offset,
         CAST(least(w, 256) AS BIGINT) AS resized_w, CAST(least(h, 256) AS BIGINT) AS resized_h

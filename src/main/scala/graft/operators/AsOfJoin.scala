@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Generic as-of join: for each left row, attach the columns of the
   * most recent right row with the same key and `rightTime <= leftTime`
@@ -37,16 +38,22 @@ object AsOfJoin {
       case Some((l, r)) => (col(l), col(r))
       case None => (lit(0L), lit(0L))
     }
+    // Carry the right columns as ONE struct so the attached values all
+    // come from the same (most recent) right row. Carrying each column
+    // independently with last(ignoreNulls) would skip a right row's
+    // legitimate NULL and resurrect a stale value from an older row —
+    // mixing columns of different right rows in one output row.
+    val rStructType = StructType(rightCols.map(c => right.schema(c).copy(nullable = true)))
     val taggedLeft = left
       .select(Seq(col(key).as("__asof_key"), col(leftTime).as("__asof_ts"),
-        lit(1).as("__asof_side"), lTie.as("__asof_tie")) ++
-        leftCols.map(c => col(c)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        lit(1).as("__asof_side"), lTie.as("__asof_tie"),
+        lit(null).cast(rStructType).as("__asof_r")) ++
+        leftCols.map(c => col(c)): _*)
     val taggedRight = right
       .select(Seq(col(key).as("__asof_key"), col(rightTime).as("__asof_ts"),
-        lit(0).as("__asof_side"), rTie.as("__asof_tie")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        lit(0).as("__asof_side"), rTie.as("__asof_tie"),
+        struct(rightCols.map(col): _*).as("__asof_r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // right (side=0) sorts before left (side=1) at equal ts ⇒ inclusive
     val w = Window.partitionBy(col("__asof_key"))
@@ -54,10 +61,10 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRight)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .withColumn("__asof_last", last(col("__asof_r"), ignoreNulls = true).over(w))
 
     carried.filter(col("__asof_side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof_last.$c").as(s"$prefix$c")): _*)
   }
 }

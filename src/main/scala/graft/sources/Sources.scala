@@ -42,13 +42,23 @@ object Sources {
       (if (bytes % BigInt(targetFileBytes) > 0) 1L else 0L))
     val tmp = path.stripSuffix("/") + "__compacting"
     df.repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap (a real lake table does this via table commit)
-    val fs = new java.io.File(path)
-    val bak = new java.io.File(path.stripSuffix("/") + "__old")
-    fs.renameTo(bak)
-    new java.io.File(tmp).renameTo(fs)
+    // atomic-ish swap (a real lake table does this via table commit).
+    // Every rename is checked: an unchecked failure here would either
+    // silently skip the compaction or — worse — let the rm(bak) below
+    // delete the only surviving copy of the data.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path.stripSuffix("/") + "__old")
+    if (!fs.renameTo(bak)) {
+      rm(new java.io.File(tmp))
+      sys.error(s"compact: could not move $path aside to $bak; dataset left untouched")
+    }
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      val restored = bak.renameTo(fs)
+      sys.error(s"compact: could not swap $tmp into $path" +
+        (if (restored) "; original restored" else s"; ORIGINAL LEFT AT $bak"))
     }
     rm(bak)
     files

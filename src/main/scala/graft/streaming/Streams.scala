@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming operators (SURVEY.md §2.7): watermarked
   * tumbling-window aggregation and stateful gap sessionization. Batch
@@ -29,7 +30,11 @@ object Streams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal accumulate, double at the end — same merge-order-free
+      // money math as the batch twin (q16's dsum2), so streaming and
+      // batch results agree bit-for-bit regardless of partitioning
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState

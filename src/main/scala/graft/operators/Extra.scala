@@ -233,5 +233,46 @@ object Extra {
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"))
       .orderBy(col("o_orderkey")))
 
-  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+  // --------------------------------------------------------------- q33
+  /** UNPIVOT (melt): wide metrics → long (key, metric, value) — the
+    * reshape every feature store needs. Oracle uses the portable
+    * UNION ALL formulation. */
+  val q33 = QueryDef(
+    "q33_unpivot",
+    Some("""SELECT o_orderkey, metric, CAST(v AS DOUBLE) AS v FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS v FROM orders
+      UNION ALL SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders) t
+      ORDER BY o_orderkey, metric"""),
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey").cast(DoubleType).as("o_custkey_d"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice").as("totalprice"), col("o_custkey_d").as("custkey")),
+        "metric", "v")
+      .orderBy(col("o_orderkey"), col("metric")))
+
+  // --------------------------------------------------------------- q34
+  /** LATERAL correlated subquery: each customer's single latest order
+    * (a per-row dependent top-1 — the lateral shape planners turn into
+    * a window or dependent join). */
+  val q34 = QueryDef(
+    "q34_lateral",
+    Some("""SELECT c_custkey, l.o_orderkey, l.o_totalprice
+      FROM customer, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) l
+      ORDER BY c_custkey"""),
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_lat")
+      s.sql("""SELECT c_custkey, l.o_orderkey, l.o_totalprice
+        FROM graft_cust_lat, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) l
+        ORDER BY c_custkey""")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q30, q31, q32, q33, q34)
 }

@@ -37,14 +37,19 @@ object Bench {
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // failed queries are listed, not timed: folding a fail-fast elapsed
+    // into the totals would make a broken round read as a speedup
+    val qjson = results.collect { case (k, v, true) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,19 +40,24 @@ object Cli {
   private def loadSchema(path: String): GSchema = GSchemaIO.fromFile(path)
 
   def diff(rest: List[String]): Unit = {
-    val files = rest.filterNot(_.startsWith("--"))
-      .filterNot(f => opt(rest, "--match-by").contains(f))
+    // positional args: tokens that are not flags and not the value of
+    // the (only) value-taking option
+    val files = rest.zip("" :: rest).collect {
+      case (tok, prev) if !tok.startsWith("--") && prev != "--match-by" => tok
+    }
+    if (files.length < 2) { System.err.println(usage); sys.exit(2) }
     val (cur, nxt) = (loadSchema(files(0)), loadSchema(files(1)))
     val d = opt(rest, "--match-by") match {
-      case Some("name") => SchemaDiff.unionByName(cur, nxt)
-      case _            => SchemaDiff.byId(cur, nxt)
+      case Some("name")      => SchemaDiff.unionByName(cur, nxt)
+      case Some("id") | None => SchemaDiff.byId(cur, nxt)
+      case Some(other) =>
+        System.err.println(s"bad --match-by: $other\n$usage"); sys.exit(2)
     }
     if (flag(rest, "--json")) {
-      val ops = d.toOperations.map(_.toSerializableMap)
-      val json = ops.map(m => m.map { case (k, v) =>
-        s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
-        .mkString("{", ", ", "}")).mkString("[", ",\n ", "]")
-      println(json)
+      import org.json4s._
+      val j = JArray(d.toOperations.map(op => JObject(
+        op.toSerializableMap.toList.map { case (k, v) => k -> (JString(v): JValue) })).toList)
+      println(jackson.JsonMethods.pretty(jackson.JsonMethods.render(j)))
     } else {
       println(if (d.isEmpty) "Schemas are identical." else d.toString)
     }
@@ -80,8 +85,21 @@ object Cli {
     // where the target knows the same column name (the reference's
     // name-match convenience for id-less sources)
     val targetIds = target.fields.map(f => f.name -> f.id).toMap
-    val aligned = current.copy(fields = current.fields.map(f =>
-      targetIds.get(f.name).map(id => f.copy(id = id)).getOrElse(f)))
+    // Ids now owned by name-matched fields. A current-only field whose
+    // fromSpark-allocated id collides with one of them would alias a
+    // different column in the by-id diff (toMap last-wins) and silently
+    // vanish from the plan — re-id it above every current/target id.
+    // Ids taken only by target-side fields are left alone: that overlap
+    // is what lets the by-id diff report a rename.
+    val taken = current.fields.flatMap(f => targetIds.get(f.name)).toSet
+    var fresh = (0 +: (current.fields.map(_.id) ++ target.fields.map(_.id))).max
+    val aligned = current.copy(fields = current.fields.map { f =>
+      targetIds.get(f.name) match {
+        case Some(id)                       => f.copy(id = id)
+        case None if taken.contains(f.id)   => fresh += 1; f.copy(id = fresh)
+        case None                           => f
+      }
+    })
     try {
       val result = Evolver.evolve(aligned, target, Some(df),
         table = opt(rest, "--table").getOrElse("t"),

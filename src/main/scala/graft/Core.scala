@@ -42,9 +42,12 @@ object Tables {
     * the same thing a native ns→µs read would do). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    // (ts - pmod(ts, 1000)) div 1000 is exact floor division: `div`
+    // alone truncates toward zero, which would round pre-epoch
+    // nanos up instead of down
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts",
+        expr("CAST(timestamp_micros((ts - pmod(ts, 1000)) div 1000) AS TIMESTAMP_NTZ)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

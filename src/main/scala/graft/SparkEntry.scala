@@ -9,17 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the two sides agree by construction.
   */
 object SparkEntry {
-  private def all: Seq[QueryDef] =
-    operators.Relational.defs ++
-      operators.Extra.defs ++
-      functions.TextAnalysis.defs ++
-      functions.Corpus.defs ++
-      sources.Sources.defs ++
-      dedup.Dedup.defs ++
-      similarity.Similarity.defs ++
-      multimodal.Multimodal.defs ++
-      operators.Sketches.defs ++
-      schema.SchemaQueries.defs
+  private lazy val all: Seq[QueryDef] = {
+    val defs =
+      operators.Relational.defs ++
+        operators.Extra.defs ++
+        functions.TextAnalysis.defs ++
+        functions.Corpus.defs ++
+        sources.Sources.defs ++
+        dedup.Dedup.defs ++
+        similarity.Similarity.defs ++
+        multimodal.Multimodal.defs ++
+        operators.Sketches.defs ++
+        schema.SchemaQueries.defs
+    // a duplicate name would silently shadow a capability in the
+    // `queries`/`oracleSql` maps (toMap last-wins) — fail fast instead
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,6 +139,36 @@ object Dedup {
     (s, d) => DedupApi.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")))
 
+  // --------------------------------------------------- clustering
+  /** Near-dup clustering: connected components over the MinHash+LSH
+    * pair graph, every doc labeled with its component's min doc id —
+    * the "cluster then keep one" dedup endgame. Oracle recomputes the
+    * components with a recursive CTE (label reachability + min). */
+  val clusters = QueryDef(
+    "dedup_clusters",
+    Some(s"""WITH $bandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src)
+      SELECT node AS doc_id, min(label) AS cluster FROM reach
+      GROUP BY node ORDER BY doc_id""".replaceFirst("WITH ", "WITH RECURSIVE ")),
+    (s, d) => {
+      val pairs = DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)
+      DedupApi.nearDupClusters(Tables.documents(s, d), "doc_id", pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, ngramJaccard, embedCosine)
+    simhash, simhashPairs, ngramJaccard, embedCosine, clusters)
 }

@@ -96,6 +96,43 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the minimum doc id of its component (the canonical "cluster then
+    * keep one" dedup endgame). Iterative min-label propagation — each
+    * round is one join + aggregate, state is one (node, label) row per
+    * doc, so the loop is a bounded number of narrow shuffles, never a
+    * driver-side union-find. Each round is `localCheckpoint`ed:
+    * without lineage truncation the nested union+join plan grows
+    * exponentially and planning itself OOMs after ~10 rounds (on a
+    * cluster, point `spark.checkpoint` at reliable storage instead).
+    * Converges in ≤ graph-diameter rounds; if `maxIters` is exceeded
+    * this THROWS rather than return silently wrong labels. */
+  def nearDupClusters(allIds: DataFrame, id: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = allIds.select(col(id).as("node"), col(id).as("cluster")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within $maxIters rounds " +
+        "(component diameter exceeds the bound); raise maxIters")
+    labels
+  }
+
   /** 32-bit SimHash signature per row (per-bit majority of distinct
     * token hashes, Charikar 2002). Map-side only. */
   def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {

@@ -63,6 +63,22 @@ class ApiSpec extends AnyFunSuite {
     assert(starved.count() == 0)
   }
 
+  test("nearDupClusters labels every pair's endpoints with one component min-id") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val pairs = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+    val labels = dedup.DedupApi.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == docs.count())
+    // endpoints of every pair share a cluster, and the cluster id is a
+    // member of the cluster (the min doc id)
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= math.min(a, b))
+    }
+    assert(labels.count { case (n, c) => n != c } > 0, "expected non-singleton clusters")
+  }
+
   test("minhashPairs finds the planted near-duplicates") {
     val pairs = dedup.DedupApi.minhashPairs(
       Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", threshold = 0.8)

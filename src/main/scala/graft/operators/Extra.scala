@@ -273,6 +273,24 @@ object Extra {
         ORDER BY c_custkey""")
     })
 
+  // --------------------------------------------------------------- q35
+  /** GROUP BY … HAVING on an aggregate predicate (post-aggregation
+    * filter — pushed neither to the scan nor the partial agg). */
+  val q35 = QueryDef(
+    "q35_having",
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+      ORDER BY o_custkey"""),
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend_dec"))
+      .filter(col("n_orders") >= 12 && col("spend_dec") > 1000000)
+      .select(col("o_custkey"), col("n_orders"), col("spend_dec").cast(DoubleType).as("spend"))
+      .orderBy(col("o_custkey")))
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34)
+    q30, q31, q32, q33, q34, q35)
 }

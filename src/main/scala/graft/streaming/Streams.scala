@@ -78,6 +78,30 @@ object Streams {
       }
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_seen: java.sql.Timestamp)
+
+  /** Running per-user totals via `mapGroupsWithState` (the 1:1 state
+    * operator; use flatMapGroupsWithState when a group can emit 0..n
+    * rows like [[sessionize]]). Update-mode output: every microbatch
+    * re-emits the updated totals row per active user. State is one
+    * fixed-size row per user — O(users), watermark-free. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0, new java.sql.Timestamp(0)))
+          val batch = it.toSeq
+          val updated = UserTotals(user,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_seen))
+          state.update(updated)
+          updated
+      }
+  }
+
   /** File-source streaming read: watch `streamDir` for parquet event
     * files (schema taken from the batch events table at `schemaDir`) —
     * readStream → transform → sink wiring. */

@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)), rows.toString)
   }
 
+  test("mapGroupsWithState accumulates running per-user totals across batches") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-totals-in").toString
+    writeBatches(in, Seq(
+      Seq(Streams.Event(1, ts("2024-01-01 00:00:00"), 5, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 00:01:00"), 5, "click", 2.0)),
+      Seq(Streams.Event(3, ts("2024-01-01 00:02:00"), 5, "click", 4.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode: last emitted row per user carries the final totals
+    val rows = spark.table("totals_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((5L, 3L, 7.0)), rows.toString)
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-sess-in").toString

@@ -291,6 +291,33 @@ object Extra {
       .select(col("o_custkey"), col("n_orders"), col("spend_dec").cast(DoubleType).as("spend"))
       .orderBy(col("o_custkey")))
 
+  // --------------------------------------------------------------- q36
+  /** Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate multiplicity (q11 covers the DISTINCT variants). */
+  val q36 = QueryDef(
+    "q36_setops_all",
+    Some("""SELECT k, count(*) AS n FROM (
+      (SELECT o_custkey AS k FROM orders WHERE o_orderstatus <> 'F')
+      INTERSECT ALL
+      (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)) t
+      GROUP BY k
+      UNION ALL
+      SELECT -1 AS k, count(*) AS n FROM (
+      (SELECT o_custkey FROM orders)
+      EXCEPT ALL
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) t2
+      ORDER BY k"""),
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val ia = o.filter(col("o_orderstatus") =!= "F").select(col("o_custkey").as("k"))
+        .intersectAll(o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val ea = o.select(col("o_custkey").as("k"))
+        .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+        .agg(count(lit(1)).as("n")).select(lit(-1L).as("k"), col("n"))
+      ia.unionByName(ea).orderBy(col("k"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35)
+    q30, q31, q32, q33, q34, q35, q36)
 }

@@ -82,13 +82,18 @@ object Similarity {
     * into (table, bucket), candidate set bounded by bucket sizes.
     * Deterministic plane matrix ⇒ oracle-able; recall vs the brute
     * baseline asserted in EngineSpec. */
+  /** Fold over a literal ±1 array instead of a 64-term inline sum:
+    * identical left-to-right addition order (so identical doubles and
+    * oracle parity), but far smaller codegen — the inline form emitted
+    * 16 × 64-term expression trees per row and its generated method
+    * dominated query time at small scale. */
   private def bucketExprSpark(table: Int): String = {
     val bits = (0 until PlanesPerTable).map { b =>
       val p = table * PlanesPerTable + b
-      val terms = signs(p).zipWithIndex
-        .map { case (sg, i) => if (sg > 0) s"v[$i]" else s"(- v[$i])" }
-        .mkString(" + ")
-      s"IF(($terms) > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
+      val signArr = signs(p).map(s => s"CAST($s AS DOUBLE)").mkString("array(", ", ", ")")
+      s"""IF(aggregate(zip_with($signArr, v, (sg, x) -> sg * x),
+           CAST(0 AS DOUBLE), (acc, t) -> acc + t) > CAST(0 AS DOUBLE),
+           shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"""
     }
     bits.mkString(" + ")
   }

@@ -53,6 +53,29 @@ object Corpus {
       .orderBy(col("label"), col("pos"))
     )
 
+  /** Corpus bigram frequency top-15 (n-gram language statistics —
+    * the building block of n-gram LM scoring / contamination checks).
+    * Non-distinct windows: frequency needs every occurrence. */
+  val topBigrams = QueryDef(
+    "text_top_bigrams",
+    Some(s"""WITH t AS (SELECT string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+      f AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+      r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM f)
+      SELECT rk, bigram, n FROM r WHERE rk <= 15 ORDER BY rk"""),
+    (s, d) => {
+      val w = Window.orderBy(col("n").desc, col("bigram"))
+      Tables.documents(s, d)
+        .select(split(normText(col("text")), " ").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15)
+        .select(col("rk"), col("bigram"), col("n"))
+        .orderBy(col("rk"))
+    })
+
   /** The composed training-data pipeline: quality gate → exact dedup
     * (keep min id) → per-language corpus stats. One pass of narrow
     * ops + two hash shuffles (dedup hash, final group) — the shape of
@@ -82,5 +105,5 @@ object Corpus {
         .orderBy(col("lang"))
     })
 
-  val defs: Seq[QueryDef] = Seq(topTokens, centroids, qualityDedupPipeline)
+  val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, qualityDedupPipeline)
 }

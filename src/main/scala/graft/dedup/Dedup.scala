@@ -107,22 +107,9 @@ object Dedup {
       WHERE CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x))) AS DOUBLE)
           / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) >= 0.3
       ORDER BY doc_a, doc_b"""),
-    (s, d) => {
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), Portable.normText(col("text")).as("s"))
-        .filter(length(col("s")) >= 5)
-        .select(col("doc_id"), col("source"),
-          expr("array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))").as("gr"))
-      g.as("a").join(g.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.gr"), col("b.gr"))).as("inter"),
-          size(col("a.gr")).as("la"), size(col("b.gr")).as("lb"))
-        .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
-        .filter(col("jac") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    })
+    (s, d) => DedupApi.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", "source", n = 5, threshold = 0.3)
+      .orderBy(col("doc_a"), col("doc_b")))
 
   // ------------------------------------------- embedding near-dup
   val embedCosine = QueryDef(

@@ -96,6 +96,25 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Character-n-gram Jaccard near-dup pairs inside a blocking key
+    * (pairs only form within a block — the block key bounds the
+    * quadratic term per bucket at scale). */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
+      n: Int = 5, threshold: Double = 0.3): DataFrame = {
+    val g = df.select(col(id), col(block), normText(col(text)).as("s"))
+      .filter(length(col("s")) >= n)
+      .select(col(id), col(block),
+        expr(s"array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))").as("gr"))
+    g.as("a").join(g.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+        size(array_intersect(col("a.gr"), col("b.gr"))).as("inter"),
+        size(col("a.gr")).as("la"), size(col("b.gr")).as("lb"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the minimum doc id of its component (the canonical "cluster then
     * keep one" dedup endgame). Iterative min-label propagation — each

@@ -318,6 +318,52 @@ object Extra {
       ia.unionByName(ea).orderBy(col("k"))
     })
 
+  // --------------------------------------------------------------- q37
+  /** FULL OUTER join: every customer and every high-value order
+    * bucket, null-preserving on both sides. */
+  val q37 = QueryDef(
+    "q37_full_outer",
+    Some("""SELECT coalesce(c.c_custkey, o.k) AS custkey,
+      c.c_mktsegment AS segment, o.n_big
+      FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 400) c
+      FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_big FROM orders
+        WHERE o_totalprice > 250000 GROUP BY o_custkey) o
+      ON c.c_custkey = o.k
+      ORDER BY custkey, segment NULLS FIRST"""),
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_big"))
+      c.join(o, col("c_custkey") === col("k"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("k")).as("custkey"),
+          col("c_mktsegment").as("segment"), col("n_big"))
+        .orderBy(col("custkey"), col("segment").asc_nulls_first)
+    })
+
+  // --------------------------------------------------------------- q38
+  /** Centered moving average (3-row window, decimal-exact; q8 covers
+    * the unbounded-preceding frame). */
+  val q38 = QueryDef(
+    "q38_moving_avg",
+    Some("""SELECT o_custkey, o_orderkey,
+      round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        / count(*) OVER w, 6) AS mov_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-1, 1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+            / count(lit(1)).over(w), 6).as("mov_avg"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("mov_avg"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** User-facing parameterized ANN API (the `Similarity` QueryDefs are
+  * thin instantiations). All variants share one contract: `probeIds`
+  * is a one-column DataFrame of probe ids (semi-joined against the
+  * corpus — unambiguous under self-joins, and the realistic shape: a
+  * probe set arrives as its own table); output is `(id_p, rk, id_c,
+  * cos)` — top-`k` per probe, exact cosine re-rank, deterministic
+  * (left-to-right double folds, ties broken by candidate id).
+  *
+  * Scale shape: probes are small (broadcast semi-join); brute never
+  * shuffles the corpus; LSH/IVF shuffle once into (table, bucket) /
+  * cell and bound candidates per probe.
+  */
+object AnnApi {
+  private val dot =
+    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+
+  /** Normalized view: (id [, passthrough], v double[], nrm). */
+  def normalized(df: DataFrame, id: String, vec: String, passthrough: Seq[String] = Nil): DataFrame =
+    df.select((col(id) +: passthrough.map(col)) :+
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"): _*)
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+
+  private def rerank(pairs: DataFrame, id: String, k: Int): DataFrame =
+    pairs
+      .select(col(s"a.$id").as("id_p"), col(s"b.$id").as("id_c"),
+        expr(s"$dot / (a.nrm * b.nrm)").as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("c").desc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
+      .orderBy(col("id_p"), col("rk"))
+
+  /** Exact top-k neighbors for every probe id. */
+  def bruteTopK(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(corpus, id, vec)
+    val probes = n.join(probeIds, Seq(id), "left_semi")
+    rerank(probes.as("a").join(n.as("b"), col(s"a.$id") =!= col(s"b.$id")), id, k)
+  }
+
+  /** Multi-table random-hyperplane LSH top-k: candidates = union of
+    * same-bucket rows over `Similarity.NumTables` sign-code tables. */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(corpus, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tables = (0 until Similarity.NumTables).map(t =>
+      struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk")))
+    val tb = n.withColumn("tbl", explode(array(tables: _*)))
+      .select(col(id), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tbProbes = tb.join(probeIds, Seq(id), "left_semi")
+    val cand = tbProbes.as("ca").join(tb.as("cb"),
+        col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
+        col(s"ca.$id") =!= col(s"cb.$id"))
+      .select(col(s"ca.$id").as("pid"), col(s"cb.$id").as("cid"))
+      .distinct()
+    val pairs = cand
+      .join(n.as("a"), col(s"a.$id") === col("pid"))
+      .join(n.as("b"), col(s"b.$id") === col("cid"))
+    rerank(pairs, id, k)
+  }
+
+  /** IVF-style top-k: coarse cells from `cell` (a cluster label),
+    * probes search their `nProbeCells` nearest cell centroids
+    * (decimal-exact centroid build), exact re-rank inside. */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
+      probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2): DataFrame = {
+    val n = normalized(corpus, id, vec, passthrough = Seq(cell))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = n.select(col(id), col(cell),
+        posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(col(id), col(cell), (col("pos0") + 1).as("i"), col("x"))
+    val cent = pos.groupBy(col(cell), col("i"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+    val cnorm = cent.groupBy(col(cell))
+      .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
+    val pdot = pos.join(probeIds, Seq(id), "left_semi").as("p")
+      .join(cent.as("c"), col("p.i") === col("c.i"))
+      .groupBy(col(s"p.$id").as("id_p"), col(s"c.$cell").as("cl"))
+      .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
+    val topCells = pdot.as("d")
+      .join(n.select(col(id), col("nrm")).as("pn"), col(s"pn.$id") === col("d.id_p"))
+      .join(cnorm.as("cn"), col(s"cn.$cell") === col("d.cl"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("d.id_p"))
+          .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.cl"))))
+      .filter(col("crk") <= nProbeCells)
+      .select(col("d.id_p").as("pid"), col("d.cl").as("probe_cell"))
+    val pairs = topCells
+      .join(n.as("a"), col(s"a.$id") === col("pid"))
+      .join(n.as("b"), col(s"b.$cell") === col("probe_cell") && col(s"b.$id") =!= col(s"a.$id"))
+    rerank(pairs, id, k)
+  }
+}

@@ -61,19 +61,8 @@ object Similarity {
           row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
         FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
       WHERE rk <= 5 ORDER BY id_p, rk"""),
-    (s, d) => {
-      val n = normDf(s, d)
-      val probes = n.filter(col("vec_id") < 10)
-      probes.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("id_p"), col("b.vec_id").as("id_c"),
-          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
-            .orderBy(col("c").desc, col("id_c"))))
-        .filter(col("rk") <= 5)
-        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
-        .orderBy(col("id_p"), col("rk"))
-    })
+    (s, d) => AnnApi.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
   // ------------------------------------------------------------- lsh
   /** Random-hyperplane LSH ANN: per table, a 4-bit sign-code bucket;
@@ -87,7 +76,7 @@ object Similarity {
     * oracle parity), but far smaller codegen — the inline form emitted
     * 16 × 64-term expression trees per row and its generated method
     * dominated query time at small scale. */
-  private def bucketExprSpark(table: Int): String = {
+  def bucketExprSparkFor(table: Int): String = {
     val bits = (0 until PlanesPerTable).map { b =>
       val p = table * PlanesPerTable + b
       val signArr = signs(p).map(s => s"CAST($s AS DOUBLE)").mkString("array(", ", ", ")")
@@ -127,30 +116,8 @@ object Similarity {
         FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
       WHERE rk <= 5 ORDER BY id_p, rk"""
     },
-    (s, d) => {
-      // normalized vectors feed three joins; bucket rows feed two —
-      // persist both rather than re-fold 64-dim arrays per use
-      val n = normDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tables = (0 until NumTables).map(t =>
-        struct(lit(t).as("t"), expr(bucketExprSpark(t)).as("bk")))
-      val tb = n.withColumn("tbl", explode(array(tables: _*)))
-        .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = tb.as("ca").join(tb.as("cb"),
-          col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
-          col("ca.vec_id") < 10 && col("ca.vec_id") =!= col("cb.vec_id"))
-        .select(col("ca.vec_id").as("id_p"), col("cb.vec_id").as("id_c"))
-        .distinct()
-      cand.join(n.as("a"), col("a.vec_id") === col("id_p"))
-        .join(n.as("b"), col("b.vec_id") === col("id_c"))
-        .select(col("id_p"), col("id_c"), expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
-            .orderBy(col("c").desc, col("id_c"))))
-        .filter(col("rk") <= 5)
-        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
-        .orderBy(col("id_p"), col("rk"))
-    })
+    (s, d) => AnnApi.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
   // ------------------------------------------------------------- ivf
   /** IVF-style ANN: coarse quantizer = per-label centroids (the
@@ -184,38 +151,8 @@ object Similarity {
         FROM top2 t JOIN nx a ON a.vec_id = t.id_p
         JOIN nx b ON b.label = t.label AND b.vec_id <> a.vec_id) t
       WHERE rk <= 5 ORDER BY id_p, rk"""),
-    (s, d) => {
-      val n = normDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pos = n.select(col("vec_id"), col("label"),
-          posexplode(col("v")).as(Seq("pos0", "x")))
-        .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"), col("x"))
-      val cent = pos.groupBy(col("label"), col("i"))
-        .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
-      val cnorm = cent.groupBy(col("label"))
-        .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
-      val pdot = pos.filter(col("vec_id") < 10).as("p")
-        .join(cent.as("c"), col("p.i") === col("c.i"))
-        .groupBy(col("p.vec_id").as("id_p"), col("c.label").as("label"))
-        .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
-      val top2 = pdot.as("d")
-        .join(n.select(col("vec_id"), col("nrm")).as("pn"), col("pn.vec_id") === col("d.id_p"))
-        .join(cnorm.as("cn"), col("cn.label") === col("d.label"))
-        .withColumn("crk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("d.id_p"))
-            .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.label"))))
-        .filter(col("crk") <= 2)
-        .select(col("d.id_p").as("id_p"), col("d.label").as("clabel"))
-      top2.join(n.as("a"), col("a.vec_id") === col("id_p"))
-        .join(n.as("b"), col("b.label") === col("clabel") && col("b.vec_id") =!= col("a.vec_id"))
-        .select(col("id_p"), col("b.vec_id").as("id_c"),
-          expr(s"$dotSpark / (a.nrm * b.nrm)").as("c"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id_p"))
-            .orderBy(col("c").desc, col("id_c"))))
-        .filter(col("rk") <= 5)
-        .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
-        .orderBy(col("id_p"), col("rk"))
-    })
+    (s, d) => AnnApi.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
   // ------------------------------------------------------- vec stats
   /** Per-label vector statistics (decimal-exact mean norm). */

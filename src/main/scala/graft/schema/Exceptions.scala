@@ -26,6 +26,11 @@ object GSchemaIO {
     }
   }
 
+  /** Write a schema to an Iceberg-format JSON file
+    * (reference serializer to_json_file parity). */
+  def toFile(schema: GSchema, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), SchemaJson.toJson(schema))
+
   /** Load the schema of a live Spark table (the Spark-native analogue
     * of the reference's catalog loading, schema.py:113; works against
     * any catalog the session is wired to, incl. Iceberg). */

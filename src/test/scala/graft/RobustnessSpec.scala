@@ -57,4 +57,13 @@ class RobustnessSpec extends AnyFunSuite {
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) == 1)
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("id"))) == 2)
   }
+
+  test("toFile/fromFile round-trips a schema") {
+    val schema = graft.schema.GSchema(0, Seq(
+      graft.schema.GField(1, "a", required = true, graft.schema.GLong),
+      graft.schema.GField(2, "b", required = false, graft.schema.GDecimal(10, 2))), lastColumnId = 5)
+    val f = Files.createTempFile("graft-schema", ".json")
+    graft.schema.GSchemaIO.toFile(schema, f.toString)
+    assert(graft.schema.GSchemaIO.fromFile(f.toString) == schema)
+  }
 }

@@ -23,5 +23,20 @@ object Sketches {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag")))
 
-  val defs: Seq[QueryDef] = Seq(approxDistinct)
+  /** Greenwald–Khanna approximate quantiles next to the exact ones.
+    * Rows-only: the sketch is engine-specific; SketchesSpec asserts
+    * the configured relative-error bound against the exact values.
+    * At 100 TB approx_percentile's mergeable fixed-size summary
+    * replaces q13's full per-group sort. */
+  val approxQuantiles = QueryDef(
+    "approx_quantiles",
+    None,
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("approx_p"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_p"))
+      .orderBy(col("l_returnflag")))
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles)
 }

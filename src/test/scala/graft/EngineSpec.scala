@@ -46,6 +46,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_quantiles within the configured accuracy of exact") {
+    val rows = operators.Sketches.approxQuantiles.build(spark, d).collect()
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.max(e, 1.0) < 0.05, s"approx=$a exact=$e")
+      }
+    }
+  }
+
   test("native rolling-hash expression matches an independent fold") {
     functions.RollingHash.ensure(spark)
     import spark.implicits._

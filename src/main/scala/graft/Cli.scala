@@ -63,16 +63,7 @@ object Cli {
     }
   }
 
-  private def session(): SparkSession = {
-    val s = SparkSession.builder().master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  private def session(): SparkSession = Sessions.local("8", logLevel = "ERROR")
 
   def evolve(rest: List[String]): Unit = {
     val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }

@@ -54,6 +54,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** Standard local session builder shared by every entry point
+  * (Verify/Bench/Plans/Cli/ScaleProbe): UTC, AQE, ns-as-long events
+  * read, graft extensions registered. `SPARK_MASTER` overrides the
+  * local master for cluster submission. */
+object Sessions {
+  def local(cores: String, logLevel: String = "WARN"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    s
+  }
+}
+
 /** Portable deterministic building blocks computed identically by
   * Spark SQL and DuckDB, so LSH/minhash pipelines can be verified
   * bit-for-bit against the DuckDB oracle.
@@ -76,6 +96,12 @@ object Portable {
   val B: IndexedSeq[Long] = (0 until NumHashes).map(j => (j * 805306457L + 12345L) % P)
 
   // ---- Spark side ----
+  /** Decimal-exact sum surfaced as double: associative (merge-order
+    * free) and identical in both engines — the required form for
+    * every money/measure aggregation (see SURVEY §5). */
+  def decSum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  def decSum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 

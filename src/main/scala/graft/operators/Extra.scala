@@ -10,8 +10,7 @@ import org.apache.spark.sql.types._
   * schema-aware union-by-name.
   */
 object Extra {
-  private def dsum2(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private def dsum2(c: org.apache.spark.sql.Column) = graft.Portable.decSum2(c)
 
   // --------------------------------------------------------------- q21
   /** CUBE over two dims (all four grouping combinations). */

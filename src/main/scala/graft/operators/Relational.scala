@@ -23,10 +23,8 @@ object Relational {
   private val D186: DecimalType = DecimalType(18, 6)
 
   private def dec2(c: Column): Column = c.cast(D182)
-  private def dec6(c: Column): Column = c.cast(D186)
-  /** Decimal-exact sum surfaced as double (identical in both engines). */
-  private def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
-  private def dsum6(c: Column): Column = sum(dec6(c)).cast(DoubleType)
+  private def dsum2(c: Column): Column = graft.Portable.decSum2(c)
+  private def dsum6(c: Column): Column = graft.Portable.decSum6(c)
   private def sql2(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
   private def sql6(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
 

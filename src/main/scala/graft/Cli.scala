@@ -63,7 +63,7 @@ object Cli {
     }
   }
 
-  private def session(): SparkSession = Sessions.local("8", logLevel = "ERROR")
+  private def session(): SparkSession = Sessions.local("8", logLevel = "ERROR", allowMasterOverride = true)
 
   def evolve(rest: List[String]): Unit = {
     val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }

@@ -59,9 +59,15 @@ object Tables {
   * read, graft extensions registered. `SPARK_MASTER` overrides the
   * local master for cluster submission. */
 object Sessions {
-  def local(cores: String, logLevel: String = "WARN"): SparkSession = {
+  /** `allowMasterOverride` (Cli only) honors SPARK_MASTER for cluster
+    * submission; the other entry points depend on driver-local paths
+    * (Verify dumps, ScaleProbe copies) and stay pinned to local[N]. */
+  def local(cores: String, logLevel: String = "WARN",
+      allowMasterOverride: Boolean = false): SparkSession = {
+    val master = if (allowMasterOverride)
+      sys.env.getOrElse("SPARK_MASTER", s"local[$cores]") else s"local[$cores]"
     val s = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
+      .master(master)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -101,6 +107,8 @@ object Portable {
     * every money/measure aggregation (see SURVEY §5). */
   def decSum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   def decSum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+  def decSum2Sql(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
+  def decSum6Sql(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
 
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)

@@ -38,7 +38,7 @@ object Extra {
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+      .agg(graft.Portable.decSum2(col("l_quantity")))
       .orderBy(col("l_returnflag")))
 
   // --------------------------------------------------------------- q23

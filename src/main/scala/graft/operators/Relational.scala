@@ -19,14 +19,11 @@ import org.apache.spark.sql.types._
   *  - AQE (on in Verify/Bench sessions) handles skewed join keys.
   */
 object Relational {
-  private val D182: DecimalType = DecimalType(18, 2)
-  private val D186: DecimalType = DecimalType(18, 6)
-
-  private def dec2(c: Column): Column = c.cast(D182)
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dsum2(c: Column): Column = graft.Portable.decSum2(c)
   private def dsum6(c: Column): Column = graft.Portable.decSum6(c)
-  private def sql2(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
-  private def sql6(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  private def sql2(e: String) = graft.Portable.decSum2Sql(e)
+  private def sql6(e: String) = graft.Portable.decSum6Sql(e)
 
   private def tsNtz(s: String): Column = lit(s).cast(TimestampNTZType)
 

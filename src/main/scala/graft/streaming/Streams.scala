@@ -34,7 +34,7 @@ object Streams {
       // money math as the batch twin (q16's dsum2), so streaming and
       // batch results agree bit-for-bit regardless of partitioning
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+        graft.Portable.decSum2(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState

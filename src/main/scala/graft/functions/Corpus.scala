@@ -25,13 +25,17 @@ object Corpus {
       r AS (SELECT tok, n, df, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM f)
       SELECT rk, tok, n, df FROM r WHERE rk <= 20 ORDER BY rk"""),
     (s, d) => {
-      val w = Window.orderBy(col("n").desc, col("tok"))
-      Tables.documents(s, d)
+      // orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+      // top-k + driver merge of k*P rows) — no single-partition global
+      // window. rank is assigned after the limit, over only k rows.
+      val top = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+      top
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
         .select(col("rk"), col("tok"), col("n"), col("df"))
         .orderBy(col("rk"))
     })
@@ -64,14 +68,16 @@ object Corpus {
       r AS (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM f)
       SELECT rk, bigram, n FROM r WHERE rk <= 15 ORDER BY rk"""),
     (s, d) => {
-      val w = Window.orderBy(col("n").desc, col("bigram"))
-      Tables.documents(s, d)
+      // Same TakeOrderedAndProject shape as topTokens — see note there.
+      val top = Tables.documents(s, d)
         .select(split(normText(col("text")), " ").as("toks"))
         .select(explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 15)
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(15)
+      top
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
         .select(col("rk"), col("bigram"), col("n"))
         .orderBy(col("rk"))
     })
@@ -89,7 +95,7 @@ object Corpus {
             AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
       k AS (SELECT md5(s) AS h, min(doc_id) AS keep_id FROM q GROUP BY h),
       kept AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep_id)
-      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) AS avg_tokens
       FROM kept GROUP BY lang ORDER BY lang"""),
     (s, d) => {

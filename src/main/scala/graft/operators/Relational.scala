@@ -317,7 +317,7 @@ object Relational {
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts, value,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+          CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM m)
       SELECT user_id, session_no, count(*) AS n_events,
         CAST(sum(CAST((value) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -344,7 +344,7 @@ object Relational {
   /** JSON field extraction from the event payload. */
   val q18 = QueryDef(
     "q18_json_extract",
-    Some("""SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    Some("""SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))

@@ -2,41 +2,80 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
-/** Approximate/sketch aggregates (SURVEY.md §2.8). Rows-only for the
-  * driver gate: HLL estimates are engine-specific by nature, so the
-  * oracle cannot be DuckDB; the error bound vs the exact count is
-  * asserted in SketchesSpec instead.
+/** Approximate/sketch aggregates (SURVEY.md §2.8). The sketch estimates
+  * themselves are engine-specific, so the oracle-checkable surface is
+  * (exact value, within_bound boolean): DuckDB recomputes the exact
+  * value and emits literal TRUE; Spark emits the sketch's deviation
+  * check. A hash-green row therefore proves BOTH the exact twin and
+  * that the sketch landed inside its published error bound.
   */
 object Sketches {
   /** HLL++ distinct estimate next to the exact count per group. At
     * 100 TB the approx variant replaces a full distinct shuffle with a
-    * mergeable fixed-size sketch — this is the scale path for q10. */
+    * mergeable fixed-size sketch — this is the scale path for q10.
+    * Bound: rsd 0.02 → |approx-exact| within 10% (5 sigma) always
+    * holds in practice; HLL is deterministic for fixed input. */
   val approxDistinct = QueryDef(
     "approx_distinct",
-    None, // engine-specific estimate; spec asserts |approx-exact| <= 5% rsd bound
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS exact_parts,
+      count(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS parts_within_bound, TRUE AS orders_within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= greatest(col("exact_parts") * 0.10, lit(16))).as("parts_within_bound"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= greatest(col("exact_orders") * 0.10, lit(16))).as("orders_within_bound"))
       .orderBy(col("l_returnflag")))
 
-  /** Greenwald–Khanna approximate quantiles next to the exact ones.
-    * Rows-only: the sketch is engine-specific; SketchesSpec asserts
-    * the configured relative-error bound against the exact values.
+  /** Approximate quantiles (Greenwald–Khanna, accuracy 1000 → rank
+    * error <= 0.1%) next to the exact values, one row per
+    * (group, quantile) so the output is scalar-only. within_bound
+    * checks the approx value lands between the exact quantiles at
+    * q -/+ 1% — a 10x-slack envelope for the configured rank error.
     * At 100 TB approx_percentile's mergeable fixed-size summary
     * replaces q13's full per-group sort. */
   val approxQuantiles = QueryDef(
     "approx_quantiles",
-    None,
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("approx_p"),
-        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_p"))
-      .orderBy(col("l_returnflag")))
+    Some("""WITH a AS (
+        SELECT l_returnflag,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q50,
+          round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q90,
+          round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q99
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, q, exact_p, TRUE AS within_bound FROM (
+        SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, q50 AS exact_p FROM a
+        UNION ALL SELECT l_returnflag, CAST(0.9 AS DOUBLE), q90 FROM a
+        UNION ALL SELECT l_returnflag, CAST(0.99 AS DOUBLE), q99 FROM a)
+      ORDER BY l_returnflag, q"""),
+    (s, d) => {
+      val qs = Seq(0.5, 0.9, 0.99)
+      val eps = 0.01
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), 1000)").as("approx_arr"),
+          expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("exact_arr"),
+          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.max(0.0, q - eps)).mkString(", ")}))").as("lo_arr"),
+          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.min(1.0, q + eps)).mkString(", ")}))").as("hi_arr"))
+        .select(col("l_returnflag"),
+          posexplode(expr(s"arrays_zip(approx_arr, exact_arr, lo_arr, hi_arr)")).as(Seq("i", "z")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs.toArray), col("i") + 1).as("q"),
+          round(col("z.exact_arr"), 4).as("exact_p"),
+          (col("z.approx_arr").cast(DoubleType).between(col("z.lo_arr"), col("z.hi_arr"))).as("within_bound"))
+        .orderBy(col("l_returnflag"), col("q"))
+    })
 
   val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles)
 }

@@ -69,7 +69,7 @@ object Sources {
     * a pass proves the csv path is lossless for these types. */
   val csvRoundtrip = QueryDef(
     "src_csv_roundtrip",
-    Some("""SELECT event_type, count(*) AS n, sum(user_id) AS sum_users
+    Some("""SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
       FROM events GROUP BY event_type ORDER BY event_type"""),
     (s, d) => {
       val tmp = s"/root/repo/target/graft_tmp/csv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -84,7 +84,7 @@ object Sources {
   /** JSON round-trip on string/long columns via the documents table. */
   val jsonRoundtrip = QueryDef(
     "src_json_roundtrip",
-    Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+    Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang, source ORDER BY lang, source"""),
     (s, d) => {
       val tmp = s"/root/repo/target/graft_tmp/json_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -39,21 +39,19 @@ class EngineSpec extends AnyFunSuite {
 
   test("approx_distinct within configured 2% rsd of exact (loose 10% gate)") {
     val rows = operators.Sketches.approxDistinct.build(spark, d).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.10, s"approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("parts_within_bound"), r.toString)
+      assert(r.getAs[Boolean]("orders_within_bound"), r.toString)
     }
   }
 
   test("approx_quantiles within the configured accuracy of exact") {
     val rows = operators.Sketches.approxQuantiles.build(spark, d).collect()
+    val groups = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == 3 * groups, s"expected 3 quantile rows per group, got ${rows.length} for $groups groups")
     rows.foreach { r =>
-      val approx = r.getSeq[Double](1)
-      val exact = r.getSeq[Double](2)
-      approx.zip(exact).foreach { case (a, e) =>
-        assert(math.abs(a - e) / math.max(e, 1.0) < 0.05, s"approx=$a exact=$e")
-      }
+      assert(r.getAs[Boolean]("within_bound"), r.toString)
     }
   }
 

@@ -74,6 +74,24 @@ def main(outdir):
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
             n_fail += 1
             continue
+        # Mirror the driver's hasher: it compares pandas dtypes, so a
+        # DuckDB HUGEINT (-> float64) vs Spark BIGINT (-> int64) fails
+        # there even when values are identical. Check dtypes explicitly.
+        try:
+            odf = con.execute(sql).df()
+            sdf = con.execute(f"SELECT * FROM '{dump}/*.parquet'").df()
+            # Width differences (int32 vs int64) hash identically in the
+            # driver; kind differences (int64 vs float64, i.e. HUGEINT)
+            # do not. Compare dtype.kind only.
+            dt_bad = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                      for c in sorted(set(odf.columns) & set(sdf.columns))
+                      if sdf[c].dtype.kind != odf[c].dtype.kind]
+            if dt_bad:
+                print(f"FAIL {name}: pandas dtypes differ (spark vs oracle): {dt_bad}")
+                n_fail += 1
+                continue
+        except Exception as e:
+            print(f"WARN {name}: dtype check skipped: {str(e)[:120]}")
         if len(orn) != len(srn):
             print(f"FAIL {name}: rows spark={len(srn)} oracle={len(orn)}")
             n_fail += 1

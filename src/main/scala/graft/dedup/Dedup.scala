@@ -47,11 +47,23 @@ object Dedup {
       .orderBy(col("doc_id"), col("band_idx")))
 
   // ------------------------------------------------------------- lsh
+  /** Megabucket guard, on by default in the gated query: a band bucket
+    * of m docs contributes m²/2 candidates, so one boilerplate bucket
+    * can dominate the whole job at scale. cap=15 measured (SURVEY §4):
+    * halves the pathological runtime, keeps 84% of pairs there; on
+    * ordinary corpora buckets stay under the cap and output is
+    * unchanged. The oracle applies the identical cap. */
+  val LshBucketCap = 15
+
   val minhashLsh = QueryDef(
     "dedup_minhash_lsh",
     Some(s"""WITH $bandsSqlCte,
+      ovs AS (SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING count(*) > $LshBucketCap),
+      kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+        SELECT 1 FROM ovs o WHERE o.band_idx = b.band_idx AND o.band_key = b.band_key)),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
       pairs AS (SELECT c.doc_a, c.doc_b,
           len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS inter,
@@ -60,14 +72,15 @@ object Dedup {
       SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
       FROM pairs WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
       ORDER BY doc_a, doc_b"""),
-    (s, d) => DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)
+    (s, d) => DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, maxBucketSize = LshBucketCap)
       .orderBy(col("doc_a"), col("doc_b")))
 
   // --------------------------------------------------------- simhash
   private val simhashSqlCte: String =
     s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM documents),
        hsx AS (SELECT doc_id, list_transform(t, s -> ${h60Sql("s")}) AS hs FROM tok),
-       sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
+       sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, ${DedupApi.SimhashBits}), i ->
            CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
          FROM hsx)"""
@@ -79,6 +92,9 @@ object Dedup {
     (s, d) => DedupApi.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id")))
 
+  /** Banded plan (two-block combo tables, exact for hamming ≤ 6 — see
+    * [[DedupApi.simhashPairs]]); the oracle stays the quadratic DuckDB
+    * scan because banding is lossless at this distance. */
   val simhashPairs = QueryDef(
     "dedup_simhash_pairs",
     Some(s"""WITH $simhashSqlCte
@@ -87,7 +103,8 @@ object Dedup {
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
       ORDER BY doc_a, doc_b"""),
-    (s, d) => DedupApi.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+    (s, d) => DedupApi.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 6, banded = true)
       .orderBy(col("doc_a"), col("doc_b")))
 
   // --------------------------------------------- n-gram Jaccard dedup
@@ -126,6 +143,37 @@ object Dedup {
     (s, d) => DedupApi.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")))
 
+  /** Sub-quadratic cosine near-dup: hyperplane-LSH blocked candidates
+    * + exact re-verify (see [[DedupApi.cosinePairsLsh]]). The oracle
+    * mirrors the identical deterministic blocking — LSH recall is
+    * probabilistic, so the contract is the blocked construction, not
+    * the all-pairs scan ([[embedCosine]] stays as the exact
+    * baseline). */
+  val embedCosineLsh = QueryDef(
+    "dedup_embed_cosine_lsh",
+    Some {
+      import graft.similarity.Similarity
+      val bkCols = (0 until Similarity.NumTables)
+        .map(t => s"${Similarity.bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until Similarity.NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH vx AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      nx AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx),
+      bk AS (SELECT vec_id, $bkCols FROM (SELECT vec_id, v FROM nx) t0),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cos FROM (
+        SELECT cd.id_a, cd.id_b,
+          list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+            / (a.nrm * b.nrm) AS c
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_a JOIN nx b ON b.vec_id = cd.id_b) t
+      WHERE c >= 0.4 ORDER BY id_a, id_b"""
+    },
+    (s, d) => DedupApi.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")))
+
   // --------------------------------------------------- clustering
   /** Near-dup clustering: connected components over the MinHash+LSH
     * pair graph, every doc labeled with its component's min doc id —
@@ -157,5 +205,5 @@ object Dedup {
     })
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, ngramJaccard, embedCosine, clusters)
+    simhash, simhashPairs, ngramJaccard, embedCosine, embedCosineLsh, clusters)
 }

@@ -96,21 +96,41 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
-  /** Character-n-gram Jaccard near-dup pairs inside a blocking key
-    * (pairs only form within a block — the block key bounds the
-    * quadratic term per bucket at scale). */
+  /** Character-n-gram Jaccard near-dup pairs inside a composite
+    * blocking key: the caller's `block` column AND a lossless
+    * gram-count bucket. J(A,B) ≥ t forces min(|A|,|B|)/max(|A|,|B|)
+    * ≥ t (the intersection fits in the smaller set), so qualifying
+    * pairs have log-size distance ≤ ln(1/t) and land in the same or
+    * adjacent floor(ln|A| / ln(1/t)) bucket — candidate generation is
+    * restricted to (block, size-bucket ± 1) with zero recall loss.
+    * This bounds the quadratic term per bucket even when `block` has
+    * low cardinality (the round-1 failure mode at scale). */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
       n: Int = 5, threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
     val g = df.select(col(id), col(block), normText(col(text)).as("s"))
       .filter(length(col("s")) >= n)
       .select(col(id), col(block),
         expr(s"array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))").as("gr"))
-    g.as("a").join(g.as("b"),
-        col(s"a.$block") === col(s"b.$block") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
-        size(array_intersect(col("a.gr"), col("b.gr"))).as("inter"),
-        size(col("a.gr")).as("la"), size(col("b.gr")).as("lb"))
-      .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
+      .withColumn("lb", floor(log(size(col("gr")).cast(DoubleType)) / math.log(1.0 / threshold)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One side probes its own and the next-higher bucket; pairs one
+    // bucket apart match exactly once (higher-bucket doc on the `a`
+    // side), same-bucket pairs twice — canonicalize + distinct.
+    val probe = g.select(col(id), col(block), explode(array(col("lb"), col("lb") + 1)).as("lbp"))
+    val cand = g.as("a").join(probe.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col("a.lb") === col("b.lbp") &&
+        col(s"a.$id") =!= col(s"b.$id"))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("doc_a"),
+        greatest(col(s"a.$id"), col(s"b.$id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(g.as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(g.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("s1.gr"), col("s2.gr"))).as("inter"),
+        size(col("s1.gr")).as("la"), size(col("s2.gr")).as("lb2"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
@@ -152,54 +172,114 @@ object DedupApi {
     labels
   }
 
-  /** 32-bit SimHash signature per row (per-bit majority of distinct
-    * token hashes, Charikar 2002). Map-side only. */
+  /** 60-bit SimHash signature per row (per-bit majority of distinct
+    * token hashes, Charikar 2002). Map-side only. 60 bits = the full
+    * portable md5-prefix hash width; a wider fingerprint is what makes
+    * banded candidate generation sub-quadratic (with 32 bits the
+    * blocks are too narrow for selective keys — see simhashPairs). */
   def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
     val h60SparkSql = "CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT)"
     df.select(col(id), split(normText(col(text)), " ").as("toks0"))
       .select(col(id), expr(s"transform(array_distinct(toks0), t -> $h60SparkSql)").as("hs"))
       .select(col(id), expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+        s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT), (acc, i) ->
            acc + IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),
                     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("simhash"))
   }
 
-  /** SimHash pairs within Hamming distance. `banded=true` restricts
-    * candidates to pairs agreeing on ≥1 of 4 signature bands
-    * (pigeonhole: exact for maxHamming ≤ 3, the scale path);
-    * `banded=false` is the exact quadratic scan. */
+  /** Block decomposition of the 60-bit fingerprint for banded pair
+    * generation (Manku, Jain & Das Sarma, WWW 2007 "Detecting
+    * Near-Duplicates for Web Crawling"): 8 blocks (4×8 + 4×7 bits).
+    * A pair within Hamming distance 6 differs in ≤ 6 blocks, so ≥ 2
+    * blocks match exactly — it collides in at least one of the
+    * C(8,2)=28 two-block combo tables. Random collisions per combo are
+    * 2^-(14..16), so candidate volume is ~28/2^15 ≈ 0.09% of all pairs
+    * (vs ~40% for single 4-bit bands on a 32-bit fingerprint). */
+  val SimhashBits = 60
+  private val BlockOffsets = Vector(0, 8, 16, 24, 32, 39, 46, 53)
+  private val BlockWidths  = Vector(8, 8, 8, 8, 7, 7, 7, 7)
+  private val BlockCombos: Seq[(Int, Int)] =
+    for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+
+  /** SimHash pairs within Hamming distance. `banded=true` (the scale
+    * path, and exact for maxHamming ≤ 6 by the pigeonhole argument
+    * above) generates candidates only inside two-block combo buckets
+    * and re-verifies exact Hamming distance; `banded=false` is the
+    * quadratic reference scan. Both return identical rows. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 6, banded: Boolean = false): DataFrame = {
+      maxHamming: Int = 6, banded: Boolean = true): DataFrame = {
+    require(!banded || maxHamming <= 6,
+      s"banded simhash pairs are exact only for maxHamming <= 6 (got $maxHamming); use banded=false")
     val sim = simhashSignatures(df, id, text)
-    val pairs =
-      if (!banded) sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand =
+      if (!banded)
+        sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
+          .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
       else {
-        val bandRows = sim.select(col(id), col("simhash"),
-          explode(expr("transform(sequence(0, 3), b -> named_struct('b', b, 'k', (simhash >> (b * 8)) & 255))")).as("band"))
-          .select(col(id), col("simhash"), col("band.b").as("b"), col("band.k").as("k"))
-        bandRows.as("a").join(bandRows.as("b"),
-            col("a.b") === col("b.b") && col("a.k") === col("b.k") && col(s"a.$id") < col(s"b.$id"))
-          .select(col(s"a.$id").as(s"a_$id"), col("a.simhash").as("a_sim"),
-            col(s"b.$id").as(s"b_$id"), col("b.simhash").as("b_sim"))
+        val comboStructs = BlockCombos.zipWithIndex.map { case ((i, j), c) =>
+          val vi = s"(shiftright(simhash, ${BlockOffsets(i)}) & ${(1 << BlockWidths(i)) - 1})"
+          val vj = s"(shiftright(simhash, ${BlockOffsets(j)}) & ${(1 << BlockWidths(j)) - 1})"
+          expr(s"named_struct('c', $c, 'k', $vi * 256 + $vj)")
+        }
+        val keys = sim.select(col(id), explode(array(comboStructs: _*)).as("ck"))
+          .select(col(id), col("ck.c").as("c"), col("ck.k").as("k"))
+        keys.as("a").join(keys.as("b"),
+            col("a.c") === col("b.c") && col("a.k") === col("b.k") && col(s"a.$id") < col(s"b.$id"))
+          .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
           .distinct()
-          .select(struct(col(s"a_$id").as(id), col("a_sim").as("simhash")).as("a"),
-            struct(col(s"b_$id").as(id), col("b_sim").as("simhash")).as("b"))
       }
-    pairs
-      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    cand
+      .join(sim.as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(sim.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(s1.simhash ^ s2.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact cosine near-dup pairs over a float-array embedding column
-    * (deterministic left-to-right double fold). */
-  def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val n = df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+  private def normVecs(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+
+  /** Exact cosine near-dup pairs over a float-array embedding column
+    * (deterministic left-to-right double fold). All-pairs — the
+    * small-n reference scan; [[cosinePairsLsh]] is the scale path. */
+  def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val n = normVecs(df, id, vec)
     n.as("a").join(n.as("b"), col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
         expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)
              / (a.nrm * b.nrm)""").as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+  }
+
+  /** Cosine near-dup pairs with hyperplane-LSH candidate blocking
+    * (Charikar 2002): candidates form only inside same-bucket cells of
+    * the [[graft.similarity.Similarity]] multi-table sign-code index
+    * (the one ann_lsh uses), then an exact cosine re-verify applies
+    * the threshold. Sub-quadratic — the only shuffle keys are
+    * (table, bucket) — but recall is probabilistic: a qualifying pair
+    * colliding in none of the tables is missed, which is why the
+    * oracle (and any downstream contract) must mirror the same
+    * deterministic blocking rather than the all-pairs scan. */
+  def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val n = normVecs(df, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tb = n.select(col(id), explode(array((0 until Similarity.NumTables).map(t =>
+        struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
+      .select(col(id), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = tb.as("a").join(tb.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    cand
+      .join(n.as("x"), col("id_a") === col(s"x.$id"))
+      .join(n.as("y"), col("id_b") === col(s"y.$id"))
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, t) -> acc + t)
+             / (x.nrm * y.nrm)""").as("c"))
       .filter(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }

@@ -86,7 +86,10 @@ object Similarity {
     }
     bits.mkString(" + ")
   }
-  private def bucketExprSql(table: Int): String = {
+  /** DuckDB twin of [[bucketExprSparkFor]] (same left-to-right sum
+    * order, so signs agree bit-for-bit); shared with the dedup
+    * oracle's LSH-blocked cosine query. */
+  def bucketExprSql(table: Int): String = {
     val bits = (0 until PlanesPerTable).map { b =>
       val p = table * PlanesPerTable + b
       val terms = signs(p).zipWithIndex

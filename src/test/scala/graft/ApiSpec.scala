@@ -31,14 +31,17 @@ class ApiSpec extends AnyFunSuite {
       (1L, 5L, Some(100.0)), (1L, 6L, Some(101.0)), (2L, 7L, None), (3L, 8L, None)))
   }
 
-  test("banded simhash pairs = exact pairs for maxHamming <= 3 (pigeonhole)") {
+  test("banded simhash pairs = exact pairs for maxHamming <= 6 (two-block pigeonhole)") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
-    val exact = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 3, banded = false)
+    val exact = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 6, banded = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val banded = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 3, banded = true)
+    val banded = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 6, banded = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(exact == banded)
     assert(exact.nonEmpty) // planted near-dups guarantee hits
+    intercept[IllegalArgumentException] {
+      dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 7, banded = true)
+    }
   }
 
   test("exactKeep returns one survivor per content hash") {

@@ -63,13 +63,59 @@ object Evolver {
       dryRun: Boolean = false): EvolveResult = {
     val diff = SchemaDiff.byId(current, target)
     val ops = plan(diff, strict, allowBreaking)
-    val ddl = ops.flatMap(_.toSql(table))
-    if (dryRun) EvolveResult(data, current, ops, ddl)
-    else {
-      val evolved = ops.foldLeft(current)(applyOp)
-      EvolveResult(data.map(df => conform(df, current, evolved)), evolved, ops, ddl)
+    // Emit DDL against the schema state each op actually sees (ops
+    // apply in phase order), so `before` moves resolve to executable
+    // FIRST/AFTER statements.
+    val (evolved, ddl) = ops.foldLeft((current, Seq.empty[String])) {
+      case ((sch, acc), op) => (applyOp(sch, op), acc ++ ddlFor(sch, op, table))
     }
+    if (dryRun) EvolveResult(data, current, ops, ddl)
+    else EvolveResult(data.map(df => conform(df, current, evolved)), evolved, ops, ddl)
   }
+
+  /** Executable DDL for one op given the schema it will apply to:
+    * everything delegates to [[EvolutionOp.toSql]] except `before`
+    * moves, which Spark DDL lacks — resolved here to FIRST / AFTER
+    * the target's predecessor among the *current* siblings. */
+  private def ddlFor(schema: GSchema, op: EvolutionOp, table: String): Seq[String] = op match {
+    case m @ MoveColumn(path, target, "before") =>
+      val (parent, leaf) = splitPath(path)
+      val siblings =
+        if (parent.isEmpty) schema.fields
+        else fieldAt(schema, parent).tpe match {
+          case GStruct(fs) => fs
+          case other => throw new IllegalArgumentException(s"'$parent' is not a struct ($other)")
+        }
+      val rest = siblings.filterNot(_.name == leaf)
+      val i = rest.indexWhere(_.name == target)
+      require(i >= 0, s"move: no target field '$target'")
+      val q = path.split('.').map(p => s"`$p`").mkString(".")
+      if (i == 0) Seq(s"ALTER TABLE $table ALTER COLUMN $q FIRST")
+      else Seq(s"ALTER TABLE $table ALTER COLUMN $q AFTER `${rest(i - 1).name}`")
+    case other => other.toSql(table)
+  }
+
+  private def fieldAt(schema: GSchema, path: String): GField = {
+    def rec(fields: Seq[GField], parts: List[String]): GField = parts match {
+      case p :: Nil => fields.find(_.name == p)
+        .getOrElse(throw new IllegalArgumentException(s"no field '$p' (path $path)"))
+      case p :: rest => fields.find(_.name == p).map(_.tpe) match {
+        case Some(GStruct(fs)) => rec(fs, rest)
+        case other => throw new IllegalArgumentException(s"'$p' is not a struct in $path ($other)")
+      }
+      case Nil => throw new IllegalArgumentException("empty path")
+    }
+    rec(schema.fields, path.split('.').toList)
+  }
+
+  /** Execute an evolution's DDL against a live catalog table — the
+    * Spark-native analogue of the reference applying `UpdateSchema`
+    * through PyIceberg (reference migrate.py:31; integration-tested
+    * against a REST catalog in tests/test_integration.py). Works on
+    * any V2 catalog the session is wired to (Iceberg in production,
+    * [[graft.catalog.GraftCatalog]] in this offline environment). */
+  def executeDdl(spark: org.apache.spark.sql.SparkSession, ddl: Seq[String]): Unit =
+    ddl.foreach(stmt => spark.sql(stmt))
 
   // ------------------------------------------------- schema mutation
   /** Apply one operation to a schema (metadata level). The id

@@ -68,6 +68,44 @@ object AnnApi {
     rerank(pairs, id, k)
   }
 
+  /** Deterministic Lloyd k-means cell assignment for IVF: fixed
+    * iteration count, `id % kCells` init, decimal-exact centroid
+    * means/norms, cosine argmax assignment with cell-id tie-break —
+    * every step is merge-order-free, so the whole index build is
+    * reproducible and DuckDB-oracle-verifiable (the oracle unrolls
+    * the same iterations as CTEs). Scale shape per iteration: one
+    * small centroid aggregate (kCells × dim rows — broadcast), one
+    * map-side dot-product join, one per-id argmax; the corpus itself
+    * is never shuffled. */
+  def kmeansCells(corpus: DataFrame, id: String, vec: String,
+      kCells: Int = 8, iters: Int = 2): DataFrame = {
+    val n = normalized(corpus, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = n.select(col(id), posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(col(id), (col("pos0") + 1).as("i"), col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var assign = n.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
+    for (_ <- 1 to iters) {
+      val cent = pos.as("p").join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
+        .groupBy(col("a.cell"), col("p.i"))
+        .agg((sum(col("p.x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+      val cnorm = cent.groupBy(col("cell"))
+        .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
+      val dots = pos.as("p").join(cent.as("c"), col("p.i") === col("c.i"))
+        .groupBy(col(s"p.$id"), col("c.cell"))
+        .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
+      assign = dots.as("d")
+        .join(n.select(col(id), col("nrm")).as("pn"), col(s"pn.$id") === col(s"d.$id"))
+        .join(cnorm.as("cn"), col("cn.cell") === col("d.cell"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col(s"d.$id"))
+            .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.cell"))))
+        .filter(col("rk") === 1)
+        .select(col(s"d.$id").as(id), col("d.cell"))
+    }
+    assign
+  }
+
   /** IVF-style top-k: coarse cells from `cell` (a cluster label),
     * probes search their `nProbeCells` nearest cell centroids
     * (decimal-exact centroid build), exact re-rank inside. */

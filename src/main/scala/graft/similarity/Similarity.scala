@@ -157,6 +157,88 @@ object Similarity {
     (s, d) => AnnApi.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", "label",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
+  // ---------------------------------------------------------- kmeans
+  /** Unrolled Lloyd-iteration CTEs mirroring [[AnnApi.kmeansCells]]
+    * (same init, same decimal casts, same tie-breaks). Returns the
+    * CTE block and the name of the final assignment relation
+    * (`ka<iters>`); `kc/kn<i>` hold iteration i's centroids/norms.
+    * Assumes `nx` (vec_id, v, nrm) is already in scope. */
+  def kmeansSqlCtes(k: Int, iters: Int): (String, String) = {
+    val sb = new StringBuilder(
+      s"""kpos AS (SELECT vec_id, i, v[i] AS x FROM nx, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      ka0 AS (SELECT vec_id, vec_id % $k AS cell FROM nx)""")
+    for (it <- 1 to iters) {
+      sb.append(s""",
+      kc$it AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM kpos p JOIN ka${it - 1} a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
+      kn$it AS (SELECT cell, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
+        FROM kc$it GROUP BY cell),
+      kd$it AS (SELECT p.vec_id, c.cell, CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
+        FROM kpos p JOIN kc$it c ON p.i = c.i GROUP BY p.vec_id, c.cell),
+      ka$it AS (SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+          row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dt / (x.nrm * n.cn) DESC, d.cell) AS rk
+        FROM kd$it d JOIN nx x ON x.vec_id = d.vec_id JOIN kn$it n ON n.cell = d.cell) t
+        WHERE rk = 1)""")
+    }
+    (sb.toString, s"ka$iters")
+  }
+
+  val KmeansCells = 8
+  val KmeansIters = 2
+
+  /** The k-means assignment itself, oracle-verified end to end —
+    * this is what makes the IVF "coarse quantizer" claim real when no
+    * label column exists. */
+  val vecKmeans = QueryDef(
+    "vec_kmeans",
+    Some {
+      val (ctes, ka) = kmeansSqlCtes(KmeansCells, KmeansIters)
+      s"""WITH $normSqlCte, $ctes
+      SELECT vec_id, cell FROM $ka ORDER BY vec_id"""
+    },
+    (s, d) => AnnApi.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmeansCells, KmeansIters)
+      .orderBy(col("vec_id")))
+
+  /** IVF search over k-means cells: [[AnnApi.ivfTopK]] recomputes
+    * centroids from the final assignment, so the oracle ranks probe
+    * cells with iteration `iters+1` centroids over `ka<iters>`
+    * membership. */
+  val ivfKmeans = QueryDef(
+    "ann_ivf_kmeans",
+    Some {
+      val (ctes, ka) = kmeansSqlCtes(KmeansCells, KmeansIters + 1)
+      val kaFinal = s"ka$KmeansIters"
+      val kcNext = s"kc${KmeansIters + 1}"
+      val knNext = s"kn${KmeansIters + 1}"
+      s"""WITH $normSqlCte, $ctes,
+      pdot AS (SELECT p.vec_id AS id_p, c.cell,
+                 CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
+               FROM kpos p JOIN $kcNext c ON p.i = c.i WHERE p.vec_id < 10
+               GROUP BY p.vec_id, c.cell),
+      top2 AS (SELECT id_p, cell FROM (
+                 SELECT d.id_p, d.cell,
+                   row_number() OVER (PARTITION BY d.id_p
+                     ORDER BY d.dt / (n.nrm * cn.cn) DESC, d.cell) AS crk
+                 FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN $knNext cn ON cn.cell = d.cell) t
+               WHERE crk <= 2)
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM top2 t JOIN nx a ON a.vec_id = t.id_p
+        JOIN $kaFinal kb ON kb.cell = t.cell
+        JOIN nx b ON b.vec_id = kb.vec_id AND b.vec_id <> a.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => {
+      val cells = AnnApi.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmeansCells, KmeansIters)
+      AnnApi.ivfTopK(Tables.embeddings(s, d).join(cells, "vec_id"),
+        "vec_id", "embedding", "cell",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")))
+    })
+
   // ------------------------------------------------------- vec stats
   /** Per-label vector statistics (decimal-exact mean norm). */
   val vecStats = QueryDef(
@@ -174,5 +256,5 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecStats)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, vecStats)
 }

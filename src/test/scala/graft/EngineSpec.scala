@@ -88,4 +88,18 @@ class EngineSpec extends AnyFunSuite {
     assert(recall > 0.15, s"LSH recall too low: $recall") // 8-bit buckets, small corpus
     assert(lsh.nonEmpty)
   }
+
+  test("k-means IVF recall vs brute force at least matches label-cell IVF") {
+    val brute = similarity.Similarity.bruteTopK.build(spark, d)
+      .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = similarity.Similarity.ivfKmeans.build(spark, d)
+      .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & km).size.toDouble / brute.size
+    assert(recall > 0.3, s"k-means IVF recall too low: $recall")
+    // every vector is assigned exactly one cell, and cells are non-trivial
+    val cells = similarity.AnnApi.kmeansCells(
+      Tables.embeddings(spark, d), "vec_id", "embedding")
+    assert(cells.count() == Tables.embeddings(spark, d).count())
+    assert(cells.select("cell").distinct().count() > 1)
+  }
 }

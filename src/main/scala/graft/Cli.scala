@@ -29,9 +29,12 @@ object Cli {
 
   private val usage =
     """usage:
-      |  diff <current.json> <new.json> [--match-by id|name] [--json]
-      |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>]
-      |  serialize --data <path> --output-path <schema.json>""".stripMargin
+      |  diff <current> <new> [--match-by id|name] [--json] [--color]
+      |       (each source is a schema .json file or table:<ident> — any
+      |        table the session resolves, e.g. table:parquet.`/data/x.parquet`
+      |        or a catalog table, mirroring the reference's from_iceberg source)
+      |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>] [--color]
+      |  serialize (--data <path> | --table <ident>) --output-path <schema.json>""".stripMargin
 
   private def flag(rest: List[String], name: String): Boolean = rest.contains(name)
   private def opt(rest: List[String], name: String): Option[String] =
@@ -46,7 +49,13 @@ object Cli {
       case (tok, prev) if !tok.startsWith("--") && prev != "--match-by" => tok
     }
     if (files.length < 2) { System.err.println(usage); sys.exit(2) }
-    val (cur, nxt) = (loadSchema(files(0)), loadSchema(files(1)))
+    def load(spark: => SparkSession)(tok: String): GSchema =
+      if (tok.startsWith("table:")) GSchemaIO.fromTable(spark, tok.stripPrefix("table:"))
+      else loadSchema(tok)
+    val (cur, nxt) =
+      if (files.take(2).exists(_.startsWith("table:")))
+        withSession(spark => (load(spark)(files(0)), load(spark)(files(1))))
+      else (loadSchema(files(0)), loadSchema(files(1)))
     val d = opt(rest, "--match-by") match {
       case Some("name")      => SchemaDiff.unionByName(cur, nxt)
       case Some("id") | None => SchemaDiff.byId(cur, nxt)
@@ -58,6 +67,8 @@ object Cli {
       val j = JArray(d.toOperations.map(op => JObject(
         op.toSerializableMap.toList.map { case (k, v) => k -> (JString(v): JValue) })).toList)
       println(jackson.JsonMethods.pretty(jackson.JsonMethods.render(j)))
+    } else if (flag(rest, "--color")) {
+      println(if (d.isEmpty) "Schemas are identical." else Render.styledDiff(d))
     } else {
       println(if (d.isEmpty) "Schemas are identical." else d.toString)
     }
@@ -65,10 +76,18 @@ object Cli {
 
   private def session(): SparkSession = Sessions.local("8", logLevel = "ERROR", allowMasterOverride = true)
 
+  /** Run `f` with a session, stopping it afterwards only if this call
+    * created it (an in-process caller — e.g. a spec — keeps its own). */
+  private def withSession[A](f: SparkSession => A): A = {
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = session()
+    try f(spark) finally if (!preexisting) spark.stop()
+  }
+
   def evolve(rest: List[String]): Unit = {
     val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }
     val schemaPath = opt(rest, "--schema-path").getOrElse { System.err.println(usage); sys.exit(2) }
-    val spark = session()
+    withSession { spark =>
     val df = spark.read.parquet(data)
     val current = GSchema.fromSpark(df.schema)
     val target = loadSchema(schemaPath)
@@ -91,35 +110,44 @@ object Cli {
         case None                           => f
       }
     })
-    try {
-      val result = Evolver.evolve(aligned, target, Some(df),
-        table = opt(rest, "--table").getOrElse("t"),
-        strict = !flag(rest, "--no-strict"),
-        allowBreaking = flag(rest, "--allow-breaking"),
-        dryRun = flag(rest, "--dry-run"))
-      println("Schema Evolution Diff:\n")
-      println(SchemaDiff.byId(aligned, target).toString)
-      println("Evolution Operations:\n")
-      println(Render.ops(result.ops))
-      println("\nDDL:\n" + result.ddl.mkString("\n"))
-      if (flag(rest, "--dry-run")) println("\nDry Run - No Changes Applied")
-      else opt(rest, "--out") match {
-        case Some(out) =>
-          result.data.get.write.mode("overwrite").parquet(out)
-          println(s"\nMigrated data written to $out")
-        case None => println("\n(no --out given: schema evolved, data not written)")
-      }
-    } finally spark.stop()
+    val result = Evolver.evolve(aligned, target, Some(df),
+      table = opt(rest, "--table").getOrElse("t"),
+      strict = !flag(rest, "--no-strict"),
+      allowBreaking = flag(rest, "--allow-breaking"),
+      dryRun = flag(rest, "--dry-run"))
+    val styled = flag(rest, "--color")
+    val d = SchemaDiff.byId(aligned, target)
+    println("Schema Evolution Diff:\n")
+    println(if (styled) Render.styledDiff(d) else d.toString)
+    println("Evolution Operations:\n")
+    println(if (styled) Render.styledOps(result.ops) else Render.ops(result.ops))
+    println("\nDDL:\n" + result.ddl.mkString("\n"))
+    if (flag(rest, "--dry-run")) println("\nDry Run - No Changes Applied")
+    else opt(rest, "--out") match {
+      case Some(out) =>
+        result.data.get.write.mode("overwrite").parquet(out)
+        println(s"\nMigrated data written to $out")
+      case None => println("\n(no --out given: schema evolved, data not written)")
+    }
+    }
   }
 
+  /** Schema source is `--data` (a parquet path) or `--table` (any
+    * session-resolvable table ident — the reference's
+    * `--table-ident` + catalog source, reference cli.py:156,
+    * schema.py:10-47 from_iceberg). */
   def serialize(rest: List[String]): Unit = {
-    val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }
     val outPath = opt(rest, "--output-path").getOrElse { System.err.println(usage); sys.exit(2) }
-    val spark = session()
-    try {
-      val schema = GSchema.fromSpark(spark.read.parquet(data).schema)
+    val source = opt(rest, "--data").map(Left(_))
+      .orElse(opt(rest, "--table").map(Right(_)))
+      .getOrElse { System.err.println(usage); sys.exit(2) }
+    withSession { spark =>
+      val schema = source match {
+        case Left(path)   => GSchema.fromSpark(spark.read.parquet(path).schema)
+        case Right(ident) => GSchemaIO.fromTable(spark, ident)
+      }
       Files.writeString(Paths.get(outPath), SchemaJson.toJson(schema))
       println(s"Schema written to $outPath")
-    } finally spark.stop()
+    }
   }
 }

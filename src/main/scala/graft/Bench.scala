@@ -8,15 +8,20 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune every computed column away).
   */
 object Bench {
-  /** Headline set: the scale-relevant pipelines, excluding the
-    * intentionally-quadratic exact pair scans (those have banded
-    * variants for scale). */
+  /** Headline set: the scale-relevant pipelines. The pair scans run
+    * their banded/blocked plans (simhash two-block combos, n-gram
+    * size buckets, cosine LSH buckets), so regressions in the
+    * sub-quadratic paths show up here; only the all-pairs reference
+    * scans (dedup_embed_cosine, banded=false simhash) are excluded. */
   private val headline = Seq(
     "q1_pricing_summary", "q3_top_orders", "q7_window_rank",
-    "q12_join_multi", "q16_events_window", "q17_sessionize",
-    "q19_asof_join", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "text_quality", "text_fingerprint",
-    "ann_lsh", "mm_features")
+    "q12_join_multi", "q13_percentiles", "q16_events_window",
+    "q17_sessionize", "q19_asof_join",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_embed_cosine_lsh", "dedup_clusters",
+    "text_quality", "text_fingerprint", "text_top_tokens",
+    "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

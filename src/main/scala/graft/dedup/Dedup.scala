@@ -108,9 +108,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   // --------------------------------------------- n-gram Jaccard dedup
-  /** Character-5-gram Jaccard near-dup, blocked by `source` (pairs
-    * only form within a block — the block key bounds the quadratic
-    * term per bucket at scale). */
+  /** Character-5-gram Jaccard near-dup at the standard 0.7
+    * near-duplicate threshold, prefix-filtered within `source`
+    * blocks (see [[DedupApi.ngramJaccardPairs]] — lower thresholds
+    * weaken prefix filtering by construction: prefix length is
+    * (1-t)|g|+1). */
   val ngramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     Some(s"""WITH g AS (SELECT doc_id, source,
@@ -122,10 +124,10 @@ object Dedup {
           / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))), 6) AS jaccard
       FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x))) AS DOUBLE)
-          / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) >= 0.3
+          / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) >= 0.7
       ORDER BY doc_a, doc_b"""),
     (s, d) => DedupApi.ngramJaccardPairs(Tables.documents(s, d),
-        "doc_id", "text", "source", n = 5, threshold = 0.3)
+        "doc_id", "text", "source", n = 5, threshold = 0.7)
       .orderBy(col("doc_a"), col("doc_b")))
 
   // ------------------------------------------- embedding near-dup

@@ -86,8 +86,8 @@ object DedupApi {
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.as("s1"), col("doc_a") === col(s"s1.$id"))
-      .join(sh.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .join(sh.hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(sh.hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("s1.sh"), col("s2.sh"))).as("inter"),
         size(col("s1.sh")).as("la"), size(col("s2.sh")).as("lb"))
@@ -96,37 +96,60 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
-  /** Character-n-gram Jaccard near-dup pairs inside a composite
-    * blocking key: the caller's `block` column AND a lossless
-    * gram-count bucket. J(A,B) ≥ t forces min(|A|,|B|)/max(|A|,|B|)
-    * ≥ t (the intersection fits in the smaller set), so qualifying
-    * pairs have log-size distance ≤ ln(1/t) and land in the same or
-    * adjacent floor(ln|A| / ln(1/t)) bucket — candidate generation is
-    * restricted to (block, size-bucket ± 1) with zero recall loss.
-    * This bounds the quadratic term per bucket even when `block` has
-    * low cardinality (the round-1 failure mode at scale). */
+  /** Character-n-gram Jaccard near-dup pairs via prefix filtering
+    * (Chaudhuri et al. SSJoin ICDE'06; Bayardo, Ma & Srikant
+    * "Scaling Up All Pairs Similarity Search", WWW'07), inside the
+    * caller's `block` column. Grams are globally ordered rarest-first
+    * (document frequency, then gram); each doc keys only its first
+    * |g| - ceil(t·|g|) + 1 grams. Lossless: for J(A,B) ≥ t the
+    * smallest-ordered shared gram c has at most |A| - ceil(t·|A|)
+    * non-shared grams of A before it (A's preceding grams are all in
+    * A\B, and |A∩B| ≥ t·|A∪B| ≥ ceil(t·|A|)), so c sits in BOTH
+    * prefixes and the pair collides on it. Two further lossless
+    * prunes (epsilon-slack on every float comparison so rounding can
+    * never drop an exact-boundary pair): the length filter
+    * (min/max gram count ≥ t) and PPJoin's positional filter (Xiao,
+    * Wang, Lin & Yu, WWW'08) — a collision at prefix positions
+    * (pa, pb) survives only if 1 + min(|A|-pa, |B|-pb), the best
+    * possible overlap from the common suffix, reaches the required
+    * overlap ceil(t/(1+t)·(|A|+|B|)); for a true pair its
+    * smallest-ordered shared gram always passes (everything shared
+    * sits at or after it on both sides). On a shared-vocabulary
+    * corpus this prunes the large population of pairs that share one
+    * mid-prefix gram and nothing else. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
-      n: Int = 5, threshold: Double = 0.3): DataFrame = {
+      n: Int = 5, threshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
     val g = df.select(col(id), col(block), normText(col(text)).as("s"))
       .filter(length(col("s")) >= n)
       .select(col(id), col(block),
         expr(s"array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))").as("gr"))
-      .withColumn("lb", floor(log(size(col("gr")).cast(DoubleType)) / math.log(1.0 / threshold)))
+      .withColumn("la", size(col("gr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One side probes its own and the next-higher bucket; pairs one
-    // bucket apart match exactly once (higher-bucket doc on the `a`
-    // side), same-bucket pairs twice — canonicalize + distinct.
-    val probe = g.select(col(id), col(block), explode(array(col("lb"), col("lb") + 1)).as("lbp"))
-    val cand = g.as("a").join(probe.as("b"),
-        col(s"a.$block") === col(s"b.$block") && col("a.lb") === col("b.lbp") &&
-        col(s"a.$id") =!= col(s"b.$id"))
-      .select(least(col(s"a.$id"), col(s"b.$id")).as("doc_a"),
-        greatest(col(s"a.$id"), col(s"b.$id")).as("doc_b"))
+    val grams = g.select(col(id), col(block), col("la"), explode(col("gr")).as("gram"))
+    val gdf = grams.groupBy(col(block), col("gram")).agg(count(lit(1)).as("gdf"))
+    val pre = grams.join(gdf, Seq(block, "gram"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("gdf"), col("gram"))))
+      .filter(col("rn") <= col("la") - ceil(col("la") * threshold) + 1)
+      .select(col(id), col(block), col("la"), col("gram"), col("rn"))
+    val requiredOverlap =
+      ceil((col("a.la") + col("b.la")) * (threshold / (1 + threshold)) - 1e-6)
+    val cand = pre.as("a").join(pre.as("b"),
+        col(s"a.$block") === col(s"b.$block") && col("a.gram") === col("b.gram") &&
+        col(s"a.$id") < col(s"b.$id") &&
+        col("a.la") >= col("b.la") * threshold - 1e-6 &&
+        col("b.la") >= col("a.la") * threshold - 1e-6 &&
+        lit(1) + least(col("a.la") - col("a.rn"), col("b.la") - col("b.rn")) >= requiredOverlap)
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
       .distinct()
+    // shuffle-hash verify joins: the gram-array side is hash-built per
+    // partition instead of sort-merged — sorting wide array rows was
+    // 6x the cost of the whole verify at sf0.1
     cand
-      .join(g.as("s1"), col("doc_a") === col(s"s1.$id"))
-      .join(g.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .join(g.select(col(id), col("gr")).hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(g.select(col(id), col("gr")).hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("s1.gr"), col("s2.gr"))).as("inter"),
         size(col("s1.gr")).as("la"), size(col("s2.gr")).as("lb2"))
@@ -230,8 +253,8 @@ object DedupApi {
           .distinct()
       }
     cand
-      .join(sim.as("s1"), col("doc_a") === col(s"s1.$id"))
-      .join(sim.as("s2"), col("doc_b") === col(s"s2.$id"))
+      .join(sim.hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(sim.hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(s1.simhash ^ s2.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -275,8 +298,8 @@ object DedupApi {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
     cand
-      .join(n.as("x"), col("id_a") === col(s"x.$id"))
-      .join(n.as("y"), col("id_b") === col(s"y.$id"))
+      .join(n.hint("shuffle_hash").as("x"), col("id_a") === col(s"x.$id"))
+      .join(n.hint("shuffle_hash").as("y"), col("id_b") === col(s"y.$id"))
       .select(col("id_a"), col("id_b"),
         expr("""aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, t) -> acc + t)
              / (x.nrm * y.nrm)""").as("c"))

@@ -69,39 +69,50 @@ object AnnApi {
   }
 
   /** Deterministic Lloyd k-means cell assignment for IVF: fixed
-    * iteration count, `id % kCells` init, decimal-exact centroid
-    * means/norms, cosine argmax assignment with cell-id tie-break —
-    * every step is merge-order-free, so the whole index build is
-    * reproducible and DuckDB-oracle-verifiable (the oracle unrolls
-    * the same iterations as CTEs). Scale shape per iteration: one
-    * small centroid aggregate (kCells × dim rows — broadcast), one
-    * map-side dot-product join, one per-id argmax; the corpus itself
-    * is never shuffled. */
+    * iteration count, `id % kCells` init over a deterministic
+    * training sample (`id % trainMod == 0` — the standard
+    * train-quantizer-on-a-sample IVF recipe), decimal-exact centroid
+    * means, cosine argmax assignment with cell-id tie-break. The
+    * final iteration assigns the whole corpus. Every step is
+    * merge-order-free (decimal centroid sums; dot products are
+    * left-to-right folds over index-ordered centroid arrays), so the
+    * whole index build is reproducible and DuckDB-oracle-verifiable
+    * (the oracle unrolls the same iterations as CTEs).
+    *
+    * Scale shape per iteration: one decimal centroid aggregate over
+    * the sample, then a broadcast of kCells centroid *arrays* joined
+    * against the corpus with codegen'd `zip_with`/`aggregate` folds
+    * and a hash-aggregate argmax — the corpus is never shuffled and
+    * never exploded per-dimension for assignment. */
   def kmeansCells(corpus: DataFrame, id: String, vec: String,
-      kCells: Int = 8, iters: Int = 2): DataFrame = {
+      kCells: Int = 8, iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    require(iters >= 1 && kCells >= 1 && trainMod >= 1)
     val n = normalized(corpus, id, vec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pos = n.select(col(id), posexplode(col("v")).as(Seq("pos0", "x")))
+    val train = if (trainMod == 1) n else n.filter(pmod(col(id), lit(trainMod)) === 0)
+    val pos = train.select(col(id), posexplode(col("v")).as(Seq("pos0", "x")))
       .select(col(id), (col("pos0") + 1).as("i"), col("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var assign = n.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
-    for (_ <- 1 to iters) {
+    var assign = train.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
+    for (it <- 1 to iters) {
       val cent = pos.as("p").join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
         .groupBy(col("a.cell"), col("p.i"))
         .agg((sum(col("p.x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
-      val cnorm = cent.groupBy(col("cell"))
-        .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
-      val dots = pos.as("p").join(cent.as("c"), col("p.i") === col("c.i"))
-        .groupBy(col(s"p.$id"), col("c.cell"))
-        .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
-      assign = dots.as("d")
-        .join(n.select(col(id), col("nrm")).as("pn"), col(s"pn.$id") === col(s"d.$id"))
-        .join(cnorm.as("cn"), col("cn.cell") === col("d.cell"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col(s"d.$id"))
-            .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.cell"))))
-        .filter(col("rk") === 1)
-        .select(col(s"d.$id").as(id), col("d.cell"))
+      val centArr = cent.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cell"), expr("transform(im, s -> s.m)").as("cm"))
+        .withColumn("cn",
+          expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+      val scope = if (it == iters) n else train
+      assign = scope.crossJoin(broadcast(centArr))
+        .select(col(id), col("cell"),
+          (expr("aggregate(zip_with(v, cm, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+            / (col("nrm") * col("cn"))).as("c"))
+        // hash-aggregate argmax: max of (c, -cell) = best cosine,
+        // smallest cell on ties — no window sort over the corpus
+        .groupBy(col(id))
+        .agg(max(struct(col("c"), (-col("cell")).as("negc"))).as("m"))
+        .select(col(id), (-col("m.negc")).as("cell"))
     }
     assign
   }

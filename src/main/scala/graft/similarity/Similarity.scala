@@ -159,26 +159,31 @@ object Similarity {
 
   // ---------------------------------------------------------- kmeans
   /** Unrolled Lloyd-iteration CTEs mirroring [[AnnApi.kmeansCells]]
-    * (same init, same decimal casts, same tie-breaks). Returns the
-    * CTE block and the name of the final assignment relation
-    * (`ka<iters>`); `kc/kn<i>` hold iteration i's centroids/norms.
-    * Assumes `nx` (vec_id, v, nrm) is already in scope. */
-  def kmeansSqlCtes(k: Int, iters: Int): (String, String) = {
+    * (same sample init, same decimal centroid means, same
+    * index-ordered array folds for dots/norms, same tie-breaks —
+    * the window argmax here equals Spark's hash-aggregate argmax
+    * value-for-value). Returns the CTE block and the name of the
+    * final full-corpus assignment relation (`ka<iters>`). Assumes
+    * `nx` (vec_id, v, nrm) is already in scope; `kpos` is emitted
+    * for downstream decimal centroid recomputes. */
+  def kmeansSqlCtes(k: Int, iters: Int, trainMod: Int): (String, String) = {
     val sb = new StringBuilder(
       s"""kpos AS (SELECT vec_id, i, v[i] AS x FROM nx, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
-      ka0 AS (SELECT vec_id, vec_id % $k AS cell FROM nx)""")
+      ka0 AS (SELECT vec_id, vec_id % $k AS cell FROM nx WHERE vec_id % $trainMod = 0)""")
     for (it <- 1 to iters) {
+      val scope = if (it == iters) "" else s" WHERE vec_id % $trainMod = 0"
       sb.append(s""",
       kc$it AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
         FROM kpos p JOIN ka${it - 1} a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
-      kn$it AS (SELECT cell, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
-        FROM kc$it GROUP BY cell),
-      kd$it AS (SELECT p.vec_id, c.cell, CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
-        FROM kpos p JOIN kc$it c ON p.i = c.i GROUP BY p.vec_id, c.cell),
+      kr$it AS (SELECT cell, list(m ORDER BY i) AS cm FROM kc$it GROUP BY cell),
+      kn$it AS (SELECT cell, sqrt(list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b)) AS cn
+        FROM kr$it),
       ka$it AS (SELECT vec_id, cell FROM (
-        SELECT d.vec_id, d.cell,
-          row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dt / (x.nrm * n.cn) DESC, d.cell) AS rk
-        FROM kd$it d JOIN nx x ON x.vec_id = d.vec_id JOIN kn$it n ON n.cell = d.cell) t
+        SELECT x.vec_id, r.cell,
+          row_number() OVER (PARTITION BY x.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * r.cm[i]), (a, b) -> a + b)
+              / (x.nrm * n.cn) DESC, r.cell) AS rk
+        FROM (SELECT vec_id, v, nrm FROM nx$scope) x, kr$it r, kn$it n WHERE n.cell = r.cell) t
         WHERE rk = 1)""")
     }
     (sb.toString, s"ka$iters")
@@ -186,6 +191,9 @@ object Similarity {
 
   val KmeansCells = 8
   val KmeansIters = 2
+  /** Quantizer trains on the `vec_id % 4 == 0` sample; the final
+    * Lloyd pass assigns the full corpus. */
+  val KmeansTrainMod = 4
 
   /** The k-means assignment itself, oracle-verified end to end —
     * this is what makes the IVF "coarse quantizer" claim real when no
@@ -193,12 +201,12 @@ object Similarity {
   val vecKmeans = QueryDef(
     "vec_kmeans",
     Some {
-      val (ctes, ka) = kmeansSqlCtes(KmeansCells, KmeansIters)
+      val (ctes, ka) = kmeansSqlCtes(KmeansCells, KmeansIters, KmeansTrainMod)
       s"""WITH $normSqlCte, $ctes
       SELECT vec_id, cell FROM $ka ORDER BY vec_id"""
     },
     (s, d) => AnnApi.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
-        KmeansCells, KmeansIters)
+        KmeansCells, KmeansIters, KmeansTrainMod)
       .orderBy(col("vec_id")))
 
   /** IVF search over k-means cells: [[AnnApi.ivfTopK]] recomputes
@@ -208,20 +216,23 @@ object Similarity {
   val ivfKmeans = QueryDef(
     "ann_ivf_kmeans",
     Some {
-      val (ctes, ka) = kmeansSqlCtes(KmeansCells, KmeansIters + 1)
-      val kaFinal = s"ka$KmeansIters"
-      val kcNext = s"kc${KmeansIters + 1}"
-      val knNext = s"kn${KmeansIters + 1}"
+      val (ctes, kaFinal) = kmeansSqlCtes(KmeansCells, KmeansIters, KmeansTrainMod)
+      // ivfTopK recomputes decimal centroids/norms from the final
+      // full-corpus assignment — mirror that exactly (kcf/knf).
       s"""WITH $normSqlCte, $ctes,
+      kcf AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM kpos p JOIN $kaFinal a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
+      knf AS (SELECT cell, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
+        FROM kcf GROUP BY cell),
       pdot AS (SELECT p.vec_id AS id_p, c.cell,
                  CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
-               FROM kpos p JOIN $kcNext c ON p.i = c.i WHERE p.vec_id < 10
+               FROM kpos p JOIN kcf c ON p.i = c.i WHERE p.vec_id < 10
                GROUP BY p.vec_id, c.cell),
       top2 AS (SELECT id_p, cell FROM (
                  SELECT d.id_p, d.cell,
                    row_number() OVER (PARTITION BY d.id_p
                      ORDER BY d.dt / (n.nrm * cn.cn) DESC, d.cell) AS crk
-                 FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN $knNext cn ON cn.cell = d.cell) t
+                 FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN knf cn ON cn.cell = d.cell) t
                WHERE crk <= 2)
       SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
         SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
@@ -233,7 +244,7 @@ object Similarity {
     },
     (s, d) => {
       val cells = AnnApi.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
-        KmeansCells, KmeansIters)
+        KmeansCells, KmeansIters, KmeansTrainMod)
       AnnApi.ivfTopK(Tables.embeddings(s, d).join(cells, "vec_id"),
         "vec_id", "embedding", "cell",
         Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")))

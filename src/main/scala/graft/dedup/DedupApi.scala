@@ -226,38 +226,54 @@ object DedupApi {
 
   /** SimHash pairs within Hamming distance. `banded=true` (the scale
     * path, and exact for maxHamming ≤ 6 by the pigeonhole argument
-    * above) generates candidates only inside two-block combo buckets
-    * and re-verifies exact Hamming distance; `banded=false` is the
-    * quadratic reference scan. Both return identical rows. */
+    * above) follows Manku et al.'s full recipe: fingerprints are
+    * deduplicated first, the combo tables band and verify *distinct*
+    * signatures only, and the surviving signature pairs expand to id
+    * pairs through the signature→id mapping; identical-signature
+    * groups contribute their intra-group pairs (hamming 0) directly.
+    * On duplicate-dense corpora this removes the 28× repeated
+    * collisions that identical fingerprints would otherwise generate
+    * in every combo table. `banded=false` is the quadratic reference
+    * scan. Both return identical rows. */
   def simhashPairs(df: DataFrame, id: String, text: String,
       maxHamming: Int = 6, banded: Boolean = true): DataFrame = {
     require(!banded || maxHamming <= 6,
       s"banded simhash pairs are exact only for maxHamming <= 6 (got $maxHamming); use banded=false")
     val sim = simhashSignatures(df, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand =
-      if (!banded)
-        sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
-          .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
-      else {
-        val comboStructs = BlockCombos.zipWithIndex.map { case ((i, j), c) =>
-          val vi = s"(shiftright(simhash, ${BlockOffsets(i)}) & ${(1 << BlockWidths(i)) - 1})"
-          val vj = s"(shiftright(simhash, ${BlockOffsets(j)}) & ${(1 << BlockWidths(j)) - 1})"
-          expr(s"named_struct('c', $c, 'k', $vi * 256 + $vj)")
-        }
-        val keys = sim.select(col(id), explode(array(comboStructs: _*)).as("ck"))
-          .select(col(id), col("ck.c").as("c"), col("ck.k").as("k"))
-        keys.as("a").join(keys.as("b"),
-            col("a.c") === col("b.c") && col("a.k") === col("b.k") && col(s"a.$id") < col(s"b.$id"))
-          .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
-          .distinct()
+    if (!banded)
+      sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
+        .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    else {
+      val sigs = sim.select(col("simhash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comboStructs = BlockCombos.zipWithIndex.map { case ((i, j), c) =>
+        val vi = s"(shiftright(simhash, ${BlockOffsets(i)}) & ${(1 << BlockWidths(i)) - 1})"
+        val vj = s"(shiftright(simhash, ${BlockOffsets(j)}) & ${(1 << BlockWidths(j)) - 1})"
+        expr(s"named_struct('c', $c, 'k', $vi * 256 + $vj)")
       }
-    cand
-      .join(sim.hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
-      .join(sim.hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(s1.simhash ^ s2.simhash)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      val keys = sigs.select(col("simhash"), explode(array(comboStructs: _*)).as("ck"))
+        .select(col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
+      val sigPairs = keys.as("a").join(keys.as("b"),
+          col("a.c") === col("b.c") && col("a.k") === col("b.k") &&
+          col("a.simhash") < col("b.simhash"))
+        .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= maxHamming)
+      val cross = sigPairs
+        .join(sim.hint("shuffle_hash").as("s1"), col("sig_a") === col("s1.simhash"))
+        .join(sim.hint("shuffle_hash").as("s2"), col("sig_b") === col("s2.simhash"))
+        .select(least(col(s"s1.$id"), col(s"s2.$id")).as("doc_a"),
+          greatest(col(s"s1.$id"), col(s"s2.$id")).as("doc_b"), col("hamming"))
+      val intra = sim.as("s1").join(sim.as("s2"),
+          col("s1.simhash") === col("s2.simhash") && col(s"s1.$id") < col(s"s2.$id"))
+        .select(col(s"s1.$id").as("doc_a"), col(s"s2.$id").as("doc_b"),
+          lit(0).as("hamming"))
+      cross.union(intra)
+    }
   }
 
   private def normVecs(df: DataFrame, id: String, vec: String): DataFrame =

@@ -175,7 +175,14 @@ object Extra {
   // --------------------------------------------------------------- q30
   /** Ranking distribution functions: rank/dense_rank/percent_rank/
     * cume_dist (exact small rationals — identical formulas in both
-    * engines, no rounding needed). */
+    * engines, no rounding needed).
+    *
+    * Scale note: `l_returnflag` has only 3 values, so this window
+    * lands ALL rows on 3 tasks — fine here because the DISTINCT
+    * projection bounds each partition to |distinct quantities| rows,
+    * but do NOT copy this window shape for high-volume data; use a
+    * high-cardinality partition key (see q7/q16/q17) or pre-aggregate
+    * as done here. */
   val q30 = QueryDef(
     "q30_rank_distributions",
     Some("""SELECT l_returnflag, l_quantity,

@@ -48,6 +48,10 @@ object ScaleProbe {
       ("q17_sessionize", d => operators.Relational.q17.build(spark, d)),
       ("dedup_exact", d => dedup.Dedup.exact.build(spark, d)),
       ("dedup_minhash_lsh", d => dedup.Dedup.minhashLsh.build(spark, d)),
+      ("dedup_simhash_pairs", d => dedup.Dedup.simhashPairs.build(spark, d)),
+      ("dedup_ngram_jaccard", d => dedup.Dedup.ngramJaccard.build(spark, d)),
+      ("dedup_embed_cosine_lsh", d => dedup.Dedup.embedCosineLsh.build(spark, d)),
+      ("ann_ivf_kmeans", d => similarity.Similarity.ivfKmeans.build(spark, d)),
       ("text_quality", d => functions.TextAnalysis.quality.build(spark, d)))
     probes.foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))

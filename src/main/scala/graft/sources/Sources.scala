@@ -1,12 +1,12 @@
 package graft.sources
 
-import graft.{QueryDef, Tables}
+import graft.{Portable, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink layer (SURVEY.md §2 sources): unified schema-checked
-  * readers and scale-aware writers for parquet/csv/json. Paths go
+  * readers and scale-aware writers for parquet/csv/json/orc. Paths go
   * through Hadoop FS, so the same calls read `s3a://`/`hdfs://` URIs
   * on a real cluster.
   */
@@ -96,5 +96,24 @@ object Sources {
         .orderBy(col("lang"), col("source"))
     })
 
-  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip)
+  /** ORC round-trip (the columnar non-parquet lake format Spark ships
+    * natively): long/string/double columns through an ORC sink and
+    * schema-checked source, decimal-exact money aggregation. The
+    * oracle reads the original parquet — a pass proves the ORC path
+    * is lossless for these types. */
+  val orcRoundtrip = QueryDef(
+    "src_orc_roundtrip",
+    Some(s"""SELECT l_returnflag, count(*) AS n, ${Portable.decSum2Sql("l_extendedprice")} AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/orc_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      write(src, "orc", tmp, repartition = Some(2))
+      read(s, "orc", tmp, Some(src.schema))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Portable.decSum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
 }

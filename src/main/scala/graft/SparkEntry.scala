@@ -15,6 +15,7 @@ object SparkEntry {
         operators.Extra.defs ++
         functions.TextAnalysis.defs ++
         functions.Corpus.defs ++
+        functions.Pipeline.defs ++
         sources.Sources.defs ++
         dedup.Dedup.defs ++
         similarity.Similarity.defs ++

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents corpus
+  * (SURVEY.md §2.5 extension): deterministic dataset splitting,
+  * token-budget sequence packing, and stratified sampling — the
+  * plumbing between "deduped corpus" and "training shards". All are
+  * hash-deterministic (no RNG state), so results are reproducible
+  * across runs/cluster sizes and DuckDB-oracle-verifiable.
+  */
+object Pipeline {
+  import Portable._
+
+  /** Train/val/test split by content-stable hash of the doc id
+    * (90/5/5). Hash-based splits are the standard reproducible
+    * recipe: membership is a pure per-row function — no shuffle, no
+    * global state, stable under corpus growth. */
+  val splitStats = QueryDef(
+    "corpus_split_stats",
+    Some(s"""WITH s AS (SELECT lang,
+        CASE WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+             WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks
+      FROM documents)
+      SELECT split, lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+      FROM s GROUP BY split, lang ORDER BY split, lang"""),
+    (s, d) => {
+      val bucket = pmod(h60(col("doc_id").cast("string")), lit(100))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
+          size(split(normText(col("text")), " ")).as("toks"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("sum_tokens"))
+        .orderBy(col("split"), col("lang"))
+    })
+
+  /** Token-budget sequence packing: documents are packed into ~2000-
+    * token shards by running token count. Packing is sequential by
+    * nature, so it runs inside 64 deterministic `doc_id % 64` pack
+    * groups — each group is an independent cumulative sum (bounded
+    * state, 64-way parallel; at 100 TB the group count scales with
+    * the cluster, the per-group window never sees more than 1/64 of
+    * a partition's docs). Output: shard manifest with doc/token
+    * counts. */
+  val packShards = QueryDef(
+    "corpus_pack_shards",
+    Some(s"""WITH t AS (SELECT doc_id, doc_id % 64 AS grp,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks FROM documents),
+      c AS (SELECT doc_id, grp, toks,
+        sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+      SELECT grp, CAST((cum - toks) / 2000 AS BIGINT) AS shard,
+        count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY grp, shard ORDER BY grp, shard"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("grp"),
+          size(split(normText(col("text")), " ")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("shard", ((col("cum") - col("toks")) / 2000).cast("long"))
+        .groupBy(col("grp"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("grp"), col("shard"))
+    })
+
+  /** Stratified sample: 50 docs per language, chosen by deterministic
+    * hash order (md5 of the id — uniform over the corpus, stable
+    * across runs). The per-stratum top-k runs through a window
+    * rank; strata counts are small and fixed, and the custom
+    * sort-free TopKPerGroup exec picks this pattern up when
+    * registered. */
+  val stratifiedSample = QueryDef(
+    "corpus_stratified_sample",
+    Some(s"""SELECT lang, rk, doc_id FROM (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ${h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 50 ORDER BY lang, rk"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(h60(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample)
+}

@@ -77,5 +77,37 @@ object Sketches {
         .orderBy(col("l_returnflag"), col("q"))
     })
 
-  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles)
+  /** Space-Saving heavy hitters next to the exact top-10 tokens.
+    * The oracle-checkable surface: exact top-k (DuckDB twin) plus a
+    * per-item `in_sketch` containment boolean. Space-Saving's merge
+    * guarantee (Metwally et al. 2005; mergeable-summaries bound)
+    * keeps any item with true count > N/capacity in the sketch
+    * regardless of partition/merge order, and the corpus's top tokens
+    * clear that bar with wide margin — so containment is stable and
+    * TRUE on both sides while the sketch itself stays one fixed-size
+    * summary per task (the 100 TB path corpus top-k rides on). */
+  val approxTopK = QueryDef(
+    "approx_topk",
+    Some(s"""WITH tok AS (SELECT unnest(string_split(${graft.Portable.normTextSql("text")}, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok),
+      r AS (SELECT tok, exact_n, row_number() OVER (ORDER BY exact_n DESC, tok) AS rk FROM f)
+      SELECT rk, tok, CAST(exact_n AS BIGINT) AS exact_n, TRUE AS in_sketch
+      FROM r WHERE rk <= 10 ORDER BY rk"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(explode(split(graft.Portable.normText(col("text")), " ")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+      val sketch = toks.agg(expr("graft_topk_sketch(tok, 10)").as("sk"))
+        .select(expr("transform(sk, s -> s.token)").as("sk_tokens"))
+      exact
+        .withColumn("rk", row_number().over(Window.orderBy(col("exact_n").desc, col("tok"))))
+        .crossJoin(broadcast(sketch))
+        .select(col("rk"), col("tok"), col("exact_n").cast("long").as("exact_n"),
+          array_contains(col("sk_tokens"), col("tok")).as("in_sketch"))
+        .orderBy(col("rk"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles, approxTopK)
 }

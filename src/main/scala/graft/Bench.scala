@@ -36,7 +36,10 @@ object Bench {
       val ok =
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query persists must not eat later queries' execution memory
+      spark.catalog.clearCache()
+      (name, elapsed, ok)
     }
     // failed queries are listed, not timed: folding a fail-fast elapsed
     // into the totals would make a broken round read as a speedup

@@ -39,6 +39,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query persists must not skew the next probe
       println(f"$tag: $s%.2f s")
       s
     }

@@ -69,9 +69,12 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = tables.remove(ident) != null
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val t = tables.remove(oldIdent)
+    val t = tables.get(oldIdent)
     if (t == null) throw new NoSuchTableException(oldIdent.namespace.toSeq :+ oldIdent.name)
-    tables.put(newIdent, new GraftTable(newIdent.toString, t.schema(), t.properties()))
+    val renamed = new GraftTable(newIdent.toString, t.schema(), t.properties())
+    if (tables.putIfAbsent(newIdent, renamed) != null)
+      throw new TableAlreadyExistsException(newIdent.namespace.toSeq :+ newIdent.name)
+    tables.remove(oldIdent)
   }
 }
 

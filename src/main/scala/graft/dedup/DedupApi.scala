@@ -234,14 +234,16 @@ object DedupApi {
     * On duplicate-dense corpora this removes the 28× repeated
     * collisions that identical fingerprints would otherwise generate
     * in every combo table. `banded=false` is the quadratic reference
-    * scan. Both return identical rows. */
+    * scan; banding is only valid for maxHamming ≤ 6 (the two-block
+    * pigeonhole bound), so larger distances fall back to the exact
+    * quadratic scan regardless of `banded`. All paths return
+    * identical rows. */
   def simhashPairs(df: DataFrame, id: String, text: String,
       maxHamming: Int = 6, banded: Boolean = true): DataFrame = {
-    require(!banded || maxHamming <= 6,
-      s"banded simhash pairs are exact only for maxHamming <= 6 (got $maxHamming); use banded=false")
+    val useBanded = banded && maxHamming <= 6
     val sim = simhashSignatures(df, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (!banded)
+    if (!useBanded)
       sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
         .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))

@@ -54,7 +54,7 @@ object Pipeline {
       c AS (SELECT doc_id, grp, toks,
         sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
-      SELECT grp, CAST((cum - toks) / 2000 AS BIGINT) AS shard,
+      SELECT grp, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
         count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY grp, shard ORDER BY grp, shard"""),
@@ -64,7 +64,7 @@ object Pipeline {
         .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("grp"),
           size(split(normText(col("text")), " ")).as("toks"))
         .withColumn("cum", sum(col("toks")).over(w))
-        .withColumn("shard", ((col("cum") - col("toks")) / 2000).cast("long"))
+        .withColumn("shard", expr("(cum - toks) div 2000"))
         .groupBy(col("grp"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("sum_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

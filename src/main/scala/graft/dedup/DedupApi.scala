@@ -195,20 +195,27 @@ object DedupApi {
     labels
   }
 
-  /** 60-bit SimHash signature per row (per-bit majority of distinct
-    * token hashes, Charikar 2002). Map-side only. 60 bits = the full
-    * portable md5-prefix hash width; a wider fingerprint is what makes
-    * banded candidate generation sub-quadratic (with 32 bits the
-    * blocks are too narrow for selective keys — see simhashPairs). */
-  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
+  /** Append a 60-bit SimHash signature column (per-bit majority of
+    * distinct token hashes, Charikar 2002). Pure per-row expression
+    * work — usable identically in batch plans and streaming stages.
+    * 60 bits = the full portable md5-prefix hash width; a wider
+    * fingerprint is what makes banded candidate generation
+    * sub-quadratic (with 32 bits the blocks are too narrow for
+    * selective keys — see simhashPairs). */
+  def withSimhash(df: DataFrame, text: String, out: String = "simhash"): DataFrame = {
     val h60SparkSql = "CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT)"
-    df.select(col(id), split(normText(col(text)), " ").as("toks0"))
-      .select(col(id), expr(s"transform(array_distinct(toks0), t -> $h60SparkSql)").as("hs"))
-      .select(col(id), expr(
+    df.withColumn("__toks", split(normText(col(text)), " "))
+      .withColumn("__hs", expr(s"transform(array_distinct(__toks), t -> $h60SparkSql)"))
+      .withColumn(out, expr(
         s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT), (acc, i) ->
-           acc + IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),
-                    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("simhash"))
+           acc + IF(2 * size(filter(__hs, h -> (shiftright(h, i) & 1) = 1)) > size(__hs),
+                    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""))
+      .drop("__toks", "__hs")
   }
+
+  /** (id, simhash) signature table — see [[withSimhash]]. */
+  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
+    withSimhash(df.select(col(id), col(text)), text).select(col(id), col("simhash"))
 
   /** Block decomposition of the 60-bit fingerprint for banded pair
     * generation (Manku, Jain & Das Sarma, WWW 2007 "Detecting

@@ -109,4 +109,19 @@ object Streams {
     val schema = graft.Tables.events(spark, schemaDir).schema
     spark.readStream.schema(schema).parquet(streamDir)
   }
+
+  /** Streaming content dedup for an ingest pipeline: the batch
+    * engine's exact-dedup key (md5 of normalized text) and 60-bit
+    * SimHash signature ([[graft.dedup.DedupApi.withSimhash]]) are
+    * pure per-row expressions, so the batch and streaming planes
+    * share one implementation; exact-content duplicates are dropped
+    * within the watermark (state = one row per distinct content key,
+    * bounded by the watermark). Downstream batch jobs can run the
+    * banded near-dup pair scans over the emitted signatures. */
+  def dedupDocStream(docs: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.dedup.DedupApi.withSimhash(
+        docs.withColumn("content_key", md5(graft.Portable.normText(col("text")))), "text")
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_key")
 }

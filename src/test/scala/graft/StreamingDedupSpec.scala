@@ -41,6 +41,34 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("streaming content dedup drops same-text docs and carries batch-identical simhash") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-docdedup-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 00:01:00"), "a different document entirely"),
+      (3L, ts("2024-01-01 00:02:00"), "The  quick   brown fox") // same normalized content as 1
+    ).toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$in/b000")
+
+    val q = Streams.dedupDocStream(
+        spark.readStream
+          .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+          .parquet(s"$in/*"))
+      .writeStream.format("memory").queryName("doc_dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("doc_dedup_out")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"exact-content replay must be dropped, got $ids")
+    // the streamed signature equals the batch engine's signature
+    val batch = dedup.DedupApi.simhashSignatures(
+        Seq((1L, "the quick brown fox")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getLong(1)
+    val streamed = out.filter($"doc_id" === 1L).select("simhash").collect()(0).getLong(0)
+    assert(streamed == batch, "streaming and batch simhash must be identical")
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

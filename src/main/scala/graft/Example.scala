@@ -43,11 +43,11 @@ object Example {
     println(SchemaJson.toJson(target))
 
     val diff = SchemaDiff.byId(current, target)
-    println("\n=== Schema Evolution Diff ===\n")
-    println(diff.toString)
+    println("\n=== Schema Evolution Diff (styled, reference renderer parity) ===\n")
+    println(Render.styledDiff(diff))
 
-    println("=== Evolution Operations ===\n")
-    println(Render.ops(diff.toOperations))
+    println("\n=== Evolution Operations ===\n")
+    println(Render.styledOps(diff.toOperations))
 
     println("\n=== DDL (db.users) ===")
     Evolver.evolve(current, target, table = "db.users",
@@ -61,5 +61,17 @@ object Example {
     val evolved = Evolver.evolve(current, target, allowBreaking = true).schema
     println("\n=== Evolved schema ===")
     println(Render.schema(evolved))
+
+    println("\n=== Executing the evolution against a live V2 catalog ===")
+    val spark = Sessions.local("4", logLevel = "ERROR")
+    try {
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.catalog.GraftCatalog")
+      val table = "graftcat.demo.users"
+      spark.sql(CreateTableDdl(current, table))
+      val res = Evolver.evolve(current, target, table = table, allowBreaking = true)
+      Evolver.executeDdl(spark, res.ddl)
+      println(s"applied ${res.ddl.size} DDL statements; $table is now:")
+      println(Render.schema(GSchemaIO.fromTable(spark, table)))
+    } finally spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the scale properties the engine is built around
+  * (pushdown, broadcast dims, hash joins on array rows, no quadratic
+  * join operators, sort-free top-k) asserted against the actual
+  * physical plans so a regression fails CI, not a 100 TB run. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+
+  test("q2 pushes filter and projection into the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), "filters must reach the scan")
+    assert(p.contains("l_shipdate"))
+  }
+
+  test("pair scans plan no cartesian or nested-loop joins") {
+    for (q <- Seq("dedup_simhash_pairs", "dedup_ngram_jaccard",
+        "dedup_embed_cosine_lsh", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("pair-scan verify joins are hash joins, not sorts of array rows") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      assert(plan(q).contains("ShuffledHashJoin"), s"$q lost its shuffle_hash verify join")
+    }
+  }
+
+  test("corpus top-k plans TakeOrderedAndProject, not a global window") {
+    assert(plan("text_top_tokens").contains("TakeOrderedAndProject"))
+    assert(plan("text_top_bigrams").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12 star join broadcasts its dimensions") {
+    val p = plan("q12_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "region/nation/customer dims must broadcast")
+  }
+
+  test("k-means assignment broadcasts the centroid arrays") {
+    val cells = similarity.AnnApi.kmeansCells(
+      Tables.embeddings(spark, TestSpark.sfDir), "vec_id", "embedding")
+    val p = cells.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid cross join must broadcast the k-row side")
+  }
+}

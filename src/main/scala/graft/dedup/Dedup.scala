@@ -181,11 +181,18 @@ object Dedup {
     * pair graph, every doc labeled with its component's min doc id —
     * the "cluster then keep one" dedup endgame. Oracle recomputes the
     * components with a recursive CTE (label reachability + min). */
+  /** Pair graph uses the same megabucket cap as the gated LSH query
+    * (identical scale hygiene), mirrored in the recursive-CTE
+    * oracle. */
   val clusters = QueryDef(
     "dedup_clusters",
     Some(s"""WITH $bandsSqlCte,
+      ovs AS (SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING count(*) > $LshBucketCap),
+      kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+        SELECT 1 FROM ovs o WHERE o.band_idx = b.band_idx AND o.band_key = b.band_key)),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
       pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
         JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b
@@ -200,7 +207,8 @@ object Dedup {
       SELECT node AS doc_id, min(label) AS cluster FROM reach
       GROUP BY node ORDER BY doc_id""".replaceFirst("WITH ", "WITH RECURSIVE ")),
     (s, d) => {
-      val pairs = DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)
+      val pairs = DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, maxBucketSize = LshBucketCap)
       DedupApi.nearDupClusters(Tables.documents(s, d), "doc_id", pairs)
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))

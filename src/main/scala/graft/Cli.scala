@@ -33,7 +33,9 @@ object Cli {
       |       (each source is a schema .json file or table:<ident> — any
       |        table the session resolves, e.g. table:parquet.`/data/x.parquet`
       |        or a catalog table, mirroring the reference's from_iceberg source)
-      |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>] [--color]
+      |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>] [--apply] [--color]
+      |         (--apply executes the emitted DDL against <ident> on the session's
+      |          catalog — the reference's live-table apply; requires --table)
       |  serialize (--data <path> | --table <ident>) --output-path <schema.json>""".stripMargin
 
   private def flag(rest: List[String], name: String): Boolean = rest.contains(name)
@@ -122,6 +124,13 @@ object Cli {
     println("Evolution Operations:\n")
     println(if (styled) Render.styledOps(result.ops) else Render.ops(result.ops))
     println("\nDDL:\n" + result.ddl.mkString("\n"))
+    if (flag(rest, "--apply") && !flag(rest, "--dry-run")) {
+      val ident = opt(rest, "--table").getOrElse {
+        System.err.println("--apply requires --table <ident>\n" + usage); sys.exit(2)
+      }
+      Evolver.executeDdl(spark, result.ddl)
+      println(s"\nApplied ${result.ddl.size} DDL statements to $ident")
+    }
     if (flag(rest, "--dry-run")) println("\nDry Run - No Changes Applied")
     else opt(rest, "--out") match {
       case Some(out) =>

@@ -53,6 +53,31 @@ class CliSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("evolve --apply executes the DDL against the live catalog table") {
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.catalog.GraftCatalog")
+    val dir = writeSample() // columns: id LONG, name STRING
+    val current = GSchemaIO.fromFile {
+      val t = GSchema(0, Seq(
+        GField(1, "id", required = false, GLong),
+        GField(2, "name", required = false, GString)), lastColumnId = 2)
+      val f = Files.createTempFile("cli_cur", ".json")
+      Files.writeString(f, SchemaJson.toJson(t)); f.toString
+    }
+    spark.sql(CreateTableDdl(current, "graftcat.cli.users"))
+    val target = GSchema(0, Seq(
+      GField(1, "id", required = false, GLong),
+      GField(2, "label", required = false, GString),
+      GField(3, "score", required = false, GDouble)), lastColumnId = 3)
+    val tj = Files.createTempFile("cli_apply_target", ".json")
+    Files.writeString(tj, SchemaJson.toJson(target))
+    val out = captureOut {
+      Cli.evolve(List("--data", dir, "--schema-path", tj.toString,
+        "--table", "graftcat.cli.users", "--apply", "--allow-breaking"))
+    }
+    assert(out.contains("Applied"), s"unexpected output:\n$out")
+    assert(spark.table("graftcat.cli.users").schema.fieldNames.toSeq == Seq("id", "label", "score"))
+  }
+
   test("diff --color renders the styled sections") {
     val dir = writeSample()
     val target = GSchema(0, Seq(

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * Blobs are opaque `binary` columns with a typed metadata struct —
   * the layout a 100 TB image/audio corpus uses (content in parquet
   * binary or pointed-to object storage, metadata columns for pruning).
-  * The real decode kernel (JPEG/audio codec) is NOT available in this
-  * environment, so `decodeStub` is a clearly-marked deterministic
-  * fake; everything around it — pruned binary scan, per-partition
-  * batch iteration, typed output schema — is the real pipeline shape.
   *
-  * The fake features are pure functions of the bytes (md5-derived), so
-  * the whole pipeline is verified bit-for-bit against the DuckDB
-  * oracle even though the codec is stubbed.
+  * Two kernel tiers: [[decodeImage]]/[[imageFeatures]]/[[resizePng]]
+  * are a REAL image pipeline on the JDK's built-in `javax.imageio`
+  * codecs (PNG/JPEG/GIF/BMP — spec-verified on synthesized images,
+  * corrupt-blob tolerant). Audio/video codecs are not available in
+  * this environment, so the driver-gated queries use `decodeStub`, a
+  * clearly-marked deterministic fake whose features are pure
+  * functions of the bytes (md5-derived) — the gate corpus is text
+  * stand-in bytes, and the stub keeps the whole fan-out pipeline
+  * verifiable bit-for-bit against the DuckDB oracle.
   */
 object Multimodal {
 
@@ -95,6 +97,86 @@ object Multimodal {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     })
+
+  // ------------------------------------------------- real image kernel
+  /** Decoded-image feature row: dimensions, per-channel means, 8-bin
+    * luminance histogram. */
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      lum_hist: Seq[Long])
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP — zero external dependencies, works headless).
+    * Returns None for undecodable bytes so corrupt blobs drop out
+    * instead of failing the job — the tolerance mode a 100 TB crawl
+    * corpus needs. Only the audio/video codecs remain stubbed in this
+    * environment. */
+  def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          // integer Rec.601 luma, binned into 8 buckets
+          hist(((299 * r + 587 * g + 114 * b) / 1000) >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(ImageFeatures(docId, w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, hist.toSeq))
+    }
+  }
+
+  /** Image feature extraction over (id, binary) rows — the same
+    * per-partition batch shape as [[features]], with the real codec in
+    * the kernel slot; undecodable blobs are dropped. */
+  def imageFeatures(df: org.apache.spark.sql.DataFrame, id: String,
+      content: String): org.apache.spark.sql.DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(id).cast("long"), col(content).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, bytes) => decodeImage(i, bytes) })
+      .toDF()
+  }
+
+  /** Bilinear resize capped at `maxDim` on the long side, re-encoded
+    * as PNG — the thumbnail/normalize step of an image ingest
+    * pipeline. Pure JDK (`Graphics2D`). */
+  def resizePng(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    decodeRaw(bytes).map { img =>
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val (w, h) =
+        if (scale >= 1.0) (img.getWidth, img.getHeight)
+        else (math.max(1, (img.getWidth * scale).round.toInt),
+          math.max(1, (img.getHeight * scale).round.toInt))
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, w, h, null)
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  private def decodeRaw(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
 
   val defs: Seq[QueryDef] = Seq(features, frames)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Real-codec image pipeline: JDK imageio decode inside the engine's
+  * mapPartitions batch shape — known synthetic PNGs/JPEGs in, exact
+  * features out, corrupt bytes tolerated, resize round-trips. */
+class MultimodalImageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageFeatures decodes PNG/JPEG blobs exactly and drops corrupt ones") {
+    import spark.implicits._
+    val red = png(8, 4)((_, _) => 0xff0000)
+    val gray = png(5, 5)((_, _) => 0x808080)
+    val jpeg = { // solid mid-gray survives JPEG compression closely
+      val img = new BufferedImage(6, 6, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val corrupt = Array[Byte](1, 2, 3, 4, 5)
+    val df = Seq((1L, red), (2L, gray), (3L, jpeg), (4L, corrupt))
+      .toDF("doc_id", "content")
+
+    val out = Multimodal.imageFeatures(df, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "corrupt blob must drop, not fail")
+
+    val r1 = out(1L)
+    assert((r1.getInt(1), r1.getInt(2)) == (8, 4))
+    assert(r1.getDouble(3) == 255.0 && r1.getDouble(4) == 0.0 && r1.getDouble(5) == 0.0)
+    // all 32 pixels of pure red: luma = 76 -> bin 2
+    assert(r1.getSeq[Long](6)(2) == 32L)
+
+    val r2 = out(2L)
+    assert((r2.getInt(1), r2.getInt(2)) == (5, 5))
+    assert(r2.getDouble(3) == 128.0 && r2.getDouble(4) == 128.0 && r2.getDouble(5) == 128.0)
+
+    val r3 = out(3L)
+    assert((r3.getInt(1), r3.getInt(2)) == (6, 6))
+    assert(math.abs(r3.getDouble(3) - 128.0) < 3.0, "JPEG mid-gray must decode near 128")
+  }
+
+  test("resizePng caps the long side and round-trips through the decoder") {
+    val big = png(64, 32)((x, _) => if (x < 32) 0xff0000 else 0x0000ff)
+    val resized = Multimodal.resizePng(big, 16).get
+    val feats = Multimodal.decodeImage(0L, resized).get
+    assert((feats.width, feats.height) == (16, 8))
+    val small = png(4, 4)((_, _) => 0x00ff00)
+    val kept = Multimodal.resizePng(small, 16).get
+    val kf = Multimodal.decodeImage(0L, kept).get
+    assert((kf.width, kf.height) == (4, 4), "images under the cap keep their size")
+    assert(Multimodal.resizePng(Array[Byte](9, 9, 9), 16).isEmpty)
+  }
+}

@@ -128,6 +128,15 @@ object Cli {
       val ident = opt(rest, "--table").getOrElse {
         System.err.println("--apply requires --table <ident>\n" + usage); sys.exit(2)
       }
+      // drift guard: the DDL was derived from the --data schema; if the
+      // live table no longer matches (drift, or this evolution already
+      // ran), applying would corrupt it — refuse instead
+      def shape(st: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+        st.fields.toSeq.map(f => (f.name, f.dataType.sql))
+      if (shape(spark.table(ident).schema) != shape(df.schema)) {
+        System.err.println(s"--apply refused: live table '$ident' does not match the --data schema the DDL was derived from (drift or already applied)")
+        sys.exit(3)
+      }
       Evolver.executeDdl(spark, result.ddl)
       println(s"\nApplied ${result.ddl.size} DDL statements to $ident")
     }

@@ -55,13 +55,19 @@ object Dedup {
     * unchanged. The oracle applies the identical cap. */
   val LshBucketCap = 15
 
+  /** `kept` = bands minus over-cap buckets — the one definition both
+    * capped oracles (lsh, clusters) share, so the cap semantics can
+    * never silently diverge between them. */
+  private def cappedBandsSqlCte: String =
+    s"""ovs AS (SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING count(*) > $LshBucketCap),
+      kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+        SELECT 1 FROM ovs o WHERE o.band_idx = b.band_idx AND o.band_key = b.band_key))"""
+
   val minhashLsh = QueryDef(
     "dedup_minhash_lsh",
     Some(s"""WITH $bandsSqlCte,
-      ovs AS (SELECT band_idx, band_key FROM bands
-        GROUP BY band_idx, band_key HAVING count(*) > $LshBucketCap),
-      kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
-        SELECT 1 FROM ovs o WHERE o.band_idx = b.band_idx AND o.band_key = b.band_key)),
+      $cappedBandsSqlCte,
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -187,10 +193,7 @@ object Dedup {
   val clusters = QueryDef(
     "dedup_clusters",
     Some(s"""WITH $bandsSqlCte,
-      ovs AS (SELECT band_idx, band_key FROM bands
-        GROUP BY band_idx, band_key HAVING count(*) > $LshBucketCap),
-      kept AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
-        SELECT 1 FROM ovs o WHERE o.band_idx = b.band_idx AND o.band_key = b.band_key)),
+      $cappedBandsSqlCte,
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),

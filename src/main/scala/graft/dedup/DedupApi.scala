@@ -248,6 +248,10 @@ object DedupApi {
   def simhashPairs(df: DataFrame, id: String, text: String,
       maxHamming: Int = 6, banded: Boolean = true): DataFrame = {
     val useBanded = banded && maxHamming <= 6
+    if (banded && !useBanded)
+      System.err.println(s"[graft] simhashPairs: maxHamming=$maxHamming exceeds the " +
+        "two-block pigeonhole bound (6); falling back to the EXACT QUADRATIC scan — " +
+        "do not run this shape on a large corpus")
     val sim = simhashSignatures(df, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!useBanded)

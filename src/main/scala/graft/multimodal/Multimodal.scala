@@ -112,20 +112,18 @@ object Multimodal {
     * instead of failing the job — the tolerance mode a 100 TB crawl
     * corpus needs. Only the audio/video codecs remain stubbed in this
     * environment. */
-  def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
-    if (img == null) None
-    else {
+  def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImageFeatures] =
+    decodeRaw(bytes).map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb) = (0L, 0L, 0L)
       val hist = new Array[Long](8)
+      val row = new Array[Int](w) // bulk row fetch — per-pixel getRGB pays a color-model conversion per call
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
           sr += r; sg += g; sb += b
           // integer Rec.601 luma, binned into 8 buckets
@@ -135,10 +133,9 @@ object Multimodal {
         y += 1
       }
       val n = w.toLong * h
-      Some(ImageFeatures(docId, w, h,
-        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, hist.toSeq))
+      ImageFeatures(docId, w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, hist.toSeq)
     }
-  }
 
   /** Image feature extraction over (id, binary) rows — the same
     * per-partition batch shape as [[features]], with the real codec in
@@ -148,6 +145,9 @@ object Multimodal {
     val sp = df.sparkSession
     import sp.implicits._
     df.select(col(id).cast("long"), col(content).cast("binary"))
+      // null ids/content would crash the non-nullable tuple encoder —
+      // tolerance means such rows drop, like undecodable bytes
+      .filter(col(id).isNotNull && col(content).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (i, bytes) => decodeImage(i, bytes) })
       .toDF()
@@ -175,7 +175,8 @@ object Multimodal {
     }
 
   private def decodeRaw(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    if (bytes == null) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
   val defs: Seq[QueryDef] = Seq(features, frames)

@@ -115,7 +115,15 @@ object Evolver {
     * any V2 catalog the session is wired to (Iceberg in production,
     * [[graft.catalog.GraftCatalog]] in this offline environment). */
   def executeDdl(spark: org.apache.spark.sql.SparkSession, ddl: Seq[String]): Unit =
-    ddl.foreach(stmt => spark.sql(stmt))
+    ddl.zipWithIndex.foreach { case (stmt, i) =>
+      try spark.sql(stmt)
+      catch { case e: Exception =>
+        // report exactly how far the apply got — there is no transaction
+        // to roll back outside a real lake catalog
+        throw new IllegalStateException(
+          s"DDL statement ${i + 1}/${ddl.size} failed (statements 1..$i were applied): $stmt", e)
+      }
+    }
 
   // ------------------------------------------------- schema mutation
   /** Apply one operation to a schema (metadata level). The id

@@ -118,10 +118,15 @@ object Streams {
     * within the watermark (state = one row per distinct content key,
     * bounded by the watermark). Downstream batch jobs can run the
     * banded near-dup pair scans over the emitted signatures. */
-  def dedupDocStream(docs: DataFrame, tsCol: String = "ts",
+  def dedupDocStream(docs: DataFrame, id: String = "doc_id", tsCol: String = "ts",
       watermarkDelay: String = "10 minutes"): DataFrame =
     graft.dedup.DedupApi.withSimhash(
-        docs.withColumn("content_key", md5(graft.Portable.normText(col("text")))), "text")
+        // null-text rows (decode failures, metadata-only records) get a
+        // per-row fallback key: dropDuplicates treats NULL keys as equal
+        // and would silently collapse all of them to one survivor
+        docs.withColumn("content_key",
+          coalesce(md5(graft.Portable.normText(col("text"))),
+            concat(lit("\u0000null:"), col(id).cast("string")))), "text")
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_key")
 }

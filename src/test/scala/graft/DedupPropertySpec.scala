@@ -16,19 +16,20 @@ class DedupPropertySpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val vocab = Vector.tabulate(40)(i => s"w$i")
-    (0L until nDocs).map { i =>
-      val base = Vector.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
-      // half the docs are mutations of an earlier doc's token stream
-      val toks = if (i > 0 && rnd.nextBoolean()) {
-        val prev = new scala.util.Random(seed + i / 2).nextInt(i.toInt)
-        val prevBase = {
-          val r2 = new scala.util.Random(seed ^ prev)
-          Vector.fill(12 + r2.nextInt(20))(vocab(r2.nextInt(vocab.size)))
-        }
-        prevBase.updated(rnd.nextInt(prevBase.size), vocab(rnd.nextInt(vocab.size)))
-      } else base
-      (i, if (i % 2 == 0) "a" else "b", toks.mkString(" "))
-    }.toDF("doc_id", "source", "text")
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    (0 until nDocs).foreach { i =>
+      // half the docs are one-token mutations of an ACTUAL earlier
+      // doc, so high-similarity pairs exist at every tested threshold
+      val toks =
+        if (i > 0 && rnd.nextBoolean()) {
+          val prev = docs(rnd.nextInt(i))
+          prev.updated(rnd.nextInt(prev.size), vocab(rnd.nextInt(vocab.size)))
+        } else Vector.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      docs += toks
+    }
+    docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", t.mkString(" "))
+    }.toSeq.toDF("doc_id", "source", "text")
   }
 
   test("ngram prefix+positional+length filtering is lossless at every threshold") {
@@ -53,7 +54,7 @@ class DedupPropertySpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       }
       assert(filtered == brute, s"threshold $t: filtered ${filtered.size} vs brute ${brute.size}")
-      if (t <= 0.5) assert(brute.nonEmpty, s"threshold $t produced no pairs — weak test corpus")
+      if (t <= 0.7) assert(brute.nonEmpty, s"threshold $t produced no pairs — weak test corpus")
     }
   }
 
@@ -65,6 +66,7 @@ class DedupPropertySpec extends AnyFunSuite {
       val quad = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = d, banded = false)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(banded == quad, s"maxHamming $d: banded ${banded.size} vs quadratic ${quad.size}")
+      if (d == 6) assert(quad.nonEmpty, "planted near-dups must yield hamming<=6 pairs")
     }
   }
 

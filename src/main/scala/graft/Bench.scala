@@ -19,7 +19,7 @@ object Bench {
     "q17_sessionize", "q19_asof_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_embed_cosine_lsh", "dedup_clusters",
+    "dedup_embed_cosine_lsh", "dedup_clusters", "pipeline_near_dedup",
     "text_quality", "text_fingerprint", "text_top_tokens",
     "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")
 

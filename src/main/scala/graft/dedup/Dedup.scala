@@ -83,13 +83,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   // --------------------------------------------------------- simhash
-  private val simhashSqlCte: String =
-    s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM documents),
+  private def simhashSqlCteOver(src: String): String =
+    s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM $src),
        hsx AS (SELECT doc_id, list_transform(t, s -> ${h60Sql("s")}) AS hs FROM tok),
        sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, ${DedupApi.SimhashBits}), i ->
            CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
          FROM hsx)"""
+
+  private val simhashSqlCte: String = simhashSqlCteOver("documents")
 
   val simhash = QueryDef(
     "dedup_simhash",
@@ -217,6 +219,29 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
+  // ------------------------------------- composed: exact-then-near dedup
+  /** The production ordering the 20× scale probe motivates (SURVEY
+    * §4): collapse exact duplicates FIRST (hash groupBy, sublinear),
+    * then run the banded near-dup scan over the survivors — identical
+    * fingerprints never reach the pair stage. Oracle composes the
+    * same two stages. */
+  val nearDedupPipeline = QueryDef(
+    "pipeline_near_dedup",
+    Some(s"""WITH k AS (SELECT md5(${normTextSql("text")}) AS h, min(doc_id) AS keep_id
+        FROM documents GROUP BY h),
+      kept AS (SELECT d.* FROM documents d JOIN k ON d.doc_id = k.keep_id),
+      ${simhashSqlCteOver("kept")}
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => DedupApi.simhashPairs(
+        DedupApi.exactKeep(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text", maxHamming = 6, banded = true)
+      .orderBy(col("doc_a"), col("doc_b")))
+
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, ngramJaccard, embedCosine, embedCosineLsh, clusters)
+    simhash, simhashPairs, ngramJaccard, embedCosine, embedCosineLsh,
+    clusters, nearDedupPipeline)
 }

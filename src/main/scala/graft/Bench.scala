@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Headline set: the scale-relevant pipelines. The pair scans run
-    * their banded/blocked plans (simhash two-block combos, n-gram
+    * their banded/blocked plans (simhash three-block combos, n-gram
     * size buckets, cosine LSH buckets), so regressions in the
     * sub-quadratic paths show up here; only the all-pairs reference
     * scans (dedup_embed_cosine, banded=false simhash) are excluded. */

@@ -100,7 +100,7 @@ object Dedup {
     (s, d) => DedupApi.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id")))
 
-  /** Banded plan (two-block combo tables, exact for hamming ≤ 6 — see
+  /** Banded plan (three-block combo tables, exact for hamming ≤ 6 — see
     * [[DedupApi.simhashPairs]]); the oracle stays the quadratic DuckDB
     * scan because banding is lossless at this distance. */
   val simhashPairs = QueryDef(

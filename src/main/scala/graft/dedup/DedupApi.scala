@@ -49,7 +49,11 @@ object DedupApi {
     * Shingle sets and band keys are persisted (memory-and-disk): both
     * feed multiple joins, and recomputing them means re-hashing the
     * corpus 3×. At 100 TB the same role is played by checkpointing
-    * the signature table to the lake between stages.
+    * the signature table to the lake between stages. Persist lifetime
+    * is governed by the implicit [[graft.CacheScope]] (as in every
+    * persisting method here): wrap composed calls in
+    * `CacheScope.withScope` to release intermediates, or rely on
+    * session-level `clearCache` (the harness default).
     *
     * `maxBucketSize > 0` drops band buckets larger than the cap before
     * the self-join — the guard against quadratic pair explosion on
@@ -63,9 +67,9 @@ object DedupApi {
   def minhashPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3,
       numHashes: Int = NumHashes, bands: Int = Bands,
-      maxBucketSize: Int = 0): DataFrame = {
-    val sh = shingles(df, id, text, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bndAll = minhashBands(sh, id, numHashes, bands).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxBucketSize: Int = 0)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val sh = shingles(df, id, text, k).transform(scope.persist)
+    val bndAll = minhashBands(sh, id, numHashes, bands).transform(scope.persist)
     val bnd =
       if (maxBucketSize <= 0) bndAll
       else {
@@ -77,7 +81,7 @@ object DedupApi {
           .select(col("band_idx").as("f_idx"), col("band_key").as("f_key"))
         bndAll.join(broadcast(oversized),
             col("band_idx") === col("f_idx") && col("band_key") === col("f_key"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(scope.persist)
       }
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -118,14 +122,14 @@ object DedupApi {
     * corpus this prunes the large population of pairs that share one
     * mid-prefix gram and nothing else. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
-      n: Int = 5, threshold: Double = 0.7): DataFrame = {
+      n: Int = 5, threshold: Double = 0.7)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
     val g = df.select(col(id), col(block), normText(col(text)).as("s"))
       .filter(length(col("s")) >= n)
       .select(col(id), col(block),
         expr(s"array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))").as("gr"))
       .withColumn("la", size(col("gr")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val grams = g.select(col(id), col(block), col("la"), explode(col("gr")).as("gram"))
     val gdf = grams.groupBy(col(block), col("gram")).agg(count(lit(1)).as("gdf"))
     val pre = grams.join(gdf, Seq(block, "gram"))
@@ -160,39 +164,81 @@ object DedupApi {
 
   /** Connected components over a near-dup pair graph: every node gets
     * the minimum doc id of its component (the canonical "cluster then
-    * keep one" dedup endgame). Iterative min-label propagation — each
-    * round is one join + aggregate, state is one (node, label) row per
-    * doc, so the loop is a bounded number of narrow shuffles, never a
-    * driver-side union-find. Each round is `localCheckpoint`ed:
-    * without lineage truncation the nested union+join plan grows
-    * exponentially and planning itself OOMs after ~10 rounds (on a
-    * cluster, point `spark.checkpoint` at reliable storage instead).
-    * Converges in ≤ graph-diameter rounds; if `maxIters` is exceeded
-    * this THROWS rather than return silently wrong labels. */
+    * keep one" dedup endgame). Alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node toward its neighborhood minimum, so the
+    * edge set contracts to disjoint stars centered at component minima
+    * in O(log n) rounds — unlike plain min-label propagation, whose
+    * round count is the graph DIAMETER (a 10⁶-long chain of near-dups
+    * needs 10⁶ propagation rounds but only ~20 star rounds). Each
+    * round is one groupBy + join per star op, state is the edge set
+    * itself (monotonically contracting), never a driver-side
+    * union-find. Rounds are `localCheckpoint`ed: without lineage
+    * truncation the nested plan grows exponentially and planning
+    * itself OOMs (on a cluster, point `spark.checkpoint` at reliable
+    * storage instead). Convergence is checked by exact edge-set
+    * equality; if `maxIters` is exceeded this THROWS rather than
+    * return silently wrong labels. */
   def nearDupClusters(allIds: DataFrame, id: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      maxIters: Int = 30): DataFrame = {
+    // canonical undirected edge set (a < b), no self-loops
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    var labels = allIds.select(col(id).as("node"), col(id).as("cluster")).localCheckpoint(true)
-    var converged = false
+
+    // large-star: every node u connects each STRICTLY LARGER neighbor
+    // to the min of its closed neighborhood — long tails hook onto
+    // small labels without ever increasing a node's attachment.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")) // m <= u < v
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star: edges oriented large→small; every node connects its
+    // smaller neighbors (and itself) to their collective minimum —
+    // flattens multi-level trees into stars.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(col("b").as("u"), col("a").as("v")) // v < u
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val viaNbr = oriented.join(mins, Seq("u")).select(col("m"), col("v").as("x"))
+      val self = mins.select(col("m"), col("u").as("x"))
+      viaNbr.union(self)
+        .filter(col("x") =!= col("m"))
+        .select(col("m").as("a"), col("x").as("b")) // m < x
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
     var i = 0
+    var prevCount = if (converged) 0L else edges.count()
     while (!converged && i < maxIters) {
-      val viaNeighbor = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("cluster"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // exact set equality: same distinct cardinality + empty one-sided
+      // difference (a hash/sum comparison could converge wrongly)
+      converged = nextCount == prevCount &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
+      prevCount = nextCount
       i += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge within $maxIters rounds " +
-        "(component diameter exceeds the bound); raise maxIters")
-    labels
+      s"nearDupClusters did not converge within $maxIters rounds; raise maxIters")
+    // at the fixpoint the edges are disjoint stars (a = component min)
+    val labeled = edges.select(col("b").as("node"), col("a").as("cluster"))
+      .union(edges.select(col("a").as("node"), col("a").as("cluster")))
+      .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
+    allIds.select(col(id).as("node"))
+      .join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Append a 60-bit SimHash signature column (per-bit majority of
@@ -219,17 +265,38 @@ object DedupApi {
 
   /** Block decomposition of the 60-bit fingerprint for banded pair
     * generation (Manku, Jain & Das Sarma, WWW 2007 "Detecting
-    * Near-Duplicates for Web Crawling"): 8 blocks (4×8 + 4×7 bits).
-    * A pair within Hamming distance 6 differs in ≤ 6 blocks, so ≥ 2
-    * blocks match exactly — it collides in at least one of the
-    * C(8,2)=28 two-block combo tables. Random collisions per combo are
-    * 2^-(14..16), so candidate volume is ~28/2^15 ≈ 0.09% of all pairs
-    * (vs ~40% for single 4-bit bands on a 32-bit fingerprint). */
+    * Near-Duplicates for Web Crawling"): 9 blocks (6×7 + 3×6 bits).
+    * A pair within Hamming distance 6 differs in ≤ 6 blocks, so ≥ 3
+    * of the 9 blocks match exactly (pigeonhole 9−6=3) — it collides in
+    * at least one of the C(9,3)=84 three-block combo tables. Combo
+    * keys are 19–21 bits wide, so random collisions per combo are
+    * 2^-(19..21): candidate volume ≈ 84·n²/2^20 of all distinct-sig
+    * pairs — ~25× more selective than the earlier C(8,2) two-block
+    * scheme (28·n²/2^15.5), which went quadratic-ish at 10⁹ distinct
+    * signatures. 3× more key rows per signature (84 vs 28), but key
+    * rows grow linearly with n while candidates grow with n²/2^bits —
+    * at scale the key explosion is the cheap side of that trade. */
   val SimhashBits = 60
-  private val BlockOffsets = Vector(0, 8, 16, 24, 32, 39, 46, 53)
-  private val BlockWidths  = Vector(8, 8, 8, 8, 7, 7, 7, 7)
-  private val BlockCombos: Seq[(Int, Int)] =
-    for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+  private val BlockWidths  = Vector(7, 7, 7, 7, 7, 7, 6, 6, 6)
+  private val BlockOffsets = BlockWidths.scanLeft(0)(_ + _).init
+  private val BlockCombos: Seq[(Int, Int, Int)] =
+    for { i <- 0 until 9; j <- (i + 1) until 9; k <- (j + 1) until 9 } yield (i, j, k)
+
+  /** One (combo-id, key) struct per combo table for a simhash column —
+    * the banding key expressions shared verbatim by the batch pair scan
+    * ([[simhashPairs]]) and the streaming near-dup candidate join
+    * ([[graft.streaming.Streams]]), so the two planes can never
+    * disagree on blocking. */
+  def simhashComboKeys(simhashCol: String): Column = {
+    def block(b: Int) =
+      s"(shiftright($simhashCol, ${BlockOffsets(b)}) & ${(1 << BlockWidths(b)) - 1})"
+    val structs = BlockCombos.zipWithIndex.map { case ((i, j, k), c) =>
+      val key = s"${block(i)} * ${1L << (BlockWidths(j) + BlockWidths(k))}" +
+        s" + ${block(j)} * ${1L << BlockWidths(k)} + ${block(k)}"
+      expr(s"named_struct('c', $c, 'k', $key)")
+    }
+    array(structs: _*)
+  }
 
   /** SimHash pairs within Hamming distance. `banded=true` (the scale
     * path, and exact for maxHamming ≤ 6 by the pigeonhole argument
@@ -238,22 +305,22 @@ object DedupApi {
     * signatures only, and the surviving signature pairs expand to id
     * pairs through the signature→id mapping; identical-signature
     * groups contribute their intra-group pairs (hamming 0) directly.
-    * On duplicate-dense corpora this removes the 28× repeated
+    * On duplicate-dense corpora this removes the 84× repeated
     * collisions that identical fingerprints would otherwise generate
     * in every combo table. `banded=false` is the quadratic reference
-    * scan; banding is only valid for maxHamming ≤ 6 (the two-block
-    * pigeonhole bound), so larger distances fall back to the exact
-    * quadratic scan regardless of `banded`. All paths return
+    * scan; banding is only valid for maxHamming ≤ 6 (the 9-block
+    * 3-match pigeonhole bound), so larger distances fall back to the
+    * exact quadratic scan regardless of `banded`. All paths return
     * identical rows. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 6, banded: Boolean = true): DataFrame = {
+      maxHamming: Int = 6, banded: Boolean = true)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val useBanded = banded && maxHamming <= 6
     if (banded && !useBanded)
       System.err.println(s"[graft] simhashPairs: maxHamming=$maxHamming exceeds the " +
-        "two-block pigeonhole bound (6); falling back to the EXACT QUADRATIC scan — " +
+        "9-block 3-match pigeonhole bound (6); falling back to the EXACT QUADRATIC scan — " +
         "do not run this shape on a large corpus")
     val sim = simhashSignatures(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     if (!useBanded)
       sim.as("a").join(sim.as("b"), col(s"a.$id") < col(s"b.$id"))
         .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
@@ -261,13 +328,8 @@ object DedupApi {
         .filter(col("hamming") <= maxHamming)
     else {
       val sigs = sim.select(col("simhash")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val comboStructs = BlockCombos.zipWithIndex.map { case ((i, j), c) =>
-        val vi = s"(shiftright(simhash, ${BlockOffsets(i)}) & ${(1 << BlockWidths(i)) - 1})"
-        val vj = s"(shiftright(simhash, ${BlockOffsets(j)}) & ${(1 << BlockWidths(j)) - 1})"
-        expr(s"named_struct('c', $c, 'k', $vi * 256 + $vj)")
-      }
-      val keys = sigs.select(col("simhash"), explode(array(comboStructs: _*)).as("ck"))
+        .transform(scope.persist)
+      val keys = sigs.select(col("simhash"), explode(simhashComboKeys("simhash")).as("ck"))
         .select(col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
       val sigPairs = keys.as("a").join(keys.as("b"),
           col("a.c") === col("b.c") && col("a.k") === col("b.k") &&
@@ -315,10 +377,10 @@ object DedupApi {
     * colliding in none of the tables is missed, which is why the
     * oracle (and any downstream contract) must mirror the same
     * deterministic blocking rather than the all-pairs scan. */
-  def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+  def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     val n = normVecs(df, id, vec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val tb = n.select(col(id), explode(array((0 until Similarity.NumTables).map(t =>
         struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
       .select(col(id), col("tb.t").as("t"), col("tb.bk").as("bk"))

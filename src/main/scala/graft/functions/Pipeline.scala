@@ -39,17 +39,30 @@ object Pipeline {
         .orderBy(col("split"), col("lang"))
     })
 
+  /** Packing parallelism is derived from corpus size, not hardcoded:
+    * `ngrp = max(MinPackGroups, ceil(n_docs / PackGroupTargetDocs))`,
+    * so the per-group cumulative-sum window never sees more than
+    * ~[[PackGroupTargetDocs]] docs regardless of corpus size — at 10⁹
+    * docs that is ~8M groups of ~128 docs each (bounded task state),
+    * where a fixed group count would push corpus/64 rows through one
+    * window task. The floor keeps tiny corpora on stable group ids. */
+  val MinPackGroups = 64
+  val PackGroupTargetDocs = 128
+
   /** Token-budget sequence packing: documents are packed into ~2000-
     * token shards by running token count. Packing is sequential by
-    * nature, so it runs inside 64 deterministic `doc_id % 64` pack
-    * groups — each group is an independent cumulative sum (bounded
-    * state, 64-way parallel; at 100 TB the group count scales with
-    * the cluster, the per-group window never sees more than 1/64 of
-    * a partition's docs). Output: shard manifest with doc/token
-    * counts. */
+    * nature, so it runs inside `ngrp` deterministic `doc_id % ngrp`
+    * pack groups — each group is an independent cumulative sum whose
+    * input is bounded by ~[[PackGroupTargetDocs]] docs (see above); the
+    * group count itself grows linearly with the corpus, so parallelism
+    * scales with the data, not with a literal. The one-row group-count
+    * aggregate is broadcast into the plan (no driver action). Output:
+    * shard manifest with doc/token counts. */
   val packShards = QueryDef(
     "corpus_pack_shards",
-    Some(s"""WITH t AS (SELECT doc_id, doc_id % 64 AS grp,
+    Some(s"""WITH p AS (SELECT greatest($MinPackGroups,
+          CAST(ceil(count(*) / $PackGroupTargetDocs.0) AS BIGINT)) AS ngrp FROM documents),
+      t AS (SELECT doc_id, doc_id % (SELECT ngrp FROM p) AS grp,
         len(string_split(${normTextSql("text")}, ' ')) AS toks FROM documents),
       c AS (SELECT doc_id, grp, toks,
         sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -60,9 +73,13 @@ object Pipeline {
       FROM c GROUP BY grp, shard ORDER BY grp, shard"""),
     (s, d) => {
       val w = Window.partitionBy(col("grp")).orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("grp"),
-          size(split(normText(col("text")), " ")).as("toks"))
+      val docs = Tables.documents(s, d)
+      val params = docs.agg(greatest(lit(MinPackGroups.toLong),
+        ceil(count(lit(1)) / PackGroupTargetDocs.toDouble)).as("ngrp"))
+      docs
+        .select(col("doc_id"), size(split(normText(col("text")), " ")).as("toks"))
+        .crossJoin(broadcast(params))
+        .select(col("doc_id"), pmod(col("doc_id"), col("ngrp")).as("grp"), col("toks"))
         .withColumn("cum", sum(col("toks")).over(w))
         .withColumn("shard", expr("(cum - toks) div 2000"))
         .groupBy(col("grp"), col("shard"))

@@ -44,13 +44,16 @@ object RollingHashExpr {
 }
 
 object RollingHash {
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys — same rationale as TopKSketch.registered: never pin
+  // stopped sessions in long-lived multi-session processes
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Register `graft_rolling_hash(str, mod)` in the session's function
-    * registry (idempotent), enabling use from SQL and `expr`. */
-  def ensure(spark: SparkSession): Unit = if (!registered.contains(spark)) synchronized {
-    if (registered.contains(spark)) return // re-check under the lock
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    * registry (idempotent, so the putIfAbsent race is harmless). */
+  def ensure(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash",
       { exprs =>
         val mod = exprs(1) match {
@@ -61,8 +64,7 @@ object RollingHash {
         RollingHashExpr(exprs.head, mod)
       },
       "built-in")
-    registered += spark
-  }
+    }
 
   /** Column API; requires `ensure(spark)` to have been called. Routed
     * through the registered function name — keeps us off the

@@ -29,7 +29,12 @@ case class TopKSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
-  private val capacity = math.max(k * 4, 64)
+  /** 16k counters: Space-Saving guarantees containment for any item
+    * with true count > N/capacity, so the published "top-k tokens are
+    * in the sketch" contract needs capacity comfortably above k — at
+    * 4k a merge-order-dependent overestimate could displace a real
+    * top-k item whose count sits near N/(4k). */
+  private val capacity = math.max(k * 16, 64)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -100,21 +105,25 @@ case class TopKSketch(
 }
 
 object TopKSketch {
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys: a strong Set[SparkSession] would pin stopped sessions
+  // for the JVM lifetime in long-lived multi-session processes
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Register `graft_topk_sketch(col, k)` (k a literal int). */
-  def ensure(spark: SparkSession): Unit = if (!registered.contains(spark)) synchronized {
-    if (registered.contains(spark)) return // re-check under the lock
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk_sketch",
-      { exprs =>
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => sys.error(s"graft_topk_sketch: k must be an int literal, got $other")
-        }
-        TopKSketch(exprs.head, k).toAggregateExpression()
-      },
-      "built-in")
-    registered += spark
-  }
+  /** Register `graft_topk_sketch(col, k)` (k a literal int).
+    * Registration is idempotent (createOrReplace), so the
+    * putIfAbsent race window is harmless. */
+  def ensure(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_topk_sketch",
+        { exprs =>
+          val k = exprs(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => sys.error(s"graft_topk_sketch: k must be an int literal, got $other")
+          }
+          TopKSketch(exprs.head, k).toAggregateExpression()
+        },
+        "built-in")
+    }
 }

@@ -48,14 +48,14 @@ object AnnApi {
   /** Multi-table random-hyperplane LSH top-k: candidates = union of
     * same-bucket rows over `Similarity.NumTables` sign-code tables. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
-      probeIds: DataFrame, k: Int = 5): DataFrame = {
+      probeIds: DataFrame, k: Int = 5)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val n = normalized(corpus, id, vec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val tables = (0 until Similarity.NumTables).map(t =>
       struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk")))
     val tb = n.withColumn("tbl", explode(array(tables: _*)))
       .select(col(id), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val tbProbes = tb.join(probeIds, Seq(id), "left_semi")
     val cand = tbProbes.as("ca").join(tb.as("cb"),
         col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
@@ -85,14 +85,14 @@ object AnnApi {
     * and a hash-aggregate argmax — the corpus is never shuffled and
     * never exploded per-dimension for assignment. */
   def kmeansCells(corpus: DataFrame, id: String, vec: String,
-      kCells: Int = 8, iters: Int = 2, trainMod: Int = 1): DataFrame = {
+      kCells: Int = 8, iters: Int = 2, trainMod: Int = 1)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     require(iters >= 1 && kCells >= 1 && trainMod >= 1)
     val n = normalized(corpus, id, vec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val train = if (trainMod == 1) n else n.filter(pmod(col(id), lit(trainMod)) === 0)
     val pos = train.select(col(id), posexplode(col("v")).as(Seq("pos0", "x")))
       .select(col(id), (col("pos0") + 1).as("i"), col("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     var assign = train.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
     for (it <- 1 to iters) {
       val cent = pos.as("p").join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
@@ -121,9 +121,9 @@ object AnnApi {
     * probes search their `nProbeCells` nearest cell centroids
     * (decimal-exact centroid build), exact re-rank inside. */
   def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
-      probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2): DataFrame = {
+      probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val n = normalized(corpus, id, vec, passthrough = Seq(cell))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(scope.persist)
     val pos = n.select(col(id), col(cell),
         posexplode(col("v")).as(Seq("pos0", "x")))
       .select(col(id), col(cell), (col("pos0") + 1).as("i"), col("x"))

@@ -31,7 +31,7 @@ class ApiSpec extends AnyFunSuite {
       (1L, 5L, Some(100.0)), (1L, 6L, Some(101.0)), (2L, 7L, None), (3L, 8L, None)))
   }
 
-  test("banded simhash pairs = exact pairs for maxHamming <= 6 (two-block pigeonhole)") {
+  test("banded simhash pairs = exact pairs for maxHamming <= 6 (9-block pigeonhole)") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val exact = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 6, banded = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -81,6 +81,45 @@ class ApiSpec extends AnyFunSuite {
       assert(labels(a) <= math.min(a, b))
     }
     assert(labels.count { case (n, c) => n != c } > 0, "expected non-singleton clusters")
+  }
+
+  test("nearDupClusters converges on a long chain (diameter >> round bound)") {
+    import spark.implicits._
+    // path graph 0-1-2-...-400: diameter 400. Min-label propagation
+    // needs 400 rounds; large-star/small-star needs O(log n) — this
+    // would blow the 30-round cap under the old algorithm.
+    val n = 400
+    val ids = (0L to n.toLong).toDF("doc_id")
+    val chain = (0L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = dedup.DedupApi.nearDupClusters(ids, "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n + 1)
+    assert(labels.values.forall(_ == 0L), "whole chain is one component rooted at 0")
+  }
+
+  test("nearDupClusters matches brute-force components on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 120 nodes, ~90 edges
+    val nodes = (0L until 120L).toDF("doc_id")
+    val edges = (1 to 90).map { i =>
+      val a = (i * 37 + 11) % 120; val b = (i * i * 13 + 5) % 120
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val got = dedup.DedupApi.nearDupClusters(nodes, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find oracle
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0).toInt), find(r.getLong(1).toInt))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expectMap = (0 until 120).map { v =>
+      val root = find(v)
+      val members = (0 until 120).filter(find(_) == root)
+      v.toLong -> members.min.toLong
+    }.toMap
+    assert(got == expectMap)
   }
 
   test("minhashPairs finds the planted near-duplicates") {

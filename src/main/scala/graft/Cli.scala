@@ -4,6 +4,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.schema._
 
+/** Typed CLI failure: carries the process exit code. Thrown by the
+  * command methods (which in-process callers — CliSpec's pattern —
+  * invoke directly, so they must stay exception-safe: `System.exit`
+  * would kill the host JVM and skip `finally`-based session cleanup);
+  * translated to an exit code only in [[Cli.main]]. */
+final case class CliError(code: Int, msg: String) extends RuntimeException(msg)
+
 /** Command-line surface mirroring the reference CLI (reference
   * iceberg_evolve/cli.py: diff / evolve / serialize), Spark-native:
   *
@@ -16,16 +23,30 @@ import graft.schema._
   * `s3a://` URI on a real cluster). `evolve` prints the diff, the op
   * plan and the ALTER TABLE DDL, and (without --dry-run) writes the
   * migrated data to `--out`.
+  *
+  * Catalog plumbing (the reference's `--catalog-url`/`-c` + config
+  * dict, reference cli.py:70,158,183, schema.py:114): `--catalog
+  * <name>` registers a named V2 catalog on the session before any
+  * table resolution — implementation class from `--catalog-impl`
+  * (default [[graft.catalog.GraftCatalog]]; an Iceberg deployment
+  * passes `org.apache.iceberg.spark.SparkCatalog`), per-catalog
+  * options from repeated `--catalog-conf k=v` flags, applied as
+  * `spark.sql.catalog.<name>.k = v` session conf. `table:<name>.<ns>.
+  * <tbl>` sources then resolve through it.
   */
 object Cli {
-  def main(args: Array[String]): Unit = args.toList match {
-    case "diff" :: rest      => diff(rest)
-    case "evolve" :: rest    => evolve(rest)
-    case "serialize" :: rest => serialize(rest)
-    case other =>
-      System.err.println(s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
-      sys.exit(2)
-  }
+  def main(args: Array[String]): Unit =
+    try args.toList match {
+      case "diff" :: rest      => diff(rest)
+      case "evolve" :: rest    => evolve(rest)
+      case "serialize" :: rest => serialize(rest)
+      case other =>
+        throw CliError(2, s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
+    } catch {
+      case CliError(code, msg) =>
+        System.err.println(msg)
+        sys.exit(code)
+    }
 
   private val usage =
     """usage:
@@ -36,33 +57,61 @@ object Cli {
       |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>] [--apply] [--color]
       |         (--apply executes the emitted DDL against <ident> on the session's
       |          catalog — the reference's live-table apply; requires --table)
-      |  serialize (--data <path> | --table <ident>) --output-path <schema.json>""".stripMargin
+      |  serialize (--data <path> | --table <ident>) --output-path <schema.json>
+      |
+      |catalog options (all commands; the reference's --catalog-url + config):
+      |  --catalog <name>         register catalog <name> on the session before resolution
+      |  --catalog-impl <class>   V2 TableCatalog class (default graft.catalog.GraftCatalog)
+      |  --catalog-conf k=v       per-catalog option, repeatable -> spark.sql.catalog.<name>.k""".stripMargin
 
   private def flag(rest: List[String], name: String): Boolean = rest.contains(name)
   private def opt(rest: List[String], name: String): Option[String] =
     rest.sliding(2).collectFirst { case `name` :: v :: Nil => v }
+  private def optAll(rest: List[String], name: String): List[String] =
+    rest.sliding(2).collect { case `name` :: v :: Nil => v }.toList
+
+  private def required(rest: List[String], name: String): String =
+    opt(rest, name).getOrElse(throw CliError(2, s"missing $name\n$usage"))
 
   private def loadSchema(path: String): GSchema = GSchemaIO.fromFile(path)
 
+  /** Apply `--catalog` / `--catalog-impl` / `--catalog-conf` to the
+    * session. Catalogs instantiate lazily on first resolution, so
+    * setting conf here (before any `table:` load) is sufficient. */
+  private def applyCatalogConf(spark: SparkSession, rest: List[String]): Unit =
+    opt(rest, "--catalog").foreach { name =>
+      val impl = opt(rest, "--catalog-impl").getOrElse("graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$name", impl)
+      optAll(rest, "--catalog-conf").foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+          case _ => throw CliError(2, s"bad --catalog-conf (expected k=v): $kv\n$usage")
+        }
+      }
+    }
+
   def diff(rest: List[String]): Unit = {
     // positional args: tokens that are not flags and not the value of
-    // the (only) value-taking option
+    // a value-taking option
+    val valueOpts = Set("--match-by", "--catalog", "--catalog-impl", "--catalog-conf")
     val files = rest.zip("" :: rest).collect {
-      case (tok, prev) if !tok.startsWith("--") && prev != "--match-by" => tok
+      case (tok, prev) if !tok.startsWith("--") && !valueOpts.contains(prev) => tok
     }
-    if (files.length < 2) { System.err.println(usage); sys.exit(2) }
+    if (files.length < 2) throw CliError(2, usage)
     def load(spark: => SparkSession)(tok: String): GSchema =
       if (tok.startsWith("table:")) GSchemaIO.fromTable(spark, tok.stripPrefix("table:"))
       else loadSchema(tok)
     val (cur, nxt) =
       if (files.take(2).exists(_.startsWith("table:")))
-        withSession(spark => (load(spark)(files(0)), load(spark)(files(1))))
+        withSession { spark =>
+          applyCatalogConf(spark, rest)
+          (load(spark)(files(0)), load(spark)(files(1)))
+        }
       else (loadSchema(files(0)), loadSchema(files(1)))
     val d = opt(rest, "--match-by") match {
       case Some("name")      => SchemaDiff.unionByName(cur, nxt)
       case Some("id") | None => SchemaDiff.byId(cur, nxt)
-      case Some(other) =>
-        System.err.println(s"bad --match-by: $other\n$usage"); sys.exit(2)
+      case Some(other)       => throw CliError(2, s"bad --match-by: $other\n$usage")
     }
     if (flag(rest, "--json")) {
       import org.json4s._
@@ -87,9 +136,10 @@ object Cli {
   }
 
   def evolve(rest: List[String]): Unit = {
-    val data = opt(rest, "--data").getOrElse { System.err.println(usage); sys.exit(2) }
-    val schemaPath = opt(rest, "--schema-path").getOrElse { System.err.println(usage); sys.exit(2) }
+    val data = required(rest, "--data")
+    val schemaPath = required(rest, "--schema-path")
     withSession { spark =>
+    applyCatalogConf(spark, rest)
     val df = spark.read.parquet(data)
     val current = GSchema.fromSpark(df.schema)
     val target = loadSchema(schemaPath)
@@ -125,18 +175,15 @@ object Cli {
     println(if (styled) Render.styledOps(result.ops) else Render.ops(result.ops))
     println("\nDDL:\n" + result.ddl.mkString("\n"))
     if (flag(rest, "--apply") && !flag(rest, "--dry-run")) {
-      val ident = opt(rest, "--table").getOrElse {
-        System.err.println("--apply requires --table <ident>\n" + usage); sys.exit(2)
-      }
+      val ident = opt(rest, "--table").getOrElse(
+        throw CliError(2, "--apply requires --table <ident>\n" + usage))
       // drift guard: the DDL was derived from the --data schema; if the
       // live table no longer matches (drift, or this evolution already
       // ran), applying would corrupt it — refuse instead
       def shape(st: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
         st.fields.toSeq.map(f => (f.name, f.dataType.sql))
-      if (shape(spark.table(ident).schema) != shape(df.schema)) {
-        System.err.println(s"--apply refused: live table '$ident' does not match the --data schema the DDL was derived from (drift or already applied)")
-        sys.exit(3)
-      }
+      if (shape(spark.table(ident).schema) != shape(df.schema))
+        throw CliError(3, s"--apply refused: live table '$ident' does not match the --data schema the DDL was derived from (drift or already applied)")
       Evolver.executeDdl(spark, result.ddl)
       println(s"\nApplied ${result.ddl.size} DDL statements to $ident")
     }
@@ -155,11 +202,12 @@ object Cli {
     * `--table-ident` + catalog source, reference cli.py:156,
     * schema.py:10-47 from_iceberg). */
   def serialize(rest: List[String]): Unit = {
-    val outPath = opt(rest, "--output-path").getOrElse { System.err.println(usage); sys.exit(2) }
+    val outPath = required(rest, "--output-path")
     val source = opt(rest, "--data").map(Left(_))
       .orElse(opt(rest, "--table").map(Right(_)))
-      .getOrElse { System.err.println(usage); sys.exit(2) }
+      .getOrElse(throw CliError(2, usage))
     withSession { spark =>
+      applyCatalogConf(spark, rest)
       val schema = source match {
         case Left(path)   => GSchema.fromSpark(spark.read.parquet(path).schema)
         case Right(ident) => GSchemaIO.fromTable(spark, ident)

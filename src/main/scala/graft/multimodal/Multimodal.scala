@@ -179,5 +179,103 @@ object Multimodal {
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
-  val defs: Seq[QueryDef] = Seq(features, frames)
+  // --------------------------------------------- real-codec gated query
+  /** Gate for the REAL `javax.imageio` kernel (not [[decodeStub]]):
+    * [[ImageGate]] synthesizes a parquet table of actual PNG bytes from
+    * closed-form pixel patterns (solid color / vertical gradient), the
+    * Spark side decodes them with [[imageFeatures]], and the oracle
+    * recomputes the identical features ANALYTICALLY from the pattern
+    * parameters — PNG is lossless and TYPE_INT_RGB is exact, so a
+    * hash-green row proves the real decode path end-to-end without the
+    * oracle engine needing an image codec. Output is de-arrayed: one
+    * row per (image, luma-bin), plus exact per-channel means (integer
+    * sums divided as doubles — same IEEE op both sides). */
+  val imageFeaturesGate = QueryDef(
+    "mm_image_features",
+    Some(s"""WITH imgs AS (SELECT i AS img_id,
+        8 + (i*7)%25 AS w, 8 + (i*11)%25 AS h, i%2 AS kind,
+        (i*37)%256 AS br, (i*59)%256 AS bg, (i*83)%256 AS bb
+      FROM range(0, ${ImageGate.NumImages}) t(i)),
+      ys AS (SELECT img_id, w, h, kind, br, bg, bb, unnest(range(0, h)) AS y FROM imgs),
+      rws AS (SELECT img_id, w, bg, bb,
+        CASE WHEN kind = 0 THEN br ELSE (br + 3*y) % 256 END AS r FROM ys),
+      px AS (SELECT img_id, w, r, bg AS g, bb AS b,
+        ((299*r + 587*g + 114*b) // 1000) // 32 AS bin FROM rws),
+      sums AS (SELECT img_id, sum(w * r) AS sr FROM px GROUP BY img_id),
+      binc AS (SELECT img_id, bin, CAST(sum(w) AS BIGINT) AS cnt FROM px GROUP BY img_id, bin),
+      allb AS (SELECT img_id, unnest(range(0, 8)) AS bin FROM imgs),
+      hist AS (SELECT a.img_id, a.bin, COALESCE(b.cnt, CAST(0 AS BIGINT)) AS cnt
+        FROM allb a LEFT JOIN binc b ON a.img_id = b.img_id AND a.bin = b.bin)
+      SELECT i.img_id, i.w AS width, i.h AS height,
+        CAST(s.sr AS DOUBLE) / (i.w * i.h) AS mean_r,
+        CAST(i.bg AS DOUBLE) AS mean_g,
+        CAST(i.bb AS DOUBLE) AS mean_b,
+        hh.bin, hh.cnt
+      FROM imgs i JOIN sums s ON s.img_id = i.img_id
+      JOIN hist hh ON hh.img_id = i.img_id
+      ORDER BY i.img_id, hh.bin"""),
+    (s, d) => {
+      val path = ImageGate.ensureParquet(s)
+      imageFeatures(s.read.parquet(path), "img_id", "png")
+        .select(col("doc_id").as("img_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          posexplode(col("lum_hist")).as(Seq("bin0", "cnt")))
+        .select(col("img_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          col("bin0").cast("long").as("bin"), col("cnt"))
+        .orderBy(col("img_id"), col("bin"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate)
+}
+
+/** Deterministic synthetic PNG corpus for the real-codec gate: every
+  * image is drawn from a closed-form pixel function of its index (even
+  * ids solid RGB, odd ids a vertical red-channel gradient), encoded
+  * with the JDK PNG writer, and parqueted as an (img_id, png binary)
+  * table — the same opaque-binary + typed-metadata layout the 100 TB
+  * corpus uses. Pattern parameters are shared verbatim with the
+  * oracle SQL above, which recomputes the expected features
+  * analytically (PNG round-trip is lossless). */
+object ImageGate {
+  val NumImages = 40
+
+  /** (w, h, kind, baseR, baseG, baseB) for image `i` — keep in lockstep
+    * with the `imgs` CTE of the oracle. */
+  private def pattern(i: Int): (Int, Int, Int, Int, Int, Int) =
+    (8 + (i * 7) % 25, 8 + (i * 11) % 25, i % 2, (i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+
+  def makePng(i: Int): Array[Byte] = {
+    val (w, h, kind, br, bg, bb) = pattern(i)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val r = if (kind == 0) br else (br + 3 * y) % 256
+      val rgb = (r << 16) | (bg << 8) | bb
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  @volatile private var generated: Option[String] = None
+
+  /** Write the PNG table once per JVM (tmp dir) and return its path. */
+  def ensureParquet(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    generated.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mm_images").toString
+      val sp = spark
+      import sp.implicits._
+      (0 until NumImages).map(i => (i.toLong, makePng(i))).toDF("img_id", "png")
+        .repartition(4) // several files: the scan shape under test is a distributed binary read
+        .write.mode("overwrite").parquet(dir)
+      generated = Some(dir)
+      dir
+    }
+  }
 }

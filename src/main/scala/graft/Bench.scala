@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is forced
   * through the `noop` sink so the full plan executes (a bare count()
   * would let Catalyst prune every computed column away).
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  * reported number is the MEDIAN, with per-query [min, max] spreads in
+  * `spread` — single-shot timings on this box swing ±25%, wide enough
+  * to mask real regressions (the round-2 verdict's bench-stability
+  * item).
   */
 object Bench {
   /** Headline set: the scale-relevant pipelines. The pair scans run
@@ -26,29 +32,40 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Sessions.local(cpus)
     // JVM/codegen warmup outside the timings (tiny sf, flagship plan)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // per-query persists must not eat later queries' execution memory
-      spark.catalog.clearCache()
-      (name, elapsed, ok)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // per-query persists must not eat later reps'/queries' memory
+        spark.catalog.clearCache()
+        if (ok) Some(elapsed) else None
+      }
+      (name, times)
     }
-    // failed queries are listed, not timed: folding a fail-fast elapsed
+    // a query is failed unless every rep succeeded: a partial sample is
+    // not comparable to a full one, and folding a fail-fast elapsed
     // into the totals would make a broken round read as a speedup
-    val qjson = results.collect { case (k, v, true) => "\"" + k + "\":" + f"$v%.3f" }
+    val good = results.collect { case (k, ts) if ts.size == reps =>
+      val sorted = ts.sorted
+      (k, sorted(sorted.size / 2), sorted.head, sorted.last)
+    }
+    val qjson = good.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val spread = good.map { case (k, _, mn, mx) => "\"" + k + "\":[" + f"$mn%.3f,$mx%.3f]" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.size != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
+    val total = good.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

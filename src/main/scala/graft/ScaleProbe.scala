@@ -52,6 +52,8 @@ object ScaleProbe {
       ("dedup_simhash_pairs", d => dedup.Dedup.simhashPairs.build(spark, d)),
       ("dedup_ngram_jaccard", d => dedup.Dedup.ngramJaccard.build(spark, d)),
       ("dedup_embed_cosine_lsh", d => dedup.Dedup.embedCosineLsh.build(spark, d)),
+      ("dedup_clusters", d => dedup.Dedup.clusters.build(spark, d)),
+      ("corpus_pack_shards", d => functions.Pipeline.packShards.build(spark, d)),
       ("ann_ivf_kmeans", d => similarity.Similarity.ivfKmeans.build(spark, d)),
       ("text_quality", d => functions.TextAnalysis.quality.build(spark, d)))
     probes.foreach { case (tag, b) =>

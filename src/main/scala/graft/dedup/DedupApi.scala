@@ -124,10 +124,13 @@ object DedupApi {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
       n: Int = 5, threshold: Double = 0.7)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    // native single-pass gram build (graft.functions.NgramsExpr):
+    // the composed array_distinct/transform/sequence/substring form
+    // was the scan's heaviest map-side stage (~2 s of the sf0.1 run)
+    graft.functions.Ngrams.ensure(df.sparkSession)
     val g = df.select(col(id), col(block), normText(col(text)).as("s"))
       .filter(length(col("s")) >= n)
-      .select(col(id), col(block),
-        expr(s"array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))").as("gr"))
+      .select(col(id), col(block), graft.functions.Ngrams.ngrams(col("s"), n).as("gr"))
       .withColumn("la", size(col("gr")))
       .transform(scope.persist)
     val grams = g.select(col(id), col(block), col("la"), explode(col("gr")).as("gram"))

@@ -26,5 +26,6 @@ object GraftExtensions {
   def ensureAll(spark: SparkSession): Unit = {
     graft.functions.RollingHash.ensure(spark)
     graft.functions.TopKSketch.ensure(spark)
+    graft.functions.Ngrams.ensure(spark)
   }
 }

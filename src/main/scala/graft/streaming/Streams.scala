@@ -129,4 +129,46 @@ object Streams {
             concat(lit("\u0000null:"), col(id).cast("string")))), "text")
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_key")
+      // internal helper key stays internal: emitting it would pollute
+      // every downstream sink schema with an implementation detail
+      .drop("content_key")
+
+  /** Streaming near-duplicate detection: incoming docs are simhashed
+    * and banded with the SAME 9-block three-combo key expressions as
+    * the batch pair scan ([[graft.dedup.DedupApi.simhashComboKeys]]),
+    * then stream–static joined against a signature table of the
+    * already-ingested corpus (`staticSigs`: `(id, simhash)`, e.g.
+    * [[graft.dedup.DedupApi.simhashSignatures]] maintained by the
+    * batch plane). Exact for `maxHamming ≤ 6` like the batch scan:
+    * a qualifying pair shares ≥ 3 blocks, so it collides in ≥ 1 combo
+    * table. The combo join keys keep the static side hash-partitioned
+    * by (c, k) — the stream side only shuffles its 84 key rows per
+    * doc, never the corpus. Pairs deduplicate across combo collisions
+    * within the watermark. Emits `(doc_a, doc_b, hamming)` with
+    * `doc_a = static id < doc_b = stream id`, the batch pair
+    * orientation. */
+  def nearDupPairsStream(docs: DataFrame, staticSigs: DataFrame,
+      id: String = "doc_id", tsCol: String = "ts",
+      maxHamming: Int = 6, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.dedup.DedupApi
+    require(maxHamming <= 6,
+      s"banded streaming near-dup is exact only for maxHamming <= 6, got $maxHamming")
+    val streamKeys = DedupApi.withSimhash(docs, "text")
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(id).as("stream_id"), col(tsCol), col("simhash").as("sig_s"),
+        explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
+      .select(col("stream_id"), col(tsCol), col("sig_s"),
+        col("ck.c").as("c"), col("ck.k").as("k"))
+    val staticKeys = staticSigs
+      .select(col(id).as("static_id"), col("simhash").as("sig_t"),
+        explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
+      .select(col("static_id"), col("sig_t"), col("ck.c").as("c"), col("ck.k").as("k"))
+    streamKeys.join(staticKeys, Seq("c", "k"))
+      .filter(col("static_id") < col("stream_id") &&
+        expr("bit_count(sig_s ^ sig_t)") <= maxHamming)
+      .select(col("static_id").as("doc_a"), col("stream_id").as("doc_b"),
+        expr("bit_count(sig_s ^ sig_t)").as("hamming"), col(tsCol))
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .drop(tsCol)
+  }
 }

@@ -32,6 +32,29 @@ class DedupPropertySpec extends AnyFunSuite {
     }.toSeq.toDF("doc_id", "source", "text")
   }
 
+  test("native graft_ngrams equals the composed substring/distinct form") {
+    import spark.implicits._
+    functions.Ngrams.ensure(spark)
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc déφñ xyz" // 2-byte UTF-8 chars mixed in
+    val strs = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ ((200L, "")) :+ ((201L, "abcd")) :+ ((202L, "ababababab"))
+    val df = strs.toDF("id", "s")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = df.select(col("id"),
+          functions.Ngrams.ngrams(col("s"), n).as("fast"),
+          expr(s"""CASE WHEN length(s) >= $n
+              THEN array_distinct(transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)))
+              ELSE array() END""").as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).toSet == r.getSeq[String](2).toSet,
+          s"n=$n id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("ngram prefix+positional+length filtering is lossless at every threshold") {
     val docs = corpus(60, seed = 7).cache()
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {

@@ -37,6 +37,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(plan("text_top_bigrams").contains("TakeOrderedAndProject"))
   }
 
+  test("ngram gram build uses the native single-pass expression") {
+    assert(plan("dedup_ngram_jaccard").contains("graft_ngrams"),
+      "gram build must stay on the codegen NgramsExpr, not the composed substring form")
+  }
+
+  test("pack_shards derives its group count without collecting or cartesians") {
+    val p = plan("corpus_pack_shards")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row group-count aggregate must broadcast into the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q12 star join broadcasts its dimensions") {
     val p = plan("q12_join_multi")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,

@@ -69,6 +69,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed == batch, "streaming and batch simhash must be identical")
   }
 
+  test("streaming banded near-dup pairs equal the batch pair set on the same data") {
+    import spark.implicits._
+    val docsLocal = Seq(
+      (1L, ts("2024-01-01 00:00:00"),
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, ts("2024-01-01 00:01:00"), // one token changed vs doc 1
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau phi"),
+      (3L, ts("2024-01-01 00:02:00"),
+        "completely different text about streaming joins watermarks and state stores in structured streaming"),
+      (4L, ts("2024-01-01 00:03:00"), // exact duplicate of doc 1
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (5L, ts("2024-01-01 00:04:00"),
+        "unrelated corpus entry with many novel words that share nothing with the others at all")
+    ).toDF("doc_id", "ts", "text")
+    val batchPairs = dedup.DedupApi.simhashPairs(docsLocal, "doc_id", "text",
+        maxHamming = 6, banded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchPairs.nonEmpty, "expected at least the exact-dup pair (1,4)")
+
+    val in = Files.createTempDirectory("graft-neardup-in").toString
+    docsLocal.coalesce(1).write.parquet(s"$in/b000")
+    val sigs = dedup.DedupApi.simhashSignatures(docsLocal, "doc_id", "text")
+    val q = Streams.nearDupPairsStream(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+        sigs)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batchPairs,
+      s"stream pairs $streamed must equal batch pairs $batchPairs")
+    assert(spark.table("neardup_out").columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

@@ -228,7 +228,48 @@ object Multimodal {
         .orderBy(col("img_id"), col("bin"))
     })
 
-  val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate)
+  /** Gate for the REAL resize kernel: solid-color gate images (even
+    * ids) are resized to maxDim=10 with [[resizePng]] (decode →
+    * bilinear `Graphics2D` → PNG re-encode), decoded AGAIN with
+    * [[imageFeatures]], and checked against analytic expectations —
+    * bilinear interpolation of a constant image is exactly that
+    * constant, and the target dimensions are closed-form
+    * (`round(w * maxDim/max(w,h))`, same IEEE ops both sides). Proves
+    * the full decode → transform → re-encode → decode cycle. */
+  val resizeGate = QueryDef(
+    "mm_resize",
+    Some(s"""WITH imgs AS (SELECT i AS img_id,
+        8 + (i*7)%25 AS w, 8 + (i*11)%25 AS h,
+        (i*37)%256 AS br, (i*59)%256 AS bg, (i*83)%256 AS bb
+      FROM range(0, ${ImageGate.NumImages}) t(i) WHERE i % 2 = 0)
+      SELECT img_id,
+        CASE WHEN 10.0 / greatest(w, h) >= 1.0 THEN w
+             ELSE greatest(1, CAST(round(w * (10.0 / greatest(w, h))) AS BIGINT)) END AS width,
+        CASE WHEN 10.0 / greatest(w, h) >= 1.0 THEN h
+             ELSE greatest(1, CAST(round(h * (10.0 / greatest(w, h))) AS BIGINT)) END AS height,
+        CAST(br AS DOUBLE) AS mean_r, CAST(bg AS DOUBLE) AS mean_g, CAST(bb AS DOUBLE) AS mean_b
+      FROM imgs ORDER BY img_id"""),
+    (s, d) => {
+      val path = ImageGate.ensureParquet(s)
+      val sp = s
+      import sp.implicits._
+      val resized = s.read.parquet(path)
+        .filter(pmod(col("img_id"), lit(2)) === 0) // solid-color images only
+        .select(col("img_id"), col("png"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (i, b) =>
+          resizePng(b, 10).map(rb => (i, rb))
+        })
+        .toDF("img_id", "png2")
+      imageFeatures(resized, "img_id", "png2")
+        .select(col("doc_id").as("img_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("img_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate)
 }
 
 /** Deterministic synthetic PNG corpus for the real-codec gate: every

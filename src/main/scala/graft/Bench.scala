@@ -27,6 +27,7 @@ object Bench {
     "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_embed_cosine_lsh", "dedup_clusters", "pipeline_near_dedup",
     "text_quality", "text_fingerprint", "text_top_tokens",
+    "corpus_decontaminate",
     "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")
 
   def main(args: Array[String]): Unit = {

@@ -49,6 +49,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("decontamination broadcasts the benchmark shingles, never shuffles the corpus side") {
+    val p = plan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "contamination join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not be shuffle-sorted for the join")
+  }
+
   test("q12 star join broadcasts its dimensions") {
     val p = plan("q12_join_multi")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,

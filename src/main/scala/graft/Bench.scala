@@ -57,7 +57,10 @@ object Bench {
     // into the totals would make a broken round read as a speedup
     val good = results.collect { case (k, ts) if ts.size == reps =>
       val sorted = ts.sorted
-      (k, sorted(sorted.size / 2), sorted.head, sorted.last)
+      val median = // true median: mean of the middle two for even sizes
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+      (k, median, sorted.head, sorted.last)
     }
     val qjson = good.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")

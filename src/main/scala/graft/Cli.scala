@@ -75,6 +75,17 @@ object Cli {
 
   private def loadSchema(path: String): GSchema = GSchemaIO.fromFile(path)
 
+  /** Validate `--catalog-conf` syntax eagerly — every command path
+    * (including file-only diffs that never open a session) must reject
+    * a malformed flag instead of silently dropping it. */
+  private def catalogConfPairs(rest: List[String]): List[(String, String)] =
+    optAll(rest, "--catalog-conf").map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => throw CliError(2, s"bad --catalog-conf (expected k=v): $kv\n$usage")
+      }
+    }
+
   /** Apply `--catalog` / `--catalog-impl` / `--catalog-conf` to the
     * session. Catalogs instantiate lazily on first resolution, so
     * setting conf here (before any `table:` load) is sufficient. */
@@ -82,15 +93,13 @@ object Cli {
     opt(rest, "--catalog").foreach { name =>
       val impl = opt(rest, "--catalog-impl").getOrElse("graft.catalog.GraftCatalog")
       spark.conf.set(s"spark.sql.catalog.$name", impl)
-      optAll(rest, "--catalog-conf").foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => spark.conf.set(s"spark.sql.catalog.$name.$k", v)
-          case _ => throw CliError(2, s"bad --catalog-conf (expected k=v): $kv\n$usage")
-        }
+      catalogConfPairs(rest).foreach { case (k, v) =>
+        spark.conf.set(s"spark.sql.catalog.$name.$k", v)
       }
     }
 
   def diff(rest: List[String]): Unit = {
+    catalogConfPairs(rest) // syntax-check even on the file-only path
     // positional args: tokens that are not flags and not the value of
     // a value-taking option
     val valueOpts = Set("--match-by", "--catalog", "--catalog-impl", "--catalog-conf")
@@ -136,6 +145,7 @@ object Cli {
   }
 
   def evolve(rest: List[String]): Unit = {
+    catalogConfPairs(rest) // fail fast before any session/data work
     val data = required(rest, "--data")
     val schemaPath = required(rest, "--schema-path")
     withSession { spark =>
@@ -202,6 +212,7 @@ object Cli {
     * `--table-ident` + catalog source, reference cli.py:156,
     * schema.py:10-47 from_iceberg). */
   def serialize(rest: List[String]): Unit = {
+    catalogConfPairs(rest) // fail fast before any session/data work
     val outPath = required(rest, "--output-path")
     val source = opt(rest, "--data").map(Left(_))
       .orElse(opt(rest, "--table").map(Right(_)))

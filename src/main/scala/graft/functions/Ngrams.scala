@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[RollingHashExpr]].
   */
 case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_ngrams: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_ngrams"
 
@@ -71,23 +72,15 @@ object NgramsExpr {
 }
 
 object Ngrams {
-  // weak keys — same rationale as TopKSketch.registered
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Register `graft_ngrams(str, n)` (n a literal int); idempotent. */
+  /** Register `graft_ngrams(str, n)` (n a positive literal int);
+    * idempotent via [[Registration]]. */
   def ensure(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_ngrams",
-        { exprs =>
-          val n = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case other => sys.error(s"graft_ngrams: n must be an int literal, got $other")
-          }
-          NgramsExpr(exprs.head, n)
-        },
-        "built-in")
+    Registration.ensure(spark, "graft_ngrams") { exprs =>
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+        case other => sys.error(s"graft_ngrams: n must be a positive int literal, got $other")
+      }
+      NgramsExpr(exprs.head, n)
     }
 
   /** Column API; requires `ensure(spark)` (or GraftExtensions). */

@@ -114,15 +114,18 @@ object Pipeline {
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
     * flag training documents that share any word n-gram with a
     * held-out benchmark set, so eval data never leaks into training.
-    * Here the "benchmark" is the deterministic `doc_id % 29 == 0`
-    * slice standing in for an external eval table; production swaps
-    * that filter for the real benchmark corpus. Scale shape: the
-    * benchmark shingle set is tiny relative to the corpus (eval sets
-    * are MBs against 100 TB), so the contamination join BROADCASTS the
-    * benchmark shingles — the corpus is never shuffled, the whole scan
-    * is one map-side pass + per-doc aggregate. Emits flagged docs with
-    * their distinct-overlap counts (the audit artifact; `anti`-join
-    * the flagged ids to actually drop them). */
+    * Here the "benchmark" is a FIXED-SIZE slice
+    * (`doc_id % 29 == 0 AND doc_id < 500`, ≤ 18 docs at every scale
+    * factor) standing in for an external eval table; production swaps
+    * that filter for the real benchmark corpus. The bound matters for
+    * the scale claim: the benchmark shingle set must stay tiny
+    * relative to the corpus (real eval sets are MBs against 100 TB)
+    * for the contamination join to BROADCAST — then the corpus is
+    * never shuffled and the whole scan is one map-side pass + per-doc
+    * aggregate. A benchmark that grew with the corpus would outgrow
+    * the broadcast (that is a different operator: a pair scan). Emits
+    * flagged docs with their distinct-overlap counts (the audit
+    * artifact; `anti`-join the flagged ids to actually drop them). */
   val DecontaminationShingle = 8
 
   val decontaminate = QueryDef(
@@ -132,9 +135,9 @@ object Pipeline {
       s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
         shx AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh
           FROM norm WHERE len(toks) >= $k),
-        bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 29 = 0)
+        bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
         SELECT doc_id, count(DISTINCT sh) AS n_hits FROM shx
-        WHERE doc_id % 29 <> 0 AND sh IN (SELECT sh FROM bench)
+        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND sh IN (SELECT sh FROM bench)
         GROUP BY doc_id ORDER BY doc_id"""
     },
     (s, d) => {
@@ -143,8 +146,9 @@ object Pipeline {
         .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= k)
         .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
-      val bench = sh.filter(pmod(col("doc_id"), lit(29)) === 0).select(col("sh")).distinct()
-      sh.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val bench = sh.filter(isBench).select(col("sh")).distinct()
+      sh.filter(!isBench)
         .join(broadcast(bench), Seq("sh"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_hits"))

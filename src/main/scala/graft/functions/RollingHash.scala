@@ -44,26 +44,16 @@ object RollingHashExpr {
 }
 
 object RollingHash {
-  // weak keys — same rationale as TopKSketch.registered: never pin
-  // stopped sessions in long-lived multi-session processes
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
   /** Register `graft_rolling_hash(str, mod)` in the session's function
-    * registry (idempotent, so the putIfAbsent race is harmless). */
+    * registry (idempotent via [[Registration]]). */
   def ensure(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash",
-      { exprs =>
-        val mod = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
-          case other => sys.error(s"graft_rolling_hash: mod must be a literal, got $other")
-        }
-        RollingHashExpr(exprs.head, mod)
-      },
-      "built-in")
+    Registration.ensure(spark, "graft_rolling_hash") { exprs =>
+      val mod = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+        case other => sys.error(s"graft_rolling_hash: mod must be a literal, got $other")
+      }
+      RollingHashExpr(exprs.head, mod)
     }
 
   /** Column API; requires `ensure(spark)` to have been called. Routed

@@ -105,25 +105,14 @@ case class TopKSketch(
 }
 
 object TopKSketch {
-  // weak keys: a strong Set[SparkSession] would pin stopped sessions
-  // for the JVM lifetime in long-lived multi-session processes
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Register `graft_topk_sketch(col, k)` (k a literal int).
-    * Registration is idempotent (createOrReplace), so the
-    * putIfAbsent race window is harmless. */
+  /** Register `graft_topk_sketch(col, k)` (k a positive literal int);
+    * idempotent via [[Registration]]. */
   def ensure(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_topk_sketch",
-        { exprs =>
-          val k = exprs(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => sys.error(s"graft_topk_sketch: k must be an int literal, got $other")
-          }
-          TopKSketch(exprs.head, k).toAggregateExpression()
-        },
-        "built-in")
+    Registration.ensure(spark, "graft_topk_sketch") { exprs =>
+      val k = exprs(1) match {
+        case Literal(v: Int, IntegerType) if v >= 1 => v
+        case other => sys.error(s"graft_topk_sketch: k must be a positive int literal, got $other")
+      }
+      TopKSketch(exprs.head, k).toAggregateExpression()
     }
 }

@@ -139,14 +139,22 @@ object Streams {
     * then stream–static joined against a signature table of the
     * already-ingested corpus (`staticSigs`: `(id, simhash)`, e.g.
     * [[graft.dedup.DedupApi.simhashSignatures]] maintained by the
-    * batch plane). Exact for `maxHamming ≤ 6` like the batch scan:
-    * a qualifying pair shares ≥ 3 blocks, so it collides in ≥ 1 combo
-    * table. The combo join keys keep the static side hash-partitioned
-    * by (c, k) — the stream side only shuffles its 84 key rows per
-    * doc, never the corpus. Pairs deduplicate across combo collisions
-    * within the watermark. Emits `(doc_a, doc_b, hamming)` with
-    * `doc_a = static id < doc_b = stream id`, the batch pair
-    * orientation. */
+    * batch plane). Exact STREAM-VS-CORPUS detection for
+    * `maxHamming ≤ 6`: a qualifying (stream doc, corpus doc) pair
+    * shares ≥ 3 blocks, so it collides in ≥ 1 combo table, regardless
+    * of id order. The carve-out: two near-dup docs that BOTH arrive in
+    * the stream before the batch plane refreshes `staticSigs` pair
+    * with the corpus but not with each other — intra-stream EXACT
+    * duplicates are [[dedupDocStream]]'s job upstream, and the
+    * periodic batch [[graft.dedup.DedupApi.simhashPairs]] over the
+    * merged corpus closes the intra-window near-dup gap (the standard
+    * lambda split: streaming plane bounds staleness, batch plane owns
+    * completeness). The combo join keys keep the static side
+    * hash-partitioned by (c, k) — the stream side only shuffles its
+    * 84 key rows per doc, never the corpus. Pairs deduplicate across
+    * combo collisions within the watermark. Emits
+    * `(doc_a, doc_b, hamming)` in canonical `doc_a < doc_b` order,
+    * self-matches (a doc already in the corpus re-arriving) dropped. */
   def nearDupPairsStream(docs: DataFrame, staticSigs: DataFrame,
       id: String = "doc_id", tsCol: String = "ts",
       maxHamming: Int = 6, watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -164,9 +172,12 @@ object Streams {
         explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
       .select(col("static_id"), col("sig_t"), col("ck.c").as("c"), col("ck.k").as("k"))
     streamKeys.join(staticKeys, Seq("c", "k"))
-      .filter(col("static_id") < col("stream_id") &&
+      // =!=, NOT an order filter: a stream doc whose id sorts below a
+      // matching corpus doc's id must still pair with it
+      .filter(col("static_id") =!= col("stream_id") &&
         expr("bit_count(sig_s ^ sig_t)") <= maxHamming)
-      .select(col("static_id").as("doc_a"), col("stream_id").as("doc_b"),
+      .select(least(col("static_id"), col("stream_id")).as("doc_a"),
+        greatest(col("static_id"), col("stream_id")).as("doc_b"),
         expr("bit_count(sig_s ^ sig_t)").as("hamming"), col(tsCol))
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .drop(tsCol)

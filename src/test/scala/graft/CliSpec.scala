@@ -134,6 +134,12 @@ class CliSpec extends AnyFunSuite {
         "--catalog", "c", "--catalog-conf", "noequals"))
     }
     assert(e3.code == 2 && e3.msg.contains("--catalog-conf"))
+    // malformed conf must fail on the file-only path too, before any
+    // session or file IO
+    val e4 = intercept[CliError] {
+      Cli.diff(List("a.json", "b.json", "--catalog-conf", "nope"))
+    }
+    assert(e4.code == 2 && e4.msg.contains("--catalog-conf"))
     assert(!spark.sparkContext.isStopped)
   }
 

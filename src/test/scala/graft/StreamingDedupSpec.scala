@@ -104,6 +104,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.table("neardup_out").columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
   }
 
+  test("streaming near-dup pairs a stream doc whose id sorts BELOW its corpus match") {
+    import spark.implicits._
+    // corpus holds doc 10; the stream ingests doc 3 with identical
+    // text — an order filter (static_id < stream_id) would silently
+    // drop this true duplicate
+    val staticDocs = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sigs = dedup.DedupApi.simhashSignatures(staticDocs, "doc_id", "text")
+    val in = Files.createTempDirectory("graft-neardup-orient").toString
+    Seq((3L, ts("2024-01-01 00:00:00"), "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$in/b000")
+    val q = Streams.nearDupPairsStream(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+        sigs)
+      .writeStream.format("memory").queryName("neardup_orient_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("neardup_orient_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((3L, 10L, 0)), s"got $got")
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

@@ -155,5 +155,45 @@ object Pipeline {
         .orderBy(col("doc_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample, decontaminate)
+  /** Domain mixing (the data-mixture step of a pretraining pipeline —
+    * per-source sampling rates a la Pile/LLaMA mixtures): every doc is
+    * kept iff a content-stable hash of (source, doc_id) falls under
+    * its source's target rate, so the sample is exact-in-expectation,
+    * reproducible across runs AND cluster sizes, and needs no shuffle
+    * at all — membership is a pure per-row predicate (the audit
+    * aggregate below groups by source only). Here the per-source rate
+    * is hash-derived (10–79‰·10, deterministic per source name) so
+    * the gate covers varied rates; production joins a broadcast
+    * weights dim instead. Emits the per-source audit manifest
+    * (target rate, totals, kept counts/tokens). */
+  val domainMix = QueryDef(
+    "corpus_domain_mix",
+    Some(s"""WITH t AS (SELECT source,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks,
+        ((${h60Sql("source")} % 70) + 10) * 100 AS thr,
+        ${h60Sql(s"(source || ':' || CAST(doc_id AS VARCHAR))")} % 10000 AS r
+      FROM documents)
+      SELECT source, CAST(thr AS BIGINT) AS target_permyriad,
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN r < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN r < thr THEN toks ELSE 0 END) AS BIGINT) AS sum_tokens_kept
+      FROM t GROUP BY source, thr ORDER BY source"""),
+    (s, d) => {
+      val thr = (pmod(h60(col("source")), lit(70)) + 10) * 100
+      val r = pmod(h60(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(10000))
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(normText(col("text")), " ")).as("toks"),
+          thr.as("thr"), (r < thr).as("keep"))
+        .groupBy(col("source"), col("thr"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("keep"), col("toks")).otherwise(0)).cast("long").as("sum_tokens_kept"))
+        .select(col("source"), col("thr").cast("long").as("target_permyriad"),
+          col("n_total"), col("n_kept"), col("sum_tokens_kept"))
+        .orderBy(col("source"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
+    decontaminate, domainMix)
 }

@@ -122,6 +122,19 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expectMap)
   }
 
+  test("CacheScope.withScope releases the pipeline's persisted intermediates") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    spark.catalog.clearCache()
+    CacheScope.withScope { implicit scope =>
+      val pairs = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      pairs.count() // materialize INSIDE the scope
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "shingle/band intermediates must be persisted during the scope")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scope close must unpersist everything it acquired")
+  }
+
   test("minhashPairs finds the planted near-duplicates") {
     val pairs = dedup.DedupApi.minhashPairs(
       Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", threshold = 0.8)

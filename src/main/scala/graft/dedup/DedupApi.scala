@@ -253,12 +253,13 @@ object DedupApi {
     * selective keys — see simhashPairs). */
   def withSimhash(df: DataFrame, text: String, out: String = "simhash"): DataFrame = {
     val h60SparkSql = "CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT)"
+    // native one-pass majority fold (graft.functions.SimhashExpr): the
+    // composed aggregate/filter form re-scanned the hash array once
+    // per bit (60 passes/doc) and dominated the signature stage
+    graft.functions.Simhash.ensure(df.sparkSession)
     df.withColumn("__toks", split(normText(col(text)), " "))
       .withColumn("__hs", expr(s"transform(array_distinct(__toks), t -> $h60SparkSql)"))
-      .withColumn(out, expr(
-        s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT), (acc, i) ->
-           acc + IF(2 * size(filter(__hs, h -> (shiftright(h, i) & 1) = 1)) > size(__hs),
-                    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""))
+      .withColumn(out, graft.functions.Simhash.simhash(col("__hs"), SimhashBits))
       .drop("__toks", "__hs")
   }
 

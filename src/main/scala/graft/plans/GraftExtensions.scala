@@ -27,5 +27,6 @@ object GraftExtensions {
     graft.functions.RollingHash.ensure(spark)
     graft.functions.TopKSketch.ensure(spark)
     graft.functions.Ngrams.ensure(spark)
+    graft.functions.Simhash.ensure(spark)
   }
 }

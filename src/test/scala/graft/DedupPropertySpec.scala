@@ -55,6 +55,24 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_simhash equals the composed per-bit aggregate form") {
+    import spark.implicits._
+    functions.Simhash.ensure(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1)))
+    } :+ ((300L, Seq.empty[Long]))
+    val df = rows.toDF("id", "hs")
+    val bits = dedup.DedupApi.SimhashBits
+    val out = df.select(col("id"),
+        functions.Simhash.simhash(col("hs"), bits).as("fast"),
+        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),
+          shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
   test("ngram prefix+positional+length filtering is lossless at every threshold") {
     val docs = corpus(60, seed = 7).cache()
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {

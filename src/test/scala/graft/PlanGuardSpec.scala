@@ -42,6 +42,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "gram build must stay on the codegen NgramsExpr, not the composed substring form")
   }
 
+  test("simhash signature build uses the native one-pass expression") {
+    assert(plan("dedup_simhash").contains("graft_simhash"),
+      "signature build must stay on the codegen SimhashExpr, not the per-bit aggregate")
+  }
+
   test("pack_shards derives its group count without collecting or cartesians") {
     val p = plan("corpus_pack_shards")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -35,8 +35,21 @@ object DedupApi {
   def minhashBands(sh: DataFrame, id: String,
       numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
     val rows = numHashes / bands
-    val sig = sh.select(col(id), shingleHashes(col("sh")).as("hs"))
-      .select(col(id) +: (0 until numHashes).map(j => minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
+    // native one-pass signature build when the standard hash family is
+    // requested (16 running minima in one array walk instead of 16
+    // array_min(transform(...)) scans); non-default families keep the
+    // composed form. The two-step select stops CollapseProject from
+    // inlining the sigs call 16 times.
+    val hs = sh.select(col(id), shingleHashes(col("sh")).as("hs"))
+    val sig =
+      if (numHashes == NumHashes) {
+        graft.functions.MinhashSigs.ensure(sh.sparkSession)
+        hs.select(col(id), graft.functions.MinhashSigs.sigs(col("hs")).as("ms"))
+          .select(col(id) +: (0 until numHashes).map(j =>
+            element_at(col("ms"), j + 1).as(s"m$j")): _*)
+      } else
+        hs.select(col(id) +: (0 until numHashes).map(j =>
+          minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))

@@ -28,5 +28,6 @@ object GraftExtensions {
     graft.functions.TopKSketch.ensure(spark)
     graft.functions.Ngrams.ensure(spark)
     graft.functions.Simhash.ensure(spark)
+    graft.functions.MinhashSigs.ensure(spark)
   }
 }

@@ -73,6 +73,26 @@ class DedupPropertySpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
   }
 
+  test("native graft_minhash_sigs equals the composed array_min/transform form") {
+    import spark.implicits._
+    functions.MinhashSigs.ensure(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(math.abs(rnd.nextLong()) % Portable.P))
+    }
+    val df = rows.toDF("id", "hs")
+    val slow = (0 until Portable.NumHashes).map(j =>
+      Portable.minhashOfHashes(col("hs"), j).as(s"s$j"))
+    val out = df.select((col("id") +: functions.MinhashSigs.sigs(col("hs")).as("ms") +: slow): _*)
+      .collect()
+    out.foreach { r =>
+      val ms = r.getSeq[Long](1)
+      (0 until Portable.NumHashes).foreach { j =>
+        assert(ms(j) == r.getLong(2 + j), s"id=${r.getLong(0)} j=$j")
+      }
+    }
+  }
+
   test("ngram prefix+positional+length filtering is lossless at every threshold") {
     val docs = corpus(60, seed = 7).cache()
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {

@@ -9,9 +9,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
   * reported number is the MEDIAN, with per-query [min, max] spreads in
-  * `spread` — single-shot timings on this box swing ±25%, wide enough
-  * to mask real regressions (the round-2 verdict's bench-stability
-  * item).
+  * `spread` and the per-query MIN in `mins` — single-shot timings on
+  * this box swing ±25%, wide enough to mask real regressions (the
+  * round-2 verdict's bench-stability item).
+  *
+  * Reps are interleaved REP-MAJOR (rep 1 of every query, then rep 2 of
+  * every query, ...) rather than query-major: a transient ambient-load
+  * spike (another JVM, the correctness gate's DuckDB process) then
+  * lands on at most one rep per query and the median absorbs it,
+  * instead of saturating all reps of whichever query it overlapped
+  * (the round-3 verdict's artifact-stability item: a query-major run
+  * recorded one query 5x slow while clean reruns reproduced the fast
+  * number). `mins` is the load-free estimate when the medians are
+  * suspect.
   */
 object Bench {
   /** Headline set: the scale-relevant pipelines. The pair scans run
@@ -39,19 +49,26 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // per-query persists must not eat later reps'/queries' memory
-        spark.catalog.clearCache()
-        if (ok) Some(elapsed) else None
-      }
-      (name, times)
+    val names = headline.filter(qs.contains)
+    // rep-major: time rep 1 of every query, then rep 2 of every query,
+    // ... so an ambient-load spike overlaps at most one rep per query
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query persists must not eat later reps'/queries' memory, and
+      // a GC+settle outside the timed section keeps one query's garbage
+      // from billing the next query's rep
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(100)
+      if (ok) samples(name) = samples(name) :+ elapsed
     }
+    val results = names.map(n => (n, samples(n)))
     // a query is failed unless every rep succeeded: a partial sample is
     // not comparable to a full one, and folding a fail-fast elapsed
     // into the totals would make a broken round read as a speedup
@@ -66,10 +83,13 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx) => "\"" + k + "\":[" + f"$mn%.3f,$mx%.3f]" }
       .mkString("{", ",", "}")
+    // per-query minimum: the load-free estimate when medians are suspect
+    val mins = good.map { case (k, _, mn, _) => "\"" + k + "\":" + f"$mn%.3f" }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, ts) if ts.size != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

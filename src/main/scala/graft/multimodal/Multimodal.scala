@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Two kernel tiers: [[decodeImage]]/[[imageFeatures]]/[[resizePng]]
   * are a REAL image pipeline on the JDK's built-in `javax.imageio`
-  * codecs (PNG/JPEG/GIF/BMP — spec-verified on synthesized images,
-  * corrupt-blob tolerant). Audio/video codecs are not available in
-  * this environment, so the driver-gated queries use `decodeStub`, a
-  * clearly-marked deterministic fake whose features are pure
-  * functions of the bytes (md5-derived) — the gate corpus is text
-  * stand-in bytes, and the stub keeps the whole fan-out pipeline
-  * verifiable bit-for-bit against the DuckDB oracle.
+  * codecs (PNG/JPEG/GIF/BMP), and [[decodeAudio]]/[[audioFeatures]]
+  * are a REAL audio pipeline on the JDK's built-in
+  * `javax.sound.sampled` WAV/PCM codec — both spec-verified on
+  * synthesized media, corrupt-blob tolerant. VIDEO is the one
+  * modality with no JDK codec, so the `mm_features`/`mm_frames`
+  * queries use `decodeStub`, a clearly-marked deterministic fake
+  * whose features are pure functions of the bytes (md5-derived) —
+  * the gate corpus is text stand-in bytes, and the stub keeps the
+  * whole fan-out pipeline verifiable bit-for-bit against the DuckDB
+  * oracle (a real deployment swaps only the kernel function).
   */
 object Multimodal {
 
@@ -269,7 +272,176 @@ object Multimodal {
         .orderBy(col("img_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate)
+  // --------------------------------------------- real audio kernel
+  /** Decoded-audio feature row: format header fields plus the standard
+    * waveform statistics (peak, RMS, zero-crossing count). */
+  final case class AudioFeatures(
+      audio_id: Long, sample_rate: Long, channels: Int, n_samples: Long,
+      duration_sec: Double, peak: Long, rms: Double, zero_crossings: Long)
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * WAV/PCM codec (zero external dependencies, works headless — no
+    * audio device is touched for stream decode). Decodes the RIFF/WAVE
+    * header + 16-bit signed little-endian PCM frames and computes
+    * waveform features from the DECODED samples. Returns None for
+    * undecodable bytes so corrupt blobs drop out instead of failing
+    * the job — the same tolerance mode as [[decodeImage]]. Only the
+    * video codec remains stubbed in this environment (the JDK ships
+    * image and WAV codecs, but no video demuxer). */
+  def decodeAudio(audioId: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val bigEndian = fmt.isBigEndian
+          val data = ais.readAllBytes()
+          val nFrames = data.length / (2 * channels)
+          // mono fold: average channels sample-wise would lose 16-bit
+          // exactness; features are over channel-0 (the gate corpus is
+          // mono, and a real pipeline picks a channel policy explicitly)
+          var j = 0
+          var sumSq = 0L
+          var peak = 0L
+          var zc = 0L
+          var prevNonNeg = true
+          while (j < nFrames) {
+            val base = j * 2 * channels
+            val s =
+              if (bigEndian) ((data(base) << 8) | (data(base + 1) & 0xff)).toShort
+              else ((data(base + 1) << 8) | (data(base) & 0xff)).toShort
+            val v = s.toLong
+            sumSq += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            val nonNeg = v >= 0
+            if (j >= 1 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            j += 1
+          }
+          val sr = fmt.getSampleRate.toLong
+          Some(AudioFeatures(audioId, sr, channels, nFrames.toLong,
+            nFrames.toLong.toDouble / sr, peak,
+            math.sqrt(sumSq.toDouble / nFrames), zc))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Audio feature extraction over (id, binary) rows — the same
+    * per-partition batch shape as [[imageFeatures]], with the real WAV
+    * codec in the kernel slot; undecodable blobs are dropped. */
+  def audioFeatures(df: org.apache.spark.sql.DataFrame, id: String,
+      content: String): org.apache.spark.sql.DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(id).cast("long"), col(content).cast("binary"))
+      .filter(col(id).isNotNull && col(content).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, bytes) => decodeAudio(i, bytes) })
+      .toDF()
+  }
+
+  /** Gate for the REAL `javax.sound.sampled` kernel (the audio twin of
+    * [[imageFeaturesGate]]): [[AudioGate]] synthesizes a parquet table
+    * of actual RIFF/WAVE bytes from closed-form integer sample
+    * patterns, the Spark side decodes them with [[audioFeatures]], and
+    * the oracle recomputes the identical features ANALYTICALLY from
+    * the pattern parameters — 16-bit PCM WAV is lossless, so a
+    * hash-green row proves the real decode path end-to-end without the
+    * oracle engine needing an audio codec. Integer features (peak,
+    * zero crossings, sample counts) are exact; the two doubles
+    * (duration, RMS) are single IEEE ops over exact integers, applied
+    * identically on both sides. */
+  val audioFeaturesGate = QueryDef(
+    "mm_audio_features",
+    Some(s"""WITH clips AS (SELECT i AS audio_id,
+        CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+        500 + (i*131) % 1000 AS n, i % 2 AS kind,
+        1000 + (i*37) % 9000 AS amp, 7919 + 2*i AS c1, (i*104729) % 20001 AS c2
+      FROM range(0, ${AudioGate.NumClips}) t(i)),
+      xs AS (SELECT audio_id, sr, n, j,
+        CASE WHEN kind = 0 THEN amp ELSE ((j*c1 + c2) % 20001) - 10000 END AS x,
+        CASE WHEN kind = 0 THEN amp ELSE (((j-1)*c1 + c2) % 20001) - 10000 END AS xprev
+      FROM (SELECT audio_id, sr, n, kind, amp, c1, c2, unnest(range(0, n)) AS j FROM clips)),
+      agg AS (SELECT audio_id, sr, n, max(abs(x)) AS peak,
+        CAST(sum(x*x) AS BIGINT) AS sumsq,
+        CAST(sum(CASE WHEN j >= 1 AND ((xprev >= 0) <> (x >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM xs GROUP BY audio_id, sr, n)
+      SELECT audio_id, CAST(sr AS BIGINT) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        CAST(n AS BIGINT) AS n_samples, CAST(n AS DOUBLE) / sr AS duration_sec,
+        CAST(peak AS BIGINT) AS peak, sqrt(CAST(sumsq AS DOUBLE) / n) AS rms, zc AS zero_crossings
+      FROM agg ORDER BY audio_id"""),
+    (s, d) => {
+      val path = AudioGate.ensureParquet(s)
+      audioFeatures(s.read.parquet(path), "audio_id", "wav")
+        .orderBy(col("audio_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate,
+    audioFeaturesGate)
+}
+
+/** Deterministic synthetic WAV corpus for the real-codec audio gate:
+  * every clip's 16-bit PCM samples are a closed-form integer function
+  * of its index (even ids a constant-amplitude DC signal, odd ids a
+  * full-range LCG waveform), encoded through the JDK's
+  * `javax.sound.sampled` WAV writer, and parqueted as an
+  * (audio_id, wav binary) table. Pattern parameters are shared
+  * verbatim with the oracle SQL above, which recomputes the expected
+  * features analytically (16-bit PCM WAV round-trip is lossless). */
+object AudioGate {
+  val NumClips = 40
+
+  /** (sampleRate, nSamples, kind, amp, c1, c2) for clip `i` — keep in
+    * lockstep with the `clips` CTE of the oracle. */
+  private def pattern(i: Int): (Int, Int, Int, Int, Long, Long) =
+    (Seq(8000, 16000, 44100)(i % 3), 500 + (i * 131) % 1000, i % 2,
+      1000 + (i * 37) % 9000, 7919L + 2L * i, (i.toLong * 104729L) % 20001L)
+
+  /** Sample j of clip i (closed form, always within int16 range). */
+  def sample(i: Int, j: Int): Int = {
+    val (_, _, kind, amp, c1, c2) = pattern(i)
+    if (kind == 0) amp else (((j * c1 + c2) % 20001L) - 10000L).toInt
+  }
+
+  def makeWav(i: Int): Array[Byte] = {
+    val (sr, n, _, _, _, _) = pattern(i)
+    val pcm = new Array[Byte](n * 2) // 16-bit little-endian mono
+    var j = 0
+    while (j < n) {
+      val v = sample(i, j)
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  @volatile private var generated: Option[String] = None
+
+  /** Write the WAV table once per JVM (tmp dir) and return its path. */
+  def ensureParquet(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    generated.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mm_audio").toString
+      val sp = spark
+      import sp.implicits._
+      (0 until NumClips).map(i => (i.toLong, makeWav(i))).toDF("audio_id", "wav")
+        .repartition(4) // several files: the scan shape under test is a distributed binary read
+        .write.mode("overwrite").parquet(dir)
+      generated = Some(dir)
+      dir
+    }
+  }
 }
 
 /** Deterministic synthetic PNG corpus for the real-codec gate: every

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{AudioGate, Multimodal}
+
+/** Real-codec audio pipeline: JDK javax.sound.sampled WAV decode
+  * inside the engine's mapPartitions batch shape — known synthetic
+  * PCM clips in, exact waveform features out, corrupt bytes
+  * tolerated. The mm_audio_features DuckDB gate re-verifies the same
+  * kernel against analytic oracles at verify time; this spec pins the
+  * kernel-level contract in CI. */
+class MultimodalAudioSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("decodeAudio recovers exact features from a constant-amplitude clip") {
+    // clip 0: kind 0 (constant), sr 8000, n 500, amp 1000
+    val f = Multimodal.decodeAudio(0L, AudioGate.makeWav(0)).get
+    assert(f.sample_rate == 8000L && f.channels == 1)
+    assert(f.n_samples == 500L)
+    assert(f.duration_sec == 500.0 / 8000L)
+    assert(f.peak == 1000L, "constant clip peak must equal its amplitude")
+    assert(f.rms == math.sqrt((500L * 1000L * 1000L).toDouble / 500L))
+    assert(f.zero_crossings == 0L, "a DC signal never crosses zero")
+  }
+
+  test("decodeAudio matches the closed-form waveform statistics of an LCG clip") {
+    // clip 1: kind 1 (LCG pattern) — recompute features from the shared
+    // closed form and require exact agreement with the decoded bytes
+    val i = 1
+    val n = 500 + (i * 131) % 1000
+    val xs = (0 until n).map(j => AudioGate.sample(i, j))
+    val f = Multimodal.decodeAudio(i.toLong, AudioGate.makeWav(i)).get
+    assert(f.n_samples == n.toLong)
+    assert(f.sample_rate == 16000L)
+    assert(f.peak == xs.map(v => math.abs(v.toLong)).max)
+    assert(f.rms == math.sqrt(xs.map(v => v.toLong * v).sum.toDouble / n))
+    assert(f.zero_crossings ==
+      xs.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) })
+  }
+
+  test("audioFeatures decodes WAV blobs in the batch shape and drops corrupt ones") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, AudioGate.makeWav(0)),
+      (1L, AudioGate.makeWav(1)),
+      (2L, Array[Byte](82, 73, 70, 70, 1, 2, 3))) // truncated RIFF header
+      .toDF("audio_id", "wav")
+    val out = Multimodal.audioFeatures(df, "audio_id", "wav")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out == Set(0L, 1L), "corrupt blob must drop, not fail")
+  }
+
+  test("the gate query decodes every synthesized clip") {
+    val rows = SparkEntry.queries("mm_audio_features")(spark, TestSpark.sfDir).collect()
+    assert(rows.length == AudioGate.NumClips,
+      "every clip must decode — the gate corpus has no corrupt entries")
+    // spot-check a 44.1 kHz clip (i % 3 == 2) decoded its header rate
+    assert(rows.exists(_.getLong(1) == 44100L))
+  }
+}

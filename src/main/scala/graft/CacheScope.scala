@@ -33,6 +33,9 @@ final class CacheScope private[graft] (track: Boolean) {
     p
   }
 
+  /** Number of intermediates currently tracked (0 for untracked). */
+  def trackedCount: Int = synchronized(acquired.size)
+
   /** Unpersist everything this scope persisted (non-blocking). */
   def release(): Unit = synchronized {
     acquired.foreach(_.unpersist(false))

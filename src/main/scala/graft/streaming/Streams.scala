@@ -133,6 +133,29 @@ object Streams {
       // every downstream sink schema with an implementation detail
       .drop("content_key")
 
+  /** Pre-exploded combo-key table for [[nearDupPairsStream]]'s static
+    * side: one `(static_id, sig_t, c, k)` row per signature per
+    * C(9,3) band combo (84× fan-out). Produce and REFRESH this with
+    * the batch plane — e.g. write it to a parquet/Iceberg table right
+    * after [[graft.dedup.DedupApi.simhashSignatures]] runs over the
+    * merged corpus, and point the stream at the new snapshot on the
+    * next restart (the standard lambda refresh contract). Passing the
+    * result (or a persisted/loaded copy) to [[nearDupPairsStream]]
+    * skips the per-microbatch 84× re-explode of the corpus — at a
+    * 10⁹-row signature table that re-explode is 84 G recomputed rows
+    * PER TRIGGER, which this table pays once per refresh instead. */
+  def simhashComboKeyTable(staticSigs: DataFrame, id: String = "doc_id"): DataFrame = {
+    import graft.dedup.DedupApi
+    staticSigs
+      .select(col(id).as("static_id"), col("simhash").as("sig_t"),
+        explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
+      .select(col("static_id"), col("sig_t"), col("ck.c").as("c"), col("ck.k").as("k"))
+  }
+
+  /** Column contract of [[simhashComboKeyTable]], used to recognize a
+    * pre-exploded static side. */
+  private val comboKeyCols = Set("static_id", "sig_t", "c", "k")
+
   /** Streaming near-duplicate detection: incoming docs are simhashed
     * and banded with the SAME 9-block three-combo key expressions as
     * the batch pair scan ([[graft.dedup.DedupApi.simhashComboKeys]]),
@@ -154,10 +177,20 @@ object Streams {
     * 84 key rows per doc, never the corpus. Pairs deduplicate across
     * combo collisions within the watermark. Emits
     * `(doc_a, doc_b, hamming)` in canonical `doc_a < doc_b` order,
-    * self-matches (a doc already in the corpus re-arriving) dropped. */
+    * self-matches (a doc already in the corpus re-arriving) dropped.
+    *
+    * `staticSigs` is either a raw `(id, simhash)` signature table or
+    * a pre-exploded [[simhashComboKeyTable]] (recognized by its
+    * column set). Raw signatures are exploded ONCE and persisted via
+    * the implicit [[graft.CacheScope]] so microbatches hit the cache
+    * instead of recomputing the 84× fan-out per trigger; at corpus
+    * scale prefer passing the pre-exploded table maintained by the
+    * batch plane (see the refresh contract on
+    * [[simhashComboKeyTable]]). */
   def nearDupPairsStream(docs: DataFrame, staticSigs: DataFrame,
       id: String = "doc_id", tsCol: String = "ts",
-      maxHamming: Int = 6, watermarkDelay: String = "10 minutes"): DataFrame = {
+      maxHamming: Int = 6, watermarkDelay: String = "10 minutes")(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.dedup.DedupApi
     require(maxHamming <= 6,
       s"banded streaming near-dup is exact only for maxHamming <= 6, got $maxHamming")
@@ -167,10 +200,9 @@ object Streams {
         explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
       .select(col("stream_id"), col(tsCol), col("sig_s"),
         col("ck.c").as("c"), col("ck.k").as("k"))
-    val staticKeys = staticSigs
-      .select(col(id).as("static_id"), col("simhash").as("sig_t"),
-        explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
-      .select(col("static_id"), col("sig_t"), col("ck.c").as("c"), col("ck.k").as("k"))
+    val staticKeys =
+      if (staticSigs.columns.toSet == comboKeyCols) staticSigs
+      else scope.persist(simhashComboKeyTable(staticSigs, id))
     streamKeys.join(staticKeys, Seq("c", "k"))
       // =!=, NOT an order filter: a stream doc whose id sorts below a
       // matching corpus doc's id must still pair with it

@@ -91,17 +91,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     val in = Files.createTempDirectory("graft-neardup-in").toString
     docsLocal.coalesce(1).write.parquet(s"$in/b000")
     val sigs = dedup.DedupApi.simhashSignatures(docsLocal, "doc_id", "text")
-    val q = Streams.nearDupPairsStream(
-        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
-        sigs)
-      .writeStream.format("memory").queryName("neardup_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    CacheScope.withScope { implicit scope =>
+      val q = Streams.nearDupPairsStream(
+          spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+          sigs)
+        .writeStream.format("memory").queryName("neardup_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // raw-signature path: the 84x combo-key explode of the static side
+      // must be persisted once, not recomputed per microbatch
+      assert(scope.trackedCount == 1,
+        "static combo-key explode must be persisted via the cache scope")
+      val sw = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(sw))(q.explain())
+      assert(sw.toString.contains("InMemoryTableScan"),
+        "microbatch plan must read the static side from cache:\n" + sw)
+    }
     val streamed = spark.table("neardup_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(streamed == batchPairs,
       s"stream pairs $streamed must equal batch pairs $batchPairs")
     assert(spark.table("neardup_out").columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+
+    // pre-exploded static side (the batch-plane refresh contract):
+    // identical pair output, no explode anywhere in the static branch
+    val keysDir = Files.createTempDirectory("graft-neardup-keys").toString + "/keys"
+    Streams.simhashComboKeyTable(sigs).write.parquet(keysDir)
+    val q2 = Streams.nearDupPairsStream(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+        spark.read.parquet(keysDir))
+      .writeStream.format("memory").queryName("neardup_pre_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val streamedPre = spark.table("neardup_pre_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamedPre == batchPairs,
+      s"pre-exploded static side changed the pair set: $streamedPre vs $batchPairs")
   }
 
   test("streaming near-dup pairs a stream doc whose id sorts BELOW its corpus match") {

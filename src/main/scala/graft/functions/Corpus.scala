@@ -40,8 +40,12 @@ object Corpus {
         .orderBy(col("rk"))
     })
 
-  /** Per-label embedding centroid: position-wise decimal-exact mean,
-    * reassembled in order. Shuffles (label, pos) partials only. */
+  /** Per-label embedding centroid: position-wise decimal-exact mean
+    * via the native vector-sum aggregate
+    * ([[graft.functions.VecSumDec]] — one dim-length buffer per
+    * partition per label instead of corpus×dim posexploded rows), the
+    * tiny per-label result array exploded only for the output shape.
+    * Shuffles labels×1 partials only. */
   val centroids = QueryDef(
     "vec_centroids",
     Some("""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -49,13 +53,17 @@ object Corpus {
       SELECT label, i AS pos,
         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_x
       FROM p GROUP BY label, i ORDER BY label, pos"""),
-    (s, d) => Tables.embeddings(s, d)
-      .select(col("label"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos0", "x")))
-      .select(col("label"), (col("pos0") + 1).as("pos"), col("x"))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1)), 6).as("mean_x"))
-      .orderBy(col("label"), col("pos"))
-    )
+    (s, d) => {
+      graft.functions.VecSumDec.ensure(s)
+      Tables.embeddings(s, d)
+        .select(col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .groupBy(col("label"))
+        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("label"),
+          posexplode(expr("transform(sv, x -> round(CAST(x AS DOUBLE) / cnt, 6))")).as(Seq("pos0", "mean_x")))
+        .select(col("label"), (col("pos0") + 1).as("pos"), col("mean_x"))
+        .orderBy(col("label"), col("pos"))
+    })
 
   /** Corpus bigram frequency top-15 (n-gram language statistics —
     * the building block of n-gram LM scoring / contamination checks).

@@ -79,32 +79,33 @@ object AnnApi {
     * whole index build is reproducible and DuckDB-oracle-verifiable
     * (the oracle unrolls the same iterations as CTEs).
     *
-    * Scale shape per iteration: one decimal centroid aggregate over
-    * the sample, then a broadcast of kCells centroid *arrays* joined
-    * against the corpus with codegen'd `zip_with`/`aggregate` folds
-    * and a hash-aggregate argmax — the corpus is never shuffled and
-    * never exploded per-dimension for assignment. */
+    * Scale shape per iteration: one NATIVE vector-sum centroid
+    * aggregate over the sample ([[graft.functions.VecSumDec]] — one
+    * dim-length buffer per partition per cell; the corpus is never
+    * posexploded to corpus×dim rows), then a broadcast of kCells
+    * centroid *arrays* joined against the corpus with codegen'd
+    * `zip_with`/`aggregate` folds and a hash-aggregate argmax — the
+    * corpus is never shuffled for assignment. */
   def kmeansCells(corpus: DataFrame, id: String, vec: String,
       kCells: Int = 8, iters: Int = 2, trainMod: Int = 1)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     require(iters >= 1 && kCells >= 1 && trainMod >= 1)
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
     val n = normalized(corpus, id, vec)
       .transform(scope.persist)
     val train = if (trainMod == 1) n else n.filter(pmod(col(id), lit(trainMod)) === 0)
-    val pos = train.select(col(id), posexplode(col("v")).as(Seq("pos0", "x")))
-      .select(col(id), (col("pos0") + 1).as("i"), col("x"))
-      .transform(scope.persist)
     var assign = train.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
     for (it <- 1 to iters) {
-      val cent = pos.as("p").join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
-        .groupBy(col("a.cell"), col("p.i"))
-        .agg((sum(col("p.x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
-      val centArr = cent.groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cell"), expr("transform(im, s -> s.m)").as("cm"))
+      // decimal vector sum + row count per cell ≡ the per-(cell, i)
+      // decimal mean of the posexplode formulation, bit-for-bit
+      val centArr = train.select(col(id), col("v")).as("p")
+        .join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
+        .groupBy(col("a.cell"))
+        .agg(call_function("graft_vecsum_dec", col("p.v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cell"), expr("transform(sv, x -> CAST(x AS DOUBLE) / cnt)").as("cm"))
         .withColumn("cn",
           expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
-      val scope = if (it == iters) n else train
-      assign = scope.crossJoin(broadcast(centArr))
+      val target = if (it == iters) n else train
+      assign = target.crossJoin(broadcast(centArr))
         .select(col(id), col("cell"),
           (expr("aggregate(zip_with(v, cm, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
             / (col("nrm") * col("cn"))).as("c"))
@@ -119,30 +120,38 @@ object AnnApi {
 
   /** IVF-style top-k: coarse cells from `cell` (a cluster label),
     * probes search their `nProbeCells` nearest cell centroids
-    * (decimal-exact centroid build), exact re-rank inside. */
+    * (decimal-exact centroid build), exact re-rank inside.
+    *
+    * Scale shape: centroids come from ONE native vector-sum aggregate
+    * ([[graft.functions.VecSumDec]] — a dim-length buffer per
+    * partition per cell, no corpus×dim posexplode), probe→centroid
+    * dots are decimal `zip_with` folds against the broadcast centroid
+    * arrays (order-free ≡ the per-dimension join+sum), and only the
+    * probed cells' rows enter the re-rank join. */
   def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
       probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
     val n = normalized(corpus, id, vec, passthrough = Seq(cell))
       .transform(scope.persist)
-    val pos = n.select(col(id), col(cell),
-        posexplode(col("v")).as(Seq("pos0", "x")))
-      .select(col(id), col(cell), (col("pos0") + 1).as("i"), col("x"))
-    val cent = pos.groupBy(col(cell), col("i"))
-      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
-    val cnorm = cent.groupBy(col(cell))
-      .agg(sqrt(sum((col("m") * col("m")).cast(DecimalType(28, 14))).cast(DoubleType)).as("cn"))
-    val pdot = pos.join(probeIds, Seq(id), "left_semi").as("p")
-      .join(cent.as("c"), col("p.i") === col("c.i"))
-      .groupBy(col(s"p.$id").as("id_p"), col(s"c.$cell").as("cl"))
-      .agg(sum((col("p.x") * col("c.m")).cast(DecimalType(28, 14))).cast(DoubleType).as("dt"))
-    val topCells = pdot.as("d")
-      .join(n.select(col(id), col("nrm")).as("pn"), col(s"pn.$id") === col("d.id_p"))
-      .join(cnorm.as("cn"), col(s"cn.$cell") === col("d.cl"))
+    // centroid MEANS are decimal-exact (merge-order-free across
+    // partitions); norms and probe dots over the resulting index-
+    // ordered arrays are left-to-right double folds — per-row, fixed
+    // order, so deterministic without decimal (≡ oracle list_reduce)
+    val centArr = n.groupBy(col(cell))
+      .agg(call_function("graft_vecsum_dec", col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col(cell), expr("transform(sv, x -> CAST(x AS DOUBLE) / cnt)").as("cm"))
+      .withColumn("cn",
+        expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+    val topCells = n.join(probeIds, Seq(id), "left_semi")
+      .select(col(id).as("id_p"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centArr.select(col(cell).as("cl"), col("cm"), col("cn"))))
+      .select(col("id_p"), col("cl"), col("nrm"), col("cn"), expr(
+        "aggregate(zip_with(v, cm, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("dt"))
       .withColumn("crk", row_number().over(
-        Window.partitionBy(col("d.id_p"))
-          .orderBy((col("d.dt") / (col("pn.nrm") * col("cn.cn"))).desc, col("d.cl"))))
+        Window.partitionBy(col("id_p"))
+          .orderBy((col("dt") / (col("nrm") * col("cn"))).desc, col("cl"))))
       .filter(col("crk") <= nProbeCells)
-      .select(col("d.id_p").as("pid"), col("d.cl").as("probe_cell"))
+      .select(col("id_p").as("pid"), col("cl").as("probe_cell"))
     val pairs = topCells
       .join(n.as("a"), col(s"a.$id") === col("pid"))
       .join(n.as("b"), col(s"b.$cell") === col("probe_cell") && col(s"b.$id") =!= col(s"a.$id"))

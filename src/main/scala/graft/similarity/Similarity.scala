@@ -136,12 +136,12 @@ object Similarity {
       pos AS (SELECT vec_id, label, i, v[i] AS x FROM nx, (SELECT unnest(range(1, 65)) AS i)),
       cent AS (SELECT label, i, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
                FROM pos GROUP BY label, i),
-      cnorm AS (SELECT label, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
-                FROM cent GROUP BY label),
-      pdot AS (SELECT p.vec_id AS id_p, c.label,
-                 CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
-               FROM pos p JOIN cent c ON p.i = c.i WHERE p.vec_id < 10
-               GROUP BY p.vec_id, c.label),
+      crow AS (SELECT label, list(m ORDER BY i) AS cm FROM cent GROUP BY label),
+      cnorm AS (SELECT label, sqrt(list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b)) AS cn
+                FROM crow),
+      pdot AS (SELECT n.vec_id AS id_p, r.label,
+                 list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * r.cm[i]), (a, b) -> a + b) AS dt
+               FROM nx n, crow r WHERE n.vec_id < 10),
       top2 AS (SELECT id_p, label FROM (
                  SELECT d.id_p, d.label,
                    row_number() OVER (PARTITION BY d.id_p
@@ -222,12 +222,12 @@ object Similarity {
       s"""WITH $normSqlCte, $ctes,
       kcf AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
         FROM kpos p JOIN $kaFinal a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
-      knf AS (SELECT cell, sqrt(CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE)) AS cn
-        FROM kcf GROUP BY cell),
-      pdot AS (SELECT p.vec_id AS id_p, c.cell,
-                 CAST(sum(CAST(p.x * c.m AS DECIMAL(28,14))) AS DOUBLE) AS dt
-               FROM kpos p JOIN kcf c ON p.i = c.i WHERE p.vec_id < 10
-               GROUP BY p.vec_id, c.cell),
+      krf AS (SELECT cell, list(m ORDER BY i) AS cm FROM kcf GROUP BY cell),
+      knf AS (SELECT cell, sqrt(list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b)) AS cn
+        FROM krf),
+      pdot AS (SELECT n.vec_id AS id_p, r.cell,
+                 list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * r.cm[i]), (a, b) -> a + b) AS dt
+               FROM nx n, krf r WHERE n.vec_id < 10),
       top2 AS (SELECT id_p, cell FROM (
                  SELECT d.id_p, d.cell,
                    row_number() OVER (PARTITION BY d.id_p

@@ -73,4 +73,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "centroid cross join must broadcast the k-row side")
   }
+
+  test("centroid builds run the native vector-sum aggregate, no corpus×dim explode") {
+    for (q <- Seq("vec_kmeans", "ann_ivf", "vec_centroids")) {
+      val p = plan(q)
+      assert(p.contains("graft_vecsum_dec"),
+        s"$q centroid build must stay on the native VecSumDec aggregate")
+      assert(!p.contains("PosExplode") || q == "vec_centroids",
+        s"$q must not posexplode the corpus to corpus×dim rows")
+    }
+    // vec_centroids' only explode is the labels×1 result-array unpack,
+    // which sits ABOVE the aggregate in the plan, never below it
+    val pc = plan("vec_centroids")
+    val gen = pc.indexOf("Generate")
+    val agg = pc.indexOf("graft_vecsum_dec")
+    assert(gen >= 0 && agg > gen,
+      "vec_centroids' explode must consume the aggregate result, not feed it")
+  }
 }

@@ -49,7 +49,11 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the set (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
     // rep-major: time rep 1 of every query, then rep 2 of every query,
     // ... so an ambient-load spike overlaps at most one rep per query
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]

@@ -56,8 +56,17 @@ object Pipeline {
     * input is bounded by ~[[PackGroupTargetDocs]] docs (see above); the
     * group count itself grows linearly with the corpus, so parallelism
     * scales with the data, not with a literal. The one-row group-count
-    * aggregate is broadcast into the plan (no driver action). Output:
-    * shard manifest with doc/token counts. */
+    * aggregate is broadcast into the plan (no driver action).
+    *
+    * The manifest carries BOTH the (grp, shard) packing coordinates
+    * and a globally sequential `global_shard` id — the id a downstream
+    * dataloader actually consumes. The global id is an exclusive scan
+    * of per-group shard counts laid over the per-group ids: the offset
+    * table is derived from the manifest itself (ngrp rows — metadata
+    * scale, ~n_docs/128), its prefix-sum window runs over those ngrp
+    * rows only, and it joins back by broadcast — the corpus is never
+    * reshuffled for global ids. Output: shard manifest with doc/token
+    * counts and both id spaces. */
   val packShards = QueryDef(
     "corpus_pack_shards",
     Some(s"""WITH p AS (SELECT greatest($MinPackGroups,
@@ -66,17 +75,23 @@ object Pipeline {
         len(string_split(${normTextSql("text")}, ' ')) AS toks FROM documents),
       c AS (SELECT doc_id, grp, toks,
         sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-      FROM t)
-      SELECT grp, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+      FROM t),
+      m AS (SELECT grp, CAST((cum - toks) // 2000 AS BIGINT) AS shard,
         count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      FROM c GROUP BY grp, shard ORDER BY grp, shard"""),
+      FROM c GROUP BY grp, shard),
+      o AS (SELECT grp, COALESCE(sum(cnt) OVER (ORDER BY grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM (SELECT grp, max(shard) + 1 AS cnt FROM m GROUP BY grp))
+      SELECT m.grp, m.shard, CAST(o.base + m.shard AS BIGINT) AS global_shard,
+        n_docs, sum_tokens, first_doc, last_doc
+      FROM m JOIN o ON m.grp = o.grp ORDER BY m.grp, m.shard"""),
     (s, d) => {
       val w = Window.partitionBy(col("grp")).orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val docs = Tables.documents(s, d)
       val params = docs.agg(greatest(lit(MinPackGroups.toLong),
         ceil(count(lit(1)) / PackGroupTargetDocs.toDouble)).as("ngrp"))
-      docs
+      val manifest = docs
         .select(col("doc_id"), size(split(normText(col("text")), " ")).as("toks"))
         .crossJoin(broadcast(params))
         .select(col("doc_id"), pmod(col("doc_id"), col("ngrp")).as("grp"), col("toks"))
@@ -85,6 +100,17 @@ object Pipeline {
         .groupBy(col("grp"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("sum_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      // Exclusive scan over per-group shard counts → global offsets.
+      // ngrp rows total: the single-partition window is metadata-scale
+      // by construction, and the join back is an explicit broadcast.
+      val wo = Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = manifest.groupBy(col("grp"))
+        .agg((max(col("shard")) + 1).as("cnt"))
+        .select(col("grp"), coalesce(sum(col("cnt")).over(wo), lit(0L)).as("base"))
+      manifest.join(broadcast(offsets), Seq("grp"))
+        .select(col("grp"), col("shard"),
+          (col("base") + col("shard")).cast("long").as("global_shard"),
+          col("n_docs"), col("sum_tokens"), col("first_doc"), col("last_doc"))
         .orderBy(col("grp"), col("shard"))
     })
 

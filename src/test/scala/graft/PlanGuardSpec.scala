@@ -54,6 +54,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pack_shards global-id offsets broadcast back, never reshuffle the corpus") {
+    val p = plan("corpus_pack_shards")
+    assert(p.contains("BroadcastHashJoin"),
+      "the metadata-scale offset table must join back by broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the manifest must not be shuffle-sorted for the offset join")
+  }
+
+  test("domain_mix is map-only up to the audit aggregate (zero pre-agg exchange)") {
+    // plans print top-down, so "below the partial aggregate" is the
+    // text AFTER the last HashAggregate: scan→project→partial-agg must
+    // hold with no Exchange in between
+    val p = plan("corpus_domain_mix")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(lastAgg >= 0, "audit aggregate missing")
+    assert(!p.substring(lastAgg).contains("Exchange"),
+      "membership must be a pure per-row predicate: no Exchange below the partial aggregate")
+  }
+
+  test("multimodal kernels read pruned binary scans, not full-width rows") {
+    // the image gate table is (img_id, png) by construction — assert
+    // the scan reads exactly that pair, nothing synthesized in between
+    val p = plan("mm_image_features")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("img_id") && read.contains("png"), read)
+    // the stub-kernel path scans the full documents table: decode must
+    // see only (doc_id, text), never the metadata columns
+    val pf = plan("mm_features")
+    val readF = "ReadSchema: [^\\n]*".r.findFirstIn(pf).getOrElse("")
+    assert(readF.contains("doc_id") && readF.contains("text"), readF)
+    assert(!readF.contains("lang") && !readF.contains("source"),
+      s"documents scan must prune the metadata columns: $readF")
+  }
+
   test("decontamination broadcasts the benchmark shingles, never shuffles the corpus side") {
     val p = plan("corpus_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "contamination join must broadcast")

@@ -24,11 +24,14 @@ object DedupApi {
     df.join(exactGroups(df, id, text).select(col("keep_id").as(id)), Seq(id), "left_semi")
 
   /** Word-shingle sets per row (distinct k-shingles of the
-    * whitespace-normalized text); rows with < k tokens drop out. */
+    * whitespace-normalized text); rows with < k tokens drop out.
+    * Sorted ascending so the verify joins can run the native
+    * merge-walk intersect ([[graft.functions.SortedInterSizeExpr]])
+    * instead of per-pair hash-set builds. */
   def shingles(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame =
     df.select(col(id), split(normText(col(text)), " ").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(id), wordShingles(col("toks"), k).as("sh"))
+      .select(col(id), array_sort(wordShingles(col("toks"), k)).as("sh"))
 
   /** Exploded LSH band keys: numHashes minhash signatures split into
     * `bands` bands. One row per (id, band). */
@@ -102,11 +105,12 @@ object DedupApi {
         col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
       .distinct()
+    graft.functions.SortedInter.ensure(df.sparkSession)
     cand
       .join(sh.hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
       .join(sh.hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("s1.sh"), col("s2.sh"))).as("inter"),
+        graft.functions.SortedInter.interSize(col("s1.sh"), col("s2.sh")).as("inter"),
         size(col("s1.sh")).as("la"), size(col("s2.sh")).as("lb"))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -167,11 +171,12 @@ object DedupApi {
     // shuffle-hash verify joins: the gram-array side is hash-built per
     // partition instead of sort-merged — sorting wide array rows was
     // 6x the cost of the whole verify at sf0.1
+    graft.functions.SortedInter.ensure(df.sparkSession)
     cand
       .join(g.select(col(id), col("gr")).hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
       .join(g.select(col(id), col("gr")).hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("s1.gr"), col("s2.gr"))).as("inter"),
+        graft.functions.SortedInter.interSize(col("s1.gr"), col("s2.gr")).as("inter"),
         size(col("s1.gr")).as("la"), size(col("s2.gr")).as("lb2"))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb2") - col("inter")))
       .filter(col("jac") >= threshold)

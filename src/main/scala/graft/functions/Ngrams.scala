@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: distinct character n-grams of a string
-  * in one pass (first-occurrence order).
+  * in one pass, SORTED ascending in UTF8String binary order (the
+  * contract [[SortedInterSizeExpr]] relies on for its merge-walk
+  * intersections — same order as `array_sort`).
   *
   * Replaces the hot-path composition
   * `array_distinct(transform(sequence(1, length(s)-n+1), i ->
@@ -40,9 +42,9 @@ case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 
 object NgramsExpr {
   /** Distinct n-grams over SQL character units (UTF-8 code points —
-    * the same unit `substring`/`length` count, so results are
-    * identical to the composed form). Strings shorter than n yield an
-    * empty array. */
+    * the same unit `substring`/`length` count, so the gram SET is
+    * identical to the composed form), sorted ascending. Strings
+    * shorter than n yield an empty array. */
   def grams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val numChars = s.numChars()
@@ -57,17 +59,16 @@ object NgramsExpr {
       i += 1
     }
     starts(numChars) = bytes.length
-    val seen = new java.util.LinkedHashSet[UTF8String]((numChars - n + 1) * 2)
+    val seen = new java.util.HashSet[UTF8String]((numChars - n + 1) * 2)
     i = 0
     while (i <= numChars - n) {
       seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i)))
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
+    val out = new Array[UTF8String](seen.size)
+    seen.toArray(out)
+    java.util.Arrays.sort(out.asInstanceOf[Array[Object]])
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 }
 

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: intersection SIZE of two string arrays
+  * that are each DISTINCT and SORTED ascending (UTF8String binary
+  * order — the order `array_sort` and [[NgramsExpr]] emit), via a
+  * single merge walk.
+  *
+  * Replaces `size(array_intersect(a, b))` in the dedup verify joins:
+  * `array_intersect` builds a fresh hash set of one side PER ROW and
+  * hashes every element of the other — for a candidate-pair scan that
+  * is |cand| hash-set builds over thousand-element gram arrays, the
+  * measured hot spot of the whole n-gram pipeline at sf0.1 (~4 s of
+  * ~8 s). The merge walk does zero allocation and one byte-compare
+  * pass per pair. Inputs MUST be distinct+sorted; both producers in
+  * this repo guarantee it ([[NgramsExpr]] sorts its output,
+  * `DedupApi.shingles` sorts via `array_sort`), and the property spec
+  * pins equality with `array_intersect` on the sorted inputs.
+  * Participates in whole-stage codegen via a static call, like
+  * [[RollingHashExpr]].
+  */
+case class SortedInterSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_inter_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterSizeExpr.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedInterSizeExpr.interSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterSizeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedInterSizeExpr {
+  /** Merge-walk |a ∩ b| for distinct ascending-sorted string arrays. */
+  def interSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+object SortedInter {
+  /** Register `graft_sorted_inter_size(a, b)`; idempotent via
+    * [[Registration]]. */
+  def ensure(spark: SparkSession): Unit =
+    Registration.ensure(spark, "graft_sorted_inter_size") { exprs =>
+      SortedInterSizeExpr(exprs(0), exprs(1))
+    }
+
+  /** Column API; requires `ensure(spark)` (or GraftExtensions). */
+  def interSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_sorted_inter_size", a, b)
+}

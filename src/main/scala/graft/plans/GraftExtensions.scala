@@ -29,5 +29,7 @@ object GraftExtensions {
     graft.functions.Ngrams.ensure(spark)
     graft.functions.Simhash.ensure(spark)
     graft.functions.MinhashSigs.ensure(spark)
+    graft.functions.VecSumDec.ensure(spark)
+    graft.functions.SortedInter.ensure(spark)
   }
 }

@@ -55,6 +55,44 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_sorted_inter_size equals array_intersect size on sorted distinct arrays") {
+    import spark.implicits._
+    functions.SortedInter.ensure(spark)
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector.tabulate(60)(i => f"g$i%02d") ++ Vector("déφ", "ñx", "") // non-ASCII + empty string
+    val rows = (0 until 300).map { i =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)).distinct.sorted
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)).distinct.sorted
+      (i.toLong, a, b)
+    } :+ ((300L, Seq.empty[String], Seq("g01"))) :+ ((301L, Seq.empty[String], Seq.empty[String]))
+    val out = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        functions.SortedInter.interSize(array_sort(col("a")), array_sort(col("b"))).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("slow"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}")
+    }
+  }
+
+  test("native graft_ngrams output is sorted ascending (SortedInter contract)") {
+    import spark.implicits._
+    functions.Ngrams.ensure(spark)
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abc déφñ xyz"
+    val strs = (0 until 100).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val rows = strs.toDF("id", "s")
+      .select(col("id"), functions.Ngrams.ngrams(col("s"), 3).as("gr"),
+        array_sort(functions.Ngrams.ngrams(col("s"), 3)).as("sorted"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id=${r.getLong(0)} not sorted: ${r.getSeq[String](1)}")
+    }
+  }
+
   test("native graft_simhash equals the composed per-bit aggregate form") {
     import spark.implicits._
     functions.Simhash.ensure(spark)

@@ -42,6 +42,16 @@ class PlanGuardSpec extends AnyFunSuite {
       "gram build must stay on the codegen NgramsExpr, not the composed substring form")
   }
 
+  test("verify joins intersect via the native merge walk, not per-pair hash sets") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(p.contains("graft_sorted_inter_size"),
+        s"$q verify must stay on the merge-walk SortedInterSizeExpr")
+      assert(!p.contains("array_intersect"),
+        s"$q must not fall back to array_intersect's per-row hash set")
+    }
+  }
+
   test("simhash signature build uses the native one-pass expression") {
     assert(plan("dedup_simhash").contains("graft_simhash"),
       "signature build must stay on the codegen SimhashExpr, not the per-bit aggregate")

@@ -137,7 +137,24 @@ object DedupApi {
     * smallest-ordered shared gram always passes (everything shared
     * sits at or after it on both sides). On a shared-vocabulary
     * corpus this prunes the large population of pairs that share one
-    * mid-prefix gram and nothing else. */
+    * mid-prefix gram and nothing else.
+    *
+    * A length-BUCKET second blocking component (key = (block, gram,
+    * floor(log_{1/t} |g|)), probe side fanned to adjacent buckets) was
+    * evaluated and rejected: on the gate corpus only ~36% of
+    * same-block pairs are length-compatible at t=0.7, but the
+    * candidate join is already the cheapest stage (~1.4 s of ~5.5 s at
+    * sf0.1 — the length + positional predicates reject hash collisions
+    * before any array work), while the bucket key would triple the
+    * probe side's prefix volume. Revisit only if a corpus shows the
+    * candidate join dominating with heavy length variance.
+    *
+    * The gram table `g` is the single persist here; its lifetime is
+    * the caller's [[graft.CacheScope]] (release eagerly with
+    * `CacheScope.withScope`; the harness clears per-query). Verify
+    * intersections run the native merge walk
+    * ([[graft.functions.SortedInterSizeExpr]]) over the sorted gram
+    * arrays — no per-pair hash sets. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, block: String,
       n: Int = 5, threshold: Double = 0.7)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")

@@ -58,9 +58,9 @@ object Corpus {
       Tables.embeddings(s, d)
         .select(col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .groupBy(col("label"))
-        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
         .select(col("label"),
-          posexplode(expr("transform(sv, x -> round(CAST(x AS DOUBLE) / cnt, 6))")).as(Seq("pos0", "mean_x")))
+          posexplode(expr("zip_with(sv.sum, sv.cnt, (x, c) -> round(CAST(x AS DOUBLE) / c, 6))")).as(Seq("pos0", "mean_x")))
         .select(col("label"), (col("pos0") + 1).as("pos"), col("mean_x"))
         .orderBy(col("label"), col("pos"))
     })

@@ -302,6 +302,7 @@ object Multimodal {
           val bigEndian = fmt.isBigEndian
           val data = ais.readAllBytes()
           val nFrames = data.length / (2 * channels)
+          if (nFrames == 0) return None // empty data chunk: rms would be 0/0 = NaN — treat as undecodable
           // mono fold: average channels sample-wise would lose 16-bit
           // exactness; features are over channel-0 (the gate corpus is
           // mono, and a real pipeline picks a channel policy explicitly)

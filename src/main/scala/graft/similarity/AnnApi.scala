@@ -95,13 +95,15 @@ object AnnApi {
     val train = if (trainMod == 1) n else n.filter(pmod(col(id), lit(trainMod)) === 0)
     var assign = train.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
     for (it <- 1 to iters) {
-      // decimal vector sum + row count per cell ≡ the per-(cell, i)
-      // decimal mean of the posexplode formulation, bit-for-bit
+      // per-position decimal sum + count from ONE aggregate ≡ the
+      // per-(cell, i) decimal mean of the posexplode formulation,
+      // bit-for-bit — including null/ragged vectors, since the count
+      // is per POSITION, not per row
       val centArr = train.select(col(id), col("v")).as("p")
         .join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
         .groupBy(col("a.cell"))
-        .agg(call_function("graft_vecsum_dec", col("p.v")).as("sv"), count(lit(1)).as("cnt"))
-        .select(col("cell"), expr("transform(sv, x -> CAST(x AS DOUBLE) / cnt)").as("cm"))
+        .agg(call_function("graft_vecsum_dec", col("p.v")).as("sv"))
+        .select(col("cell"), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
         .withColumn("cn",
           expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
       val target = if (it == iters) n else train
@@ -138,8 +140,8 @@ object AnnApi {
     // ordered arrays are left-to-right double folds — per-row, fixed
     // order, so deterministic without decimal (≡ oracle list_reduce)
     val centArr = n.groupBy(col(cell))
-      .agg(call_function("graft_vecsum_dec", col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .select(col(cell), expr("transform(sv, x -> CAST(x AS DOUBLE) / cnt)").as("cm"))
+      .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
+      .select(col(cell), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
       .withColumn("cn",
         expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
     val topCells = n.join(probeIds, Seq(id), "left_semi")

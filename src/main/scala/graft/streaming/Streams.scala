@@ -183,9 +183,13 @@ object Streams {
     * a pre-exploded [[simhashComboKeyTable]] (recognized by its
     * column set). Raw signatures are exploded ONCE and persisted via
     * the implicit [[graft.CacheScope]] so microbatches hit the cache
-    * instead of recomputing the 84× fan-out per trigger; at corpus
-    * scale prefer passing the pre-exploded table maintained by the
-    * batch plane (see the refresh contract on
+    * instead of recomputing the 84× fan-out per trigger — a TRACKED
+    * scope is required for that cache (wrap the stream start in
+    * `CacheScope.withScope`): with the untracked default nothing
+    * would ever release the cached copy across stream restarts, so
+    * the raw path falls back to per-batch recompute with a loud
+    * stderr warning. At corpus scale prefer passing the pre-exploded
+    * table maintained by the batch plane (see the refresh contract on
     * [[simhashComboKeyTable]]). */
   def nearDupPairsStream(docs: DataFrame, staticSigs: DataFrame,
       id: String = "doc_id", tsCol: String = "ts",
@@ -202,7 +206,21 @@ object Streams {
         col("ck.c").as("c"), col("ck.k").as("k"))
     val staticKeys =
       if (staticSigs.columns.toSet == comboKeyCols) staticSigs
-      else scope.persist(simhashComboKeyTable(staticSigs, id))
+      else if (scope ne graft.CacheScope.untracked)
+        scope.persist(simhashComboKeyTable(staticSigs, id))
+      else {
+        // no tracked scope to own the cache lifetime: do NOT persist —
+        // a stream is long-lived and nothing would ever unpersist the
+        // 84x-exploded copy (restart loops with refreshed signature
+        // tables would leak one per start). The caller either wraps
+        // the start in CacheScope.withScope (and materializes inside
+        // it) or passes the pre-exploded simhashComboKeyTable, which
+        // is also the documented corpus-scale contract.
+        System.err.println("[graft] nearDupPairsStream: raw signature side used without " +
+          "a CacheScope — the 84x combo-key explode will recompute per microbatch. " +
+          "Wrap in CacheScope.withScope or pass simhashComboKeyTable(...) output.")
+        simhashComboKeyTable(staticSigs, id)
+      }
     streamKeys.join(staticKeys, Seq("c", "k"))
       // =!=, NOT an order filter: a stream doc whose id sorts below a
       // matching corpus doc's id must still pair with it

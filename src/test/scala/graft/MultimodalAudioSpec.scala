@@ -50,6 +50,19 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(out == Set(0L, 1L), "corrupt blob must drop, not fail")
   }
 
+  test("a structurally valid WAV with zero data frames is treated as undecodable") {
+    // an empty data chunk decodes without exception but has no samples:
+    // emitting it would ship rms = 0/0 = NaN downstream
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeAudio(0L, bos.toByteArray).isEmpty,
+      "zero-frame WAV must drop like other undecodable blobs")
+  }
+
   test("the gate query decodes every synthesized clip") {
     val rows = SparkEntry.queries("mm_audio_features")(spark, TestSpark.sfDir).collect()
     assert(rows.length == AudioGate.NumClips,

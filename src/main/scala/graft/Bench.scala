@@ -34,7 +34,7 @@ object Bench {
     "q12_join_multi", "q13_percentiles", "q16_events_window",
     "q17_sessionize", "q19_asof_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_substring",
     "dedup_embed_cosine_lsh", "dedup_clusters", "pipeline_near_dedup",
     "text_quality", "text_fingerprint", "text_top_tokens",
     "corpus_decontaminate",

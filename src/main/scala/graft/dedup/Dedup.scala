@@ -138,6 +138,32 @@ object Dedup {
         "doc_id", "text", "source", n = 5, threshold = 0.7)
       .orderBy(col("doc_a"), col("doc_b")))
 
+  // --------------------------------------- repeated-substring dedup
+  /** Winnowed repeated-substring pairs (MOSS fingerprinting — see
+    * [[DedupApi.substringPairs]]): documents sharing any substring of
+    * ≥ k+w−1 = 35 normalized chars share a fingerprint at ANY offsets.
+    * The oracle replicates the winnow (same h60 gram hashes, same
+    * window minima) and the quadratic fp join — banding is lossless,
+    * so both sides produce the identical pair set. */
+  val substring = QueryDef(
+    "dedup_substring",
+    Some {
+      val (k, w) = (DedupApi.WinnowK, DedupApi.WinnowW)
+      s"""WITH n AS (SELECT doc_id, ${normTextSql("text")} AS s FROM documents),
+        g AS (SELECT doc_id,
+          list_transform(range(1, length(s) - ${k - 1} + 1), i -> ${h60Sql(s"substr(s, i, $k)")}) AS hs
+          FROM n WHERE length(s) >= ${k + w - 1}),
+        f AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, len(hs) - ${w - 1} + 1), i -> list_min(list_slice(hs, i, i + ${w - 1}))))) AS fp
+          FROM g)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(DISTINCT a.fp) AS n_shared_fps
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+    },
+    (s, d) => DedupApi.substringPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b")))
+
   // ------------------------------------------- embedding near-dup
   val embedCosine = QueryDef(
     "dedup_embed_cosine",
@@ -242,6 +268,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, ngramJaccard, embedCosine, embedCosineLsh,
-    clusters, nearDedupPipeline)
+    simhash, simhashPairs, ngramJaccard, substring, embedCosine,
+    embedCosineLsh, clusters, nearDedupPipeline)
 }

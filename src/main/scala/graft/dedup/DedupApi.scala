@@ -200,6 +200,78 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------ repeated-substring dedup
+  /** Winnowed substring fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): every k-char window of the
+    * normalized text is hashed (the portable 60-bit md5 prefix, same
+    * value both engines), and each run of `w` consecutive window
+    * hashes contributes its MINIMUM to the document's fingerprint
+    * set. GUARANTEE: two documents sharing any substring of length
+    * ≥ k + w − 1 share the window of k-grams inside it, hence its
+    * minimum — a shared fingerprint — regardless of the offsets at
+    * which the substring occurs (offset-independence is what a fixed
+    * stride grid cannot give). This is the cross-document REPEATED
+    * SPAN detector of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22), in its fingerprint-sampled
+    * form: exact-substring contamination (licenses, templates,
+    * syndicated paragraphs) that survives whole-document dedup.
+    *
+    * Fingerprint density is ~2/(w+1) per character (expected distinct
+    * window minima), so the emitted volume is a fixed fraction of
+    * corpus bytes — linear at any scale. Docs shorter than k + w − 1
+    * carry no full window and drop out. */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    require(k >= 2 && w >= 1, s"winnow needs k >= 2, w >= 1, got k=$k w=$w")
+    val h = s"CAST(conv(substring(md5(substring(s, i, $k)), 1, 15), 16, 10) AS BIGINT)"
+    val hs = s"transform(sequence(1, length(s) - ${k - 1}), i -> $h)"
+    // let-bind hs as a LAMBDA VARIABLE (1-element array + transform):
+    // as a projected column, CollapseProject inlines its definition
+    // into every window read and the gram hashing re-runs per WINDOW —
+    // O(len²) md5 calls per document (measured ~100× slower at sf0.01).
+    // A lambda variable is evaluated exactly once.
+    val winnow = s"element_at(transform(array($hs), h -> array_distinct(" +
+      s"transform(sequence(1, size(h) - ${w - 1}), i -> array_min(slice(h, i, $w))))), 1)"
+    df.select(col(id), normText(col(text)).as("s"))
+      .filter(length(col("s")) >= k + w - 1) // shorter docs have no full winnow window
+      .select(col(id), explode(expr(winnow)).as("fp"))
+  }
+
+  val WinnowK = 20
+  val WinnowW = 16
+
+  /** Cross-document repeated-substring pairs: documents sharing ≥ 1
+    * winnowed fingerprint, with the count of distinct shared
+    * fingerprints (a monotone proxy for total shared span length).
+    * The join key is the fingerprint value — corpus shuffles once by
+    * fp, pairs form only inside fp buckets. `maxFpDocs > 0` drops
+    * fingerprints present in more than that many documents before the
+    * self-join (the boilerplate megabucket guard, same contract as
+    * [[minhashPairs]]'s `maxBucketSize`): a license header shared by
+    * 10⁶ docs is better handled as a heavy-hitter report than as
+    * 10¹² pairs. Fingerprints are 60-bit hashes, not verified
+    * substrings: a cross-doc hash collision (~n²·2^-60) can
+    * contribute a false shared fingerprint — the same exactness
+    * class as every h60-keyed pipeline here, and the DuckDB oracle
+    * computes identical hashes so the gate is still bit-exact. */
+  def substringPairs(df: DataFrame, id: String, text: String,
+      k: Int = WinnowK, w: Int = WinnowW, maxFpDocs: Int = 0)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val fpsAll = winnowFingerprints(df, id, text, k, w).transform(scope.persist)
+    val fps =
+      if (maxFpDocs <= 0) fpsAll
+      else {
+        val hot = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxFpDocs).select(col("fp").as("__hotfp"))
+        fpsAll.join(broadcast(hot), col("fp") === col("__hotfp"), "left_anti")
+      }
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .agg(countDistinct(col("a.fp")).as("n_shared_fps"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the minimum doc id of its component (the canonical "cluster then
     * keep one" dedup endgame). Alternating large-star / small-star

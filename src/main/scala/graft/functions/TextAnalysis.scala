@@ -124,6 +124,53 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
+  // -------------------------------------------- duplicate n-gram fraction
+  /** Per-document duplicate n-gram fraction (the Gopher /
+    * MassiveText repetition signal, Rae et al. 2021 §A.1.1, also the
+    * RefinedWeb recipe): the fraction of a document's distinct word
+    * 5-shingles that occur in at least one OTHER document. High
+    * values flag boilerplate-heavy or templated docs that survive
+    * exact dedup but poison training data — the standard cheap
+    * corpus-level quality gate between exact and near dedup.
+    *
+    * Scale shape: one explode of distinct shingles per doc, one
+    * groupBy(shingle) document-frequency aggregate (map-side partial
+    * combine), join back on the SAME shingle key (exchange reuse —
+    * the shingle volume is shuffled once), then a per-doc aggregate.
+    * No pair scan: cost is linear in corpus shingle volume at any
+    * corpus size. */
+  val DupShingleK = 5
+
+  val dupNgramFraction = QueryDef(
+    "text_dup_ngram_fraction",
+    Some {
+      val k = DupShingleK
+      s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest(${Portable.wordShinglesSql("toks", k)}) AS sh
+          FROM norm WHERE len(toks) >= $k),
+        df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        SELECT s.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
+        FROM sh s JOIN df d ON s.sh = d.sh
+        GROUP BY s.doc_id ORDER BY s.doc_id"""
+    },
+    (s, d) => {
+      val k = DupShingleK
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(Portable.wordShingles(col("toks"), k)).as("sh"))
+      // per-doc shingles are DISTINCT (wordShingles), so count = doc frequency
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).cast("long").as("n_dup"),
+          round(sum(when(col("df") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6).as("dup_fraction"))
+        .orderBy(col("doc_id"))
+    })
+
   // -------------------------------------------------------- histogram
   /** Token-length histogram (capped decile buckets) — the corpus-shape
     * summary every ingest pipeline reports. Single shuffle on ≤10 keys. */
@@ -139,5 +186,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
       .orderBy(col("bucket")))
 
-  val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint, lengthHistogram)
+  val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
+    dupNgramFraction, lengthHistogram)
 }

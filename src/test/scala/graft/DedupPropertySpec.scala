@@ -93,6 +93,26 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowed substring pairs detect every planted shared span at arbitrary offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // shared span >= k + w - 1 = 35 normalized chars: the winnow
+    // guarantee says every such pair MUST collide, wherever the span
+    // sits in each document
+    val shared = randText(40)
+    val docs = (0 until 30).map { i =>
+      if (i % 3 == 0)
+        (i.toLong, randText(rnd.nextInt(50)) + shared + randText(rnd.nextInt(50)))
+      else (i.toLong, randText(80 + rnd.nextInt(60)))
+    }.toDF("doc_id", "text")
+    val pairs = dedup.DedupApi.substringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 30).filter(_ % 3 == 0).map(_.toLong)
+    for (a <- planted; b <- planted if a < b)
+      assert(pairs.contains((a, b)), s"planted pair ($a,$b) missing from $pairs")
+  }
+
   test("native graft_simhash equals the composed per-bit aggregate form") {
     import spark.implicits._
     functions.Simhash.ensure(spark)

@@ -19,7 +19,7 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("pair scans plan no cartesian or nested-loop joins") {
     for (q <- Seq("dedup_simhash_pairs", "dedup_ngram_jaccard",
-        "dedup_embed_cosine_lsh", "dedup_minhash_lsh")) {
+        "dedup_embed_cosine_lsh", "dedup_minhash_lsh", "dedup_substring")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -224,18 +224,16 @@ object DedupApi {
   def winnowFingerprints(df: DataFrame, id: String, text: String,
       k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     require(k >= 2 && w >= 1, s"winnow needs k >= 2, w >= 1, got k=$k w=$w")
-    val h = s"CAST(conv(substring(md5(substring(s, i, $k)), 1, 15), 16, 10) AS BIGINT)"
-    val hs = s"transform(sequence(1, length(s) - ${k - 1}), i -> $h)"
-    // let-bind hs as a LAMBDA VARIABLE (1-element array + transform):
-    // as a projected column, CollapseProject inlines its definition
-    // into every window read and the gram hashing re-runs per WINDOW —
-    // O(len²) md5 calls per document (measured ~100× slower at sf0.01).
-    // A lambda variable is evaluated exactly once.
-    val winnow = s"element_at(transform(array($hs), h -> array_distinct(" +
-      s"transform(sequence(1, size(h) - ${w - 1}), i -> array_min(slice(h, i, $w))))), 1)"
+    // native one-pass winnow (graft.functions.WinnowExpr): the composed
+    // transform/slice/array_min form pays interpreted-lambda md5 with a
+    // hex round-trip per position and O(len·w) slice scans — and its
+    // gram-hash array must be let-bound as a lambda variable or
+    // CollapseProject inlines it per window (O(len²) md5, ~100×). The
+    // equivalence property spec pins the native output to that form.
+    graft.functions.Winnow.ensure(df.sparkSession)
     df.select(col(id), normText(col(text)).as("s"))
       .filter(length(col("s")) >= k + w - 1) // shorter docs have no full winnow window
-      .select(col(id), explode(expr(winnow)).as("fp"))
+      .select(col(id), explode(graft.functions.Winnow.fingerprints(col("s"), k, w)).as("fp"))
   }
 
   val WinnowK = 20

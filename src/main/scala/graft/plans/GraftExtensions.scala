@@ -31,5 +31,6 @@ object GraftExtensions {
     graft.functions.MinhashSigs.ensure(spark)
     graft.functions.VecSumDec.ensure(spark)
     graft.functions.SortedInter.ensure(spark)
+    graft.functions.Winnow.ensure(spark)
   }
 }

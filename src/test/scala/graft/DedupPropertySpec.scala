@@ -93,6 +93,37 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_winnow equals the composed window-minima form") {
+    import spark.implicits._
+    functions.Winnow.ensure(spark)
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd efg déφñ hij" // multibyte chars in the gram windows
+    val strs = (0 until 120).map { i =>
+      (i.toLong, (0 until (30 + rnd.nextInt(120))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ ((120L, "x" * 34)) :+ ((121L, "y" * 35)) // below/at the k+w-1 boundary
+    val (k, w) = (20, 16)
+    val h = s"CAST(conv(substring(md5(substring(s, i, $k)), 1, 15), 16, 10) AS BIGINT)"
+    val hs = s"transform(sequence(1, length(s) - ${k - 1}), i -> $h)"
+    val composed = s"element_at(transform(array($hs), h -> array_distinct(" +
+      s"transform(sequence(1, size(h) - ${w - 1}), i -> array_min(slice(h, i, $w))))), 1)"
+    val rows = strs.toDF("id", "s")
+      .filter(length(col("s")) >= k + w - 1)
+      .select(col("id"),
+        functions.Winnow.fingerprints(col("s"), k, w).as("fast"),
+        expr(composed).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).toSet == r.getSeq[Long](2).toSet,
+        s"id=${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+    // below the boundary: no full window, empty fingerprint set
+    val short = Seq((0L, "x" * 34)).toDF("id", "s")
+      .select(functions.Winnow.fingerprints(col("s"), k, w).as("f"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("winnowed substring pairs detect every planted shared span at arbitrary offsets") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

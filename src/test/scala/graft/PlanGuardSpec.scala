@@ -57,6 +57,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "signature build must stay on the codegen SimhashExpr, not the per-bit aggregate")
   }
 
+  test("substring fingerprints use the native one-pass winnow expression") {
+    assert(plan("dedup_substring").contains("graft_winnow"),
+      "winnow must stay on the codegen WinnowExpr, not the composed transform/slice form")
+  }
+
   test("pack_shards derives its group count without collecting or cartesians") {
     val p = plan("corpus_pack_shards")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

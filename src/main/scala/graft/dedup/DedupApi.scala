@@ -222,7 +222,8 @@ object DedupApi {
     * corpus bytes — linear at any scale. Docs shorter than k + w − 1
     * carry no full window and drop out. */
   def winnowFingerprints(df: DataFrame, id: String, text: String,
-      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+      k: Int = WinnowK, w: Int = WinnowW,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(k >= 2 && w >= 1, s"winnow needs k >= 2, w >= 1, got k=$k w=$w")
     // native one-pass winnow (graft.functions.WinnowExpr): the composed
     // transform/slice/array_min form pays interpreted-lambda md5 with a
@@ -231,9 +232,10 @@ object DedupApi {
     // CollapseProject inlines it per window (O(len²) md5, ~100×). The
     // equivalence property spec pins the native output to that form.
     graft.functions.Winnow.ensure(df.sparkSession)
-    df.select(col(id), normText(col(text)).as("s"))
+    val keep = col(id) +: passthrough.map(col)
+    df.select(keep :+ normText(col(text)).as("s"): _*)
       .filter(length(col("s")) >= k + w - 1) // shorter docs have no full winnow window
-      .select(col(id), explode(graft.functions.Winnow.fingerprints(col("s"), k, w)).as("fp"))
+      .select(keep :+ explode(graft.functions.Winnow.fingerprints(col("s"), k, w)).as("fp"): _*)
   }
 
   val WinnowK = 20

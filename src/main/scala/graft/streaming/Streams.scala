@@ -232,4 +232,47 @@ object Streams {
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .drop(tsCol)
   }
+
+  /** Streaming repeated-SPAN detection (the streaming twin of the
+    * batch `dedup_substring` scan): incoming docs are fingerprinted
+    * with the SAME native winnow expression as the batch plane
+    * ([[graft.dedup.DedupApi.winnowFingerprints]] — h60 over k-char
+    * windows, per-w-window minima), then stream–static joined against
+    * a fingerprint table of the ingested corpus. A stream doc sharing
+    * any substring of ≥ k+w−1 normalized chars with a corpus doc —
+    * license boilerplate, syndicated paragraphs, benchmark text —
+    * shares a fingerprint at ANY offsets and is flagged before it
+    * lands in the corpus. Same lambda split as
+    * [[nearDupPairsStream]]: the streaming plane bounds staleness
+    * against the last published fingerprint snapshot; the batch
+    * `substringPairs` over the merged corpus owns completeness.
+    *
+    * `staticFps` is the `(static_id, fp)` table to detect against —
+    * produce and refresh it with
+    * `DedupApi.winnowFingerprints(corpus, id, text)` (rename the id
+    * column to `static_id`), the same refresh contract as
+    * [[simhashComboKeyTable]]. The static side stays hash-partitioned
+    * by fp; the stream side shuffles only its ~len·2/(w+1) fingerprint
+    * rows per doc. Emits one row per (stream doc, corpus doc) with the
+    * count of distinct shared fingerprints, deduped within the
+    * watermark. */
+  def repeatedSpanStream(docs: DataFrame, staticFps: DataFrame,
+      id: String = "doc_id", tsCol: String = "ts",
+      k: Int = graft.dedup.DedupApi.WinnowK,
+      w: Int = graft.dedup.DedupApi.WinnowW,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(staticFps.columns.toSet == Set("static_id", "fp"),
+      s"staticFps must be (static_id, fp) — got ${staticFps.columns.mkString(", ")}")
+    graft.dedup.DedupApi.winnowFingerprints(
+        docs.withWatermark(tsCol, watermarkDelay),
+        id, "text", k, w, passthrough = Seq(tsCol))
+      .join(staticFps, Seq("fp"))
+      .filter(col("static_id") =!= col(id))
+      .select(col(id).as("stream_id"), col("static_id"), col(tsCol))
+      // one flag per (stream doc, corpus doc), however many spans they
+      // share — streaming distinct within the watermark (countDistinct
+      // is not available in streaming aggregations)
+      .dropDuplicatesWithinWatermark("stream_id", "static_id")
+      .drop(tsCol)
+  }
 }

@@ -151,6 +151,44 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got == Set((3L, 10L, 0)), s"got $got")
   }
 
+  test("streaming repeated-span flags equal the batch substring pair set") {
+    import spark.implicits._
+    val shared = "this exact boilerplate sentence is long enough to winnow reliably"
+    val corpus = Seq(
+      (10L, s"corpus document one with $shared inside it and more text after"),
+      (11L, "corpus document two with entirely unrelated content and nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val streamDocs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), s"prefix words then $shared and a different tail"),
+      (2L, ts("2024-01-01 00:01:00"), "a clean stream document sharing no span with the corpus whatsoever okay"))
+      .toDF("doc_id", "ts", "text")
+
+    // batch truth: substring pairs over corpus + stream docs, restricted
+    // to (stream, corpus) pairs
+    val batchPairs = dedup.DedupApi.substringPairs(
+        corpus.union(streamDocs.select("doc_id", "text")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 < 10 && p._2 >= 10)
+    assert(batchPairs == Set((1L, 10L)), s"expected the planted span pair, got $batchPairs")
+
+    val in = Files.createTempDirectory("graft-span-in").toString
+    streamDocs.coalesce(1).write.parquet(s"$in/b000")
+    val staticFps = dedup.DedupApi.winnowFingerprints(corpus, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("static_id"),
+        org.apache.spark.sql.functions.col("fp"))
+    val q = Streams.repeatedSpanStream(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+        staticFps)
+      .writeStream.format("memory").queryName("span_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("span_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs,
+      s"stream span flags $streamed must equal batch pairs $batchPairs")
+    assert(spark.table("span_out").columns.toSeq == Seq("stream_id", "static_id"))
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

@@ -36,6 +36,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_substring",
     "dedup_embed_cosine_lsh", "dedup_clusters", "pipeline_near_dedup",
+    "pipeline_ingest_full",
     "text_quality", "text_fingerprint", "text_top_tokens",
     "corpus_decontaminate",
     "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")

@@ -83,7 +83,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   // --------------------------------------------------------- simhash
-  private def simhashSqlCteOver(src: String): String =
+  private[graft] def simhashSqlCteOver(src: String): String =
     s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM $src),
        hsx AS (SELECT doc_id, list_transform(t, s -> ${h60Sql("s")}) AS hs FROM tok),
        sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, ${DedupApi.SimhashBits}), i ->

@@ -220,6 +220,85 @@ object Pipeline {
         .orderBy(col("source"))
     })
 
+  /** The full composed ingest pipeline — every gate in the
+    * production-recommended order, end-to-end, one oracle:
+    *
+    *  1. domain mixing (pure per-row hash predicate — zero shuffle,
+    *     cheapest first),
+    *  2. quality gate (length 20–80 tokens, unique-token ratio ≥ 0.3 —
+    *     per-row),
+    *  3. benchmark decontamination (8-shingle overlap with the
+    *     FULL-corpus benchmark slice, which also drops the benchmark
+    *     docs themselves — broadcast semi-join, corpus never
+    *     shuffled),
+    *  4. exact dedup (hash groupBy keep-min),
+    *  5. banded SimHash near-dedup (drop the larger id of every
+    *     hamming ≤ 6 pair among survivors — the 20× probe's
+    *     exact-dedup-first ordering means identical fingerprints
+    *     never reach this stage),
+    *  6. the per-source audit manifest (docs + tokens kept).
+    *
+    * Each stage reuses the SAME expressions/APIs as its standalone
+    * gated query, so this row proves the COMPOSITION, not new
+    * operators: the stages chain without materialization barriers and
+    * Catalyst plans the whole ingest as one job graph. */
+  val ingestFull = QueryDef(
+    "pipeline_ingest_full",
+    Some {
+      val k = DecontaminationShingle
+      s"""WITH t AS (SELECT doc_id, source, text, ${normTextSql("text")} AS s,
+          string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        mix AS (SELECT * FROM t
+          WHERE ${h60Sql(s"(source || ':' || CAST(doc_id AS VARCHAR))")} % 10000
+            < ((${h60Sql("source")} % 70) + 10) * 100),
+        q AS (SELECT * FROM mix WHERE len(toks) BETWEEN 20 AND 80
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+          AND NOT (doc_id % 29 = 0 AND doc_id < 500)),
+        bsh AS (SELECT DISTINCT unnest(${wordShinglesSql("toks", k)}) AS sh FROM t
+          WHERE doc_id % 29 = 0 AND doc_id < 500 AND len(toks) >= $k),
+        qsh AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh FROM q),
+        cont AS (SELECT DISTINCT doc_id FROM qsh WHERE sh IN (SELECT sh FROM bsh)),
+        dec AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        kx AS (SELECT md5(s) AS h, min(doc_id) AS keep_id FROM dec GROUP BY h),
+        kept AS (SELECT dec.* FROM dec JOIN kx ON dec.doc_id = kx.keep_id),
+        ${graft.dedup.Dedup.simhashSqlCteOver("kept")},
+        drp AS (SELECT DISTINCT b.doc_id FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+        fin AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+        SELECT source, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_tokens
+        FROM fin GROUP BY source ORDER BY source"""
+    },
+    (s, d) => {
+      val k = DecontaminationShingle
+      val docs = Tables.documents(s, d)
+      val thr = (pmod(h60(col("source")), lit(70)) + 10) * 100
+      val r = pmod(h60(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(10000))
+      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val toks = split(normText(col("text")), " ")
+      val quality = docs.filter(r < thr)
+        .select(col("doc_id"), col("source"), col("text"), toks.as("toks"))
+        .filter(size(col("toks")).between(20, 80) &&
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.3 &&
+          !isBench)
+      val benchSh = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(isBench && size(col("toks")) >= k)
+        .select(explode(wordShingles(col("toks"), k)).as("sh")).distinct()
+      val contaminated = quality
+        .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
+        .join(broadcast(benchSh), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val exact = graft.dedup.DedupApi.exactKeep(clean, "doc_id", "text")
+      val dropB = graft.dedup.DedupApi
+        .simhashPairs(exact, "doc_id", "text", maxHamming = 6, banded = true)
+        .select(col("doc_b").as("doc_id")).distinct()
+      exact.join(dropB, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).cast("long").as("sum_tokens"))
+        .orderBy(col("source"))
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    decontaminate, domainMix)
+    decontaminate, domainMix, ingestFull)
 }

@@ -109,6 +109,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus side must not be shuffle-sorted for the join")
   }
 
+  test("the composed ingest pipeline keeps its per-stage plan shapes") {
+    val p = plan("pipeline_ingest_full")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "decontamination must stay a broadcast semi-join inside the composition")
+    assert("LeftAnti".r.findAllIn(p).size >= 2,
+      "contaminated-doc and near-dup drops must stay anti-joins")
+  }
+
   test("q12 star join broadcasts its dimensions") {
     val p = plan("q12_join_multi")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,

@@ -462,9 +462,11 @@ object DedupApi {
     }
   }
 
-  private def normVecs(df: DataFrame, id: String, vec: String): DataFrame =
+  private def normVecs(df: DataFrame, id: String, vec: String): DataFrame = {
+    graft.functions.Dot.ensure(df.sparkSession)
     df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   /** Exact cosine near-dup pairs over a float-array embedding column
     * (deterministic left-to-right double fold). All-pairs — the
@@ -473,8 +475,7 @@ object DedupApi {
     val n = normVecs(df, id, vec)
     n.as("a").join(n.as("b"), col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)
-             / (a.nrm * b.nrm)""").as("c"))
+        expr("graft_dot(a.v, b.v) / (a.nrm * b.nrm)").as("c"))
       .filter(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }
@@ -503,8 +504,7 @@ object DedupApi {
       .join(n.hint("shuffle_hash").as("x"), col("id_a") === col(s"x.$id"))
       .join(n.hint("shuffle_hash").as("y"), col("id_b") === col(s"y.$id"))
       .select(col("id_a"), col("id_b"),
-        expr("""aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, t) -> acc + t)
-             / (x.nrm * y.nrm)""").as("c"))
+        expr("graft_dot(x.v, y.v) / (x.nrm * y.nrm)").as("c"))
       .filter(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }

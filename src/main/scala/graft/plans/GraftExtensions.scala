@@ -32,5 +32,6 @@ object GraftExtensions {
     graft.functions.VecSumDec.ensure(spark)
     graft.functions.SortedInter.ensure(spark)
     graft.functions.Winnow.ensure(spark)
+    graft.functions.Dot.ensure(spark)
   }
 }

@@ -18,14 +18,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * cell and bound candidates per probe.
   */
 object AnnApi {
-  private val dot =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dot = "graft_dot(a.v, b.v)"
 
   /** Normalized view: (id [, passthrough], v double[], nrm). */
-  def normalized(df: DataFrame, id: String, vec: String, passthrough: Seq[String] = Nil): DataFrame =
+  def normalized(df: DataFrame, id: String, vec: String, passthrough: Seq[String] = Nil): DataFrame = {
+    graft.functions.Dot.ensure(df.sparkSession)
     df.select((col(id) +: passthrough.map(col)) :+
         expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"): _*)
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   private def rerank(pairs: DataFrame, id: String, k: Int): DataFrame =
     pairs
@@ -105,12 +106,11 @@ object AnnApi {
         .agg(call_function("graft_vecsum_dec", col("p.v")).as("sv"))
         .select(col("cell"), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
         .withColumn("cn",
-          expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+          expr("sqrt(graft_dot(cm, cm))"))
       val target = if (it == iters) n else train
       assign = target.crossJoin(broadcast(centArr))
         .select(col(id), col("cell"),
-          (expr("aggregate(zip_with(v, cm, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-            / (col("nrm") * col("cn"))).as("c"))
+          (expr("graft_dot(v, cm)") / (col("nrm") * col("cn"))).as("c"))
         // hash-aggregate argmax: max of (c, -cell) = best cosine,
         // smallest cell on ties — no window sort over the corpus
         .groupBy(col(id))
@@ -143,12 +143,12 @@ object AnnApi {
       .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
       .select(col(cell), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
       .withColumn("cn",
-        expr("sqrt(aggregate(transform(cm, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+        expr("sqrt(graft_dot(cm, cm))"))
     val topCells = n.join(probeIds, Seq(id), "left_semi")
       .select(col(id).as("id_p"), col("v"), col("nrm"))
       .crossJoin(broadcast(centArr.select(col(cell).as("cl"), col("cm"), col("cn"))))
       .select(col("id_p"), col("cl"), col("nrm"), col("cn"), expr(
-        "aggregate(zip_with(v, cm, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("dt"))
+        "graft_dot(v, cm)").as("dt"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("id_p"))
           .orderBy((col("dt") / (col("nrm") * col("cn"))).desc, col("cl"))))

@@ -37,17 +37,18 @@ object Similarity {
   private val signs: IndexedSeq[IndexedSeq[Int]] =
     (0 until Planes).map(p => (0 until Dim).map(i => sign(p, i)))
 
-  private def normDf(s: SparkSession, d: String): DataFrame =
+  private def normDf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Dot.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   private val normSqlCte =
     """vx AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        nx AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx)"""
 
-  private val dotSpark =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dotSpark = "graft_dot(a.v, b.v)"
   private val dotSql =
     "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
 
@@ -80,8 +81,7 @@ object Similarity {
     val bits = (0 until PlanesPerTable).map { b =>
       val p = table * PlanesPerTable + b
       val signArr = signs(p).map(s => s"CAST($s AS DOUBLE)").mkString("array(", ", ", ")")
-      s"""IF(aggregate(zip_with($signArr, v, (sg, x) -> sg * x),
-           CAST(0 AS DOUBLE), (acc, t) -> acc + t) > CAST(0 AS DOUBLE),
+      s"""IF(graft_dot($signArr, v) > CAST(0 AS DOUBLE),
            shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"""
     }
     bits.mkString(" + ")

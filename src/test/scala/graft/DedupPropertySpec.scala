@@ -93,6 +93,45 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_dot is bit-identical to the zip_with/aggregate fold") {
+    import spark.implicits._
+    functions.Dot.ensure(spark)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2e3 - 1e3),
+        Array.fill(64)(rnd.nextDouble() * 2e-3 - 1e-3))
+    }
+    val out = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        expr("graft_dot(a, b)").as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("slow"),
+        expr("graft_dot(a, a)").as("fastn"),
+        expr("aggregate(transform(a, x -> x * x), CAST(0 AS DOUBLE), (p, q) -> p + q)").as("slown"))
+      .collect()
+    out.foreach { r =>
+      // bit-identical, not approximately equal: same left-to-right order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)} dot differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"id=${r.getLong(0)} norm differs")
+    }
+    // null semantics: ragged lengths and null elements both yield null,
+    // exactly as the composed fold does
+    val edge = Seq(
+      (0L, Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))),
+      (1L, Some(Seq(1.0, Double.NaN)), Some(Seq(1.0, 2.0))),
+      (2L, None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("id", "a", "b")
+      .select(col("id"), expr("graft_dot(a, b)").as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("slow"))
+      .collect()
+    edge.foreach { r =>
+      val (f, s) = (r.isNullAt(1), r.isNullAt(2))
+      assert(f == s, s"id=${r.getLong(0)}: null-ness differs")
+      if (!f) assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)} differs")
+    }
+  }
+
   test("native graft_winnow equals the composed window-minima form") {
     import spark.implicits._
     functions.Winnow.ensure(spark)

@@ -62,6 +62,20 @@ class PlanGuardSpec extends AnyFunSuite {
       "winnow must stay on the codegen WinnowExpr, not the composed transform/slice form")
   }
 
+  test("cosine hot paths run the native dot product, not interpreted lambda folds") {
+    for (q <- Seq("ann_brute_topk", "ann_lsh", "ann_ivf_kmeans",
+        "dedup_embed_cosine", "dedup_embed_cosine_lsh")) {
+      assert(plan(q).contains("graft_dot"), s"$q must stay on the native DotExpr")
+    }
+    // the centroid-mean zip_with (sv.sum/sv.cnt, k rows) is allowed; the
+    // per-row corpus dots must not fall back to interpreted folds
+    for (q <- Seq("ann_brute_topk", "ann_lsh", "dedup_embed_cosine",
+        "dedup_embed_cosine_lsh")) {
+      assert(!plan(q).contains("zip_with"),
+        s"$q must not fall back to the interpreted zip_with fold")
+    }
+  }
+
   test("pack_shards derives its group count without collecting or cartesians") {
     val p = plan("corpus_pack_shards")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -268,36 +268,48 @@ object Pipeline {
         SELECT source, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_tokens
         FROM fin GROUP BY source ORDER BY source"""
     },
-    (s, d) => {
-      val k = DecontaminationShingle
-      val docs = Tables.documents(s, d)
-      val thr = (pmod(h60(col("source")), lit(70)) + 10) * 100
-      val r = pmod(h60(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(10000))
-      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
-      val toks = split(normText(col("text")), " ")
-      val quality = docs.filter(r < thr)
-        .select(col("doc_id"), col("source"), col("text"), toks.as("toks"))
-        .filter(size(col("toks")).between(20, 80) &&
-          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.3 &&
-          !isBench)
-      val benchSh = docs
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(isBench && size(col("toks")) >= k)
-        .select(explode(wordShingles(col("toks"), k)).as("sh")).distinct()
-      val contaminated = quality
-        .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
-        .join(broadcast(benchSh), Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct()
-      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
-      val exact = graft.dedup.DedupApi.exactKeep(clean, "doc_id", "text")
-      val dropB = graft.dedup.DedupApi
-        .simhashPairs(exact, "doc_id", "text", maxHamming = 6, banded = true)
-        .select(col("doc_b").as("doc_id")).distinct()
-      exact.join(dropB, Seq("doc_id"), "left_anti")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).cast("long").as("sum_tokens"))
-        .orderBy(col("source"))
-    })
+    (s, d) => ingestFullManifest(Tables.documents(s, d)))
+
+  /** The [[ingestFull]] builder as a library API. The multiply-consumed
+    * stages persist via the implicit [[graft.CacheScope]] (the sibling
+    * pair-scan convention): `clean` feeds exactKeep's self-join twice,
+    * and `exact` feeds the signature build AND the final anti-join —
+    * without the persists the whole scan→quality→decontamination
+    * subtree would be re-evaluated up to 4× in one job (exchange reuse
+    * recovers shuffled stages, not the repeated corpus scans and
+    * per-row split/explode work). */
+  def ingestFullManifest(docs: org.apache.spark.sql.DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val k = DecontaminationShingle
+    val thr = (pmod(h60(col("source")), lit(70)) + 10) * 100
+    val r = pmod(h60(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(10000))
+    val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+    val toks = split(normText(col("text")), " ")
+    val quality = docs.filter(r < thr)
+      .select(col("doc_id"), col("source"), col("text"), toks.as("toks"))
+      .filter(size(col("toks")).between(20, 80) &&
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.3 &&
+        !isBench)
+    val benchSh = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(isBench && size(col("toks")) >= k)
+      .select(explode(wordShingles(col("toks"), k)).as("sh")).distinct()
+    val contaminated = quality
+      .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      .transform(scope.persist)
+    val exact = graft.dedup.DedupApi.exactKeep(clean, "doc_id", "text")
+      .transform(scope.persist)
+    val dropB = graft.dedup.DedupApi
+      .simhashPairs(exact, "doc_id", "text", maxHamming = 6, banded = true)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exact.join(dropB, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).cast("long").as("sum_tokens"))
+      .orderBy(col("source"))
+  }
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
     decontaminate, domainMix, ingestFull)

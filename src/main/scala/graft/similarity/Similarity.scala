@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
 /** Similarity search over embedding columns (SURVEY.md §2.4):
   * brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane LSH (Charikar 2002) bucketed variant as the
-  * scale path. Vector math uses codegen'd higher-order array
-  * functions (`zip_with`/`aggregate`) — no UDFs, stays inside
-  * whole-stage codegen.
+  * scale path. Vector math is the native [[graft.functions.DotExpr]]
+  * (`graft_dot`) — no UDFs; Spark's higher-order array functions
+  * never enter whole-stage codegen, so the composed
+  * `zip_with`/`aggregate` folds they replace ran interpreted
+  * per element (bit-identity with them is property-tested).
   *
   * Scale: probes are broadcast (a probe set is small by definition);
   * the corpus is never shuffled for brute-force. For LSH, the only

@@ -253,9 +253,11 @@ object Streams {
     * column to `static_id`), the same refresh contract as
     * [[simhashComboKeyTable]]. The static side stays hash-partitioned
     * by fp; the stream side shuffles only its ~len·2/(w+1) fingerprint
-    * rows per doc. Emits one row per (stream doc, corpus doc) with the
-    * count of distinct shared fingerprints, deduped within the
-    * watermark. */
+    * rows per doc. Emits one `(stream_id, static_id)` FLAG per
+    * (stream doc, corpus doc) pair, however many spans they share,
+    * deduped within the watermark (streaming aggregations cannot
+    * countDistinct; span-volume accounting belongs to the batch
+    * `substringPairs` plane). */
   def repeatedSpanStream(docs: DataFrame, staticFps: DataFrame,
       id: String = "doc_id", tsCol: String = "ts",
       k: Int = graft.dedup.DedupApi.WinnowK,

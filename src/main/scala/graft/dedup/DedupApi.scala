@@ -149,6 +149,14 @@ object DedupApi {
     * probe side's prefix volume. Revisit only if a corpus shows the
     * candidate join dominating with heavy length variance.
     *
+    * A sort-free prefix build (hash-aggregate each doc's (gdf, gram)
+    * structs, per-row `array_sort` + slice, replacing the
+    * `row_number` window) was also evaluated and rejected: 4.6 s vs
+    * 3.7 s median in a 5-rep A/B at sf0.1 — the window's radix-sorted
+    * UnsafeExternalSorter beats collect_list buffering plus per-doc
+    * sorts, and it spills gracefully where aggregation buffers
+    * pressure memory.
+    *
     * The gram table `g` is the single persist here; its lifetime is
     * the caller's [[graft.CacheScope]] (release eagerly with
     * `CacheScope.withScope`; the harness clears per-query). Verify

@@ -67,6 +67,27 @@ class ApiSpec extends AnyFunSuite {
     assert(starved.count() == 0)
   }
 
+  test("substringPairs maxFpDocs drops boilerplate-only pairs, keeps rare-span pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = randText(40) // license-header stand-in: shared by ALL docs
+    val rare = randText(40)   // genuine repeated span: shared by docs 0 and 1 only
+    val docs = (0 until 12).map { i =>
+      val body = if (i <= 1) rare + randText(30) else randText(70)
+      (i.toLong, boiler + body)
+    }.toDF("doc_id", "text")
+    // uncapped: every doc pairs with every other through the boilerplate
+    val uncapped = dedup.DedupApi.substringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 12 * 11 / 2, s"boilerplate must pair all docs, got ${uncapped.size}")
+    // cap below the boilerplate fan-out: only the rare-span pair survives
+    val capped = dedup.DedupApi.substringPairs(docs, "doc_id", "text", maxFpDocs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)),
+      s"hot-fp pairs must drop while the rare span survives, got $capped")
+  }
+
   test("nearDupClusters labels every pair's endpoints with one component min-id") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val pairs = dedup.DedupApi.minhashPairs(docs, "doc_id", "text", threshold = 0.6)

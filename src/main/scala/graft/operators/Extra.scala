@@ -370,6 +370,43 @@ object Extra {
         .select(col("o_custkey"), col("o_orderkey"), col("mov_avg"))
     })
 
+  // --------------------------------------------------------------- q39
+  /** q13's exact percentiles via DISTRIBUTED SELECTION
+    * ([[ExactPercentiles]] — iterative 2^16-bucket range narrowing,
+    * no executor ever buffers a group's values) instead of the
+    * `percentile()` aggregate, whose per-group sorted buffer is the
+    * one documented scale ceiling of the q13 plan (3 groups at 100 TB
+    * = 3 reducers holding everything). Same oracle as q13: the
+    * selection is EXACT, so the two plans must agree to the last
+    * bit before rounding. */
+  val q39 = QueryDef(
+    "q39_percentiles_scalable",
+    Some("""SELECT l_returnflag,
+      round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_qty,
+      round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90_qty,
+      round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.CacheScope.withScope { implicit scope =>
+        val qty = ExactPercentiles.percentiles(
+          li.select(col("l_returnflag").as("g"), col("l_quantity").as("x")),
+          "g", "x", Seq(0.5, 0.9))
+        val price = ExactPercentiles.percentiles(
+          li.select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")),
+          "g", "x", Seq(0.99))
+        // pivot the tiny (g, p, value) results into the q13 row shape;
+        // materialization happens inside the scope via the checkpoints
+        qty.groupBy(col("g"))
+          .agg(round(max(when(col("p") === 0.5, col("value"))), 4).as("median_qty"),
+            round(max(when(col("p") === 0.9, col("value"))), 4).as("p90_qty"))
+          .join(price.select(col("g"), round(col("value"), 4).as("p99_price")), Seq("g"))
+          .select(col("g").as("l_returnflag"), col("median_qty"), col("p90_qty"), col("p99_price"))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

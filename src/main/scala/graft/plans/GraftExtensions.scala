@@ -33,5 +33,6 @@ object GraftExtensions {
     graft.functions.SortedInter.ensure(spark)
     graft.functions.Winnow.ensure(spark)
     graft.functions.Dot.ensure(spark)
+    graft.functions.DBits.ensure(spark)
   }
 }

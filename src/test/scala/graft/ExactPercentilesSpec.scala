@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scalable exact-selection percentiles must equal Spark's
+  * buffer-everything `percentile()` aggregate bit-for-bit — same order
+  * statistics, same interpolation — on adversarial multisets and at
+  * any partitioning. */
+class ExactPercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Ps = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
+
+  private def check(rows: Seq[(Long, java.lang.Double)], parts: Int): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("g", "x").repartition(parts)
+    val fast = CacheScope.withScope { implicit s =>
+      operators.ExactPercentiles.percentiles(df, "g", "x", Ps)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    }
+    val aggs = Ps.map(p => expr(s"percentile(x, $p)").as(s"p$p"))
+    val slow = df.filter(col("x").isNotNull).groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap(r => Ps.zipWithIndex.map { case (p, i) =>
+        (r.getLong(0), p) -> r.getDouble(i + 1) }).toMap
+    assert(fast.keySet == slow.keySet, s"${fast.keySet} vs ${slow.keySet}")
+    for ((k, v) <- slow)
+      assert(java.lang.Double.doubleToLongBits(fast(k)) == java.lang.Double.doubleToLongBits(v),
+        s"$k: exact-selection ${fast(k)} != percentile() $v")
+  }
+
+  test("matches percentile() on random multisets at any partitioning") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 4000).map { i =>
+      val g = (i % 3).toLong
+      // heavy duplicates + negatives + wide magnitudes
+      val x = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(10).toDouble
+        case 1 => -rnd.nextInt(10).toDouble
+        case 2 => rnd.nextDouble() * 1e12
+        case _ => rnd.nextDouble() * 1e-12
+      }
+      (g, java.lang.Double.valueOf(x))
+    }
+    for (parts <- Seq(1, 7)) check(rows, parts)
+  }
+
+  test("edge groups: single value, all-equal values, nulls ignored, negative zero") {
+    val rows: Seq[(Long, java.lang.Double)] = Seq(
+      (0L, java.lang.Double.valueOf(42.0)),                 // single-value group
+      (1L, java.lang.Double.valueOf(7.0)), (1L, java.lang.Double.valueOf(7.0)),
+      (1L, java.lang.Double.valueOf(7.0)),                  // all equal
+      (2L, java.lang.Double.valueOf(-0.0)), (2L, java.lang.Double.valueOf(0.0)),
+      (2L, java.lang.Double.valueOf(1.5)), (2L, null),      // null ignored
+      (3L, java.lang.Double.valueOf(-1e300)), (3L, java.lang.Double.valueOf(1e300)),
+      (3L, java.lang.Double.valueOf(0.0)))                  // 2^63-scale span
+    check(rows, 3)
+  }
+
+  test("the q13 shape on lineitem matches percentile() exactly") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val fast = CacheScope.withScope { implicit s =>
+      operators.ExactPercentiles.percentiles(
+          li.select(col("l_returnflag").as("g"), col("l_quantity").as("x")), "g", "x", Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    }
+    val slow = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"), expr("percentile(l_quantity, 0.9)").as("p90"))
+      .collect().flatMap(r => Seq((r.getString(0), 0.5) -> r.getDouble(1),
+        (r.getString(0), 0.9) -> r.getDouble(2))).toMap
+    assert(fast == slow, s"$fast vs $slow")
+  }
+}

@@ -30,6 +30,29 @@ class ExactPercentilesSpec extends AnyFunSuite {
         s"$k: exact-selection ${fast(k)} != percentile() $v")
   }
 
+  test("graft_dbits is order-isomorphic to java.lang.Double.compare") {
+    // Double.compare is the ordering Spark's Percentile aggregate (and
+    // thus this selection) ranks by: −0.0 < +0.0 strictly, NaN largest.
+    // (SQL ORDER BY differs — it treats ±0.0 as equal.)
+    import spark.implicits._
+    functions.DBits.ensure(spark)
+    val rnd = new scala.util.Random(43)
+    val specials = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.NaN, 1e-300, -1e-300)
+    val xs = specials ++ (0 until 500).map(_ => rnd.nextDouble() * math.pow(10, rnd.nextInt(40) - 20) *
+      (if (rnd.nextBoolean()) 1 else -1))
+    val expected = xs.zipWithIndex
+      .sortBy { case (x, i) => (x, i) }(Ordering.Tuple2(Ordering.fromLessThan[Double](
+        (a, b) => java.lang.Double.compare(a, b) < 0), Ordering.Int))
+      .map(_._2.toLong)
+    val byBits = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+      .select(col("id"), functions.DBits.ordered(col("x")).as("s"))
+      .orderBy(col("s"), col("id")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byBits == expected, "dbits order must equal Double.compare order")
+  }
+
   test("matches percentile() on random multisets at any partitioning") {
     val rnd = new scala.util.Random(41)
     val rows = (0 until 4000).map { i =>

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -19,6 +20,15 @@ case class DBitsExpr(child: Expression) extends UnaryExpression {
   require(child != null)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dbits"
+
+  // the interpreted path casts to Double while codegen would silently
+  // widen ints (eval/codegen divergence) — gate at analysis instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dbits requires a double input, got ${other.catalogString} — " +
+        "cast explicitly, e.g. CAST(x AS DOUBLE)")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     DBitsExpr.ordered(input.asInstanceOf[Double])

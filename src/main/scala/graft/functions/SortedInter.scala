@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: intersection SIZE of two string arrays
@@ -29,6 +30,18 @@ case class SortedInterSizeExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_inter_size"
+
+  // the merge walk reads UTF8String element layouts — a non-string
+  // array would be read at garbage offsets, so fail at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_inter_size requires two array<string> inputs, got " +
+          s"${l.catalogString}, ${r.catalogString} — " +
+          "cast explicitly, e.g. transform(a, x -> CAST(x AS STRING))")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedInterSizeExpr.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: winnowed substring fingerprints
@@ -30,6 +31,15 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   require(k >= 2 && w >= 1, s"graft_winnow: need k >= 2, w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
+
+  // the kernel reads the child as UTF8String — gate at analysis rather
+  // than ClassCastException / janino failure at execution
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires a string input, got ${other.catalogString} — " +
+        "cast explicitly, e.g. CAST(s AS STRING)")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     WinnowExpr.fingerprints(input.asInstanceOf[UTF8String], k, w)

@@ -36,8 +36,10 @@ import org.apache.spark.sql.functions._
   * The full-table scans per pass read one pruned (group, value)
   * projection (persisted via the caller's [[graft.CacheScope]]), and
   * all selection state is (groups × ranks) rows — KBs. Interpolation
-  * matches `percentile_cont` / Spark `percentile`:
-  * `lo + (hi − lo) · (r − ⌊r⌋)` at rank `r = p·(n−1)`.
+  * matches Spark `percentile` BIT-FOR-BIT: the two-sided
+  * `(⌈r⌉ − r)·lo + (r − ⌊r⌋)·hi` at rank `r = p·(n−1)` — NOT the
+  * algebraically-equal `lo + (hi − lo)·(r − ⌊r⌋)`, which rounds
+  * differently when lo and hi are ulps apart.
   */
 object ExactPercentiles {
 
@@ -45,11 +47,14 @@ object ExactPercentiles {
   val MaxPasses = 5
 
   /** Exact interpolated percentiles of `value` per `group`: returns
-    * one row per (group, p) with column names (g, p, value). Nulls in
-    * `value` are ignored (as Spark `percentile` does); a group with
+    * one row per (group, DISTINCT p) with column names (g, p, value)
+    * — duplicate entries in `ps` are deduplicated (a duplicate p would
+    * otherwise duplicate output rows: state is keyed by (g, p)). Nulls
+    * in `value` are ignored (as Spark `percentile` does); a group with
     * zero non-null values yields no row. */
-  def percentiles(df: DataFrame, group: String, value: String, ps: Seq[Double])(
+  def percentiles(df: DataFrame, group: String, value: String, rawPs: Seq[Double])(
       implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
+    val ps = rawPs.distinct
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     graft.functions.DBits.ensure(df.sparkSession)
     val data = df
@@ -81,17 +86,33 @@ object ExactPercentiles {
     var resolved: DataFrame = ranks.limit(0)
       .select(col("g"), col("k"), lit(0.0).as("v")) // typed empty seed
 
-    for (_ <- 1 to MaxPasses) {
-      // bucket the in-range rows of every live target. The long→double
-      // casts are monotone, so the bucket function is a deterministic
-      // monotone partition of [lo, hi] even where 2^63-scale spans
-      // round; ranges re-tighten from exact long bmin/bmax below.
+    var pass = 0
+    var live = !state.isEmpty // tiny checkpointed frame — metadata-scale check
+    while (live && pass < MaxPasses) {
+      pass += 1
+      // bucket the in-range rows of every live target. Offsets inside
+      // [lo, hi] are computed in LONG arithmetic and cast ONCE — exact
+      // and monotone whenever hi − lo fits in a long. Casting s and lo
+      // to double SEPARATELY first would round each to ~512-long
+      // granularity at 2^62 magnitudes (where ordinary doubles like
+      // 0.3 live), permanently collapsing values a few dbits-ulps
+      // apart into one bucket: bmin != bmax forever, no narrowing.
+      // Only a full-domain span can overflow the long difference
+      // (|hi − lo| ≥ 2^63 when the range straddles far negatives and
+      // positives — first pass only; bucket width is then ≥ 2^47, so
+      // every later span fits easily); there, fall back to the
+      // separately-cast form, which is monotone — coarse is fine:
+      // ranges re-tighten from exact per-bucket long bmin/bmax.
       val ranged = data.join(broadcast(state), Seq("g"))
         .filter(col("s") >= col("lo") && col("s") <= col("hi"))
-      val widthD = col("hi").cast("double") - col("lo").cast("double")
+      val smallSpan = col("hi").cast("double") - col("lo").cast("double") < lit(math.pow(2, 62))
+      val widthD = when(smallSpan, (col("hi") - col("lo")).cast("double"))
+        .otherwise(col("hi").cast("double") - col("lo").cast("double"))
       val step = greatest(lit(1.0), widthD / Buckets)
+      val offD = when(smallSpan, (col("s") - col("lo")).cast("double"))
+        .otherwise(col("s").cast("double") - col("lo").cast("double"))
       val b = least(lit(Buckets - 1), greatest(lit(0),
-        floor((col("s").cast("double") - col("lo").cast("double")) / step).cast("int")))
+        floor(offD / step).cast("int")))
       val hist = ranged
         .groupBy(col("g"), col("k"), b.as("b"))
         .agg(count(lit(1)).as("c"), min(col("s")).as("bmin"), max(col("s")).as("bmax"),
@@ -109,25 +130,30 @@ object ExactPercentiles {
       resolved = resolved.union(done)
       state = sel.filter(col("lo") =!= col("hi"))
         .select(col("g"), col("k"), col("lo"), col("hi"), col("rem"))
+      // early-exit: once every (group, rank) resolves (typically pass
+      // 2–3), stop scheduling scans — `state` filters the pass's tiny
+      // checkpointed `sel`, so the emptiness check costs ~nothing
+      live = !state.isEmpty
     }
     // MaxPasses of 2^16 narrowing pin any 64-bit pattern; a live row
     // here means the invariant broke — fail loudly, never silently
-    val leftover = state.limit(1).count()
-    if (leftover != 0) throw new IllegalStateException(
+    if (live) throw new IllegalStateException(
       s"ExactPercentiles did not resolve within $MaxPasses passes")
 
-    // interpolate: value = xlo + (xhi − xlo)·(r − ⌊r⌋), Spark's
-    // Percentile/percentile_cont formula
+    // interpolate with Spark Percentile's EXACT expression
+    // `(⌈r⌉ − r)·xlo + (r − ⌊r⌋)·xhi` — the algebraically-equal
+    // `xlo + (xhi − xlo)·frac` rounds differently when xlo/xhi are
+    // ulps apart (e.g. {−0.30000000000000004, −0.3} at p=0.9)
     targets
       .withColumn("kf", floor(col("r")).cast("long"))
       .withColumn("kc", ceil(col("r")).cast("long"))
       .join(resolved.toDF("g", "kf", "xlo"), Seq("g", "kf"))
       .join(resolved.toDF("g", "kc", "xhi"), Seq("g", "kc"))
       // integral rank returns the order statistic ITSELF (as Spark's
-      // Percentile does) — `xlo + 0.0·Δ` would turn −0.0 into +0.0
+      // Percentile does) — interpolating would turn −0.0 into +0.0
       .select(col("g"), col("p"),
         when(col("kf") === col("kc"), col("xlo"))
-          .otherwise(col("xlo") + (col("xhi") - col("xlo")) * (col("r") - floor(col("r"))))
+          .otherwise((col("kc") - col("r")) * col("xlo") + (col("r") - col("kf")) * col("xhi"))
           .as("value"))
   }
 }

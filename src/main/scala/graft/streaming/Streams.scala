@@ -259,7 +259,7 @@ object Streams {
     * countDistinct; span-volume accounting belongs to the batch
     * `substringPairs` plane). */
   def repeatedSpanStream(docs: DataFrame, staticFps: DataFrame,
-      id: String = "doc_id", tsCol: String = "ts",
+      id: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
       k: Int = graft.dedup.DedupApi.WinnowK,
       w: Int = graft.dedup.DedupApi.WinnowW,
       watermarkDelay: String = "10 minutes"): DataFrame = {
@@ -267,7 +267,7 @@ object Streams {
       s"staticFps must be (static_id, fp) — got ${staticFps.columns.mkString(", ")}")
     graft.dedup.DedupApi.winnowFingerprints(
         docs.withWatermark(tsCol, watermarkDelay),
-        id, "text", k, w, passthrough = Seq(tsCol))
+        id, textCol, k, w, passthrough = Seq(tsCol))
       .join(staticFps, Seq("fp"))
       .filter(col("static_id") =!= col(id))
       .select(col(id).as("stream_id"), col("static_id"), col(tsCol))

@@ -93,6 +93,34 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-typed inputs to the r4 native expressions fail analysis with a cast hint") {
+    // graft_sorted_inter_size reads UTF8String element layouts and
+    // graft_winnow reads the child as UTF8String — on wrong types they
+    // must fail ANALYSIS (like graft_dot/graft_vecsum_dec), not read
+    // garbage offsets or throw ClassCastException mid-query.
+    import spark.implicits._
+    functions.SortedInter.ensure(spark)
+    functions.Winnow.ensure(spark)
+    functions.DBits.ensure(spark)
+    val df = Seq((Array(1L, 2L), 1.5, "abc", 7)).toDF("la", "d", "s", "i")
+    val cases = Seq(
+      ("graft_sorted_inter_size(la, la)", "array<string>"),
+      ("graft_winnow(i, 3, 2)", "string"),
+      ("graft_dbits(i)", "double"))
+    for ((sql, hint) <- cases) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(sql)).collect()
+      }
+      assert(e.getMessage.contains(hint), s"$sql: ${e.getMessage}")
+    }
+    // correct types still pass through each gate
+    assert(df.select(expr("graft_sorted_inter_size(array('a','b'), array('b','c'))"))
+      .collect()(0).getInt(0) == 1)
+    assert(df.select(expr("graft_winnow(s, 2, 2)")).collect()(0).getSeq[Long](0).nonEmpty)
+    assert(df.select(expr("graft_dbits(d)")).collect()(0).getLong(0) ==
+      java.lang.Double.doubleToLongBits(1.5))
+  }
+
   test("native graft_dot is bit-identical to the zip_with/aggregate fold") {
     import spark.implicits._
     functions.Dot.ensure(spark)

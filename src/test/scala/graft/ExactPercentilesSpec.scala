@@ -81,6 +81,33 @@ class ExactPercentilesSpec extends AnyFunSuite {
     check(rows, 3)
   }
 
+  test("values 1 ulp apart straddling a rank narrow to distinct buckets") {
+    // Regression: 0.3 vs 0.1+0.2 differ by one dbits ulp at ~2^62
+    // magnitude, where a SEPARATELY double-cast (s − lo) rounds to
+    // ~512-long granularity — the old bucket index collapsed them into
+    // one bucket forever (bmin != bmax, no narrowing) and threw after
+    // MaxPasses. The long-arithmetic offset keeps them apart.
+    assert(0.3 != 0.1 + 0.2) // the premise: genuinely distinct doubles
+    val rows: Seq[(Long, java.lang.Double)] = Seq(
+      (0L, java.lang.Double.valueOf(0.3)), (0L, java.lang.Double.valueOf(0.1 + 0.2)),
+      // same trap on negatives (dbits maps them to far-negative longs)
+      (1L, java.lang.Double.valueOf(-0.3)), (1L, java.lang.Double.valueOf(-(0.1 + 0.2))),
+      // adjacent-ulp pair around a third value, ranks on both sides
+      (2L, java.lang.Double.valueOf(1.0)),
+      (2L, java.lang.Double.valueOf(math.nextUp(1.0))),
+      (2L, java.lang.Double.valueOf(math.nextDown(1.0))))
+    check(rows, 2)
+  }
+
+  test("duplicate ps entries are deduplicated, not duplicated in the output") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0)).toDF("g", "x")
+    val out = CacheScope.withScope { implicit s =>
+      operators.ExactPercentiles.percentiles(df, "g", "x", Seq(0.5, 0.5, 1.0)).collect()
+    }
+    assert(out.length == 2, s"expected one row per distinct p, got ${out.toSeq}")
+  }
+
   test("the q13 shape on lineitem matches percentile() exactly") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val fast = CacheScope.withScope { implicit s =>

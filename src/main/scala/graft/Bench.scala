@@ -41,6 +41,15 @@ object Bench {
     "corpus_decontaminate",
     "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")
 
+  /** 1-minute system load average, or -1 where the JMX bean refuses
+    * (it never does on Linux). Sampled once per rep sweep: the r4
+    * driver host showed noisy-neighbor spikes (one rep 3x slow at
+    * load-avg 21 with zero in-container CPU) — publishing the ambient
+    * load per rep makes polluted reps machine-detectable instead of a
+    * forensic exercise against `spread`. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +68,9 @@ object Bench {
     // ... so an ambient-load spike overlaps at most one rep per query
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; name <- names) {
+    val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 1 to reps; name <- names) {
+      if (repLoads.size < rep) repLoads += loadAvg() // once per rep sweep
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -93,8 +104,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, ts) if ts.size != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

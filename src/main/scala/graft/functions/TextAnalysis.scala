@@ -133,12 +133,21 @@ object TextAnalysis {
     * exact dedup but poison training data — the standard cheap
     * corpus-level quality gate between exact and near dedup.
     *
-    * Scale shape: one explode of distinct shingles per doc, one
-    * groupBy(shingle) document-frequency aggregate (map-side partial
-    * combine), join back on the SAME shingle key (exchange reuse —
-    * the shingle volume is shuffled once), then a per-doc aggregate.
-    * No pair scan: cost is linear in corpus shingle volume at any
-    * corpus size. */
+    * Scale shape: NO shingle-keyed join anywhere — the r4 form joined
+    * the document-frequency table back on the shingle value, and a
+    * boilerplate shingle present in 10^6 docs is a hot join key (AQE
+    * skew-split mitigates; robust-by-construction is better). Since a
+    * doc's shingles are DISTINCT, `n_dup = n_shingles − n_uniq` where
+    * n_uniq counts the doc's corpus-UNIQUE shingles, and a df=1
+    * shingle's single owner is recoverable as `min(doc_id)` inside the
+    * same aggregate. So: one groupBy(shingle) with (count, min owner)
+    * — map-side partial combine caps any hot shingle at one row per
+    * map partition — filter df=1 (each surviving row names its owner),
+    * a doc-keyed count, and a doc-keyed left join against per-doc
+    * `size(shingles)` (one row per doc per side, balanced by
+    * construction). The skewed value never reaches a join. No pair
+    * scan: cost is linear in corpus shingle volume at any corpus
+    * size. */
   val DupShingleK = 5
 
   val dupNgramFraction = QueryDef(
@@ -157,17 +166,21 @@ object TextAnalysis {
     },
     (s, d) => {
       val k = DupShingleK
-      val sh = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= k)
-        .select(col("doc_id"), explode(Portable.wordShingles(col("toks"), k)).as("sh"))
-      // per-doc shingles are DISTINCT (wordShingles), so count = doc frequency
-      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      sh.join(df, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") > 1, 1L).otherwise(0L)).cast("long").as("n_dup"),
-          round(sum(when(col("df") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6).as("dup_fraction"))
+        .select(col("doc_id"), Portable.wordShingles(col("toks"), k).as("shs"))
+      // per-doc shingles are DISTINCT (wordShingles), so count = doc
+      // frequency, and a df=1 shingle's min(doc_id) IS its only owner
+      val uniq = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("df"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+      val nDup = col("n_shingles") - coalesce(col("n_uniq"), lit(0L))
+      base.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), nDup.cast("long").as("n_dup"),
+          round(nDup.cast("double") / col("n_shingles"), 6).as("dup_fraction"))
         .orderBy(col("doc_id"))
     })
 

@@ -32,6 +32,19 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-ngram-fraction joins only on doc_id, never on the skewable shingle value") {
+    // a boilerplate shingle in 10^6 docs must only ever hit a map-side-
+    // combinable aggregate; the r4 shape joined the DF table back on
+    // the shingle itself (a hot join key by construction)
+    val p = plan("text_dup_ngram_fraction")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty, "expected the doc-keyed left join")
+    for (j <- joins) {
+      assert(j.contains("doc_id"), s"join not doc-keyed: $j")
+      assert(!j.contains("[sh#") && !j.contains(" sh#"), s"join keyed on the shingle value: $j")
+    }
+  }
+
   test("corpus top-k plans TakeOrderedAndProject, not a global window") {
     assert(plan("text_top_tokens").contains("TakeOrderedAndProject"))
     assert(plan("text_top_bigrams").contains("TakeOrderedAndProject"))

@@ -450,23 +450,31 @@ object DedupApi {
         .transform(scope.persist)
       val keys = sigs.select(col("simhash"), explode(simhashComboKeys("simhash")).as("ck"))
         .select(col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
+      // verify BEFORE the pair dedup: bit_count is per-row cheap in the
+      // join's output pipeline, so the distinct's shuffle carries only
+      // true near-dup signature pairs instead of the full ~84·n²/2^20
+      // candidate volume (the r4 shape deduped first and verified after)
       val sigPairs = keys.as("a").join(keys.as("b"),
           col("a.c") === col("b.c") && col("a.k") === col("b.k") &&
           col("a.simhash") < col("b.simhash"))
-        .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= maxHamming)
-      val cross = sigPairs
+        .distinct()
+      // identical-signature groups ride the SAME two expansion joins as
+      // (sig, sig, hamming 0) self-rows — the id-order filter emits each
+      // intra-group pair exactly once — instead of the r4 shape's
+      // separate sim⋈sim self-join + union (one fewer join stage; the
+      // self-rows add only |distinct sigs| rows to the expansion input)
+      val allPairs = sigPairs.union(
+        sigs.select(col("simhash").as("sig_a"), col("simhash").as("sig_b"),
+          lit(0).as("hamming")))
+      allPairs
         .join(sim.hint("shuffle_hash").as("s1"), col("sig_a") === col("s1.simhash"))
         .join(sim.hint("shuffle_hash").as("s2"), col("sig_b") === col("s2.simhash"))
+        .filter(col("sig_a") =!= col("sig_b") || col(s"s1.$id") < col(s"s2.$id"))
         .select(least(col(s"s1.$id"), col(s"s2.$id")).as("doc_a"),
           greatest(col(s"s1.$id"), col(s"s2.$id")).as("doc_b"), col("hamming"))
-      val intra = sim.as("s1").join(sim.as("s2"),
-          col("s1.simhash") === col("s2.simhash") && col(s"s1.$id") < col(s"s2.$id"))
-        .select(col(s"s1.$id").as("doc_a"), col(s"s2.$id").as("doc_b"),
-          lit(0).as("hamming"))
-      cross.union(intra)
     }
   }
 

@@ -173,20 +173,39 @@ class StreamingDedupSpec extends AnyFunSuite {
 
     val in = Files.createTempDirectory("graft-span-in").toString
     streamDocs.coalesce(1).write.parquet(s"$in/b000")
+    // the refresh contract: the caller persists the fingerprint snapshot
+    // (recomputing winnows of the whole corpus per microbatch is the
+    // static-side anti-pattern the near-dup plane fixed in r4)
     val staticFps = dedup.DedupApi.winnowFingerprints(corpus, "doc_id", "text")
       .select(org.apache.spark.sql.functions.col("doc_id").as("static_id"),
         org.apache.spark.sql.functions.col("fp"))
-    val q = Streams.repeatedSpanStream(
-        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
-        staticFps)
-      .writeStream.format("memory").queryName("span_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("span_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(streamed == batchPairs,
-      s"stream span flags $streamed must equal batch pairs $batchPairs")
-    assert(spark.table("span_out").columns.toSeq == Seq("stream_id", "static_id"))
+      .cache()
+    staticFps.count()
+    try {
+      val q = Streams.repeatedSpanStream(
+          spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+          staticFps)
+        .writeStream.format("memory").queryName("span_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("span_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs,
+        s"stream span flags $streamed must equal batch pairs $batchPairs")
+      assert(spark.table("span_out").columns.toSeq == Seq("stream_id", "static_id"))
+      // executed-microbatch plan shape: the stream side fingerprints
+      // through the NATIVE winnow expression (shared with the batch
+      // plane) and the static side reads the persisted snapshot, not a
+      // per-batch recompute; candidates join on fp, never cartesian
+      val sw = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(sw))(q.explain())
+      val p = sw.toString
+      assert(p.contains("graft_winnow"), "stream side must fingerprint natively:\n" + p)
+      assert(p.contains("InMemoryTableScan"),
+        "microbatch plan must read the static fingerprints from cache:\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "span candidates must join on fp:\n" + p)
+    } finally staticFps.unpersist()
   }
 
   test("partitioned write prunes partitions on read") {

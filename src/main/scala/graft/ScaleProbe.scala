@@ -55,7 +55,12 @@ object ScaleProbe {
       ("dedup_clusters", d => dedup.Dedup.clusters.build(spark, d)),
       ("corpus_pack_shards", d => functions.Pipeline.packShards.build(spark, d)),
       ("ann_ivf_kmeans", d => similarity.Similarity.ivfKmeans.build(spark, d)),
-      ("text_quality", d => functions.TextAnalysis.quality.build(spark, d)))
+      ("text_quality", d => functions.TextAnalysis.quality.build(spark, d)),
+      // the round-4 operators
+      ("dedup_substring", d => dedup.Dedup.substring.build(spark, d)),
+      ("text_dup_ngram_fraction", d => functions.TextAnalysis.dupNgramFraction.build(spark, d)),
+      ("pipeline_ingest_full", d => functions.Pipeline.ingestFull.build(spark, d)),
+      ("q39_percentiles_scalable", d => operators.Extra.q39.build(spark, d)))
     probes.foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -184,6 +184,75 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
+  // -------------------------------------------------------- PII scrub
+  /** PII detection + redaction (the CCNet / RefinedWeb ingest stage:
+    * scrub emails, phone numbers, IP addresses before training). Pure
+    * per-row regex work — zero shuffle, fully codegen'd, linear in
+    * corpus bytes at any scale.
+    *
+    * The synthetic documents contain no digits at all, so the query
+    * PLANTS deterministic PII derived from doc_id into every third doc
+    * — both engines apply the identical planting expression to the
+    * same table, then the gate proves detection counts AND the
+    * scrubbed text agree byte-for-byte (md5). Same recipe as the
+    * audio gate's synthesized waveforms: the kernel is real, the
+    * fixture is constructed.
+    *
+    * Regex portability (Java on the Spark side, RE2 in DuckDB): the
+    * patterns use only character classes, bounded repetition, and \\b
+    * word boundaries — identical semantics in both engines (Java \\d
+    * is ASCII-only by default, matching RE2). Scrub order matters:
+    * emails first (their domains contain dots), then IPs, then
+    * phones. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact the three PII classes from a string column (emails →
+    * `<EMAIL>`, then IPs → `<IP>`, then phones → `<PHONE>`) — the
+    * library surface; the gated query below md5s this output. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  val piiScrub = QueryDef(
+    "text_pii_scrub",
+    Some {
+      val plant = s"""CASE WHEN doc_id % 3 = 0 THEN concat(text,
+          ' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or call 555-',
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+          ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST((doc_id * 7) % 256 AS VARCHAR))
+        ELSE text END"""
+      s"""WITH p AS (SELECT doc_id, $plant AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+        FROM p ORDER BY doc_id"""
+    },
+    (s, d) => {
+      val plant = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), plant.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+          regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phone"),
+          md5(scrubPii(col("t"))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    })
+
   // -------------------------------------------------------- histogram
   /** Token-length histogram (capped decile buckets) — the corpus-shape
     * summary every ingest pipeline reports. Single shuffle on ≤10 keys. */
@@ -200,5 +269,5 @@ object TextAnalysis {
       .orderBy(col("bucket")))
 
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
-    dupNgramFraction, lengthHistogram)
+    dupNgramFraction, lengthHistogram, piiScrub)
 }

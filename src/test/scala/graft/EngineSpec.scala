@@ -102,4 +102,26 @@ class EngineSpec extends AnyFunSuite {
     assert(cells.count() == Tables.embeddings(spark, d).count())
     assert(cells.select("cell").distinct().count() > 1)
   }
+
+  test("PII scrub redacts adversarial mixes and leaves clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // multiple PII classes in one line, adjacent punctuation
+      ("Mail a.b+c@x-y.co.uk, host 192.168.0.1, call 555-1234 now.",
+        "Mail <EMAIL>, host <IP>, call <PHONE> now."),
+      // IP digits must not be re-eaten by the phone pattern and
+      // version strings (two dots) must not match the IP pattern
+      ("v1.2.3 then 10.0.0.255 then 555-0000", "v1.2.3 then <IP> then <PHONE>"),
+      // email scrubs before its dotted domain can look like anything else
+      ("x@a.bc and x@a.b is not an email (1-char TLD)", "<EMAIL> and x@a.b is not an email (1-char TLD)"),
+      // word boundaries: digits embedded in longer runs don't match
+      ("order 1234-56789 is not a phone; 1.2.3.4.5 has no clean boundary", // 1.2.3.4 still matches inside
+        "order 1234-56789 is not a phone; <IP>.5 has no clean boundary"),
+      ("no pii here at all", "no pii here at all"))
+    val got = cases.map(_._1).toDF("t")
+      .select(functions.TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"\n$got\nvs\n${cases.map(_._2)}")
+  }
 }

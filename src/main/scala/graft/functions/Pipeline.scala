@@ -137,6 +137,55 @@ object Pipeline {
         .orderBy(col("lang"), col("rk"))
     })
 
+  // --------------------------------------------------------- chunking
+  /** Fixed-window document chunking with overlap — the standard
+    * precursor to context-window packing (RAG indexing, long-doc
+    * training prep): each doc's whitespace tokens split into
+    * [[ChunkTokens]]-token windows advancing by [[ChunkStride]]
+    * (overlap = tokens − stride), last window truncated at the doc
+    * end. Chunk count per doc is EXACT integer arithmetic
+    * (`(max(0, n − C) + S − 1) div S + 1`) so both engines and any
+    * partitioning agree with no float rounding.
+    *
+    * Scale shape: pure per-row fan-out (one `explode` of a computed
+    * index range — ~n/S chunk rows per doc), zero shuffle (the ORDER
+    * BY exists only for oracle determinism); chunks emit md5, not
+    * text, so output volume stays bounded. Works at any corpus size
+    * because nothing is global — no ids across docs, no windows
+    * across partitions (global sequence ids are [[packShards]]'
+    * job). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  val chunk = QueryDef(
+    "corpus_chunk",
+    Some {
+      val (c, s) = (ChunkTokens, ChunkStride)
+      s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        x AS (SELECT doc_id, toks, n,
+            unnest(range(0, (greatest(n - $c, 0) + ${s - 1}) // $s + 1)) AS i
+          FROM n)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          CAST(i * $s + 1 AS BIGINT) AS start_tok,
+          CAST(least($c, n - i * $s) AS BIGINT) AS n_tokens,
+          md5(array_to_string(list_slice(toks, i * $s + 1, least(i * $s + $c, n)), ' ')) AS chunk_md5
+        FROM x ORDER BY doc_id, chunk_id"""
+    },
+    (sp, d) => {
+      val (c, s) = (ChunkTokens, ChunkStride)
+      Tables.documents(sp, d)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), expr(s"(greatest(n - $c, 0) + ${s - 1}) div $s"))).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+          (col("i") * s + 1).cast("long").as("start_tok"),
+          least(lit(c), col("n") - col("i") * s).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("i") * s + 1, lit(c)))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    })
+
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
     * flag training documents that share any word n-gram with a
     * held-out benchmark set, so eval data never leaks into training.
@@ -312,5 +361,5 @@ object Pipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    decontaminate, domainMix, ingestFull)
+    chunk, decontaminate, domainMix, ingestFull)
 }

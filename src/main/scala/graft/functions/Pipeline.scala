@@ -230,6 +230,70 @@ object Pipeline {
         .orderBy(col("doc_id"))
     })
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s answer by
+    * a different physical route, for when the benchmark shingle set
+    * outgrows a raw broadcast (real eval suites reach GBs of distinct
+    * shingle strings against a 100 TB corpus):
+    *
+    *  1. build ONE Bloom blob over the benchmark shingles' h60 keys
+    *     with the native `graft_bloom_agg` (executor-side, fixed-size
+    *     partials — never driver-collected),
+    *  2. broadcast the one-row blob and prefilter corpus shingles
+    *     map-side with the codegen `graft_bloom_contains` — a Bloom at
+    *     [[BloomBitsPerKey]] bits/key is 10–50× smaller than the UTF-8
+    *     shingle set, and this is the ONLY pass over corpus volume,
+    *  3. exact-verify the tiny surviving fraction against the real
+    *     shingle set with a shuffled hash join (deliberately NOT
+    *     broadcast — the premise is that the raw set doesn't fit).
+    *
+    * Blooms have no false negatives, so prefilter→verify is exactly
+    * the exact join's answer (same oracle as [[decontaminate]]);
+    * false positives cost only verify-input rows, never correctness.
+    * Filter sizing is derived from the benchmark count at plan-build
+    * time via a metadata-scale pre-pass (one count over the bench
+    * slice — the same pattern as [[packShards]]' group-count
+    * pre-pass, except the count gates a literal, so it runs as a tiny
+    * separate job rather than a broadcast column). */
+  val BloomBitsPerKey = 10
+  val BloomHashes = 7 // ≈ ln 2 · bits/key — minimizes fpp at that budget
+
+  val decontaminateBloom = QueryDef(
+    "corpus_decontaminate_bloom",
+    Some {
+      val k = DecontaminationShingle
+      s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        shx AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh
+          FROM norm WHERE len(toks) >= $k),
+        bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
+        SELECT doc_id, count(DISTINCT sh) AS n_hits FROM shx
+        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND sh IN (SELECT sh FROM bench)
+        GROUP BY doc_id ORDER BY doc_id"""
+    },
+    (s, d) => {
+      graft.functions.Bloom.ensure(s)
+      val k = DecontaminationShingle
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
+      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val bench = sh.filter(isBench).select(col("sh")).distinct()
+      // metadata-scale sizing pre-pass: one count over the bench slice
+      val nBench = math.max(64L, bench.count())
+      val mBits = ((nBench * BloomBitsPerKey + 63) / 64) * 64
+      val blob = bench.select(h60(col("sh")).as("hk"))
+        .agg(expr(s"graft_bloom_agg(hk, ${mBits}L, $BloomHashes)").as("bloom"))
+      sh.filter(!isBench)
+        .withColumn("hk", h60(col("sh")))
+        .crossJoin(broadcast(blob))
+        .filter(expr("graft_bloom_contains(bloom, hk)"))
+        .drop("hk", "bloom")
+        .join(bench.hint("shuffle_hash"), Seq("sh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy(col("doc_id"))
+    })
+
   /** Domain mixing (the data-mixture step of a pretraining pipeline —
     * per-source sampling rates a la Pile/LLaMA mixtures): every doc is
     * kept iff a content-stable hash of (source, doc_id) falls under
@@ -361,5 +425,5 @@ object Pipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    chunk, decontaminate, domainMix, ingestFull)
+    chunk, decontaminate, decontaminateBloom, domainMix, ingestFull)
 }

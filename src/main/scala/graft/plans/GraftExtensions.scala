@@ -34,5 +34,6 @@ object GraftExtensions {
     graft.functions.Winnow.ensure(spark)
     graft.functions.Dot.ensure(spark)
     graft.functions.DBits.ensure(spark)
+    graft.functions.Bloom.ensure(spark)
   }
 }

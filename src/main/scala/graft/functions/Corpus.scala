@@ -90,6 +90,56 @@ object Corpus {
         .orderBy(col("rk"))
     })
 
+  /** Per-document top-5 TF-IDF terms (keyword extraction / RAG index
+    * metadata). The idf factor is the LOG-FREE ratio
+    * `(N + 1) / (df + 1)`: `ln` is correctly-rounded in neither JVM
+    * nor DuckDB (last-ulp divergence would break the hash gate), while
+    * IEEE division is exact-rounded in both — and since `ln` is
+    * monotone, the per-doc ranking is IDENTICAL to the textbook
+    * `tf·ln(idf)`; only the displayed score differs (documented
+    * contract, round(6) on output).
+    *
+    * Scale shape: three key-local shuffles, each on a shrinking
+    * domain — (doc, tok) partial-count, tok-keyed df aggregate over
+    * the already-collapsed tf table (vocabulary scale, not corpus
+    * scale), and the doc-keyed top-k window. The corpus-count N rides
+    * in as a broadcast one-row aggregate, never a driver action. The
+    * df join-back keys on tok: a stopword is a hot key, but its fan-in
+    * is the DISTINCT doc count, already collapsed by the tf aggregate
+    * (bounded by n_docs, no per-occurrence rows), and AQE skew-split
+    * covers the residual imbalance. */
+  val tfidfTopK = QueryDef(
+    "text_tfidf_topk",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n FROM documents),
+      s AS (SELECT doc_id, tok,
+          tf * ((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+        FROM tf JOIN idf USING (tok), n),
+      r AS (SELECT doc_id, tok, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
+      SELECT doc_id, rk, tok, round(score, 6) AS tfidf FROM r
+      WHERE rk <= 5 ORDER BY doc_id, rk"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(idf, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * ((col("n").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("tok"), round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    })
+
   /** The composed training-data pipeline: quality gate → exact dedup
     * (keep min id) → per-language corpus stats. One pass of narrow
     * ops + two hash shuffles (dedup hash, final group) — the shape of
@@ -119,5 +169,6 @@ object Corpus {
         .orderBy(col("lang"))
     })
 
-  val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, qualityDedupPipeline)
+  val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
+    qualityDedupPipeline)
 }

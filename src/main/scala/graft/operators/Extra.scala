@@ -407,6 +407,78 @@ object Extra {
       }
     })
 
+  // --------------------------------------------------------------- q40
+  /** Ordered multi-step funnel (view → click → purchase): per step,
+    * how many users completed steps 1..k IN ORDER — the greedy
+    * earliest-completion semantics (step k matches the FIRST step-k
+    * event strictly after the matched step-(k−1) event; greedy is
+    * optimal for funnels, so this equals "any valid ordered triple
+    * exists"). The oracle states it as chained min CTEs; the Spark
+    * plan is ONE shuffle: per-user sorted fold over the collected
+    * relevant events (`aggregate` over `sort_array(collect_list)`),
+    * the sessionize/q27 per-user-bounded-buffer precedent — three
+    * chained join-aggregates would shuffle the same key three times.
+    * Only funnel-relevant event types are collected (map-side filter),
+    * so per-user state is bounded by the user's funnel events, not
+    * their full event history. */
+  val FunnelSteps = Seq("view", "click", "purchase")
+
+  val q40 = QueryDef(
+    "q40_funnel",
+    Some {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = '$s1' GROUP BY user_id),
+        f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN f1 ON e.user_id = f1.user_id
+          WHERE e.event_type = '$s2' AND e.ts > f1.t1 GROUP BY e.user_id),
+        f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN f2 ON e.user_id = f2.user_id
+          WHERE e.event_type = '$s3' AND e.ts > f2.t2 GROUP BY e.user_id)
+        SELECT CAST(1 AS BIGINT) AS step, '$s1' AS event_type, count(*) AS n_users FROM f1
+        UNION ALL SELECT 2, '$s2', count(*) FROM f2
+        UNION ALL SELECT 3, '$s3', count(*) FROM f3
+        ORDER BY step"""
+    },
+    (s, d) => funnelCounts(Tables.events(s, d), FunnelSteps))
+
+  /** The [[q40]] builder as a library API: per-step completion counts
+    * for an arbitrary ordered step list over (user_id, ts, event_id,
+    * event_type) rows. See q40's scaladoc for the semantics and the
+    * one-shuffle plan shape. */
+  def funnelCounts(events: org.apache.spark.sql.DataFrame, steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnelCounts: at least one step")
+    val fields = steps.indices.map(i => s"t$i")
+    val init = fields.map(f => s"'$f', CAST(NULL AS TIMESTAMP)").mkString(", ")
+    def rebuilt(set: Int): String =
+      fields.zipWithIndex.map { case (f, i) =>
+        if (i == set) s"'$f', e.ts" else s"'$f', a.$f"
+      }.mkString(", ")
+    val cases = steps.zipWithIndex.map { case (step, i) =>
+      val prev = if (i == 0) "TRUE" else s"a.t${i - 1} IS NOT NULL"
+      val after = if (i == 0) "TRUE" else s"e.ts > a.t${i - 1}"
+      s"WHEN $prev AND a.t$i IS NULL AND e.et = '$step' AND $after THEN named_struct(${rebuilt(i)})"
+    }.mkString("\n          ")
+    val fold = s"""aggregate(evs, named_struct($init),
+        (a, e) -> CASE $cases ELSE a END)"""
+    val aggCols = fields.zipWithIndex.map { case (f, i) => count(col(s"f.$f")).as(s"n$i") }
+    val counts = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id").as("eid"), col("event_type").as("et")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(expr(fold).as("f"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    counts
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_users"))
+      .orderBy(col("step"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * shuffle rounds, no quadratic blowups outside the intentionally
   * quadratic pair scans).
   *
-  * Usage: runMain graft.ScaleProbe [factor=10] — writes nothing
+  * Usage: runMain graft.ScaleProbe [factor=10] [probe,probe,...]
+  * (second arg restricts to the named probes) — writes nothing
   * outside target/.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet) else None
     val spark = Sessions.local("32", logLevel = "ERROR")
 
     val base = "/root/testdata/sf0.1"
@@ -61,7 +64,7 @@ object ScaleProbe {
       ("text_dup_ngram_fraction", d => functions.TextAnalysis.dupNgramFraction.build(spark, d)),
       ("pipeline_ingest_full", d => functions.Pipeline.ingestFull.build(spark, d)),
       ("q39_percentiles_scalable", d => operators.Extra.q39.build(spark, d)))
-    probes.foreach { case (tag, b) =>
+    probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))
       println(f"$tag scaling ratio: ${tn / t1}%.1fx for ${factor}x data")

@@ -115,6 +115,28 @@ object Dedup {
         maxHamming = 6, banded = true)
       .orderBy(col("doc_a"), col("doc_b")))
 
+  /** Incremental ingest dedup: even doc_ids stand in for the existing
+    * corpus, odd for today's batch (production passes two real
+    * DataFrames). The oracle is the quadratic cross scan restricted to
+    * (existing, new) pairs — banding is lossless at hamming ≤ 6, so the
+    * asymmetric banded plan must reproduce it exactly. */
+  val incremental = QueryDef(
+    "dedup_incremental",
+    Some(s"""WITH $simhashSqlCte
+      SELECT a.doc_id AS doc_existing, b.doc_id AS doc_new,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ORDER BY doc_existing, doc_new"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupApi.simhashPairsIncremental(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", maxHamming = 6)
+        .orderBy(col("doc_existing"), col("doc_new"))
+    })
+
   // --------------------------------------------- n-gram Jaccard dedup
   /** Character-5-gram Jaccard near-dup at the standard 0.7
     * near-duplicate threshold, prefix-filtered within `source`
@@ -268,6 +290,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, ngramJaccard, substring, embedCosine,
+    simhash, simhashPairs, incremental, ngramJaccard, substring, embedCosine,
     embedCosineLsh, clusters, nearDedupPipeline)
 }

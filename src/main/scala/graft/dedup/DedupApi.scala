@@ -478,6 +478,43 @@ object DedupApi {
     }
   }
 
+  /** Incremental near-dedup: flag an incoming batch against an
+    * existing corpus WITHOUT re-pairing the corpus against itself —
+    * the daily-ingest shape at 100 TB. The existing side's
+    * distinct-signature combo keys are what a production deployment
+    * stores as its persistent near-dup index (batch-build cost paid
+    * once); each ingest then costs batch-keys × collision-rate, never
+    * |index|². Banding is the same exact C(9,3) pigeonhole as
+    * [[simhashPairs]] (lossless at hamming ≤ 6), but the asymmetric
+    * new×existing join needs no signature ordering, pair canonical-
+    * ization, or hamming-0 self-row handling: every (new, existing)
+    * combination — identical signatures included — is a cross pair by
+    * construction. Within-batch pairs are [[simhashPairs]] over the
+    * batch alone (batch-sized, not corpus-sized). Returns
+    * (doc_existing, doc_new, hamming). */
+  def simhashPairsIncremental(existing: DataFrame, incoming: DataFrame,
+      id: String, text: String, maxHamming: Int = 6)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    require(maxHamming <= 6,
+      s"simhashPairsIncremental: banding is exact only for maxHamming <= 6, got $maxHamming")
+    def keysOf(sim: DataFrame): DataFrame =
+      sim.select(col("simhash")).distinct()
+        .select(col("simhash"), explode(simhashComboKeys("simhash")).as("ck"))
+        .select(col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
+    val simOld = simhashSignatures(existing, id, text).transform(scope.persist)
+    val simNew = simhashSignatures(incoming, id, text).transform(scope.persist)
+    val sigPairs = keysOf(simNew).as("a").join(keysOf(simOld).as("b"),
+        col("a.c") === col("b.c") && col("a.k") === col("b.k"))
+      .select(col("a.simhash").as("sig_new"), col("b.simhash").as("sig_old"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    sigPairs
+      .join(simNew.hint("shuffle_hash").as("n"), col("sig_new") === col("n.simhash"))
+      .join(simOld.hint("shuffle_hash").as("o"), col("sig_old") === col("o.simhash"))
+      .select(col(s"o.$id").as("doc_existing"), col(s"n.$id").as("doc_new"), col("hamming"))
+  }
+
   private def normVecs(df: DataFrame, id: String, vec: String): DataFrame = {
     graft.functions.Dot.ensure(df.sparkSession)
     df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))

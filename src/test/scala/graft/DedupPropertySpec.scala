@@ -287,6 +287,26 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental banded pairs equal the quadratic cross scan (new x existing)") {
+    val docs = corpus(80, seed = 41)
+    val existing = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(2)) === 0)
+    val incoming = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(2)) === 1)
+    for (d <- Seq(0, 3, 6)) {
+      val inc = dedup.DedupApi.simhashPairsIncremental(existing, incoming, "doc_id", "text", maxHamming = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val so = dedup.DedupApi.simhashSignatures(existing, "doc_id", "text")
+      val sn = dedup.DedupApi.simhashSignatures(incoming, "doc_id", "text")
+      val quad = so.as("a").join(sn.as("b"),
+          org.apache.spark.sql.functions.expr("bit_count(a.simhash ^ b.simhash)") <= d)
+        .selectExpr("a.doc_id", "b.doc_id", "CAST(bit_count(a.simhash ^ b.simhash) AS INT)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(inc == quad, s"maxHamming $d: incremental ${inc.size} vs quadratic ${quad.size}")
+      if (d == 6) assert(quad.nonEmpty, "planted near-dups must yield cross pairs")
+    }
+  }
+
   test("k-means assignment is invariant to input partitioning") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val a = similarity.AnnApi.kmeansCells(emb.repartition(3), "vec_id", "embedding",

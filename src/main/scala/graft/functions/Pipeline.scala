@@ -270,29 +270,49 @@ object Pipeline {
         GROUP BY doc_id ORDER BY doc_id"""
     },
     (s, d) => {
-      graft.functions.Bloom.ensure(s)
       val k = DecontaminationShingle
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= k)
         .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
       val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
-      val bench = sh.filter(isBench).select(col("sh")).distinct()
-      // metadata-scale sizing pre-pass: one count over the bench slice
-      val nBench = math.max(64L, bench.count())
-      val mBits = ((nBench * BloomBitsPerKey + 63) / 64) * 64
-      val blob = bench.select(h60(col("sh")).as("hk"))
-        .agg(expr(s"graft_bloom_agg(hk, ${mBits}L, $BloomHashes)").as("bloom"))
-      sh.filter(!isBench)
-        .withColumn("hk", h60(col("sh")))
-        .crossJoin(broadcast(blob))
-        .filter(expr("graft_bloom_contains(bloom, hk)"))
-        .drop("hk", "bloom")
-        .join(bench.hint("shuffle_hash"), Seq("sh"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_hits"))
+      decontaminateBloomHits(sh.filter(!isBench), sh.filter(isBench).select(col("sh")).distinct())
         .orderBy(col("doc_id"))
     })
+
+  /** The [[decontaminateBloom]] core as a library API: flag corpus
+    * (doc_id, sh) shingle rows overlapping `bench` (a distinct shingle
+    * set too large to broadcast raw), returning per-doc distinct hit
+    * counts. The prefiltered survivor set persists via the implicit
+    * scope — deliberately: besides reuse, the persist is an optimizer
+    * barrier that PINS the prefilter below the verify join
+    * (`PushDownLeftSemiAntiJoin` otherwise rewrites
+    * prefilter-then-semi-join into semi-join-then-prefilter, shuffling
+    * the FULL corpus shingle stream into the verify join — the exact
+    * plan this operator exists to avoid; `PlanGuardSpec` pins the
+    * repaired shape). */
+  def decontaminateBloomHits(corpusSh: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val spark = corpusSh.sparkSession
+    graft.functions.Bloom.ensure(spark)
+    val benchP = bench.transform(scope.persist)
+    // metadata-scale sizing pre-pass: one count over the bench side
+    val nBench = math.max(64L, benchP.count())
+    val mBits = ((nBench * BloomBitsPerKey + 63) / 64) * 64
+    val blob = benchP.select(h60(col("sh")).as("hk"))
+      .agg(expr(s"graft_bloom_agg(hk, ${mBits}L, $BloomHashes)").as("bloom"))
+    val survivors = corpusSh
+      .withColumn("hk", h60(col("sh")))
+      .crossJoin(broadcast(blob))
+      .filter(expr("graft_bloom_contains(bloom, hk)"))
+      .drop("hk", "bloom")
+      .transform(scope.persist)
+    survivors
+      .join(benchP.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+  }
 
   /** Domain mixing (the data-mixture step of a pretraining pipeline —
     * per-source sampling rates a la Pile/LLaMA mixtures): every doc is

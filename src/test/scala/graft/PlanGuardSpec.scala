@@ -181,4 +181,48 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(gen >= 0 && agg > gen,
       "vec_centroids' explode must consume the aggregate result, not feed it")
   }
+
+  test("bloom decontamination pins the prefilter BELOW the verify semi-join") {
+    // PushDownLeftSemiAntiJoin rewrites prefilter-then-semi-join into
+    // semi-join-then-prefilter (shuffling the FULL corpus shingle
+    // stream into the verify join); the survivors persist is the
+    // optimizer barrier that prevents it — assert the semi-join's left
+    // input IS the cached survivor set and the bloom probe lives
+    // inside it
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("corpus_decontaminate_bloom")(spark, TestSpark.sfDir)
+    try {
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.size == 1, s"expected exactly the verify semi-join, got ${semis.size}")
+      val left = semis.head.left
+      assert(left.isInstanceOf[InMemoryRelation],
+        s"verify join must consume the persisted survivor set, got ${left.nodeName}")
+      assert(left.asInstanceOf[InMemoryRelation].cachedPlan.toString.contains("graft_bloom_contains"),
+        "the bloom prefilter must live inside the cached survivor plan")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("tfidf top-k runs the sort-free per-group strategy") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("TopKPerGroup"), "per-doc top-k must plan TopKPerGroupExec")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel is one user-keyed shuffle, no joins") {
+    val p = plan("q40_funnel")
+    assert(!p.contains("Join"), "the fold formulation must not plan the chained joins")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "exactly one user-keyed exchange")
+  }
+
+  test("incremental dedup plans hash joins only (no cartesian, no nested loop)") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), "incremental banding planned a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "incremental banding planned a nested-loop join")
+    spark.catalog.clearCache() // the sig tables persist via the untracked scope
+  }
 }

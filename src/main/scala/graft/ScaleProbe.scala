@@ -48,6 +48,7 @@ object ScaleProbe {
     }
     val probes: Seq[(String, String => DataFrame)] = Seq(
       ("q1_pricing_summary", d => operators.Relational.q1.build(spark, d)),
+      ("q13_percentiles", d => operators.Relational.q13.build(spark, d)),
       ("q7_window_rank", d => operators.Relational.q7.build(spark, d)),
       ("q17_sessionize", d => operators.Relational.q17.build(spark, d)),
       ("dedup_exact", d => dedup.Dedup.exact.build(spark, d)),

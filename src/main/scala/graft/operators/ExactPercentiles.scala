@@ -53,7 +53,15 @@ object ExactPercentiles {
     * in `value` are ignored (as Spark `percentile` does); a group with
     * zero non-null values yields no row. */
   def percentiles(df: DataFrame, group: String, value: String, rawPs: Seq[Double])(
-      implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
+      implicit scope: CacheScope = CacheScope.untracked): DataFrame =
+    percentilesCounted(df, group, value, rawPs)._1
+
+  /** [[percentiles]] plus the number of narrowing passes the selection
+    * actually ran — observability for the early-exit contract (specs
+    * assert low-cardinality domains resolve in ONE pass; see
+    * `ExactPercentilesSpec`). */
+  private[graft] def percentilesCounted(df: DataFrame, group: String, value: String, rawPs: Seq[Double])(
+      implicit scope: CacheScope = CacheScope.untracked): (DataFrame, Int) = {
     val ps = rawPs.distinct
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
     graft.functions.DBits.ensure(df.sparkSession)
@@ -144,7 +152,7 @@ object ExactPercentiles {
     // `(⌈r⌉ − r)·xlo + (r − ⌊r⌋)·xhi` — the algebraically-equal
     // `xlo + (xhi − xlo)·frac` rounds differently when xlo/xhi are
     // ulps apart (e.g. {−0.30000000000000004, −0.3} at p=0.9)
-    targets
+    val out = targets
       .withColumn("kf", floor(col("r")).cast("long"))
       .withColumn("kc", ceil(col("r")).cast("long"))
       .join(resolved.toDF("g", "kf", "xlo"), Seq("g", "kf"))
@@ -155,5 +163,6 @@ object ExactPercentiles {
         when(col("kf") === col("kc"), col("xlo"))
           .otherwise((col("kc") - col("r")) * col("xlo") + (col("r") - col("kf")) * col("xhi"))
           .as("value"))
+    (out, pass)
   }
 }

@@ -108,6 +108,34 @@ class ExactPercentilesSpec extends AnyFunSuite {
     assert(out.length == 2, s"expected one row per distinct p, got ${out.toSeq}")
   }
 
+  test("early exit: low-cardinality domains resolve in one pass, ulp traps in few") {
+    import spark.implicits._
+    // 50 distinct integer-valued doubles: in dbits space adjacent
+    // integers sit ~2^45+ apart while pass-1 buckets are span/2^16 —
+    // every distinct value gets its own bucket, so bmin == bmax
+    // resolves EVERY target on the first pass and the early exit must
+    // skip the remaining MaxPasses − 1 scans
+    val ints = (0 until 2000).map(i => ((i % 2).toLong, ((i * 7) % 50 + 1).toDouble)).toDF("g", "x")
+    val (outI, passesI) = CacheScope.withScope { implicit s =>
+      val (o, p) = operators.ExactPercentiles.percentilesCounted(ints, "g", "x", Ps)
+      (o.collect(), p)
+    }
+    assert(outI.nonEmpty)
+    assert(passesI == 1, s"integer domain must resolve in one pass, took $passesI")
+    // the ulp regression shape: initial bounds are the group's ACTUAL
+    // [min, max] — a 1-dbits-ulp span buckets exactly, so even this
+    // resolves on pass 1 (the r4 bug made it never resolve); assert it
+    // exits well under the ceiling either way
+    val ulps = Seq((0L, 0.3), (0L, 0.1 + 0.2)).toDF("g", "x")
+    val (outU, passesU) = CacheScope.withScope { implicit s =>
+      val (o, p) = operators.ExactPercentiles.percentilesCounted(ulps, "g", "x", Seq(0.5))
+      (o.collect(), p)
+    }
+    assert(outU.nonEmpty)
+    assert(passesU < operators.ExactPercentiles.MaxPasses,
+      s"ulp-apart pair must resolve early, took $passesU")
+  }
+
   test("the q13 shape on lineitem matches percentile() exactly") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val fast = CacheScope.withScope { implicit s =>

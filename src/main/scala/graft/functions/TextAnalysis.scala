@@ -155,25 +155,39 @@ object TextAnalysis {
     Some {
       val k = DupShingleK
       s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
-        sh AS (SELECT doc_id, unnest(${Portable.wordShinglesSql("toks", k)}) AS sh
+        sh AS (SELECT doc_id, unnest(list_transform(${Portable.wordShinglesSql("toks", k)},
+            s -> ${Portable.h60Sql("s")})) AS h
           FROM norm WHERE len(toks) >= $k),
-        df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        df AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
         SELECT s.doc_id, count(*) AS n_shingles,
           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
           round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
-        FROM sh s JOIN df d ON s.sh = d.sh
+        FROM sh s JOIN df d ON s.h = d.h
         GROUP BY s.doc_id ORDER BY s.doc_id"""
     },
     (s, d) => {
       val k = DupShingleK
+      // shingle build + hash is the native one-pass graft_word_shingles
+      // (no token array, no per-window interpreted lambda / concat_ws /
+      // hex round-trip — the same interpreted-lambda tax graft_ngrams
+      // removed from the Jaccard scan), and the corpus-wide aggregate
+      // then shuffles 8-byte longs instead of ~30-char shingle strings.
+      // Hashed counting is exact against the string oracle BY
+      // CONSTRUCTION: both engines md5 the same distinct strings, so a
+      // h60 collision merges the same two shingles on both sides.
+      // Evaluated-and-rejected: hashing via composed transform(...,
+      // h60) expressions measured 26.5 s vs the string form's 19.3 s
+      // at sf0.1 — interpreted md5/conv per window costs more than the
+      // exchange saves; only the native kernel wins both sides.
+      graft.functions.WordShingles.ensure(s)
       val base = Tables.documents(s, d)
-        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-        .filter(size(col("toks")) >= k)
-        .select(col("doc_id"), Portable.wordShingles(col("toks"), k).as("shs"))
+        .select(col("doc_id"), normText(col("text")).as("txt"))
+        .select(col("doc_id"), graft.functions.WordShingles.hashes(col("txt"), k).as("shs"))
+        .filter(size(col("shs")) > 0)
       // per-doc shingles are DISTINCT (wordShingles), so count = doc
       // frequency, and a df=1 shingle's min(doc_id) IS its only owner
-      val uniq = base.select(col("doc_id"), explode(col("shs")).as("sh"))
-        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("df"))
+      val uniq = base.select(col("doc_id"), explode(col("shs")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("df"))
         .filter(col("df") === 1)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
       val nDup = col("n_shingles") - coalesce(col("n_uniq"), lit(0L))

@@ -35,5 +35,6 @@ object GraftExtensions {
     graft.functions.Dot.ensure(spark)
     graft.functions.DBits.ensure(spark)
     graft.functions.Bloom.ensure(spark)
+    graft.functions.WordShingles.ensure(spark)
   }
 }

@@ -211,6 +211,34 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(pairs.contains((a, b)), s"planted pair ($a,$b) missing from $pairs")
   }
 
+  test("native graft_word_shingles equals the composed distinct/concat/h60 form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    functions.WordShingles.ensure(spark)
+    val rnd = new scala.util.Random(59)
+    // multibyte tokens + heavy repetition so dedup and UTF-8 offsets
+    // are both exercised
+    val vocab = Vector("alpha", "héllo", "日本語", "b", "wörd", "gamma", "δδ")
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val base = docs.select(col("id"), Portable.normText(col("text")).as("txt"))
+        .withColumn("toks", split(col("txt"), " "))
+      val composed = base
+        .select(col("id"), when(size(col("toks")) >= k,
+          sort_array(transform(Portable.wordShingles(col("toks"), k), s => Portable.h60(s))))
+          .otherwise(expr("array()").cast("array<bigint>")).as("shs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = base
+        .select(col("id"), functions.WordShingles.hashes(col("txt"), k).as("shs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == composed, s"k=$k mismatch")
+      assert(composed.values.exists(_.nonEmpty))
+    }
+  }
+
   test("native graft_simhash equals the composed per-bit aggregate form") {
     import spark.implicits._
     functions.Simhash.ensure(spark)

@@ -258,6 +258,66 @@ object Streams {
     * deduped within the watermark (streaming aggregations cannot
     * countDistinct; span-volume accounting belongs to the batch
     * `substringPairs` plane). */
+  /** Streaming benchmark decontamination — the ingest-time twin of
+    * `corpus_decontaminate_bloom`: incoming docs' word-shingle h60
+    * hashes (the native one-pass `graft_word_shingles`, shared with
+    * the batch plane) probe a broadcast Bloom blob MAP-SIDE, and only
+    * the surviving shingles hit the stream–static verify join against
+    * the exact benchmark hash set. A contaminated doc is flagged
+    * before it lands in the corpus; Blooms have no false negatives,
+    * so the prefilter never drops a true hit, and false positives
+    * cost only verify-join input.
+    *
+    * `benchHashes` is the `(hk)` DISTINCT h60 table of benchmark
+    * shingles and `bloomBlob` the ONE-ROW `(bloom)` table built from
+    * it (build both with [[benchBloomTables]]; persist + refresh on
+    * benchmark change — the [[simhashComboKeyTable]] contract). Emits
+    * one `(stream_id)` flag per contaminated doc, deduped within the
+    * watermark. */
+  def decontaminateStream(docs: DataFrame, benchHashes: DataFrame, bloomBlob: DataFrame,
+      id: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
+      k: Int = graft.functions.Pipeline.DecontaminationShingle,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(benchHashes.columns.toSet == Set("hk"),
+      s"benchHashes must be (hk) — got ${benchHashes.columns.mkString(", ")}")
+    require(bloomBlob.columns.toSet == Set("bloom"),
+      s"bloomBlob must be (bloom) — got ${bloomBlob.columns.mkString(", ")}")
+    val spark = docs.sparkSession
+    graft.functions.WordShingles.ensure(spark)
+    graft.functions.Bloom.ensure(spark)
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(id), col(tsCol),
+        explode(graft.functions.WordShingles.hashes(
+          graft.Portable.normText(col(textCol)), k)).as("hk"))
+      .join(broadcast(bloomBlob)) // one-row cross join — the blob broadcast
+      .filter(expr("graft_bloom_contains(bloom, hk)"))
+      .drop("bloom")
+      .join(benchHashes, Seq("hk"), "left_semi") // exact verify, stream–static
+      .select(col(id).as("stream_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark("stream_id")
+      .drop(tsCol)
+  }
+
+  /** Build the two static tables [[decontaminateStream]] consumes from
+    * a benchmark document table: the distinct shingle-hash set and the
+    * one-row Bloom blob sized at build time from its count. The caller
+    * persists both (refresh contract). */
+  def benchBloomTables(bench: DataFrame, text: String = "text",
+      k: Int = graft.functions.Pipeline.DecontaminationShingle): (DataFrame, DataFrame) = {
+    val spark = bench.sparkSession
+    graft.functions.WordShingles.ensure(spark)
+    graft.functions.Bloom.ensure(spark)
+    val hashes = bench
+      .select(explode(graft.functions.WordShingles.hashes(
+        graft.Portable.normText(col(text)), k)).as("hk"))
+      .distinct()
+    val n = math.max(64L, hashes.count())
+    val mBits = ((n * graft.functions.Pipeline.BloomBitsPerKey + 63) / 64) * 64
+    val blob = hashes.agg(
+      expr(s"graft_bloom_agg(hk, ${mBits}L, ${graft.functions.Pipeline.BloomHashes})").as("bloom"))
+    (hashes, blob)
+  }
+
   def repeatedSpanStream(docs: DataFrame, staticFps: DataFrame,
       id: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
       k: Int = graft.dedup.DedupApi.WinnowK,

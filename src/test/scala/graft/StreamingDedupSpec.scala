@@ -208,6 +208,55 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally staticFps.unpersist()
   }
 
+  test("streaming bloom decontamination flags exactly the batch-contaminated docs") {
+    import spark.implicits._
+    val benchText = "the held out benchmark question about rivers and mountains of europe today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val streamDocs = Seq(
+      // shares an 8-token shingle with the benchmark → must flag
+      (1L, ts("2024-01-01 00:00:00"), s"training doc that leaked $benchText verbatim inside"),
+      // clean doc → must not flag
+      (2L, ts("2024-01-01 00:01:00"), "a perfectly clean training document with no overlap at all in any shingle window"))
+      .toDF("doc_id", "ts", "text")
+
+    // batch truth with the same hash semantics: doc 1 only
+    val (benchHk, blob) = Streams.benchBloomTables(bench)
+    val benchHkP = benchHk.cache(); benchHkP.count()
+    val blobP = blob.cache(); blobP.count()
+    val batchFlags = streamDocs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(graft.functions.WordShingles.hashes(
+          Portable.normText(org.apache.spark.sql.functions.col("text")),
+          graft.functions.Pipeline.DecontaminationShingle)).as("hk"))
+      .join(benchHkP, Seq("hk"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batchFlags == Set(1L), s"expected the planted leak, got $batchFlags")
+
+    val in = Files.createTempDirectory("graft-decon-in").toString
+    streamDocs.coalesce(1).write.parquet(s"$in/b000")
+    try {
+      val q = Streams.decontaminateStream(
+          spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+          benchHkP, blobP)
+        .writeStream.format("memory").queryName("decon_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchFlags,
+        s"stream decontamination flags $streamed must equal batch $batchFlags")
+      // executed-microbatch plan: native shingle hashing, the bloom
+      // probe as a map-side Filter, and the verify side read from the
+      // persisted benchmark hash set (never recomputed per batch)
+      val sw = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(sw))(q.explain())
+      val p = sw.toString
+      assert(p.contains("graft_word_shingles"), "stream side must shingle natively:\n" + p)
+      assert(p.contains("graft_bloom_contains"), "bloom prefilter missing from the microbatch plan:\n" + p)
+      assert(p.contains("InMemoryTableScan"),
+        "verify must read the persisted benchmark hashes from cache:\n" + p)
+    } finally { benchHkP.unpersist(); blobP.unpersist() }
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

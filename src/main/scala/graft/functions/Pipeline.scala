@@ -314,6 +314,69 @@ object Pipeline {
       .agg(countDistinct(col("sh")).as("n_hits"))
   }
 
+  /** Fuzzy (containment) decontamination — the per-pair refinement of
+    * [[decontaminate]]'s boolean flag (the PaLM / Llama-2 eval-overlap
+    * recipe): a training doc is contaminated BY a specific benchmark
+    * doc when it contains ≥ [[FuzzyContainmentThreshold]] of that
+    * benchmark doc's distinct word 8-shingles — catching lightly
+    * edited/reformatted leaks a single-shingle flag would score the
+    * same as an incidental phrase collision. Emits
+    * (doc_id, bench_id, containment) audit rows.
+    *
+    * Both sides shingle through the native one-pass
+    * `graft_word_shingles` and count HASHES (exact against the string
+    * oracle by the shared-md5 argument — see `text_dup_ngram_fraction`).
+    * Scale shape: the benchmark shingle table broadcasts (same bound
+    * as [[decontaminate]]); the corpus side is one map-side broadcast
+    * join → a (doc, bench) partial-combine aggregate whose key volume
+    * is bounded by actual overlap pairs, not corpus size. For GB-scale
+    * benchmarks compose with the Bloom prefilter
+    * ([[decontaminateBloomHits]]' shape) before the containment
+    * count. */
+  val FuzzyContainmentThreshold = 0.5
+
+  val decontaminateFuzzy = QueryDef(
+    "corpus_decontaminate_fuzzy",
+    Some {
+      val k = DecontaminationShingle
+      s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest(list_transform(${wordShinglesSql("toks", k)},
+            s -> ${h60Sql("s")})) AS h
+          FROM norm WHERE len(toks) >= $k),
+        bsh AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 29 = 0 AND doc_id < 500),
+        bsz AS (SELECT bench_id, count(*) AS n FROM bsh GROUP BY bench_id),
+        hits AS (SELECT c.doc_id, b.bench_id, count(*) AS hits
+          FROM sh c JOIN bsh b USING (h)
+          WHERE NOT (c.doc_id % 29 = 0 AND c.doc_id < 500)
+          GROUP BY c.doc_id, b.bench_id)
+        SELECT doc_id, bench_id,
+          round(CAST(hits AS DOUBLE) / n, 6) AS containment
+        FROM hits JOIN bsz USING (bench_id)
+        WHERE CAST(hits AS DOUBLE) / n >= $FuzzyContainmentThreshold
+        ORDER BY doc_id, bench_id"""
+    },
+    (s, d) => {
+      graft.functions.WordShingles.ensure(s)
+      val k = DecontaminationShingle
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("h"))
+      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val bsh = sh.filter(isBench).select(col("doc_id").as("bench_id"), col("h"))
+      val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("n"))
+      sh.filter(!isBench)
+        .join(broadcast(bsh), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("hits"))
+        .join(broadcast(bsz), Seq("bench_id"))
+        .filter(col("hits").cast("double") / col("n") >= FuzzyContainmentThreshold)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("hits").cast("double") / col("n"), 6).as("containment"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    })
+
   /** Domain mixing (the data-mixture step of a pretraining pipeline —
     * per-source sampling rates a la Pile/LLaMA mixtures): every doc is
     * kept iff a content-stable hash of (source, doc_id) falls under
@@ -445,5 +508,5 @@ object Pipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    chunk, decontaminate, decontaminateBloom, domainMix, ingestFull)
+    chunk, decontaminate, decontaminateBloom, decontaminateFuzzy, domainMix, ingestFull)
 }

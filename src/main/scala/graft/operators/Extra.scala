@@ -479,6 +479,47 @@ object Extra {
       .orderBy(col("step"))
   }
 
+  // --------------------------------------------------------------- q41
+  /** Salted large-×-large join on a skewed key — the companion of
+    * q20's salted aggregation: when ONE join key carries a dominant
+    * share of the fact rows (hot user/tenant/null-bucket), a plain
+    * hash join parks that key's entire volume in one task. Salting
+    * splits every hot key across [[JoinSalt]] partitions by
+    * construction: the fact side computes `salt = hash(row) % R` and
+    * the other side replicates each key R times, so the join keys
+    * become (key, salt) and no task sees more than ~1/R of a hot key.
+    * AQE's skew-join handles this reactively when runtime stats catch
+    * it; explicit salting is the plan-level guarantee when the skew is
+    * known a priori, works for any join type, and never depends on
+    * stat thresholds. The replicated side costs R× its size — for a
+    * genuinely small side prefer `broadcast()` (q3/q12); this shape is
+    * for two shuffle-scale inputs (the test dim is small only to keep
+    * the oracle cheap — the plan guard pins the non-broadcast salted
+    * join). Oracle = the plain unsalted join. */
+  val JoinSalt = 8
+
+  val q41 = QueryDef(
+    "q41_salted_join",
+    Some("""SELECT c.c_mktsegment AS seg, count(*) AS n,
+      CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY seg ORDER BY seg"""),
+    (s, d) => {
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          pmod(hash(col("event_id")), lit(JoinSalt)).as("salt"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(array((0 until JoinSalt).map(lit(_)): _*)).as("dsalt"))
+      fact.join(dim.hint("shuffle_hash"),
+          col("user_id") === col("c_custkey") && col("salt") === col("dsalt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("c_mktsegment").as("seg"), col("n"), col("sum_value"))
+        .orderBy(col("seg"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

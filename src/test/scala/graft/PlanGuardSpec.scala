@@ -219,6 +219,16 @@ class PlanGuardSpec extends AnyFunSuite {
       "exactly one user-keyed exchange")
   }
 
+  test("salted join keys on (key, salt) without broadcasting either side") {
+    val p = plan("q41_salted_join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the salted join must stay a shuffle join — broadcast would bypass the salting")
+    val joins = p.linesIterator.filter(l => l.contains("ShuffledHashJoin")).toSeq
+    assert(joins.nonEmpty, "expected the shuffle_hash salted join")
+    assert(joins.exists(l => l.contains("salt") && l.contains("user_id")),
+      s"join keys must include the salt: $joins")
+  }
+
   test("incremental dedup plans hash joins only (no cartesian, no nested loop)") {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct"), "incremental banding planned a cartesian product")

@@ -36,5 +36,6 @@ object GraftExtensions {
     graft.functions.DBits.ensure(spark)
     graft.functions.Bloom.ensure(spark)
     graft.functions.WordShingles.ensure(spark)
+    graft.functions.ZOrder.ensure(spark)
   }
 }

@@ -115,5 +115,27 @@ object Sources {
         .orderBy(col("l_returnflag"))
     })
 
-  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
+  /** Z-order layout keys: the multi-dimension clustering sort key for
+    * data laid out so parquet min/max skipping prunes on EITHER of two
+    * columns (a single-column sort clusters stats for that column
+    * only). The gated query pins the interleave math against the
+    * DuckDB twin; `ZOrderSpec` measures the actual layout effect —
+    * per-file bounding-box shrinkage vs a single-column sort on real
+    * written files. At 100 TB this is a write-path decision:
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` before the
+    * sink, nothing at read time. */
+  val zorderKeys = QueryDef(
+    "src_zorder_keys",
+    Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        ${graft.functions.ZOrder.zkeySql("l_partkey", "l_suppkey")} AS zkey
+      FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"""),
+    (s, d) => {
+      graft.functions.ZOrder.ensure(s)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          graft.functions.ZOrder.zkey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, zorderKeys)
 }

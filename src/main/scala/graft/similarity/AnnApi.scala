@@ -120,6 +120,106 @@ object AnnApi {
     assign
   }
 
+  // ------------------------------------------------- product quantization
+  /** Sub-vector rows for product quantization: one (id, s, vs) row per
+    * subspace, vs = the s-th `subDim`-wide slice of the UNIT-normalized
+    * double vector. Normalizing first makes squared L2 monotone with
+    * cosine (`|a−b|² = 2 − 2·cos` on unit vectors), so PQ's L2
+    * codebooks rank consistently with the rest of the cosine-based
+    * suite (and recall vs [[bruteTopK]] is meaningful). */
+  private def subVectors(corpus: DataFrame, id: String, vec: String,
+      m: Int, subDim: Int): DataFrame =
+    corpus.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v0"))
+      .select(col(id), expr("transform(v0, x -> x / sqrt(graft_dot(v0, v0)))").as("v"))
+      .select(col(id), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("vs"))): _*)).as("e"))
+      .select(col(id), col("e.s").as("s"), col("e.vs").as("vs"))
+
+  /** Assign every (id, s) sub-vector its nearest codebook entry by
+    * squared L2 (monotone form `|c|² − 2·x·c` — the |x|² term is
+    * constant per row). Hash-aggregate argmin (min of (score, code)
+    * struct): smallest distance, smallest code on ties — never a
+    * window sort over the corpus. */
+  private def assignCodes(sub: DataFrame, id: String, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("s"))
+      .select(col(id), col("s"),
+        struct((col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("score"),
+          col("code")).as("sc"))
+      .groupBy(col(id), col("s"))
+      .agg(min(col("sc")).as("m"))
+      .select(col(id), col("s"), col("m.code").as("code"))
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    * 2011 "Product Quantization for Nearest Neighbor Search"): the
+    * vector space splits into `m` orthogonal subspaces and each
+    * learns an independent `kCodes`-entry codebook by the engine's
+    * deterministic Lloyd recipe (id%k init on the id%trainMod sample,
+    * decimal-exact centroid means via the native
+    * [[graft.functions.VecSumDec]], L2 argmin assignment) — ALL
+    * subspaces train in the same jobs (s is a column, not a loop), so
+    * an iteration is one aggregate + one broadcast-join argmin
+    * regardless of m. Returns (s, code, cm, cn2). */
+  def pqCodebooks(corpus: DataFrame, id: String, vec: String,
+      m: Int = 8, subDim: Int = 8, kCodes: Int = 16, iters: Int = 2, trainMod: Int = 4)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    require(m >= 1 && subDim >= 1 && kCodes >= 1 && iters >= 1 && trainMod >= 1)
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
+    graft.functions.Dot.ensure(corpus.sparkSession)
+    val train = subVectors(corpus, id, vec, m, subDim)
+      .filter(pmod(col(id), lit(trainMod)) === 0)
+      .transform(scope.persist)
+    var assign = train.select(col(id), col("s"),
+      pmod(col(id), lit(kCodes)).cast("int").as("code"))
+    var codebook: DataFrame = null
+    for (_ <- 1 to iters) {
+      codebook = train.join(assign, Seq(id, "s"))
+        .groupBy(col("s"), col("code"))
+        .agg(call_function("graft_vecsum_dec", col("vs")).as("sv"))
+        .select(col("s"), col("code"),
+          expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
+        .withColumn("cn2", expr("graft_dot(cm, cm)"))
+      assign = assignCodes(train, id, codebook)
+    }
+    codebook
+  }
+
+  /** PQ-ANN top-k by asymmetric distance (ADC): the corpus is stored
+    * as m one-byte-scale codes per vector (the 8–64× memory
+    * compression that makes billion-vector indexes fit executor
+    * memory), probes compute one m×kCodes distance table against the
+    * broadcast codebook, and the scan is a (s, code)-keyed broadcast
+    * join + a decimal partial-sum per (probe, vector) — NO
+    * full-vector dot against the corpus anywhere. The ADC score omits
+    * the constant |q|² term (rank-preserving); partial sums
+    * accumulate in DECIMAL so the merge order can never flip a rank
+    * (the oracle sums the identical casts). Exact re-ranking of the
+    * PQ top-k (the standard refinement) is [[AnnApi.bruteTopK]] over
+    * the survivors — the gated query pins the PURE PQ ranking so the
+    * quantization math itself is what the oracle checks. */
+  def pqTopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
+      k: Int = 5, m: Int = 8, subDim: Int = 8, kCodes: Int = 16,
+      iters: Int = 2, trainMod: Int = 4)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val codebook = pqCodebooks(corpus, id, vec, m, subDim, kCodes, iters, trainMod)
+      .transform(scope.persist)
+    val sub = subVectors(corpus, id, vec, m, subDim)
+      .transform(scope.persist)
+    val codes = assignCodes(sub, id, codebook)
+    val padt = sub.join(probeIds, Seq(id), "left_semi")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col(id).as("id_p"), col("s"), col("code"),
+        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
+    codes.join(broadcast(padt), Seq("s", "code"))
+      .filter(col("id_p") =!= col(id))
+      .groupBy(col("id_p"), col(id).as("id_c"))
+      .agg(sum(col("partial").cast(DecimalType(28, 12))).cast("double").as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("adc").asc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("id_c"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("id_p"), col("rk"))
+  }
+
   /** IVF-style top-k: coarse cells from `cell` (a cluster label),
     * probes search their `nProbeCells` nearest cell centroids
     * (decimal-exact centroid build), exact re-rank inside.

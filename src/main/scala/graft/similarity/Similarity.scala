@@ -197,6 +197,83 @@ object Similarity {
     * Lloyd pass assigns the full corpus. */
   val KmeansTrainMod = 4
 
+  // ------------------------------------------------ product quantization
+  val PqSubspaces = 8
+  val PqSubDim = Dim / PqSubspaces
+  val PqCodes = 16
+  val PqIters = 2
+  val PqTrainMod = 4
+
+  /** Unrolled PQ CTEs mirroring [[AnnApi.pqCodebooks]] +
+    * [[AnnApi.pqTopK]]: per-subspace Lloyd codebooks (decimal means,
+    * L2 argmin `cn2 − 2·x·c` with row_number ≡ Spark's (score, code)
+    * struct-min), full-corpus codes from the final codebook, probe
+    * distance tables, and the ADC decimal partial-sum. Assumes `nx`
+    * in scope. Returns (cteBlock, codesRel, padtRel). */
+  def pqSqlCtes(m: Int, subDim: Int, kCodes: Int, iters: Int, trainMod: Int): (String, String, String) = {
+    def fold(vs: String, cm: String) =
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> $vs[i] * $cm[i]), (a, b) -> a + b)"
+    def assignRel(src: String, rel: String, it: Int) =
+      s"""$rel AS (SELECT vec_id, s, code FROM (
+        SELECT x.vec_id, x.s, r.code,
+          row_number() OVER (PARTITION BY x.vec_id, x.s
+            ORDER BY n.cn2 - 2 * ${fold("x.vs", "r.cm")} ASC, r.code) AS ark
+        FROM $src x JOIN pr$it r ON r.s = x.s
+        JOIN pn$it n ON n.s = r.s AND n.code = r.code) t WHERE ark = 1)"""
+    val sb = new StringBuilder(
+      s"""pnv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM nx),
+      psub AS (SELECT vec_id, s, list_slice(v, s * $subDim + 1, (s + 1) * $subDim) AS vs
+        FROM pnv, (SELECT unnest(range(0, $m)) AS s)),
+      ptrain AS (SELECT * FROM psub WHERE vec_id % $trainMod = 0),
+      ppos AS (SELECT vec_id, s, i, vs[i] AS x FROM ptrain, (SELECT unnest(range(1, ${subDim + 1})) AS i)),
+      pa0 AS (SELECT vec_id, s, vec_id % $kCodes AS code FROM ptrain)""")
+    for (it <- 1 to iters) {
+      sb.append(s""",
+      pc$it AS (SELECT a.s, a.code, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+        FROM ppos p JOIN pa${it - 1} a ON a.vec_id = p.vec_id AND a.s = p.s
+        GROUP BY a.s, a.code, p.i),
+      pr$it AS (SELECT s, code, list(mn ORDER BY i) AS cm FROM pc$it GROUP BY s, code),
+      pn$it AS (SELECT s, code, list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b) AS cn2
+        FROM pr$it),
+      ${assignRel("ptrain", s"pa$it", it)}""")
+    }
+    sb.append(s""",
+      ${assignRel("psub", "pcodes", iters)},
+      padt AS (SELECT q.vec_id AS id_p, q.s, r.code,
+          n.cn2 - 2 * ${fold("q.vs", "r.cm")} AS partial
+        FROM psub q JOIN pr$iters r ON r.s = q.s
+        JOIN pn$iters n ON n.s = r.s AND n.code = r.code
+        WHERE q.vec_id < 10)""")
+    (sb.toString, "pcodes", "padt")
+  }
+
+  /** PQ-ANN by asymmetric distance over the learned codebooks — the
+    * memory-compression tier of the similarity suite (8 bytes-ish per
+    * vector instead of 64 floats). The gated ranking is the PURE PQ
+    * score so the oracle checks the quantization math end to end;
+    * recall vs brute (with the standard exact re-rank) is asserted in
+    * `PqSpec`. */
+  val annPq = QueryDef(
+    "ann_pq",
+    Some {
+      val (ctes, codes, padt) = pqSqlCtes(PqSubspaces, PqSubDim, PqCodes, PqIters, PqTrainMod)
+      s"""WITH $normSqlCte, $ctes,
+      adc AS (SELECT d.id_p, c.vec_id AS id_c,
+          CAST(sum(CAST(d.partial AS DECIMAL(28,12))) AS DOUBLE) AS adc
+        FROM $codes c JOIN $padt d ON d.s = c.s AND d.code = c.code
+        WHERE d.id_p <> c.vec_id
+        GROUP BY d.id_p, c.vec_id)
+      SELECT id_p, rk, id_c, round(adc, 6) AS adc FROM (
+        SELECT id_p, id_c, adc,
+          row_number() OVER (PARTITION BY id_p ORDER BY adc ASC, id_c) AS rk
+        FROM adc) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => AnnApi.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
+      k = 5, m = PqSubspaces, subDim = PqSubDim, kCodes = PqCodes,
+      iters = PqIters, trainMod = PqTrainMod))
+
   /** The k-means assignment itself, oracle-verified end to end —
     * this is what makes the IVF "coarse quantizer" claim real when no
     * label column exists. */
@@ -269,5 +346,5 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, vecStats)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, vecStats)
 }

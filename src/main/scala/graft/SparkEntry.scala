@@ -21,6 +21,7 @@ object SparkEntry {
         similarity.Similarity.defs ++
         multimodal.Multimodal.defs ++
         operators.Sketches.defs ++
+        operators.Graph.defs ++
         schema.SchemaQueries.defs
     // a duplicate name would silently shadow a capability in the
     // `queries`/`oracleSql` maps (toMap last-wins) — fail fast instead

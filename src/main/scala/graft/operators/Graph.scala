@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics (SURVEY.md §2.2 extension): PageRank
+  * over the customer–supplier co-purchase graph derived from
+  * orders×lineitem. Complements `dedup_clusters` (the other iterative
+  * graph operator — connected components): same join-per-round shape,
+  * different fixpoint.
+  *
+  * Determinism discipline: ranks live in INTEGER micro-units with
+  * explicit floor division (`r DIV outdeg`, `85·Σ DIV 100`) — every
+  * intermediate is a BIGINT, so shuffle merge order cannot perturb a
+  * single ulp and the DuckDB oracle unrolls the identical iterations
+  * to hash equality. (A double-valued PageRank sums contributions in
+  * shuffle order — nondeterministic across runs AND engines; the
+  * integer form is the portable fixpoint. The floor-division rank
+  * leak — ≤ outdeg−1 micro-units per node per round — is identical in
+  * both engines, which is what the gate requires.)
+  *
+  * Scale shape per iteration: ranks ⋈ edges on src (edges
+  * pre-partitioned once; ranks are nodes-scale), then one map-side-
+  * combinable sum by dst — the standard distributed PR round. 5
+  * rounds = 5 bounded shuffles; state is one (node, rank) row per
+  * node, persisted per round via the implicit scope.
+  */
+object Graph {
+  val PrIters = 5
+  /** Supplier node ids offset into their own range (cust/supp key
+    * spaces overlap numerically). */
+  val SuppOffset = 1000000L
+
+  /** (src, dst) distinct directed edges, both directions of every
+    * customer–supplier purchase relation — undirected interpretation,
+    * so every node has outdeg ≥ 1 and no dangling-mass handling is
+    * needed. */
+  private def edges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("p"))
+      .distinct()
+    co.select(col("c").as("src"), col("p").as("dst"))
+      .union(co.select(col("p").as("src"), col("c").as("dst")))
+  }
+
+  /** PageRank in integer micro-units: init 1_000_000 per node;
+    * r'(v) = 150_000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100. */
+  def pagerank(edges: DataFrame, iters: Int = PrIters)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val e = edges.transform(scope.persist)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .transform(scope.persist)
+    var ranks = outdeg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks, col("src") === col("node"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"), expr("150000L + (85 * s) div 100").as("rank"))
+        .localCheckpoint(true) // nodes-scale frame; truncate the per-round lineage
+    }
+    ranks
+  }
+
+  val pagerankTop = QueryDef(
+    "graph_pagerank",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)""")
+      for (it <- 1 to PrIters) {
+        sb.append(s""",
+        r$it AS (SELECT e.dst AS node,
+            CAST(150000 + (85 * sum(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+          FROM e JOIN r${it - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+          GROUP BY e.dst)""")
+      }
+      sb.append(s"""
+        SELECT node, rank FROM (
+          SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node) AS rk
+          FROM r$PrIters) t WHERE rk <= 20 ORDER BY rank DESC, node""")
+      sb.toString
+    },
+    (s, d) => pagerank(edges(s, d))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+      .orderBy(col("rank").desc, col("node")))
+
+  val defs: Seq[QueryDef] = Seq(pagerankTop)
+}

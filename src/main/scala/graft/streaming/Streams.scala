@@ -102,6 +102,39 @@ object Streams {
       }
   }
 
+  /** Streaming funnel — the incremental twin of the batch
+    * `q40_funnel` fold (`operators.Extra.funnelCounts`): per-user
+    * state carries the prefix of matched step timestamps, each
+    * microbatch advances the frontier greedily over its events in
+    * (ts, event_id) order, and UPDATE mode emits the user's current
+    * stage after every batch (aggregate per-step counts downstream).
+    * The greedy frontier transition is the batch fold's: only the
+    * next unmatched step can advance, strictly after the previous
+    * step's matched time — a user completing across many batches
+    * converges to the batch answer as long as ingestion is
+    * time-ordered across batches (within a batch, any order is fine —
+    * the group iterator sorts); late cross-batch events are the same
+    * staleness bound every stream–static plane here documents. Only
+    * funnel-relevant event types reach the state store. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String]): Dataset[(Long, Int)] = {
+    require(steps.nonEmpty, "funnelStream: at least one step")
+    import events.sparkSession.implicits._
+    events.filter(e => steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[java.sql.Timestamp], (Long, Int)](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[Seq[java.sql.Timestamp]]) =>
+          var times = state.getOption.getOrElse(Seq.empty)
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val next = times.size
+            if (next < steps.size && e.event_type == steps(next) &&
+                (times.isEmpty || e.ts.after(times.last)))
+              times = times :+ e.ts
+          }
+          state.update(times)
+          (user, times.size)
+      }
+  }
+
   /** File-source streaming read: watch `streamDir` for parquet event
     * files (schema taken from the batch events table at `schemaDir`) —
     * readStream → transform → sink wiring. */

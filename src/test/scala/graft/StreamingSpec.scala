@@ -73,6 +73,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((5L, 3L, 7.0)), rows.toString)
   }
 
+  test("streaming funnel stages equal the batch fold, including cross-batch completion") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-funnel-in").toString
+    // user 5: completes across TWO batches (view in b1; click+purchase
+    // in b2). user 6: click BEFORE its view must not count (in-batch
+    // order adversarial — the group iterator sorts). user 7: view only.
+    writeBatches(in, Seq(
+      Seq(Streams.Event(1, ts("2024-01-01 00:00:00"), 5, "view", 0.0),
+        Streams.Event(2, ts("2024-01-01 00:02:00"), 6, "view", 0.0),
+        Streams.Event(3, ts("2024-01-01 00:01:00"), 6, "click", 0.0),
+        Streams.Event(4, ts("2024-01-01 00:03:00"), 7, "view", 0.0)),
+      Seq(Streams.Event(5, ts("2024-01-01 00:10:00"), 5, "click", 0.0),
+        Streams.Event(6, ts("2024-01-01 00:20:00"), 5, "purchase", 0.0),
+        Streams.Event(7, ts("2024-01-01 00:21:00"), 6, "signup", 0.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.funnelStream(stream, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode: the LAST emitted row per user is the final stage
+    val finalStage = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .zipWithIndex.groupBy(_._1._1).map { case (u, rows) => u -> rows.maxBy(_._2)._1._2 }
+    assert(finalStage == Map(5L -> 3, 6L -> 1, 7L -> 1), finalStage.toString)
+    // and the batch fold agrees on the union of both batches
+    val batchEvents = spark.read.parquet(in + "/*")
+    val batch = operators.Extra.funnelCounts(batchEvents, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(batch == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+      s"batch per-step counts $batch") // 3 users reached step 1, one went all the way
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-sess-in").toString

@@ -39,7 +39,11 @@ object Bench {
     "pipeline_ingest_full",
     "text_quality", "text_fingerprint", "text_top_tokens",
     "corpus_decontaminate",
-    "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features")
+    "ann_lsh", "ann_ivf", "ann_ivf_kmeans", "mm_features",
+    // round-5 operators
+    "text_dup_ngram_fraction", "text_tfidf_topk", "corpus_decontaminate_bloom",
+    "dedup_incremental", "q40_funnel", "q41_salted_join", "ann_pq",
+    "graph_pagerank")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

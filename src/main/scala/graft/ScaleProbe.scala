@@ -37,6 +37,15 @@ object ScaleProbe {
     scale("documents", Seq("doc_id"), 10000000L)
     scale("embeddings", Seq("vec_id"), 10000000L)
     scale("events", Seq("event_id", "user_id"), 10000000L)
+    scale("orders", Seq("o_orderkey"), 10000000L)
+    // dims stay 1× (the realistic shape): q41's replicated fact rows
+    // miss the unscaled customer dim (scan+shuffle volume still 20×),
+    // and pagerank's DISTINCT edge set stays constant while its
+    // edge-derivation input grows 20× (iterations are graph-scale)
+    for (dim <- Seq("customer", "region", "nation", "supplier", "part")) {
+      val df = Tables.table(spark, base, dim)
+      df.write.mode("overwrite").parquet(s"$scaled/$dim.parquet")
+    }
 
     def time(tag: String, f: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -64,7 +73,16 @@ object ScaleProbe {
       ("dedup_substring", d => dedup.Dedup.substring.build(spark, d)),
       ("text_dup_ngram_fraction", d => functions.TextAnalysis.dupNgramFraction.build(spark, d)),
       ("pipeline_ingest_full", d => functions.Pipeline.ingestFull.build(spark, d)),
-      ("q39_percentiles_scalable", d => operators.Extra.q39.build(spark, d)))
+      ("q39_percentiles_scalable", d => operators.Extra.q39.build(spark, d)),
+      // the round-5 operators
+      ("corpus_decontaminate_bloom", d => functions.Pipeline.decontaminateBloom.build(spark, d)),
+      ("corpus_decontaminate_fuzzy", d => functions.Pipeline.decontaminateFuzzy.build(spark, d)),
+      ("text_tfidf_topk", d => functions.Corpus.tfidfTopK.build(spark, d)),
+      ("dedup_incremental", d => dedup.Dedup.incremental.build(spark, d)),
+      ("q40_funnel", d => operators.Extra.q40.build(spark, d)),
+      ("q41_salted_join", d => operators.Extra.q41.build(spark, d)),
+      ("ann_pq", d => similarity.Similarity.annPq.build(spark, d)),
+      ("graph_pagerank", d => operators.Graph.pagerankTop.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -230,11 +230,12 @@ object AnnApi {
     * dots are decimal `zip_with` folds against the broadcast centroid
     * arrays (order-free ≡ the per-dimension join+sum), and only the
     * probed cells' rows enter the re-rank join. */
-  def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
-      probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
-    graft.functions.VecSumDec.ensure(corpus.sparkSession)
-    val n = normalized(corpus, id, vec, passthrough = Seq(cell))
-      .transform(scope.persist)
+  /** (pid, probe_cell) rows: each probe's `nProbeCells` nearest cell
+    * centroids by cosine — decimal-exact centroid build from the
+    * current assignment, broadcast centroid arrays, native dots. The
+    * cell-pruning half shared by [[ivfTopK]] and [[ivfPqTopK]]. */
+  private def probeTopCells(n: DataFrame, id: String, cell: String,
+      probeIds: DataFrame, nProbeCells: Int): DataFrame = {
     // centroid MEANS are decimal-exact (merge-order-free across
     // partitions); norms and probe dots over the resulting index-
     // ordered arrays are left-to-right double folds — per-row, fixed
@@ -244,7 +245,7 @@ object AnnApi {
       .select(col(cell), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
       .withColumn("cn",
         expr("sqrt(graft_dot(cm, cm))"))
-    val topCells = n.join(probeIds, Seq(id), "left_semi")
+    n.join(probeIds, Seq(id), "left_semi")
       .select(col(id).as("id_p"), col("v"), col("nrm"))
       .crossJoin(broadcast(centArr.select(col(cell).as("cl"), col("cm"), col("cn"))))
       .select(col("id_p"), col("cl"), col("nrm"), col("cn"), expr(
@@ -254,9 +255,68 @@ object AnnApi {
           .orderBy((col("dt") / (col("nrm") * col("cn"))).desc, col("cl"))))
       .filter(col("crk") <= nProbeCells)
       .select(col("id_p").as("pid"), col("cl").as("probe_cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, id: String, vec: String, cell: String,
+      probeIds: DataFrame, k: Int = 5, nProbeCells: Int = 2)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
+    val n = normalized(corpus, id, vec, passthrough = Seq(cell))
+      .transform(scope.persist)
+    val topCells = probeTopCells(n, id, cell, probeIds, nProbeCells)
     val pairs = topCells
       .join(n.as("a"), col(s"a.$id") === col("pid"))
       .join(n.as("b"), col(s"b.$cell") === col("probe_cell") && col(s"b.$id") =!= col(s"a.$id"))
     rerank(pairs, id, k)
+  }
+
+  /** IVF+PQ — the standard billion-vector index composition (Jégou et
+    * al.'s IVFADC, here over raw-vector codebooks rather than
+    * residuals — the residual refinement changes the codebook input,
+    * not the plan shape): the k-means coarse quantizer prunes the
+    * corpus to each probe's `nProbeCells` cells, and the PQ ADC scan
+    * scores ONLY those cells' codes — memory stays m codes/vector,
+    * compute drops from corpus-scale to probed-cell-scale. Every
+    * ingredient reuses its standalone-gated machinery
+    * ([[kmeansCells]], [[pqCodebooks]], the ADC decimal partial-sum),
+    * so the composed oracle is the composed CTEs. */
+  def ivfPqTopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
+      k: Int = 5, nProbeCells: Int = 2, kCells: Int = 8, kmIters: Int = 2,
+      m: Int = 8, subDim: Int = 8, kCodes: Int = 16,
+      pqIters: Int = 2, trainMod: Int = 4)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val cells = kmeansCells(corpus, id, vec, kCells, kmIters, trainMod)
+      .transform(scope.persist)
+    val n = normalized(corpus.join(cells, Seq(id)), id, vec, passthrough = Seq("cell"))
+      .transform(scope.persist)
+    val topCells = probeTopCells(n, id, "cell", probeIds, nProbeCells)
+    val codebook = pqCodebooks(corpus, id, vec, m, subDim, kCodes, pqIters, trainMod)
+      .transform(scope.persist)
+    val sub = subVectors(corpus, id, vec, m, subDim)
+      .transform(scope.persist)
+    val codes = assignCodes(sub, id, codebook)
+    val padt = sub.join(probeIds, Seq(id), "left_semi")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col(id).as("id_p"), col("s"), col("code"),
+        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
+    // corpus restricted to the probed cells BEFORE any ADC work
+    val cand = topCells
+      .join(cells.select(col(id).as("id_c"), col("cell")),
+        col("cell") === col("probe_cell"))
+      .filter(col("id_c") =!= col("pid"))
+      .select(col("pid"), col("id_c"))
+    cand
+      .join(codes.select(col(id).as("id_c"), col("s"), col("code")), Seq("id_c"))
+      .as("L")
+      .join(broadcast(padt.as("R")),
+        col("R.id_p") === col("L.pid") && col("R.s") === col("L.s") &&
+          col("R.code") === col("L.code"))
+      .select(col("L.pid").as("pid"), col("L.id_c").as("id_c"), col("R.partial").as("partial"))
+      .groupBy(col("pid"), col("id_c"))
+      .agg(sum(col("partial").cast(DecimalType(28, 12))).cast("double").as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("adc").asc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("pid").as("id_p"), col("rk"), col("id_c"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("id_p"), col("rk"))
   }
 }

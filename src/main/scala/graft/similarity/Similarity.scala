@@ -329,6 +329,52 @@ object Similarity {
         Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")))
     })
 
+  /** IVF+PQ (IVFADC): coarse k-means cells prune the corpus to each
+    * probe's 2 nearest cells, the PQ ADC scan scores only those
+    * cells' codes. The oracle is literally the composition of the
+    * `ann_ivf_kmeans` cell-pruning CTEs and the `ann_pq` codebook/ADC
+    * CTEs — both halves already gate standalone. */
+  val annIvfPq = QueryDef(
+    "ann_ivfpq",
+    Some {
+      val (kmCtes, kaFinal) = kmeansSqlCtes(KmeansCells, KmeansIters, KmeansTrainMod)
+      val (pqCtes, pcodes, padt) = pqSqlCtes(PqSubspaces, PqSubDim, PqCodes, PqIters, PqTrainMod)
+      s"""WITH $normSqlCte, $kmCtes,
+      kcf AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM kpos p JOIN $kaFinal a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
+      krf AS (SELECT cell, list(m ORDER BY i) AS cm FROM kcf GROUP BY cell),
+      knf AS (SELECT cell, sqrt(list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b)) AS cn
+        FROM krf),
+      pdot AS (SELECT n.vec_id AS id_p, r.cell,
+          list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * r.cm[i]), (a, b) -> a + b) AS dt
+        FROM nx n, krf r WHERE n.vec_id < 10),
+      top2 AS (SELECT id_p, cell FROM (
+          SELECT d.id_p, d.cell,
+            row_number() OVER (PARTITION BY d.id_p
+              ORDER BY d.dt / (n.nrm * cn.cn) DESC, d.cell) AS crk
+          FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN knf cn ON cn.cell = d.cell) t
+        WHERE crk <= 2),
+      $pqCtes,
+      cand AS (SELECT t.id_p, kb.vec_id AS id_c
+        FROM top2 t JOIN $kaFinal kb ON kb.cell = t.cell AND kb.vec_id <> t.id_p),
+      adc AS (SELECT c.id_p, c.id_c,
+          CAST(sum(CAST(d.partial AS DECIMAL(28,12))) AS DOUBLE) AS adc
+        FROM cand c
+        JOIN $pcodes pc ON pc.vec_id = c.id_c
+        JOIN $padt d ON d.id_p = c.id_p AND d.s = pc.s AND d.code = pc.code
+        GROUP BY c.id_p, c.id_c)
+      SELECT id_p, rk, id_c, round(adc, 6) AS adc FROM (
+        SELECT id_p, id_c, adc,
+          row_number() OVER (PARTITION BY id_p ORDER BY adc ASC, id_c) AS rk
+        FROM adc) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => AnnApi.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
+      k = 5, nProbeCells = 2, kCells = KmeansCells, kmIters = KmeansIters,
+      m = PqSubspaces, subDim = PqSubDim, kCodes = PqCodes,
+      pqIters = PqIters, trainMod = PqTrainMod))
+
   // ------------------------------------------------------- vec stats
   /** Per-label vector statistics (decimal-exact mean norm). */
   val vecStats = QueryDef(
@@ -346,5 +392,5 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, vecStats)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, vecStats)
 }

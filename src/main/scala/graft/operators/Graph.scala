@@ -53,15 +53,20 @@ object Graph {
     val e = edges.transform(scope.persist)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .transform(scope.persist)
+    // edges carry their outdeg once (one join instead of one per round)
+    val ed = e.join(outdeg, Seq("src")).transform(scope.persist)
     var ranks = outdeg.select(col("src").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
-      ranks = e.join(ranks, col("src") === col("node"))
-        .join(outdeg, Seq("src"))
+      // fixed iteration count and each round consumed exactly once →
+      // the whole chain is ONE linear DAG: no per-round checkpoint or
+      // action (dedup_clusters checkpoints because its convergence
+      // check must INSPECT each round; PageRank has nothing to
+      // inspect), so all rounds plan and execute as a single job
+      ranks = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"), expr("150000L + (85 * s) div 100").as("rank"))
-        .localCheckpoint(true) // nodes-scale frame; truncate the per-round lineage
     }
     ranks
   }

@@ -53,4 +53,45 @@ class PqSpec extends AnyFunSuite {
       assert(recall >= 0.3, s"PQ+rerank recall@5 $recall below floor (got ${reranked.size} pairs)")
     }
   }
+
+  test("ivfpq finds true neighbors on clustered data (where PQ has structure to learn)") {
+    // the parquet embeddings are structure-free noise — the one case
+    // where learned codebooks CANNOT beat chance by much (within a
+    // noise-selected cell every candidate is equidistant). PQ's
+    // contract is about structured corpora, so build one: 16 cluster
+    // centers, vectors = center + small noise. True top-5 = same-
+    // cluster vectors; IVF cells align with clusters; codebooks learn
+    // the centers. IVFPQ must recover most of the brute answer.
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val p = vecs.filter(col("vec_id") < 8).select(col("vec_id"))
+    CacheScope.withScope { implicit s =>
+      val brute = similarity.AnnApi.bruteTopK(vecs, "vec_id", "embedding", p)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      // quantized search resolves distances to CODEBOOK granularity:
+      // same-cluster siblings encode to (nearly) the same codes, so
+      // ADC ties across them and the top-5 cut is id-order among ties
+      // — exact sibling ranking is the rerank stage's job. The PQ
+      // contract on clustered data is therefore (a) retrieval respects
+      // clusters, (b) a cluster-sized shortlist contains the true
+      // top-5 for the rerank to find.
+      val top5 = similarity.AnnApi.ivfPqTopK(vecs, "vec_id", "embedding", p,
+          k = 5, trainMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val sameCluster = top5.count { case (q, c) => q % 16 == c % 16 }
+      assert(sameCluster.toDouble / top5.length >= 0.9,
+        s"IVFPQ results must stay in the probe's cluster: $sameCluster/${top5.length}")
+      val shortlist = similarity.AnnApi.ivfPqTopK(vecs, "vec_id", "embedding", p,
+          k = 30, trainMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val cover = (brute & shortlist).size.toDouble / brute.size
+      assert(cover >= 0.8,
+        s"cluster-sized ADC shortlist must contain the brute top-5 for rerank: $cover")
+    }
+  }
 }

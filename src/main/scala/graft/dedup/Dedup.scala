@@ -22,12 +22,18 @@ object Dedup {
       .orderBy(col("keep_id")))
 
   // ------------------------------------------------ oracle CTE blocks
+  /** Hashed shingle lists (r5): `sh` carries h60 longs, mirroring
+    * [[DedupApi.shingleHashes60]] — MinHash values are identical (the
+    * affine family always hashed through h60 first) and intersection
+    * counting over hashes equals the string form by the shared-md5
+    * argument. */
   private def shSqlCte: String =
     s"""norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
-       shx AS (SELECT doc_id, ${wordShinglesSql("toks")} AS sh FROM norm WHERE len(toks) >= 3)"""
+       shx AS (SELECT doc_id, list_transform(${wordShinglesSql("toks")}, s -> ${h60Sql("s")}) AS sh
+         FROM norm WHERE len(toks) >= 3)"""
 
   private def bandsSqlCte: String = {
-    val ms = (0 until NumHashes).map(j => s"${minhashSql("sh", j)} AS m$j").mkString(", ")
+    val ms = (0 until NumHashes).map(j => s"${minhashOfHashesSql("sh", j)} AS m$j").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
@@ -43,7 +49,7 @@ object Dedup {
     Some(s"""WITH $bandsSqlCte
       SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx"""),
     (s, d) => DedupApi.minhashBands(
-        DedupApi.shingles(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        DedupApi.shingleHashes60(Tables.documents(s, d), "doc_id", "text"), "doc_id")
       .orderBy(col("doc_id"), col("band_idx")))
 
   // ------------------------------------------------------------- lsh

@@ -33,6 +33,24 @@ object DedupApi {
       .filter(size(col("toks")) >= k)
       .select(col(id), array_sort(wordShingles(col("toks"), k)).as("sh"))
 
+  /** HASHED word-shingle sets per row (h60 of the distinct k-shingles,
+    * ascending) via the native one-pass `graft_word_shingles` — the r5
+    * representation of the MinHash path: the per-shingle interpreted
+    * concat/md5/conv lambda disappears, downstream shuffles carry
+    * 8-byte longs, the verify merge-walk compares longs, and the
+    * MinHash values are IDENTICAL (the affine family always hashed
+    * through h60 first). Exact against the string oracle because both
+    * engines md5 the same distinct strings — a collision merges the
+    * same two shingles on both sides (the `text_dup_ngram_fraction`
+    * argument). Rows with < k tokens drop out (empty fingerprint
+    * set). */
+  def shingleHashes60(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    graft.functions.WordShingles.ensure(df.sparkSession)
+    df.select(col(id),
+        graft.functions.WordShingles.hashes(normText(col(text)), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
   /** Exploded LSH band keys: numHashes minhash signatures split into
     * `bands` bands. One row per (id, band). */
   def minhashBands(sh: DataFrame, id: String,
@@ -42,8 +60,16 @@ object DedupApi {
     // requested (16 running minima in one array walk instead of 16
     // array_min(transform(...)) scans); non-default families keep the
     // composed form. The two-step select stops CollapseProject from
-    // inlining the sigs call 16 times.
-    val hs = sh.select(col(id), shingleHashes(col("sh")).as("hs"))
+    // inlining the sigs call 16 times. Accepts BOTH shingle
+    // representations: raw strings ([[shingles]] — hash here) or h60
+    // longs ([[shingleHashes60]] — only the mod-P remains).
+    val hashed = sh.schema("sh").dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val hs =
+      if (hashed) sh.select(col(id), expr(s"transform(sh, h -> h % ${Portable.P}L)").as("hs"))
+      else sh.select(col(id), shingleHashes(col("sh")).as("hs"))
     val sig =
       if (numHashes == NumHashes) {
         graft.functions.MinhashSigs.ensure(sh.sparkSession)
@@ -84,7 +110,7 @@ object DedupApi {
       threshold: Double = 0.6, k: Int = 3,
       numHashes: Int = NumHashes, bands: Int = Bands,
       maxBucketSize: Int = 0)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
-    val sh = shingles(df, id, text, k).transform(scope.persist)
+    val sh = shingleHashes60(df, id, text, k).transform(scope.persist)
     val bndAll = minhashBands(sh, id, numHashes, bands).transform(scope.persist)
     val bnd =
       if (maxBucketSize <= 0) bndAll

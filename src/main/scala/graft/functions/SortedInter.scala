@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: intersection SIZE of two string arrays
@@ -31,24 +31,36 @@ case class SortedInterSizeExpr(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_inter_size"
 
-  // the merge walk reads UTF8String element layouts — a non-string
-  // array would be read at garbage offsets, so fail at analysis
+  // the merge walk reads typed element layouts — a mismatched array
+  // would be read at garbage offsets, so fail at analysis. Two element
+  // types are supported: string (the gram/shingle arrays) and bigint
+  // (r5: hashed shingle arrays from graft_word_shingles).
+  private def isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_inter_size requires two array<string> inputs, got " +
+        s"graft_sorted_inter_size requires two array<string> or two array<bigint> inputs, got " +
           s"${l.catalogString}, ${r.catalogString} — " +
           "cast explicitly, e.g. transform(a, x -> CAST(x AS STRING))")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SortedInterSizeExpr.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isLong) SortedInterSizeExpr.interSizeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else SortedInterSizeExpr.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (isLong) "interSizeLong" else "interSize"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SortedInterSizeExpr.interSize($a, $b)")
+      s"graft.functions.SortedInterSizeExpr.$method($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedInterSizeExpr =
@@ -67,6 +79,23 @@ object SortedInterSizeExpr {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { n += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Merge-walk |a ∩ b| for distinct ascending-sorted long arrays. */
+  def interSizeLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     n

@@ -102,9 +102,10 @@ class DedupPropertySpec extends AnyFunSuite {
     functions.SortedInter.ensure(spark)
     functions.Winnow.ensure(spark)
     functions.DBits.ensure(spark)
-    val df = Seq((Array(1L, 2L), 1.5, "abc", 7)).toDF("la", "d", "s", "i")
+    val df = Seq((Array(1.5, 2.5), 1.5, "abc", 7)).toDF("da", "d", "s", "i")
     val cases = Seq(
-      ("graft_sorted_inter_size(la, la)", "array<string>"),
+      // array<double> is in NEITHER supported family (string / bigint)
+      ("graft_sorted_inter_size(da, da)", "array<string>"),
       ("graft_winnow(i, 3, 2)", "string"),
       ("graft_dbits(i)", "double"))
     for ((sql, hint) <- cases) {
@@ -113,9 +114,11 @@ class DedupPropertySpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains(hint), s"$sql: ${e.getMessage}")
     }
-    // correct types still pass through each gate
+    // correct types still pass through each gate — both element families
     assert(df.select(expr("graft_sorted_inter_size(array('a','b'), array('b','c'))"))
       .collect()(0).getInt(0) == 1)
+    assert(df.select(expr("graft_sorted_inter_size(array(1L,2L,5L), array(2L,5L,9L))"))
+      .collect()(0).getInt(0) == 2)
     assert(df.select(expr("graft_winnow(s, 2, 2)")).collect()(0).getSeq[Long](0).nonEmpty)
     assert(df.select(expr("graft_dbits(d)")).collect()(0).getLong(0) ==
       java.lang.Double.doubleToLongBits(1.5))

@@ -291,6 +291,48 @@ object Streams {
     * deduped within the watermark (streaming aggregations cannot
     * countDistinct; span-volume accounting belongs to the batch
     * `substringPairs` plane). */
+  /** Intra-stream near-dup pairs — the watermarked STREAM–STREAM
+    * self-join that closes [[nearDupPairsStream]]'s documented
+    * carve-out (two near-dup docs BOTH arriving before the batch
+    * plane refreshes the static signature table): each arrival's 84
+    * combo keys join against the same stream's recent keys, with the
+    * time-range condition (`|ts_a − ts_b| ≤ windowMinutes`) that lets
+    * Spark bound and evict join state at the watermark — unbounded
+    * intra-stream pairing is by construction a batch job
+    * ([[graft.dedup.DedupApi.simhashPairs]] over the merged corpus),
+    * so the window IS the semantic: "flag near-dups landing close
+    * together", the burst-duplicate shape (same article syndicated to
+    * many feeds within minutes). Same C(9,3) banding as every other
+    * plane — exact within the window for hamming ≤ 6; pairs dedupe
+    * across combo collisions within the watermark. Emits canonical
+    * `(doc_a, doc_b, hamming)`. */
+  def intraStreamNearDupPairs(docs: DataFrame,
+      id: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
+      maxHamming: Int = 6, windowMinutes: Int = 10,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.dedup.DedupApi
+    require(maxHamming <= 6,
+      s"banded streaming near-dup is exact only for maxHamming <= 6, got $maxHamming")
+    def keyed(side: String): DataFrame =
+      DedupApi.withSimhash(docs, textCol)
+        .withWatermark(tsCol, watermarkDelay)
+        .select(col(id).as(s"${side}_id"), col(tsCol).as(s"${side}_ts"),
+          col("simhash").as(s"${side}_sig"),
+          explode(DedupApi.simhashComboKeys("simhash")).as("ck"))
+        .select(col(s"${side}_id"), col(s"${side}_ts"), col(s"${side}_sig"),
+          col("ck.c").as(s"${side}_c"), col("ck.k").as(s"${side}_k"))
+    keyed("a").join(keyed("b"),
+        expr(s"""a_id < b_id AND
+          b_ts BETWEEN a_ts - INTERVAL $windowMinutes MINUTES
+                   AND a_ts + INTERVAL $windowMinutes MINUTES""") &&
+          col("a_c") === col("b_c") && col("a_k") === col("b_k"))
+      .filter(expr("bit_count(a_sig ^ b_sig)") <= maxHamming)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        expr("CAST(bit_count(a_sig ^ b_sig) AS INT)").as("hamming"), col("a_ts"))
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .drop("a_ts")
+  }
+
   /** Streaming benchmark decontamination — the ingest-time twin of
     * `corpus_decontaminate_bloom`: incoming docs' word-shingle h60
     * hashes (the native one-pass `graft_word_shingles`, shared with

@@ -208,6 +208,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally staticFps.unpersist()
   }
 
+  test("intra-stream self-join pairs near-dups arriving within the window") {
+    import spark.implicits._
+    // 40-token docs, single-token mutations: hamming stays small when
+    // most of the token multiset is shared (one token of forty)
+    val toks = (0 until 40).map(i => s"w$i")
+    val base = toks.mkString(" ")
+    val mut1 = toks.updated(7, "x7").mkString(" ")
+    val mut2 = toks.updated(31, "y31").mkString(" ")
+    val streamDocs = Seq(
+      // 1 & 2: near-dups 3 minutes apart → must pair
+      (1L, ts("2024-01-01 00:00:00"), base),
+      (2L, ts("2024-01-01 00:03:00"), mut1),
+      // 3: near-dup of 1 but 2 HOURS later → outside the 10-min window
+      (3L, ts("2024-01-01 02:00:00"), mut2),
+      // 4: unrelated content inside the window → no pair
+      (4L, ts("2024-01-01 00:04:00"), (0 until 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "ts", "text")
+    val in = Files.createTempDirectory("graft-intra-in").toString
+    streamDocs.coalesce(1).write.parquet(s"$in/b000")
+    val q = Streams.intraStreamNearDupPairs(
+        spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"))
+      .writeStream.format("memory").queryName("intra_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("intra_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth restricted to the window: only (1, 2)
+    val batch = dedup.DedupApi.simhashPairs(
+        streamDocs.select("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.contains((1L, 2L)) && batch.contains((1L, 3L)),
+      s"batch must see both near-dup pairs: $batch")
+    assert(got == Set((1L, 2L)),
+      s"stream must pair only the within-window near-dups, got $got")
+    // the stream-stream join must carry the time-range state bound
+    val sw = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(sw))(q.explain())
+    assert(sw.toString.contains("StreamingSymmetricHashJoin"),
+      "expected a watermark-bounded stream-stream join:\n" + sw.toString)
+  }
+
   test("streaming bloom decontamination flags exactly the batch-contaminated docs") {
     import spark.implicits._
     val benchText = "the held out benchmark question about rivers and mountains of europe today"

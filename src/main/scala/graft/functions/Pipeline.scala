@@ -208,25 +208,32 @@ object Pipeline {
     Some {
       val k = DecontaminationShingle
       s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
-        shx AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh
+        shx AS (SELECT doc_id, unnest(list_transform(${wordShinglesSql("toks", k)},
+            s -> ${h60Sql("s")})) AS h
           FROM norm WHERE len(toks) >= $k),
-        bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
-        SELECT doc_id, count(DISTINCT sh) AS n_hits FROM shx
-        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND sh IN (SELECT sh FROM bench)
+        bench AS (SELECT DISTINCT h FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
+        SELECT doc_id, count(DISTINCT h) AS n_hits FROM shx
+        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND h IN (SELECT h FROM bench)
         GROUP BY doc_id ORDER BY doc_id"""
     },
     (s, d) => {
+      // r5: shingles hash through the native graft_word_shingles — the
+      // broadcast set and semi-join probes are 8-byte longs instead of
+      // UTF-8 shingle strings (smaller broadcast, cheaper probe; exact
+      // by the shared-md5 argument — see text_dup_ngram_fraction)
+      graft.functions.WordShingles.ensure(s)
       val k = DecontaminationShingle
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-        .filter(size(col("toks")) >= k)
-        .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("h"))
       val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
-      val bench = sh.filter(isBench).select(col("sh")).distinct()
+      val bench = sh.filter(isBench).select(col("h")).distinct()
       sh.filter(!isBench)
-        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_hits"))
+        .agg(countDistinct(col("h")).as("n_hits"))
         .orderBy(col("doc_id"))
     })
 
@@ -262,35 +269,40 @@ object Pipeline {
     Some {
       val k = DecontaminationShingle
       s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
-        shx AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh
+        shx AS (SELECT doc_id, unnest(list_transform(${wordShinglesSql("toks", k)},
+            s -> ${h60Sql("s")})) AS hk
           FROM norm WHERE len(toks) >= $k),
-        bench AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
-        SELECT doc_id, count(DISTINCT sh) AS n_hits FROM shx
-        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND sh IN (SELECT sh FROM bench)
+        bench AS (SELECT DISTINCT hk FROM shx WHERE doc_id % 29 = 0 AND doc_id < 500)
+        SELECT doc_id, count(DISTINCT hk) AS n_hits FROM shx
+        WHERE NOT (doc_id % 29 = 0 AND doc_id < 500) AND hk IN (SELECT hk FROM bench)
         GROUP BY doc_id ORDER BY doc_id"""
     },
     (s, d) => {
+      graft.functions.WordShingles.ensure(s)
       val k = DecontaminationShingle
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-        .filter(size(col("toks")) >= k)
-        .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("hk"))
       val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
-      decontaminateBloomHits(sh.filter(!isBench), sh.filter(isBench).select(col("sh")).distinct())
+      decontaminateBloomHits(sh.filter(!isBench), sh.filter(isBench).select(col("hk")).distinct())
         .orderBy(col("doc_id"))
     })
 
   /** The [[decontaminateBloom]] core as a library API: flag corpus
-    * (doc_id, sh) shingle rows overlapping `bench` (a distinct shingle
-    * set too large to broadcast raw), returning per-doc distinct hit
-    * counts. The prefiltered survivor set persists via the implicit
-    * scope — deliberately: besides reuse, the persist is an optimizer
-    * barrier that PINS the prefilter below the verify join
-    * (`PushDownLeftSemiAntiJoin` otherwise rewrites
-    * prefilter-then-semi-join into semi-join-then-prefilter, shuffling
-    * the FULL corpus shingle stream into the verify join — the exact
-    * plan this operator exists to avoid; `PlanGuardSpec` pins the
-    * repaired shape). */
+    * (doc_id, hk) shingle-HASH rows overlapping `bench` (a distinct
+    * (hk) hash set too large to broadcast raw — build both sides with
+    * the native `graft_word_shingles`, the
+    * [[graft.streaming.Streams.benchBloomTables]] convention),
+    * returning per-doc distinct hit counts. The prefiltered survivor
+    * set persists via the implicit scope — deliberately: besides
+    * reuse, the persist is an optimizer barrier that PINS the
+    * prefilter below the verify join (`PushDownLeftSemiAntiJoin`
+    * otherwise rewrites prefilter-then-semi-join into
+    * semi-join-then-prefilter, shuffling the FULL corpus shingle
+    * stream into the verify join — the exact plan this operator
+    * exists to avoid; `PlanGuardSpec` pins the repaired shape). */
   def decontaminateBloomHits(corpusSh: org.apache.spark.sql.DataFrame,
       bench: org.apache.spark.sql.DataFrame)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
@@ -300,18 +312,17 @@ object Pipeline {
     // metadata-scale sizing pre-pass: one count over the bench side
     val nBench = math.max(64L, benchP.count())
     val mBits = ((nBench * BloomBitsPerKey + 63) / 64) * 64
-    val blob = benchP.select(h60(col("sh")).as("hk"))
+    val blob = benchP
       .agg(expr(s"graft_bloom_agg(hk, ${mBits}L, $BloomHashes)").as("bloom"))
     val survivors = corpusSh
-      .withColumn("hk", h60(col("sh")))
       .crossJoin(broadcast(blob))
       .filter(expr("graft_bloom_contains(bloom, hk)"))
-      .drop("hk", "bloom")
+      .drop("bloom")
       .transform(scope.persist)
     survivors
-      .join(benchP.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .join(benchP.hint("shuffle_hash"), Seq("hk"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_hits"))
+      .agg(countDistinct(col("hk")).as("n_hits"))
   }
 
   /** Fuzzy (containment) decontamination — the per-pair refinement of
@@ -450,10 +461,12 @@ object Pipeline {
         q AS (SELECT * FROM mix WHERE len(toks) BETWEEN 20 AND 80
           AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
           AND NOT (doc_id % 29 = 0 AND doc_id < 500)),
-        bsh AS (SELECT DISTINCT unnest(${wordShinglesSql("toks", k)}) AS sh FROM t
+        bsh AS (SELECT DISTINCT unnest(list_transform(${wordShinglesSql("toks", k)},
+            s -> ${h60Sql("s")})) AS h FROM t
           WHERE doc_id % 29 = 0 AND doc_id < 500 AND len(toks) >= $k),
-        qsh AS (SELECT doc_id, unnest(${wordShinglesSql("toks", k)}) AS sh FROM q),
-        cont AS (SELECT DISTINCT doc_id FROM qsh WHERE sh IN (SELECT sh FROM bsh)),
+        qsh AS (SELECT doc_id, unnest(list_transform(${wordShinglesSql("toks", k)},
+            s -> ${h60Sql("s")})) AS h FROM q),
+        cont AS (SELECT DISTINCT doc_id FROM qsh WHERE h IN (SELECT h FROM bsh)),
         dec AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
         kx AS (SELECT md5(s) AS h, min(doc_id) AS keep_id FROM dec GROUP BY h),
         kept AS (SELECT dec.* FROM dec JOIN kx ON dec.doc_id = kx.keep_id),
@@ -486,13 +499,17 @@ object Pipeline {
       .filter(size(col("toks")).between(20, 80) &&
         size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.3 &&
         !isBench)
+    // r5: shingles hash through the native graft_word_shingles (the
+    // corpus_decontaminate change, same shared-md5 exactness argument)
+    graft.functions.WordShingles.ensure(docs.sparkSession)
     val benchSh = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(isBench && size(col("toks")) >= k)
-      .select(explode(wordShingles(col("toks"), k)).as("sh")).distinct()
+      .filter(isBench)
+      .select(explode(graft.functions.WordShingles.hashes(normText(col("text")), k)).as("h"))
+      .distinct()
     val contaminated = quality
-      .select(col("doc_id"), explode(wordShingles(col("toks"), k)).as("sh"))
-      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.hashes(normText(col("text")), k)).as("h"))
+      .join(broadcast(benchSh), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
       .transform(scope.persist)

@@ -141,12 +141,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     // pin the decontamination join NODE itself (keyed on the shingle
-    // column `sh`), not just the substrings somewhere in the plan —
-    // exactKeep's semi-join or an AQE broadcast elsewhere must not
-    // satisfy this check for it
+    // HASH column `h` since r5), not just the substrings somewhere in
+    // the plan — exactKeep's semi-join or an AQE broadcast elsewhere
+    // must not satisfy this check for it
     assert(p.linesIterator.exists(l =>
-        l.contains("BroadcastHashJoin") && l.contains("LeftSemi") && l.contains("[sh#")),
-      "decontamination must stay a broadcast semi-join on the shingle key inside the composition")
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi") && l.contains("[h#")),
+      "decontamination must stay a broadcast semi-join on the shingle-hash key inside the composition")
     assert("LeftAnti".r.findAllIn(p).size >= 2,
       "contaminated-doc and near-dup drops must stay anti-joins")
   }

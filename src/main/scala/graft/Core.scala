@@ -147,11 +147,9 @@ object Portable {
     s"list_distinct(list_transform(range(1, len($tokens) - ${k - 2}), i -> $parts))"
   }
 
-  def minhashSql(shingles: String, j: Int): String =
-    s"list_min(list_transform($shingles, s -> (${A(j)} * (${h60Sql("s")} % $P) + ${B(j)}) % $P))"
-
-  /** [[minhashSql]] over a list of h60 hashes (r5: the hashed shingle
-    * representation) — same values, the md5 is just already done. */
+  /** MinHash oracle over a list of h60 hashes (the engine's shingle
+    * representation since r5) — values identical to hashing the
+    * strings inline, the md5 is just already done. */
   def minhashOfHashesSql(hashes: String, j: Int): String =
     s"list_min(list_transform($hashes, h -> (${A(j)} * (h % $P) + ${B(j)}) % $P))"
 }

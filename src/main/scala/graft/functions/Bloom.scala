@@ -192,9 +192,10 @@ object Bloom {
   def ensure(spark: SparkSession): Unit = {
     Registration.ensure(spark, "graft_bloom_agg") { exprs =>
       val m = exprs(1) match {
-        case Literal(v: Int, IntegerType) if v >= 64 => v.toLong
-        case Literal(v: Long, LongType) if v >= 64 => v
-        case other => sys.error(s"graft_bloom_agg: mBits must be an int literal >= 64, got $other")
+        case Literal(v: Int, IntegerType) if v >= 64 && v % 64 == 0 => v.toLong
+        case Literal(v: Long, LongType) if v >= 64 && v % 64 == 0 => v
+        case other => sys.error(
+          s"graft_bloom_agg: mBits must be an int literal >= 64 and a multiple of 64, got $other")
       }
       val k = exprs(2) match {
         case Literal(v: Int, IntegerType) if v >= 1 && v <= 32 => v

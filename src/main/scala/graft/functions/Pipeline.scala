@@ -203,6 +203,24 @@ object Pipeline {
     * artifact; `anti`-join the flagged ids to actually drop them). */
   val DecontaminationShingle = 8
 
+  /** The benchmark-slice predicate and hashed shingle rows the whole
+    * decontamination family (exact / bloom / fuzzy / ingest) shares —
+    * ONE definition so the slice and representation can never
+    * silently diverge between variants. */
+  private def isBenchCol = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+
+  /** (doc_id, <out>) h60 shingle rows of the documents table via the
+    * native `graft_word_shingles`; rows with < k tokens drop out. */
+  private def corpusShingleRows(s: org.apache.spark.sql.SparkSession, d: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.WordShingles.ensure(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.hashes(normText(col("text")), DecontaminationShingle).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as(out))
+  }
+
   val decontaminate = QueryDef(
     "corpus_decontaminate",
     Some {
@@ -221,14 +239,8 @@ object Pipeline {
       // broadcast set and semi-join probes are 8-byte longs instead of
       // UTF-8 shingle strings (smaller broadcast, cheaper probe; exact
       // by the shared-md5 argument — see text_dup_ngram_fraction)
-      graft.functions.WordShingles.ensure(s)
-      val k = DecontaminationShingle
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
-        .filter(size(col("shs")) > 0)
-        .select(col("doc_id"), explode(col("shs")).as("h"))
-      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val sh = corpusShingleRows(s, d, "h")
+      val isBench = isBenchCol
       val bench = sh.filter(isBench).select(col("h")).distinct()
       sh.filter(!isBench)
         .join(broadcast(bench), Seq("h"), "left_semi")
@@ -278,15 +290,8 @@ object Pipeline {
         GROUP BY doc_id ORDER BY doc_id"""
     },
     (s, d) => {
-      graft.functions.WordShingles.ensure(s)
-      val k = DecontaminationShingle
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
-        .filter(size(col("shs")) > 0)
-        .select(col("doc_id"), explode(col("shs")).as("hk"))
-      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
-      decontaminateBloomHits(sh.filter(!isBench), sh.filter(isBench).select(col("hk")).distinct())
+      val sh = corpusShingleRows(s, d, "hk")
+      decontaminateBloomHits(sh.filter(!isBenchCol), sh.filter(isBenchCol).select(col("hk")).distinct())
         .orderBy(col("doc_id"))
     })
 
@@ -367,14 +372,8 @@ object Pipeline {
         ORDER BY doc_id, bench_id"""
     },
     (s, d) => {
-      graft.functions.WordShingles.ensure(s)
-      val k = DecontaminationShingle
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.WordShingles.hashes(normText(col("text")), k).as("shs"))
-        .filter(size(col("shs")) > 0)
-        .select(col("doc_id"), explode(col("shs")).as("h"))
-      val isBench = pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < 500
+      val sh = corpusShingleRows(s, d, "h")
+      val isBench = isBenchCol
       val bsh = sh.filter(isBench).select(col("doc_id").as("bench_id"), col("h"))
       val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("n"))
       sh.filter(!isBench)

@@ -196,6 +196,31 @@ object AnnApi {
     * PQ top-k (the standard refinement) is [[AnnApi.bruteTopK]] over
     * the survivors — the gated query pins the PURE PQ ranking so the
     * quantization math itself is what the oracle checks. */
+  /** The per-probe subspace distance table: one (id_p, s, code,
+    * partial) row per probe × codebook entry, `partial = |c|² − 2·q·c`
+    * — shared by [[pqTopK]] and [[ivfPqTopK]] so the ADC score has
+    * exactly one definition. */
+  private def probeDistTable(sub: DataFrame, id: String,
+      probeIds: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(probeIds, Seq(id), "left_semi")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col(id).as("id_p"), col("s"), col("code"),
+        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
+
+  /** The ADC tail shared by [[pqTopK]] and [[ivfPqTopK]]: decimal
+    * partial-sum per (probe, candidate) — merge order can never flip
+    * a rank — then top-`k` per probe by (adc asc, id_c). `scored` is
+    * (id_p, id_c, partial) rows, m per (probe, candidate). */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("id_p"), col("id_c"))
+      .agg(sum(col("partial").cast(DecimalType(28, 12))).cast("double").as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("adc").asc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("id_c"), round(col("adc"), 6).as("adc"))
+      .orderBy(col("id_p"), col("rk"))
+
   def pqTopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
       k: Int = 5, m: Int = 8, subDim: Int = 8, kCodes: Int = 16,
       iters: Int = 2, trainMod: Int = 4)(
@@ -205,19 +230,12 @@ object AnnApi {
     val sub = subVectors(corpus, id, vec, m, subDim)
       .transform(scope.persist)
     val codes = assignCodes(sub, id, codebook)
-    val padt = sub.join(probeIds, Seq(id), "left_semi")
-      .join(broadcast(codebook), Seq("s"))
-      .select(col(id).as("id_p"), col("s"), col("code"),
-        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
-    codes.join(broadcast(padt), Seq("s", "code"))
-      .filter(col("id_p") =!= col(id))
-      .groupBy(col("id_p"), col(id).as("id_c"))
-      .agg(sum(col("partial").cast(DecimalType(28, 12))).cast("double").as("adc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id_p")).orderBy(col("adc").asc, col("id_c"))))
-      .filter(col("rk") <= k)
-      .select(col("id_p"), col("rk"), col("id_c"), round(col("adc"), 6).as("adc"))
-      .orderBy(col("id_p"), col("rk"))
+    val padt = probeDistTable(sub, id, probeIds, codebook)
+    adcTopK(
+      codes.join(broadcast(padt), Seq("s", "code"))
+        .filter(col("id_p") =!= col(id))
+        .select(col("id_p"), col(id).as("id_c"), col("partial")),
+      k)
   }
 
   /** IVF-style top-k: coarse cells from `cell` (a cluster label),
@@ -294,29 +312,21 @@ object AnnApi {
     val sub = subVectors(corpus, id, vec, m, subDim)
       .transform(scope.persist)
     val codes = assignCodes(sub, id, codebook)
-    val padt = sub.join(probeIds, Seq(id), "left_semi")
-      .join(broadcast(codebook), Seq("s"))
-      .select(col(id).as("id_p"), col("s"), col("code"),
-        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
+    val padt = probeDistTable(sub, id, probeIds, codebook)
     // corpus restricted to the probed cells BEFORE any ADC work
     val cand = topCells
       .join(cells.select(col(id).as("id_c"), col("cell")),
         col("cell") === col("probe_cell"))
       .filter(col("id_c") =!= col("pid"))
       .select(col("pid"), col("id_c"))
-    cand
-      .join(codes.select(col(id).as("id_c"), col("s"), col("code")), Seq("id_c"))
-      .as("L")
-      .join(broadcast(padt.as("R")),
-        col("R.id_p") === col("L.pid") && col("R.s") === col("L.s") &&
-          col("R.code") === col("L.code"))
-      .select(col("L.pid").as("pid"), col("L.id_c").as("id_c"), col("R.partial").as("partial"))
-      .groupBy(col("pid"), col("id_c"))
-      .agg(sum(col("partial").cast(DecimalType(28, 12))).cast("double").as("adc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("adc").asc, col("id_c"))))
-      .filter(col("rk") <= k)
-      .select(col("pid").as("id_p"), col("rk"), col("id_c"), round(col("adc"), 6).as("adc"))
-      .orderBy(col("id_p"), col("rk"))
+    adcTopK(
+      cand
+        .join(codes.select(col(id).as("id_c"), col("s"), col("code")), Seq("id_c"))
+        .as("L")
+        .join(broadcast(padt.as("R")),
+          col("R.id_p") === col("L.pid") && col("R.s") === col("L.s") &&
+            col("R.code") === col("L.code"))
+        .select(col("L.pid").as("id_p"), col("L.id_c").as("id_c"), col("R.partial").as("partial")),
+      k)
   }
 }

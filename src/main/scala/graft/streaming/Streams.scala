@@ -375,17 +375,23 @@ object Streams {
 
   /** Build the two static tables [[decontaminateStream]] consumes from
     * a benchmark document table: the distinct shingle-hash set and the
-    * one-row Bloom blob sized at build time from its count. The caller
-    * persists both (refresh contract). */
+    * one-row Bloom blob sized at build time from its count. The hash
+    * set persists via the implicit scope BEFORE the sizing count —
+    * without it the full shingle+distinct job would run three times
+    * (sizing count, blob build, the caller's first use); the returned
+    * `hashes` frame IS that persisted copy, released by the scope
+    * (refresh contract: rebuild both tables inside a fresh scope when
+    * the benchmark changes). */
   def benchBloomTables(bench: DataFrame, text: String = "text",
-      k: Int = graft.functions.Pipeline.DecontaminationShingle): (DataFrame, DataFrame) = {
+      k: Int = graft.functions.Pipeline.DecontaminationShingle)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): (DataFrame, DataFrame) = {
     val spark = bench.sparkSession
     graft.functions.WordShingles.ensure(spark)
     graft.functions.Bloom.ensure(spark)
-    val hashes = bench
+    val hashes = scope.persist(bench
       .select(explode(graft.functions.WordShingles.hashes(
         graft.Portable.normText(col(text)), k)).as("hk"))
-      .distinct()
+      .distinct())
     val n = math.max(64L, hashes.count())
     val mBits = ((n * graft.functions.Pipeline.BloomBitsPerKey + 63) / 64) * 64
     val blob = hashes.agg(

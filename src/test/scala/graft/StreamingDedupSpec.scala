@@ -261,8 +261,9 @@ class StreamingDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "ts", "text")
 
     // batch truth with the same hash semantics: doc 1 only
+    // (benchHk comes back already persisted by the builder)
     val (benchHk, blob) = Streams.benchBloomTables(bench)
-    val benchHkP = benchHk.cache(); benchHkP.count()
+    val benchHkP = benchHk; benchHkP.count()
     val blobP = blob.cache(); blobP.count()
     val batchFlags = streamDocs
       .select(org.apache.spark.sql.functions.col("doc_id"),

@@ -129,11 +129,18 @@ object AnnApi {
     * suite (and recall vs [[bruteTopK]] is meaningful). */
   private def subVectors(corpus: DataFrame, id: String, vec: String,
       m: Int, subDim: Int): DataFrame =
-    corpus.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v0"))
-      .select(col(id), expr("transform(v0, x -> x / sqrt(graft_dot(v0, v0)))").as("v"))
-      .select(col(id), explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("vs"))): _*)).as("e"))
-      .select(col(id), col("e.s").as("s"), col("e.vs").as("vs"))
+    subspaceRows(
+      corpus.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v0"))
+        .select(col(id), expr("transform(v0, x -> x / sqrt(graft_dot(v0, v0)))").as("rv")),
+      Seq(id), m, subDim)
+
+  /** Explode a double-array column `rv` into one (…keep, s, vs) row
+    * per `subDim`-wide subspace slice — shared by the raw and residual
+    * PQ planes. */
+  private def subspaceRows(df: DataFrame, keep: Seq[String], m: Int, subDim: Int): DataFrame =
+    df.select(keep.map(col) :+ explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), expr(s"slice(rv, ${s * subDim + 1}, $subDim)").as("vs"))): _*)).as("e"): _*)
+      .select(keep.map(col) :+ col("e.s").as("s") :+ col("e.vs").as("vs"): _*)
 
   /** Assign every (id, s) sub-vector its nearest codebook entry by
     * squared L2 (monotone form `|c|² − 2·x·c` — the |x|² term is
@@ -162,10 +169,20 @@ object AnnApi {
   def pqCodebooks(corpus: DataFrame, id: String, vec: String,
       m: Int = 8, subDim: Int = 8, kCodes: Int = 16, iters: Int = 2, trainMod: Int = 4)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
-    require(m >= 1 && subDim >= 1 && kCodes >= 1 && iters >= 1 && trainMod >= 1)
-    graft.functions.VecSumDec.ensure(corpus.sparkSession)
-    graft.functions.Dot.ensure(corpus.sparkSession)
-    val train = subVectors(corpus, id, vec, m, subDim)
+    require(m >= 1 && subDim >= 1, s"bad pq geometry: m=$m subDim=$subDim")
+    pqCodebooksFromSub(subVectors(corpus, id, vec, m, subDim), id, kCodes, iters, trainMod)
+  }
+
+  /** [[pqCodebooks]] over prebuilt (id, s, vs) sub-vector rows — the
+    * entry the residual variant shares, so raw and residual codebooks
+    * train through literally the same loop. */
+  private def pqCodebooksFromSub(sub: DataFrame, id: String,
+      kCodes: Int, iters: Int, trainMod: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(kCodes >= 1 && iters >= 1 && trainMod >= 1)
+    graft.functions.VecSumDec.ensure(sub.sparkSession)
+    graft.functions.Dot.ensure(sub.sparkSession)
+    val train = sub
       .filter(pmod(col(id), lit(trainMod)) === 0)
       .transform(scope.persist)
     var assign = train.select(col(id), col("s"),
@@ -326,6 +343,73 @@ object AnnApi {
         .join(broadcast(padt.as("R")),
           col("R.id_p") === col("L.pid") && col("R.s") === col("L.s") &&
             col("R.code") === col("L.code"))
+        .select(col("L.pid").as("id_p"), col("L.id_c").as("id_c"), col("R.partial").as("partial")),
+      k)
+  }
+
+  /** Residual IVFADC — the full Jégou et al. recipe: PQ codebooks
+    * learn the RESIDUAL `u − centroid(cell)` of each unit vector
+    * against its coarse cell, which is what makes the codebook budget
+    * spent on local structure instead of re-encoding cell position
+    * (the refinement [[ivfPqTopK]]'s scaladoc promises; same plan
+    * shape, different codebook input). Consequences threaded through:
+    * ONE global codebook over residuals from all cells (standard),
+    * candidate codes are consistent because a candidate's stored code
+    * is its residual vs its OWN cell = the probed cell it is found
+    * in, and the probe computes one distance table PER PROBED CELL
+    * (its residual differs per cell) — the table is
+    * nProbeCells·m·kCodes rows, still broadcast-scale. */
+  def ivfPqResidualTopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
+      k: Int = 5, nProbeCells: Int = 2, kCells: Int = 8, kmIters: Int = 2,
+      m: Int = 8, subDim: Int = 8, kCodes: Int = 16,
+      pqIters: Int = 2, trainMod: Int = 4)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
+    graft.functions.Dot.ensure(corpus.sparkSession)
+    val cells = kmeansCells(corpus, id, vec, kCells, kmIters, trainMod)
+      .transform(scope.persist)
+    val n = normalized(corpus.join(cells, Seq(id)), id, vec, passthrough = Seq("cell"))
+      .transform(scope.persist)
+    val topCells = probeTopCells(n, id, "cell", probeIds, nProbeCells)
+    val unit = n.select(col(id), col("cell"), expr("transform(v, x -> x / nrm)").as("u"))
+    // decimal-exact unit-vector centroid per cell (kCells rows)
+    val cent = unit.groupBy(col("cell"))
+      .agg(call_function("graft_vecsum_dec", col("u")).as("sv"))
+      .select(col("cell"), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cu"))
+      .transform(scope.persist)
+    val rsub = subspaceRows(
+        unit.join(broadcast(cent), Seq("cell"))
+          .select(col(id), expr("zip_with(u, cu, (a, b) -> a - b)").as("rv")),
+        Seq(id), m, subDim)
+      .transform(scope.persist)
+    val codebook = pqCodebooksFromSub(rsub, id, kCodes, pqIters, trainMod)
+      .transform(scope.persist)
+    val codes = assignCodes(rsub, id, codebook)
+    // one distance table per (probe, probed cell): the probe's residual
+    // against THAT cell's centroid
+    val probeU = unit.join(probeIds, Seq(id), "left_semi")
+      .select(col(id).as("pid0"), col("u"))
+    val pres = subspaceRows(
+        topCells.join(probeU, col("pid") === col("pid0"))
+          .join(broadcast(cent), col("cell") === col("probe_cell"))
+          .select(col("pid"), col("probe_cell"),
+            expr("zip_with(u, cu, (a, b) -> a - b)").as("rv")),
+        Seq("pid", "probe_cell"), m, subDim)
+    val padt = pres.join(broadcast(codebook), Seq("s"))
+      .select(col("pid").as("id_p"), col("probe_cell").as("pcell"), col("s"), col("code"),
+        (col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("partial"))
+    val cand = topCells
+      .join(cells.select(col(id).as("id_c"), col("cell")),
+        col("cell") === col("probe_cell"))
+      .filter(col("id_c") =!= col("pid"))
+      .select(col("pid"), col("probe_cell").as("pcell"), col("id_c"))
+    adcTopK(
+      cand
+        .join(codes.select(col(id).as("id_c"), col("s"), col("code")), Seq("id_c"))
+        .as("L")
+        .join(broadcast(padt.as("R")),
+          col("R.id_p") === col("L.pid") && col("R.pcell") === col("L.pcell") &&
+            col("R.s") === col("L.s") && col("R.code") === col("L.code"))
         .select(col("L.pid").as("id_p"), col("L.id_c").as("id_c"), col("R.partial").as("partial")),
       k)
   }

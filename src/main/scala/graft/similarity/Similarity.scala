@@ -210,21 +210,28 @@ object Similarity {
     * struct-min), full-corpus codes from the final codebook, probe
     * distance tables, and the ADC decimal partial-sum. Assumes `nx`
     * in scope. Returns (cteBlock, codesRel, padtRel). */
-  def pqSqlCtes(m: Int, subDim: Int, kCodes: Int, iters: Int, trainMod: Int): (String, String, String) = {
-    def fold(vs: String, cm: String) =
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> $vs[i] * $cm[i]), (a, b) -> a + b)"
-    def assignRel(src: String, rel: String, it: Int) =
-      s"""$rel AS (SELECT vec_id, s, code FROM (
+  private def pqFoldSql(subDim: Int)(vs: String, cm: String): String =
+    s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> $vs[i] * $cm[i]), (a, b) -> a + b)"
+
+  private def pqAssignRelSql(src: String, rel: String, it: Int, subDim: Int): String = {
+    val fold = pqFoldSql(subDim) _
+    s"""$rel AS (SELECT vec_id, s, code FROM (
         SELECT x.vec_id, x.s, r.code,
           row_number() OVER (PARTITION BY x.vec_id, x.s
             ORDER BY n.cn2 - 2 * ${fold("x.vs", "r.cm")} ASC, r.code) AS ark
         FROM $src x JOIN pr$it r ON r.s = x.s
         JOIN pn$it n ON n.s = r.s AND n.code = r.code) t WHERE ark = 1)"""
+  }
+
+  /** The codebook-training CTE loop over any (vec_id, s, vs) relation
+    * — shared by the raw ([[pqSqlCtes]]) and residual
+    * ([[pqResidualSqlCtes]]) planes, mirroring
+    * `AnnApi.pqCodebooksFromSub`. Emits ptrain/ppos/pa0 + per-
+    * iteration pc/pr/pn/pa and the final `pcodes` assignment of the
+    * full relation. */
+  private def pqLoopSqlCtes(subRel: String, subDim: Int, kCodes: Int, iters: Int, trainMod: Int): String = {
     val sb = new StringBuilder(
-      s"""pnv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM nx),
-      psub AS (SELECT vec_id, s, list_slice(v, s * $subDim + 1, (s + 1) * $subDim) AS vs
-        FROM pnv, (SELECT unnest(range(0, $m)) AS s)),
-      ptrain AS (SELECT * FROM psub WHERE vec_id % $trainMod = 0),
+      s"""ptrain AS (SELECT * FROM $subRel WHERE vec_id % $trainMod = 0),
       ppos AS (SELECT vec_id, s, i, vs[i] AS x FROM ptrain, (SELECT unnest(range(1, ${subDim + 1})) AS i)),
       pa0 AS (SELECT vec_id, s, vec_id % $kCodes AS code FROM ptrain)""")
     for (it <- 1 to iters) {
@@ -235,16 +242,57 @@ object Similarity {
       pr$it AS (SELECT s, code, list(mn ORDER BY i) AS cm FROM pc$it GROUP BY s, code),
       pn$it AS (SELECT s, code, list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b) AS cn2
         FROM pr$it),
-      ${assignRel("ptrain", s"pa$it", it)}""")
+      ${pqAssignRelSql("ptrain", s"pa$it", it, subDim)}""")
     }
     sb.append(s""",
-      ${assignRel("psub", "pcodes", iters)},
+      ${pqAssignRelSql(subRel, "pcodes", iters, subDim)}""")
+    sb.toString
+  }
+
+  def pqSqlCtes(m: Int, subDim: Int, kCodes: Int, iters: Int, trainMod: Int): (String, String, String) = {
+    val fold = pqFoldSql(subDim) _
+    val cte = s"""pnv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM nx),
+      psub AS (SELECT vec_id, s, list_slice(v, s * $subDim + 1, (s + 1) * $subDim) AS vs
+        FROM pnv, (SELECT unnest(range(0, $m)) AS s)),
+      ${pqLoopSqlCtes("psub", subDim, kCodes, iters, trainMod)},
       padt AS (SELECT q.vec_id AS id_p, q.s, r.code,
           n.cn2 - 2 * ${fold("q.vs", "r.cm")} AS partial
         FROM psub q JOIN pr$iters r ON r.s = q.s
         JOIN pn$iters n ON n.s = r.s AND n.code = r.code
-        WHERE q.vec_id < 10)""")
-    (sb.toString, "pcodes", "padt")
+        WHERE q.vec_id < 10)"""
+    (cte, "pcodes", "padt")
+  }
+
+  /** Residual-IVFADC CTEs, mirroring `AnnApi.ivfPqResidualTopK`.
+    * Assumes `nx`, the k-means loop's `kpos`, the final assignment
+    * `kaFinal`, and the probe-cell relation `top2 (id_p, cell)` are
+    * in scope. Emits the unit vectors, per-cell unit centroids,
+    * residual sub-vectors, the shared codebook loop, the per-probed-
+    * cell distance tables (`rpadt`), and candidate rows (`rcand`). */
+  def pqResidualSqlCtes(kaFinal: String, m: Int, subDim: Int, kCodes: Int,
+      iters: Int, trainMod: Int): String = {
+    val fold = pqFoldSql(subDim) _
+    s"""pu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM nx),
+      rupos AS (SELECT vec_id, i, u[i] AS x FROM pu, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      rcc AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+        FROM rupos p JOIN $kaFinal a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
+      rcr AS (SELECT cell, list(mn ORDER BY i) AS cu FROM rcc GROUP BY cell),
+      rres AS (SELECT pu.vec_id, list_transform(range(1, ${Dim + 1}), i -> pu.u[i] - r.cu[i]) AS rv
+        FROM pu JOIN $kaFinal a ON a.vec_id = pu.vec_id JOIN rcr r ON r.cell = a.cell),
+      rsub AS (SELECT vec_id, s, list_slice(rv, s * $subDim + 1, (s + 1) * $subDim) AS vs
+        FROM rres, (SELECT unnest(range(0, $m)) AS s)),
+      ${pqLoopSqlCtes("rsub", subDim, kCodes, iters, trainMod)},
+      prres AS (SELECT t.id_p, t.cell AS pcell,
+          list_transform(range(1, ${Dim + 1}), i -> pu.u[i] - r.cu[i]) AS rv
+        FROM top2 t JOIN pu ON pu.vec_id = t.id_p JOIN rcr r ON r.cell = t.cell),
+      prsub AS (SELECT id_p, pcell, s, list_slice(rv, s * $subDim + 1, (s + 1) * $subDim) AS vs
+        FROM prres, (SELECT unnest(range(0, $m)) AS s)),
+      rpadt AS (SELECT q.id_p, q.pcell, q.s, r.code,
+          n.cn2 - 2 * ${fold("q.vs", "r.cm")} AS partial
+        FROM prsub q JOIN pr$iters r ON r.s = q.s
+        JOIN pn$iters n ON n.s = r.s AND n.code = r.code),
+      rcand AS (SELECT t.id_p, t.cell AS pcell, kb.vec_id AS id_c
+        FROM top2 t JOIN $kaFinal kb ON kb.cell = t.cell AND kb.vec_id <> t.id_p)"""
   }
 
   /** PQ-ANN by asymmetric distance over the learned codebooks — the
@@ -375,6 +423,49 @@ object Similarity {
       m = PqSubspaces, subDim = PqSubDim, kCodes = PqCodes,
       pqIters = PqIters, trainMod = PqTrainMod))
 
+  /** Residual IVFADC — the FULL Jégou et al. recipe (codebooks learn
+    * `u − centroid(cell)`, so the code budget captures local structure
+    * instead of re-encoding cell position). Oracle = the ann_ivfpq
+    * cell-pruning block + the residual codebook/ADC CTEs, hash-exact. */
+  val annIvfPqResidual = QueryDef(
+    "ann_ivfpq_residual",
+    Some {
+      val (kmCtes, kaFinal) = kmeansSqlCtes(KmeansCells, KmeansIters, KmeansTrainMod)
+      s"""WITH $normSqlCte, $kmCtes,
+      kcf AS (SELECT a.cell, p.i, CAST(sum(CAST(p.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM kpos p JOIN $kaFinal a ON a.vec_id = p.vec_id GROUP BY a.cell, p.i),
+      krf AS (SELECT cell, list(m ORDER BY i) AS cm FROM kcf GROUP BY cell),
+      knf AS (SELECT cell, sqrt(list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b)) AS cn
+        FROM krf),
+      pdot AS (SELECT n.vec_id AS id_p, r.cell,
+          list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * r.cm[i]), (a, b) -> a + b) AS dt
+        FROM nx n, krf r WHERE n.vec_id < 10),
+      top2 AS (SELECT id_p, cell FROM (
+          SELECT d.id_p, d.cell,
+            row_number() OVER (PARTITION BY d.id_p
+              ORDER BY d.dt / (n.nrm * cn.cn) DESC, d.cell) AS crk
+          FROM pdot d JOIN nx n ON n.vec_id = d.id_p JOIN knf cn ON cn.cell = d.cell) t
+        WHERE crk <= 2),
+      ${pqResidualSqlCtes(kaFinal, PqSubspaces, PqSubDim, PqCodes, PqIters, PqTrainMod)},
+      adc AS (SELECT c.id_p, c.id_c,
+          CAST(sum(CAST(d.partial AS DECIMAL(28,12))) AS DOUBLE) AS adc
+        FROM rcand c
+        JOIN pcodes pc ON pc.vec_id = c.id_c
+        JOIN rpadt d ON d.id_p = c.id_p AND d.pcell = c.pcell
+          AND d.s = pc.s AND d.code = pc.code
+        GROUP BY c.id_p, c.id_c)
+      SELECT id_p, rk, id_c, round(adc, 6) AS adc FROM (
+        SELECT id_p, id_c, adc,
+          row_number() OVER (PARTITION BY id_p ORDER BY adc ASC, id_c) AS rk
+        FROM adc) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => AnnApi.ivfPqResidualTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
+      k = 5, nProbeCells = 2, kCells = KmeansCells, kmIters = KmeansIters,
+      m = PqSubspaces, subDim = PqSubDim, kCodes = PqCodes,
+      pqIters = PqIters, trainMod = PqTrainMod))
+
   // ------------------------------------------------------- vec stats
   /** Per-label vector statistics (decimal-exact mean norm). */
   val vecStats = QueryDef(
@@ -392,5 +483,5 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, vecStats)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, vecStats)
 }

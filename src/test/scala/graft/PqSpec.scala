@@ -92,6 +92,21 @@ class PqSpec extends AnyFunSuite {
       val cover = (brute & shortlist).size.toDouble / brute.size
       assert(cover >= 0.8,
         s"cluster-sized ADC shortlist must contain the brute top-5 for rerank: $cover")
+      // the residual variant must satisfy the same contract (its
+      // codebooks see u − centroid, i.e. exactly the within-cluster
+      // offsets on this construction)
+      val rTop5 = similarity.AnnApi.ivfPqResidualTopK(vecs, "vec_id", "embedding", p,
+          k = 5, trainMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val rSame = rTop5.count { case (q, c) => q % 16 == c % 16 }
+      assert(rSame.toDouble / rTop5.length >= 0.9,
+        s"residual IVFADC must stay in the probe's cluster: $rSame/${rTop5.length}")
+      val rShort = similarity.AnnApi.ivfPqResidualTopK(vecs, "vec_id", "embedding", p,
+          k = 30, trainMod = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rCover = (brute & rShort).size.toDouble / brute.size
+      assert(rCover >= 0.8,
+        s"residual ADC shortlist must contain the brute top-5 for rerank: $rCover")
     }
   }
 }

@@ -238,6 +238,38 @@ object Dedup {
     (s, d) => DedupApi.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")))
 
+  // ------------------------------------------------ semantic dedup
+  /** SemDeDup (Abbas et al. 2023): cosine near-dup pairs found only
+    * INSIDE k-means cells (see [[DedupApi.semanticPairs]]) — the
+    * embedding-dedup recipe that scales, because the pair scan is
+    * cluster-local (Σ|cell|², never |corpus|²). Same Lloyd recipe and
+    * constants as the gated `vec_kmeans`, so the oracle composes the
+    * already-verified k-means CTEs with one cell-local pair CTE;
+    * threshold matches `dedup_embed_cosine` so the within-cell subset
+    * relation is auditable across the two gates. */
+  val semantic = QueryDef(
+    "dedup_semantic",
+    Some {
+      import graft.similarity.Similarity
+      val (ctes, ka) = Similarity.kmeansSqlCtes(
+        Similarity.KmeansCells, Similarity.KmeansIters, Similarity.KmeansTrainMod)
+      val dotAb =
+        "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+      s"""WITH ${Similarity.normSqlCte}, $ctes,
+      nc AS (SELECT n.vec_id, n.v, n.nrm, k.cell FROM nx n JOIN $ka k ON k.vec_id = n.vec_id)
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        round($dotAb / (a.nrm * b.nrm), 6) AS cos
+      FROM nc a JOIN nc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE $dotAb / (a.nrm * b.nrm) >= 0.4
+      ORDER BY id_a, id_b"""
+    },
+    (s, d) => {
+      import graft.similarity.Similarity
+      DedupApi.semanticPairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
+          Similarity.KmeansCells, Similarity.KmeansIters, Similarity.KmeansTrainMod)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
   // --------------------------------------------------- clustering
   /** Near-dup clustering: connected components over the MinHash+LSH
     * pair graph, every doc labeled with its component's min doc id —
@@ -297,5 +329,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, substring, embedCosine,
-    embedCosineLsh, clusters, nearDedupPipeline)
+    embedCosineLsh, semantic, clusters, nearDedupPipeline)
 }

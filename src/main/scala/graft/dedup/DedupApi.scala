@@ -568,6 +568,33 @@ object DedupApi {
     * colliding in none of the tables is missed, which is why the
     * oracle (and any downstream contract) must mirror the same
     * deterministic blocking rather than the all-pairs scan. */
+  /** SemDeDup (Abbas et al. 2023): embedding-space near-dup pairs
+    * found CLUSTER-LOCALLY — k-means cells from
+    * [[graft.similarity.AnnApi.kmeansCells]] partition the corpus and
+    * the exact cosine pair scan runs only inside each cell, so the
+    * quadratic term drops from |corpus|² to Σ|cell|² and the only
+    * pair-scan shuffle key is the cell id (centroid builds are the
+    * native decimal vector-sum — no posexplode, corpus never
+    * reshuffled for assignment). As with [[cosinePairsLsh]], the
+    * blocking IS the semantics: a qualifying pair split across cells
+    * is out of scope by design (the SemDeDup trade — recall vs the
+    * all-pairs scan is asserted in `DedupPropertySpec`, exactness is
+    * the oracle's job), so the oracle replays the identical
+    * deterministic Lloyd iterations and the same cell-local scan. */
+  def semanticPairs(df: DataFrame, id: String, vec: String, threshold: Double,
+      kCells: Int = 8, iters: Int = 2, trainMod: Int = 1)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val cells = graft.similarity.AnnApi.kmeansCells(df, id, vec, kCells, iters, trainMod)
+    val nc = normVecs(df, id, vec)
+      .join(cells, Seq(id))
+      .transform(scope.persist)
+    nc.as("a").join(nc.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
+      .select(col("a.cell").as("cell"), col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        expr("graft_dot(a.v, b.v) / (a.nrm * b.nrm)").as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+  }
+
   def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     val n = normVecs(df, id, vec)

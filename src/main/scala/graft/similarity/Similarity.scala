@@ -46,7 +46,7 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
 
-  private val normSqlCte =
+  private[graft] val normSqlCte =
     """vx AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        nx AS (SELECT vec_id, label, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx)"""
 

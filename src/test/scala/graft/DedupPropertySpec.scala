@@ -349,4 +349,26 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(a == b, "k-means cells differ across partitionings")
     assert(a.nonEmpty)
   }
+
+  test("semantic pairs are the within-cell subset of the all-pairs scan, with high recall on near-identical pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val all = dedup.DedupApi.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = dedup.DedupApi.semanticPairs(emb, "vec_id", "embedding", threshold = 0.4,
+        kCells = 8, iters = 2, trainMod = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sem.nonEmpty, "cell-local scan found no pairs at the gate threshold")
+    assert(sem.subsetOf(all), s"cell-local pairs not a subset of all-pairs: ${sem.diff(all)}")
+    // SemDeDup's trade: only cross-cell pairs are lost. Near-identical
+    // vectors (the dedup targets, cos >= 0.9) land in the same cell —
+    // a same-direction pair splitting across cells would need the
+    // boundary to pass between them, rare by construction at k=8.
+    val tight = dedup.DedupApi.cosinePairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (tight.nonEmpty) {
+      val kept = tight.intersect(sem)
+      assert(kept.size * 2 >= tight.size,
+        s"cell blocking lost most near-identical pairs: ${kept.size}/${tight.size}")
+    }
+  }
 }

@@ -157,6 +157,17 @@ class PlanGuardSpec extends AnyFunSuite {
       "region/nation/customer dims must broadcast")
   }
 
+  test("semantic dedup pair scan is cell-keyed, never a cartesian") {
+    // the embedded k-means centroid join IS a k-row broadcast
+    // nested-loop by design (guarded below), so the blanket no-BNLJ
+    // pair-scan check doesn't apply — pin the pair join specifically
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), "semantic pair scan planned a cartesian")
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("ShuffledHashJoin [cell#")
+        || p.contains("BroadcastHashJoin [cell#"),
+      "semantic pair join must key on the k-means cell id")
+  }
+
   test("k-means assignment broadcasts the centroid arrays") {
     val cells = similarity.AnnApi.kmeansCells(
       Tables.embeddings(spark, TestSpark.sfDir), "vec_id", "embedding")

@@ -140,6 +140,47 @@ object Corpus {
         .orderBy(col("doc_id"), col("rk"))
     })
 
+  /** Per-document token-rarity quality signal (the integer-exact
+    * analog of CCNet's LM-perplexity filter): mean corpus frequency of
+    * the doc's tokens, occurrence-weighted. A high mean flags
+    * stopword-/template-heavy docs, a very low mean flags
+    * gibberish/rare-token noise — the two tails a quality gate trims.
+    * All accumulation is exact integer (`tf·cnt` sums); the only
+    * floating-point op is ONE final IEEE division, exact-rounded
+    * identically in both engines (the same contract as
+    * [[tfidfTopK]]'s log-free idf).
+    *
+    * Scale shape: the same shrinking-key ladder as tf-idf — (doc, tok)
+    * partial count, vocabulary-scale corpus-count aggregate over the
+    * collapsed tf table, tok-keyed join-back whose hot-key fan-in is
+    * bounded by distinct docs (never per-occurrence rows), doc-keyed
+    * final aggregate. No broadcast needed: every stage is
+    * map-side-combinable. */
+  val rarityScore = QueryDef(
+    "text_rarity_score",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST(sum(tf * cnt) AS BIGINT) AS sum_freq,
+        round(CAST(sum(tf * cnt) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS mean_tok_freq
+      FROM tf JOIN cnt USING (tok)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      tf.join(cnt, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("cnt")).as("sum_freq"),
+          round(sum(col("tf") * col("cnt")).cast(DoubleType)
+            / sum(col("tf")).cast(DoubleType), 6).as("mean_tok_freq"))
+        .orderBy(col("doc_id"))
+    })
+
   /** The composed training-data pipeline: quality gate → exact dedup
     * (keep min id) → per-language corpus stats. One pass of narrow
     * ops + two hash shuffles (dedup hash, final group) — the shape of
@@ -170,5 +211,5 @@ object Corpus {
     })
 
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
-    qualityDedupPipeline)
+    rarityScore, qualityDedupPipeline)
 }

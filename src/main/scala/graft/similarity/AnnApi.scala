@@ -413,4 +413,55 @@ object AnnApi {
         .select(col("L.pid").as("id_p"), col("L.id_c").as("id_c"), col("R.partial").as("partial")),
       k)
   }
+
+  /** Scalar-quantization (SQ8) ANN: every dimension of the
+    * unit-normalized corpus is quantized to one byte against a
+    * per-dimension [min, max] calibration range — the 8× compression
+    * path when PQ's codebook training is overkill (SQ preserves per-
+    * dimension structure; PQ compresses harder but needs Lloyd).
+    *
+    * Scale shape: calibration is ONE native element-wise min/max
+    * aggregate ([[graft.functions.VecMinMax]] — a dim-length buffer
+    * per partition, no corpus×dim posexplode) broadcast back as a
+    * single row; encode and decode are per-row `transform` lambdas
+    * (map-only, no shuffle); scoring is the asymmetric-distance dot of
+    * the EXACT probe vector against the reconstructed candidate (the
+    * SQ analog of PQ's ADC), deterministic via the native
+    * left-to-right `graft_dot` fold. The corpus is never shuffled.
+    *
+    * The gated query pins the quantizer + reconstruction + ranking
+    * hash-exact against a posexplode DuckDB oracle; recall vs
+    * [[bruteTopK]] is asserted in `PqSpec`. */
+  def sq8TopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
+      k: Int = 5)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    graft.functions.VecMinMax.ensure(corpus.sparkSession)
+    val pnv = normalized(corpus, id, vec)
+      .select(col(id), expr("transform(v, x -> x / nrm)").as("v"))
+      .transform(scope.persist)
+    val mm = pnv.agg(call_function("graft_vecminmax", col("v")).as("mm"))
+      .select(col("mm.mins").as("mns"), col("mm.maxs").as("mxs"))
+    // the compressed index: one 0..255 code per dimension
+    val codes = pnv.crossJoin(broadcast(mm))
+      .select(col(id), expr(
+        """transform(v, (x, i) ->
+             CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(floor((x - element_at(mns, i + 1))
+               / (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 256.0) AS BIGINT),
+               CAST(255 AS BIGINT)) END)""").as("codes"))
+    // bin-center reconstruction, decoded on the fly (map-only)
+    val recon = codes.crossJoin(broadcast(mm))
+      .select(col(id), expr(
+        """transform(codes, (c, i) ->
+             element_at(mns, i + 1) + (CAST(c AS DOUBLE) + 0.5)
+               * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256.0)""").as("rv"))
+    val probes = pnv.join(probeIds, Seq(id), "left_semi")
+    probes.as("a").join(recon.as("b"), col(s"a.$id") =!= col(s"b.$id"))
+      .select(col(s"a.$id").as("id_p"), col(s"b.$id").as("id_c"),
+        expr("graft_dot(a.v, b.rv)").as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("s").desc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("id_c"), round(col("s"), 6).as("score"))
+      .orderBy(col("id_p"), col("rk"))
+  }
 }

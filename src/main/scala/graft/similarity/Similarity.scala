@@ -483,5 +483,41 @@ object Similarity {
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, vecStats)
+  /** Scalar quantization (SQ8) ANN — see [[AnnApi.sq8TopK]]. The
+    * oracle unrolls the identical quantizer: per-dimension min/max
+    * over the unit corpus (exact doubles), the same
+    * floor((x−mn)/(mx−mn)·256) byte codes, the same bin-center
+    * reconstruction, and the same left-to-right ADC dot — every
+    * floating-point op appears in the same order on both engines, so
+    * the ranking is hash-exact (no recall hedge needed for the gate;
+    * recall vs brute is asserted separately in PqSpec). */
+  val annSq8 = QueryDef(
+    "ann_sq8",
+    Some {
+      val quant =
+        """CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(floor((p.x - m.mn) / (m.mx - m.mn) * 256.0) AS BIGINT),
+               CAST(255 AS BIGINT)) END"""
+      s"""WITH $normSqlCte,
+      pnv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM nx),
+      pos AS (SELECT vec_id, i, v[i] AS x FROM pnv, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pos GROUP BY i),
+      cds AS (SELECT p.vec_id, p.i, $quant AS c
+        FROM pos p JOIN mm m ON m.i = p.i),
+      recon AS (SELECT c.vec_id,
+          list(m.mn + (CAST(c.c AS DOUBLE) + 0.5) * (m.mx - m.mn) / 256.0 ORDER BY c.i) AS rv
+        FROM cds c JOIN mm m ON m.i = c.i GROUP BY c.vec_id)
+      SELECT id_p, rk, id_c, round(s, 6) AS score FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.rv[i]), (x, y) -> x + y) AS s,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.rv[i]), (x, y) -> x + y) DESC,
+            b.vec_id) AS rk
+        FROM pnv a JOIN recon b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => AnnApi.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats)
 }

@@ -520,6 +520,72 @@ object Extra {
         .orderBy(col("seg"))
     })
 
+  // --------------------------------------------------------------- q42
+  /** SCD2 / CDC merge apply (the warehouse MERGE INTO staple): apply a
+    * change batch (updates + inserts, here derived deterministically
+    * from the customer table) to a base snapshot, producing
+    * slowly-changing-dimension history rows — changed keys close
+    * their old version `[0, 1)` and open a current `[1, ∞)` one,
+    * unchanged keys stay current, new keys insert current.
+    *
+    * Scale shape — the base is NEVER shuffled row-wise: updates and
+    * unchanged rows come from base LEFT JOIN broadcast(batch) (a CDC
+    * batch is MBs against a 100 TB base — decontaminate's argument),
+    * expanded to history rows by a map-only explode; inserts anti-join
+    * the batch against a column-pruned key-only projection of the base
+    * (the only shuffle, 8 bytes/row, batch-scale output). Version
+    * stamps are integers (the engine-portable core of the operator —
+    * real timestamps ride along identically). */
+  val q42 = QueryDef(
+    "q42_scd2_merge",
+    Some("""WITH chg AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, 999.0 AS new_bal FROM customer WHERE c_custkey % 97 = 0),
+      b AS (SELECT c_custkey, c_acctbal FROM customer),
+      lj AS (SELECT b.c_custkey, b.c_acctbal, c.new_bal FROM b LEFT JOIN chg c ON c.c_custkey = b.c_custkey),
+      hist AS (
+        SELECT c_custkey, c_acctbal AS acctbal, CAST(0 AS BIGINT) AS valid_from,
+          CASE WHEN new_bal IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS valid_to,
+          new_bal IS NULL AS is_current
+        FROM lj
+        UNION ALL
+        SELECT c_custkey, new_bal, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+        FROM lj WHERE new_bal IS NOT NULL
+        UNION ALL
+        SELECT c.c_custkey, c.new_bal, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+        FROM chg c WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.c_custkey = c.c_custkey))
+      SELECT c_custkey, acctbal, valid_from, valid_to, is_current
+      FROM hist ORDER BY c_custkey, valid_from"""),
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = cust.select(col("c_custkey"), col("c_acctbal"))
+      val changes = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("new_bal"))
+        .unionAll(cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .select((col("c_custkey") + lit(1000000)).as("c_custkey"), lit(999.0).as("new_bal")))
+      val updatedOrUnchanged = base.join(broadcast(changes), Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey"), explode(expr(
+          """filter(array(
+               named_struct('acctbal', c_acctbal, 'valid_from', CAST(0 AS BIGINT),
+                 'valid_to', CASE WHEN new_bal IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(NULL AS BIGINT) END,
+                 'is_current', new_bal IS NULL),
+               CASE WHEN new_bal IS NOT NULL THEN
+                 named_struct('acctbal', new_bal, 'valid_from', CAST(1 AS BIGINT),
+                   'valid_to', CAST(NULL AS BIGINT), 'is_current', true)
+               ELSE CAST(NULL AS STRUCT<acctbal: DOUBLE, valid_from: BIGINT, valid_to: BIGINT, is_current: BOOLEAN>) END
+             ), x -> x IS NOT NULL)""")).as("r"))
+        .select(col("c_custkey"), col("r.acctbal"), col("r.valid_from"),
+          col("r.valid_to"), col("r.is_current"))
+      // key-only anti probe: the base side is a pruned 8-byte column
+      val inserts = changes.join(base.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("new_bal").as("acctbal"),
+          lit(1L).as("valid_from"), lit(null).cast("bigint").as("valid_to"),
+          lit(true).as("is_current"))
+      updatedOrUnchanged.unionByName(inserts)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -98,5 +98,83 @@ object Graph {
       .limit(20)
       .orderBy(col("rank").desc, col("node")))
 
-  val defs: Seq[QueryDef] = Seq(pagerankTop)
+  /** Degree-ordered distributed triangle counting (Cohen 2009 /
+    * Suri–Vassilvitskii WWW'11) over the part co-purchase graph
+    * (parts co-occurring in an order; ~6% dense at the gate scale).
+    * Each undirected edge is oriented from its lower-(degree, id)
+    * endpoint to its higher one, wedges pair a source's out-neighbors
+    * in rank order, and a wedge closes iff its (x, y) endpoint pair
+    * is itself an oriented edge — every triangle counted exactly
+    * once, and per-source wedge fan-out is bounded by the oriented
+    * out-degree ≤ O(√|E|) (the arboricity argument), which is what
+    * kills the hub-wedge explosion a naive id-ordering suffers on
+    * skewed degree distributions at 100 TB.
+    *
+    * The oracle counts the SAME triangles by the straightforward
+    * id-ordered 3-way self-join — orientation changes which wedges
+    * are generated, never the closed-triangle count, so count
+    * equality is precisely the correctness statement for the
+    * degree-ordered rewrite. Wedge count Σ C(deg, 2) is
+    * orientation-independent and exact-integer; the clustering
+    * coefficient is one IEEE division. */
+  val triangles = QueryDef(
+    "graph_triangles",
+    Some("""WITH co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM co a JOIN co b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, count(*) AS dg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t GROUP BY node),
+      ne AS (SELECT count(*) AS n_edges FROM e),
+      wed AS (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_edges, n_wedges, n_triangles,
+        round(3.0 * n_triangles / n_wedges, 6) AS clustering
+      FROM ne, wed, tri"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val co = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = co.as("a").join(co.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        triangleStats(e).localCheckpoint(true)
+      }
+    })
+
+  /** Degree-ordered triangle statistics over a distinct undirected
+    * edge set given as (u, v) rows with u < v. See [[triangles]] for
+    * the algorithm and scale argument. Returns one row:
+    * (n_edges, n_wedges, n_triangles, clustering). */
+  def triangleStats(edges: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val e = edges.transform(scope.persist)
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .transform(scope.persist)
+    // orient lower (deg, id) → higher; carry the dst's degree so
+    // wedge pairs can order by the same rank without a re-join
+    val ori = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("dg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("dg", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddg")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddg")))
+          .as("r"))
+      .select(col("r.src"), col("r.dst"), col("r.ddg"))
+      .transform(scope.persist)
+    val wedgeClose = ori.as("e1").join(ori.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddg") < col("e2.ddg") ||
+            (col("e1.ddg") === col("e2.ddg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+      .join(ori.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"), "left_semi")
+    val tri = wedgeClose.agg(count(lit(1)).as("n_triangles"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val wed = deg.agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+    ne.crossJoin(broadcast(wed)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerankTop, triangles)
 }

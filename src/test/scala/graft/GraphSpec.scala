@@ -32,4 +32,33 @@ class GraphSpec extends AnyFunSuite {
     val hubRank = a(0L)
     assert(a.values.count(_ > hubRank) == 0, "the hub must carry the top rank")
   }
+
+  test("degree-ordered triangle count equals the naive count, at any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // random sparse graph with a skewed hub (node 0 touches everything)
+    // — precisely the degree profile the orientation exists for
+    val n = 60
+    val raw = (1 to 500).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+      (1L until n.toLong).map((0L, _))
+    val edges = raw.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = edges.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSet) }
+      .withDefaultValue(Set.empty[Long])
+    // yield the full (u, v, w) triple: the inner generator is a Set,
+    // so yielding a constant would collapse per-edge matches to one
+    val naive = (for {
+      (u, v) <- edges
+      w <- adj(v) if adj(u).contains(w)
+    } yield (u, v, w)).size
+    for (parts <- Seq(2, 9)) {
+      val row = CacheScope.withScope { implicit s =>
+        operators.Graph.triangleStats(edges.toDF("u", "v").repartition(parts))
+          .collect().head
+      }
+      assert(row.getLong(0) == edges.size.toLong, "edge count")
+      assert(row.getLong(2) == naive.toLong,
+        s"degree-ordered count ${row.getLong(2)} != naive $naive at $parts partitions")
+    }
+  }
 }

@@ -157,6 +157,18 @@ class PlanGuardSpec extends AnyFunSuite {
       "region/nation/customer dims must broadcast")
   }
 
+  test("scd2 merge broadcasts the change batch and never shuffles base rows wide") {
+    val p = plan("q42_scd2_merge")
+    assert(p.contains("BroadcastHashJoin"),
+      "the update/unchanged path must broadcast the CDC batch against the base")
+    assert(!p.contains("CartesianProduct"))
+    // the only exchange of base data is the key-only anti probe — no
+    // full-width base row may reach an Exchange (acctbal travels only
+    // on the batch-scale side)
+    val anti = p.indexOf("LeftAnti")
+    assert(anti >= 0, "inserts must come from an anti join")
+  }
+
   test("semantic dedup pair scan is cell-keyed, never a cartesian") {
     // the embedded k-means centroid join IS a k-row broadcast
     // nested-loop by design (guarded below), so the blanket no-BNLJ

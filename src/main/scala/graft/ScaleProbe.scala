@@ -82,7 +82,31 @@ object ScaleProbe {
       ("q40_funnel", d => operators.Extra.q40.build(spark, d)),
       ("q41_salted_join", d => operators.Extra.q41.build(spark, d)),
       ("ann_pq", d => similarity.Similarity.annPq.build(spark, d)),
-      ("graph_pagerank", d => operators.Graph.pagerankTop.build(spark, d)))
+      ("graph_pagerank", d => operators.Graph.pagerankTop.build(spark, d)),
+      // the round-5 continuation operators
+      ("dedup_semantic", d => dedup.Dedup.semantic.build(spark, d)),
+      // SemDeDup's scale knob: k grows with the corpus so cell size
+      // stays constant — Σ|cell|² then grows linearly, not
+      // quadratically (the fixed-k probe above documents the wrong-
+      // configuration cost: 38× at 20×)
+      ("dedup_semantic_kscaled", { d =>
+        val k = if (d.contains("scaled_x")) 160 else 8
+        dedup.DedupApi.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
+          threshold = 0.4, kCells = k, iters = 2, trainMod = 4)
+      }),
+      ("text_rarity_score", d => functions.Corpus.rarityScore.build(spark, d)),
+      ("ann_sq8", d => similarity.Similarity.annSq8.build(spark, d)),
+      // q42's gated instantiation reads customer (a 1× dim here) — the
+      // probe applies the same scd2Apply shape to the 20× orders table
+      // so the base side actually scales
+      ("q42_scd2_merge", { d =>
+        val o = Tables.orders(spark, d)
+        val base = o.select(col("o_orderkey"), col("o_totalprice").as("c_acctbal"))
+        val changes = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + lit(100.0)).as("new_bal"))
+        operators.Extra.scd2Apply(base, changes, "o_orderkey", "c_acctbal", "new_bal")
+      }),
+      ("graph_triangles", d => operators.Graph.triangles.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

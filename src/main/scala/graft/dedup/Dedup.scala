@@ -270,6 +270,49 @@ object Dedup {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // ------------------------------------- composed: semantic dedup endgame
+  /** The full SemDeDup pipeline: cell-local cosine pairs
+    * ([[semantic]]) → connected components (large/small-star) →
+    * keep-one-per-cluster — every vector labeled with its duplicate
+    * cluster and whether the keep-min policy retains it. The oracle
+    * composes the already-verified k-means + pair CTEs with the
+    * recursive-CTE component labeling of `dedup_clusters`. */
+  val semanticDedupPipeline = QueryDef(
+    "pipeline_semantic_dedup",
+    Some {
+      import graft.similarity.Similarity
+      val (ctes, ka) = Similarity.kmeansSqlCtes(
+        Similarity.KmeansCells, Similarity.KmeansIters, Similarity.KmeansTrainMod)
+      val dotAb =
+        "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+      s"""WITH ${Similarity.normSqlCte}, $ctes,
+      nc AS (SELECT n.vec_id, n.v, n.nrm, k.cell FROM nx n JOIN $ka k ON k.vec_id = n.vec_id),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nc a JOIN nc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE $dotAb / (a.nrm * b.nrm) >= 0.4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr),
+      reach AS (
+        SELECT vec_id AS node, vec_id AS label FROM embeddings
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src)
+      SELECT node AS vec_id, min(label) AS cluster,
+        (min(label) = node) AS kept
+      FROM reach GROUP BY node ORDER BY vec_id""".replaceFirst("WITH ", "WITH RECURSIVE ")
+    },
+    (s, d) => {
+      import graft.similarity.Similarity
+      val pairs = DedupApi.semanticPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4,
+          Similarity.KmeansCells, Similarity.KmeansIters, Similarity.KmeansTrainMod)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      DedupApi.nearDupClusters(
+          Tables.embeddings(s, d).select(col("vec_id")), "vec_id", pairs)
+        .select(col("node").as("vec_id"), col("cluster"),
+          (col("cluster") === col("node")).as("kept"))
+        .orderBy(col("vec_id"))
+    })
+
   // --------------------------------------------------- clustering
   /** Near-dup clustering: connected components over the MinHash+LSH
     * pair graph, every doc labeled with its component's min doc id —
@@ -329,5 +372,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, substring, embedCosine,
-    embedCosineLsh, semantic, clusters, nearDedupPipeline)
+    embedCosineLsh, semantic, semanticDedupPipeline, clusters, nearDedupPipeline)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -564,27 +565,38 @@ object Extra {
           .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("new_bal"))
         .unionAll(cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
           .select((col("c_custkey") + lit(1000000)).as("c_custkey"), lit(999.0).as("new_bal")))
-      val updatedOrUnchanged = base.join(broadcast(changes), Seq("c_custkey"), "left_outer")
-        .select(col("c_custkey"), explode(expr(
-          """filter(array(
-               named_struct('acctbal', c_acctbal, 'valid_from', CAST(0 AS BIGINT),
-                 'valid_to', CASE WHEN new_bal IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(NULL AS BIGINT) END,
-                 'is_current', new_bal IS NULL),
-               CASE WHEN new_bal IS NOT NULL THEN
-                 named_struct('acctbal', new_bal, 'valid_from', CAST(1 AS BIGINT),
-                   'valid_to', CAST(NULL AS BIGINT), 'is_current', true)
-               ELSE CAST(NULL AS STRUCT<acctbal: DOUBLE, valid_from: BIGINT, valid_to: BIGINT, is_current: BOOLEAN>) END
-             ), x -> x IS NOT NULL)""")).as("r"))
-        .select(col("c_custkey"), col("r.acctbal"), col("r.valid_from"),
-          col("r.valid_to"), col("r.is_current"))
-      // key-only anti probe: the base side is a pruned 8-byte column
-      val inserts = changes.join(base.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
-        .select(col("c_custkey"), col("new_bal").as("acctbal"),
-          lit(1L).as("valid_from"), lit(null).cast("bigint").as("valid_to"),
-          lit(true).as("is_current"))
-      updatedOrUnchanged.unionByName(inserts)
+      scd2Apply(base, changes, "c_custkey", "c_acctbal", "new_bal")
         .orderBy(col("c_custkey"), col("valid_from"))
     })
+
+  /** SCD2 merge apply — see [[q42]] for semantics and the scale
+    * argument. `base` holds (key, attr), `changes` holds (key,
+    * newAttr); output is (key, acctbal, valid_from, valid_to,
+    * is_current) history rows. The batch side is broadcast (CDC
+    * batches are small by contract); base rows expand map-only; the
+    * only exchange of base data is the key-only anti probe. */
+  def scd2Apply(base: DataFrame, changes: DataFrame, key: String,
+      attr: String, newAttr: String): DataFrame = {
+    val updatedOrUnchanged = base.join(broadcast(changes), Seq(key), "left_outer")
+      .select(col(key), explode(expr(
+        s"""filter(array(
+             named_struct('acctbal', $attr, 'valid_from', CAST(0 AS BIGINT),
+               'valid_to', CASE WHEN $newAttr IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(NULL AS BIGINT) END,
+               'is_current', $newAttr IS NULL),
+             CASE WHEN $newAttr IS NOT NULL THEN
+               named_struct('acctbal', $newAttr, 'valid_from', CAST(1 AS BIGINT),
+                 'valid_to', CAST(NULL AS BIGINT), 'is_current', true)
+             ELSE CAST(NULL AS STRUCT<acctbal: DOUBLE, valid_from: BIGINT, valid_to: BIGINT, is_current: BOOLEAN>) END
+           ), x -> x IS NOT NULL)""")).as("r"))
+      .select(col(key), col("r.acctbal"), col("r.valid_from"),
+        col("r.valid_to"), col("r.is_current"))
+    // key-only anti probe: the base side is a pruned 8-byte column
+    val inserts = changes.join(base.select(col(key)), Seq(key), "left_anti")
+      .select(col(key), col(newAttr).as("acctbal"),
+        lit(1L).as("valid_from"), lit(null).cast("bigint").as("valid_to"),
+        lit(true).as("is_current"))
+    updatedOrUnchanged.unionByName(inserts)
+  }
 
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)

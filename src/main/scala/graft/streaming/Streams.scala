@@ -135,6 +135,72 @@ object Streams {
       }
   }
 
+  final case class CdcChange(key: Long, seq: Long, value: Double)
+  final case class Scd2State(value: Double, version: Long)
+  final case class Scd2Row(key: Long, value: Double, valid_from: Long,
+      valid_to: Option[Long], is_current: Boolean)
+
+  /** Streaming SCD2 / CDC apply — the incremental twin of the batch
+    * [[graft.operators.Extra.scd2Apply]] merge: per-key state carries
+    * the current (value, version); every change CLOSES the previous
+    * version (emitting its `[from, to)` history row) and emits the
+    * new current row. The base snapshot arrives as `initialState`
+    * (version 0), so the first microbatch behaves exactly like the
+    * batch merge; unseen keys insert at version 1, mirroring the
+    * batch inserts path.
+    *
+    * Emission contract (Append mode): a key's current row is emitted
+    * optimistically and SUPERSEDED by its closure row when a later
+    * change arrives — the downstream history table upserts on
+    * (key, valid_from), the standard CDC-sink discipline. Within a
+    * microbatch, changes apply in `seq` order (the group iterator is
+    * sorted); across batches, ordering is the arrival order — the
+    * same staleness contract every stream–static plane here
+    * documents. State is one fixed-size row per key, O(keys),
+    * watermark-free. */
+  def scd2Stream(changes: Dataset[CdcChange],
+      base: org.apache.spark.sql.KeyValueGroupedDataset[Long, Scd2State]): Dataset[Scd2Row] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout(), base) {
+        (key: Long, it: Iterator[CdcChange], state: GroupState[Scd2State]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          var applied = false
+          for (c <- it.toSeq.sortBy(_.seq)) {
+            applied = true
+            st match {
+              case Some(s) =>
+                out += Scd2Row(key, s.value, s.version, Some(s.version + 1), is_current = false)
+                st = Some(Scd2State(c.value, s.version + 1))
+              case None =>
+                // unseen key: insert opens at version 1 (the batch
+                // merge's inserts stamp), no closure row to emit
+                st = Some(Scd2State(c.value, 1L))
+            }
+          }
+          // the runtime also invokes initial-state keys with an empty
+          // iterator — an unchanged key must neither emit nor rewrite
+          // state (the batch merge leaves unchanged rows in the base)
+          if (applied) st.foreach { s =>
+            state.update(s)
+            out += Scd2Row(key, s.value, s.version, None, is_current = true)
+          }
+          out.iterator
+      }
+  }
+
+  /** Initial-state view of a (key, value) base snapshot for
+    * [[scd2Stream]]: every base key current at version 0. */
+  def scd2BaseState(base: DataFrame, key: String, attr: String): org.apache.spark.sql.KeyValueGroupedDataset[Long, Scd2State] = {
+    import base.sparkSession.implicits._
+    base.select(col(key).cast("long"), col(attr).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(kv => Scd2State(kv._2, 0L))
+  }
+
   /** File-source streaming read: watch `streamDir` for parquet event
     * files (schema taken from the batch events table at `schemaDir`) —
     * readStream → transform → sink wiring. */

@@ -139,4 +139,57 @@ class StreamingSpec extends AnyFunSuite {
     // the 02:00 session closes once the batch-2 watermark passes its gap
     assert(rows.contains((7L, "2024-01-01 02:00:00", 1L, 5.0)), rows.toString)
   }
+
+  test("streaming scd2 emissions match the batch merge, version chains across batches") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-scd2-in").toString
+    // batch 1: update key 1 (base 10.0 -> 11.0), insert key 9;
+    // batch 2: update key 1 again (11.0 -> 12.0) — closes version 1
+    Seq(
+      Seq(Streams.CdcChange(1L, 1L, 11.0), Streams.CdcChange(9L, 2L, 99.0)),
+      Seq(Streams.CdcChange(1L, 3L, 12.0))
+    ).zipWithIndex.foreach { case (b, i) =>
+      b.toDF().coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("key", "value")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.CdcChange]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.CdcChange]
+    val q = Streams.scd2Stream(stream, Streams.scd2BaseState(base, "key", "value"))
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("scd2_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // upsert on (key, valid_from): the closure row supersedes the
+    // optimistic current row — the CDC-sink discipline
+    val hist = rows.zipWithIndex.groupBy { case (r, _) => (r._1, r._3) }
+      .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    assert(hist == Set(
+      (1L, 10.0, 0L, Some(1L), false),  // base version closed by batch 1
+      (1L, 11.0, 1L, Some(2L), false),  // batch-1 version closed by batch 2
+      (1L, 12.0, 2L, None, true),       // current after batch 2
+      (9L, 99.0, 1L, None, true)        // insert opens at version 1
+    ), hist.toString)
+    // key 2 never changed: no emission (its current row lives in the
+    // base table, exactly as the batch merge leaves unchanged rows)
+    assert(!rows.exists(_._1 == 2L))
+    // and the single-change-per-key prefix (batch 1) matches the batch
+    // scd2Apply history for the same inputs, minus unchanged keys
+    val changes1 = Seq((1L, 11.0), (9L, 99.0)).toDF("key", "new_bal")
+    val batchHist = operators.Extra.scd2Apply(base, changes1, "key", "value", "new_bal")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .filter(_._1 != 2L).toSet
+    // ...treating key 1's version-1 row as still open (batch 2 later
+    // closed it in the stream): the batch and stream histories agree
+    val histAsOfBatch1 = hist.map(r =>
+      if (r._1 == 1L && r._3 == 1L && r._4.contains(2L)) (r._1, r._2, r._3, None: Option[Long], true)
+      else r)
+    assert(batchHist.subsetOf(histAsOfBatch1), s"batch=$batchHist hist=$hist")
+  }
 }

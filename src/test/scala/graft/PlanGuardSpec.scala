@@ -258,4 +258,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "incremental banding planned a nested-loop join")
     spark.catalog.clearCache() // the sig tables persist via the untracked scope
   }
+
+  test("triangle count intersects broadcast adjacency lists — wedges never materialize") {
+    // the gate query localCheckpoints its one-row result (scan of an
+    // ExistingRDD) — inspect the pre-checkpoint plan instead
+    import org.apache.spark.sql.functions.col
+    val co = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = co.as("a").join(co.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val p = operators.Graph.triangleStats(e).queryExecution.executedPlan.toString
+    assert(p.contains("graft_sorted_inter_size"),
+      "triangle closure must stay on the merge-walk intersect, not a wedge semi-join")
+    // at gate scale the adjacency payload is KBs: both list joins are
+    // hinted broadcast (the only equi-joins hinted in this query), so
+    // the count is map-only over the persisted edges
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "adjacency lists must reach the edges via broadcast at this scale")
+    spark.catalog.clearCache()
+  }
 }

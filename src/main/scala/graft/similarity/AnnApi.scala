@@ -94,30 +94,39 @@ object AnnApi {
     val n = normalized(corpus, id, vec)
       .transform(scope.persist)
     val train = if (trainMod == 1) n else n.filter(pmod(col(id), lit(trainMod)) === 0)
-    var assign = train.select(col(id), pmod(col(id), lit(kCells)).cast("bigint").as("cell"))
+    // the assignment rides the training frame as a COLUMN: each
+    // iteration is one tiny centroid aggregate (map-side partial,
+    // kCells output rows collected into ONE broadcast row) plus a
+    // map-only argmax over the broadcast centroid array — the corpus
+    // is never exchanged or joined for assignment. (The r5-first-cut
+    // shape re-joined train to an (id, cell) frame and hash-aggregated
+    // an argmax per iteration: two corpus-scale exchanges per round
+    // that AQE ran as separate jobs — pure overhead at bench scale and
+    // a corpus shuffle per round at 100 TB.)
+    var tr = train.withColumn("cell", pmod(col(id), lit(kCells)).cast("bigint"))
+    var out: DataFrame = null
     for (it <- 1 to iters) {
       // per-position decimal sum + count from ONE aggregate ≡ the
       // per-(cell, i) decimal mean of the posexplode formulation,
       // bit-for-bit — including null/ragged vectors, since the count
       // is per POSITION, not per row
-      val centArr = train.select(col(id), col("v")).as("p")
-        .join(assign.as("a"), col(s"p.$id") === col(s"a.$id"))
-        .groupBy(col("a.cell"))
-        .agg(call_function("graft_vecsum_dec", col("p.v")).as("sv"))
+      val cents = tr
+        .groupBy(col("cell"))
+        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
         .select(col("cell"), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
-        .withColumn("cn",
-          expr("sqrt(graft_dot(cm, cm))"))
-      val target = if (it == iters) n else train
-      assign = target.crossJoin(broadcast(centArr))
-        .select(col(id), col("cell"),
-          (expr("graft_dot(v, cm)") / (col("nrm") * col("cn"))).as("c"))
-        // hash-aggregate argmax: max of (c, -cell) = best cosine,
-        // smallest cell on ties — no window sort over the corpus
-        .groupBy(col(id))
-        .agg(max(struct(col("c"), (-col("cell")).as("negc"))).as("m"))
-        .select(col(id), (-col("m.negc")).as("cell"))
+        .select(struct(col("cell"), col("cm"),
+          expr("sqrt(graft_dot(cm, cm))").as("cn")).as("ct"))
+        .agg(collect_list(col("ct")).as("cents"))
+      // map-only argmax: array_max uses the same struct ordering as
+      // the max() aggregate — best cosine, smallest cell on ties
+      val cellExpr = expr(
+        """-array_max(transform(cents, ct ->
+             named_struct('c', graft_dot(v, ct.cm) / (nrm * ct.cn),
+                          'negc', -ct.cell))).negc""").as("cell")
+      if (it == iters) out = n.crossJoin(broadcast(cents)).select(col(id), cellExpr)
+      else tr = tr.crossJoin(broadcast(cents)).select(col(id), col("v"), col("nrm"), cellExpr)
     }
-    assign
+    out
   }
 
   // ------------------------------------------------- product quantization
@@ -142,19 +151,24 @@ object AnnApi {
         struct(lit(s).as("s"), expr(s"slice(rv, ${s * subDim + 1}, $subDim)").as("vs"))): _*)).as("e"): _*)
       .select(keep.map(col) :+ col("e.s").as("s") :+ col("e.vs").as("vs"): _*)
 
-  /** Assign every (id, s) sub-vector its nearest codebook entry by
-    * squared L2 (monotone form `|c|² − 2·x·c` — the |x|² term is
-    * constant per row). Hash-aggregate argmin (min of (score, code)
-    * struct): smallest distance, smallest code on ties — never a
-    * window sort over the corpus. */
+  /** The per-subspace codebook collected to one row per s — the
+    * m-row broadcast side of every code assignment. */
+  private def codebookPerS(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("s"))
+      .agg(collect_list(struct(col("code"), col("cm"), col("cn2"))).as("cbs"))
+
+  /** Map-only argmin over the broadcast per-subspace codebook:
+    * array_min uses the same struct ordering as the min() aggregate —
+    * smallest squared L2 (monotone form `|c|² − 2·x·c`; the |x|² term
+    * is constant per row), smallest code on ties. The sub-vector rows
+    * are never exchanged for assignment. Keeps `vs` so the training
+    * loop can re-aggregate without a join back. */
   private def assignCodes(sub: DataFrame, id: String, codebook: DataFrame): DataFrame =
-    sub.join(broadcast(codebook), Seq("s"))
-      .select(col(id), col("s"),
-        struct((col("cn2") - lit(2.0) * expr("graft_dot(vs, cm)")).as("score"),
-          col("code")).as("sc"))
-      .groupBy(col(id), col("s"))
-      .agg(min(col("sc")).as("m"))
-      .select(col(id), col("s"), col("m.code").as("code"))
+    sub.join(broadcast(codebookPerS(codebook)), Seq("s"))
+      .select(col(id), col("s"), col("vs"), expr(
+        """array_min(transform(cbs, cb ->
+             named_struct('score', cb.cn2 - CAST(2.0 AS DOUBLE) * graft_dot(vs, cb.cm),
+                          'code', cb.code))).code""").as("code"))
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
     * 2011 "Product Quantization for Nearest Neighbor Search"): the
@@ -185,17 +199,21 @@ object AnnApi {
     val train = sub
       .filter(pmod(col(id), lit(trainMod)) === 0)
       .transform(scope.persist)
-    var assign = train.select(col(id), col("s"),
+    // like kmeansCells: the code rides the training rows as a column —
+    // each iteration is one tiny (s, code) aggregate plus the map-only
+    // broadcast argmin of assignCodes; the sub-vector rows are never
+    // joined or exchanged inside the loop
+    var tr = train.select(col(id), col("s"), col("vs"),
       pmod(col(id), lit(kCodes)).cast("int").as("code"))
     var codebook: DataFrame = null
     for (_ <- 1 to iters) {
-      codebook = train.join(assign, Seq(id, "s"))
+      codebook = tr
         .groupBy(col("s"), col("code"))
         .agg(call_function("graft_vecsum_dec", col("vs")).as("sv"))
         .select(col("s"), col("code"),
           expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
         .withColumn("cn2", expr("graft_dot(cm, cm)"))
-      assign = assignCodes(train, id, codebook)
+      tr = assignCodes(train, id, codebook)
     }
     codebook
   }

@@ -523,6 +523,61 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Temperature resampling (the multilingual α-sampling recipe,
+    * XLM-R/mT5 style, at α = 1/2): a domain with corpus share p is
+    * kept at rate √p, flattening the mixture toward rare domains —
+    * unlike [[domainMix]], whose targets are EXTERNAL constants, the
+    * thresholds here derive from the observed corpus itself (two
+    * passes: count, then gate). α = 1/2 is chosen because the
+    * threshold stays integer-exact across engines: `thr = floor(
+    * sqrt((10⁸·n_d) div N))` permyriad — the integer division is
+    * exact in both, 10⁸·n_d div N ≤ 10⁸ is exactly representable as a
+    * double, and IEEE sqrt is correctly rounded, so both engines
+    * floor the SAME value (a fractional α needs pow(), whose last ulp
+    * is library-dependent). Keep decision: h60(source:doc) % 10⁴ <
+    * thr — per-row, reproducible, stable under reshuffling.
+    *
+    * Scale shape: one tiny per-domain count aggregate joined back by
+    * BROADCAST (metadata-scale, the pack_shards discipline), then one
+    * map-only gate pass; the corpus is never shuffled — the audit
+    * aggregate is map-side-combinable into domains-scale rows. */
+  val temperatureSample = QueryDef(
+    "corpus_temperature_sample",
+    Some(s"""WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c),
+      thr AS (SELECT source, n_d,
+          CAST(floor(sqrt(CAST((CAST(100000000 AS BIGINT) * n_d) // n AS DOUBLE))) AS BIGINT) AS keep_permyriad
+        FROM c, tot),
+      g AS (SELECT d.source, t.keep_permyriad, t.n_d,
+          len(string_split(${normTextSql("text")}, ' ')) AS toks,
+          ${h60Sql(s"(d.source || ':' || CAST(d.doc_id AS VARCHAR))")} % 10000 AS r
+        FROM documents d JOIN thr t ON t.source = d.source)
+      SELECT source, keep_permyriad, n_d AS n_total,
+        CAST(sum(CASE WHEN r < keep_permyriad THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN r < keep_permyriad THEN toks ELSE 0 END) AS BIGINT) AS sum_tokens_kept
+      FROM g GROUP BY source, keep_permyriad, n_d ORDER BY source"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_d"))
+      val total = counts.agg(sum(col("n_d")).cast("long").as("n"))
+      val thr = counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_d"),
+          floor(sqrt(expr("(100000000L * n_d) div n").cast("double")))
+            .cast("long").as("keep_permyriad"))
+      val r = pmod(h60(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(10000))
+      docs.join(broadcast(thr), Seq("source"))
+        .select(col("source"), col("keep_permyriad"), col("n_d"),
+          size(split(normText(col("text")), " ")).as("toks"),
+          (r < col("keep_permyriad")).as("keep"))
+        .groupBy(col("source"), col("keep_permyriad"), col("n_d"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("keep"), col("toks")).otherwise(0)).cast("long").as("sum_tokens_kept"))
+        .select(col("source"), col("keep_permyriad"), col("n_d").as("n_total"),
+          col("n_kept"), col("sum_tokens_kept"))
+        .orderBy(col("source"))
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    chunk, decontaminate, decontaminateBloom, decontaminateFuzzy, domainMix, ingestFull)
+    chunk, decontaminate, decontaminateBloom, decontaminateFuzzy, domainMix,
+    temperatureSample, ingestFull)
 }

@@ -598,6 +598,81 @@ object Extra {
     updatedOrUnchanged.unionByName(inserts)
   }
 
+  // --------------------------------------------------------------- q43
+  /** Grouped second-moment statistics — mean, sample stddev, sample
+    * covariance and correlation — derived from DECIMAL primitive sums
+    * (n, Σx, Σx², Σy, Σy², Σxy), never from the built-in stddev/corr
+    * aggregates: those accumulate doubles in shuffle-merge order
+    * (nondeterministic across runs AND engines — Welford in Spark,
+    * a different recurrence in DuckDB), while decimal sums are
+    * associative, so the folded moments are bit-identical under any
+    * partitioning and the closed-form combination is a fixed-order
+    * IEEE expression both engines share. The 100 TB shape is one
+    * map-side-combinable aggregate; the quadratic-looking Σx² terms
+    * are per-row squares, not pairs. */
+  val q43 = QueryDef(
+    "q43_stats_suite",
+    Some("""WITH m AS (SELECT l_returnflag,
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round(sx / n, 6) AS mean_qty,
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+        round((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+      FROM m ORDER BY l_returnflag"""),
+    (s, d) => {
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double").as("sy"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast("double").as("sxy"))
+      m.select(col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6).as("covar_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  // --------------------------------------------------------------- q44
+  /** Distribution-window coverage: ntile, percent_rank, cume_dist
+    * over one per-partition sort — the ranking-frame family q7/q30
+    * don't exercise. All three derive from the same (rank, count)
+    * pair, so one window sort serves every column; the doubles are
+    * small-integer ratios, identical IEEE divisions in both engines
+    * (rounded 6 dp as belt-and-braces). */
+  val q44 = QueryDef(
+    "q44_window_frames",
+    Some("""SELECT o_orderkey, o_orderpriority,
+        ntile(8) OVER w AS tile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, tile, pct_rank, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(8).over(w).as("tile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderpriority"), col("tile"), col("pct_rank"), col("o_orderkey"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -137,5 +137,46 @@ object Sources {
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     })
 
-  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, zorderKeys)
+  /** binaryFile-source round-trip — the blob-ingestion path every
+    * multimodal pipeline starts from (image/audio files landed on
+    * object storage, read as (path, length, content) rows). Blobs are
+    * deterministic md5-derived bytes written one file per doc by a
+    * `foreachPartition` export (the real shard-export shape — no
+    * driver loop, each task writes only its partition), then read
+    * back via Spark's built-in `binaryFile` format; the gate compares
+    * (file name, length, hex(content)) against the same derivation in
+    * the oracle, so a pass proves the export AND the binary source
+    * preserve bytes exactly. At scale the reader parallelizes over
+    * files and prunes `content` when unselected ([[graft.multimodal]]
+    * plumbing relies on the same pruning, plan-guarded there). */
+  val binaryFileRoundtrip = QueryDef(
+    "src_binaryfile_roundtrip",
+    Some("""SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+        CAST(32 AS BIGINT) AS length,
+        hex(unhex(md5(CAST(doc_id AS VARCHAR)) || md5(CAST(doc_id AS VARCHAR) || ':tail'))) AS content_hex
+      FROM documents WHERE doc_id % 5 = 0 ORDER BY fname"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/binaryfile_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = new java.io.File(tmp)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+      dir.mkdirs()
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"),
+          unhex(concat(md5(col("doc_id").cast("string")),
+            md5(concat(col("doc_id").cast("string"), lit(":tail"))))).as("bytes"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      read(s, "binaryFile", tmp)
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), hex(col("content")).as("content_hex"))
+        .orderBy(col("fname"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
+    zorderKeys, binaryFileRoundtrip)
 }

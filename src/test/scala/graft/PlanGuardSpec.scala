@@ -277,4 +277,26 @@ class PlanGuardSpec extends AnyFunSuite {
       "adjacency lists must reach the edges via broadcast at this scale")
     spark.catalog.clearCache()
   }
+
+  test("temperature sampling joins thresholds back by broadcast — the corpus is never shuffle-joined") {
+    // the per-domain threshold table is domains-scale; the corpus-side
+    // join must be a BroadcastHashJoin, never a sort-merge shuffle of
+    // the 100 TB side; the only corpus-volume aggregate is map-side
+    // combinable down to domains-scale rows
+    val p = plan("corpus_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "threshold join-back must broadcast the domains-scale side")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never be shuffle-joined for its keep thresholds")
+  }
+
+  test("q44's three distribution columns share ONE window sort") {
+    // ntile/percent_rank/cume_dist are declared over the same
+    // WindowSpec; Catalyst must collapse them into a single Window
+    // operator over a single per-partition sort — a second Window node
+    // means a second full sort of the fact table
+    val p = plan("q44_window_frames")
+    assert("""(?m)^[\s+:*-]*Window """.r.findAllIn(p).length == 1,
+      s"expected exactly one Window operator:\n$p")
+  }
 }

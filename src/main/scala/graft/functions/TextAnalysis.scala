@@ -282,6 +282,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
       .orderBy(col("bucket")))
 
+  // -------------------------------------------------------- diversity
+  /** Lexical-diversity scoring — the integer-exact siblings of Shannon
+    * entropy used as repetition/quality gates (a spammy doc has low
+    * Simpson index and high modal dominance): per doc, the Simpson
+    * diversity `1 − Σc² / n²`, the modal-token dominance `max(c)/n`,
+    * and the deterministic modal token (ties → binary-least). Every
+    * ratio divides two exactly-computed integers, so both engines
+    * round the identical double (the same discipline as
+    * [[quality]]'s ratios; float logs would make entropy itself
+    * merge-order-hazardous — rejected).
+    *
+    * Scale shape: the oracle needs a (doc, token) unnest + aggregate —
+    * a shuffle of the corpus's full token volume; the engine computes
+    * all five signals inside the row with the one-pass native
+    * `graft_token_stats` kernel, so the plan is scan → project —
+    * map-only at any corpus size (the ORDER BY exists only for oracle
+    * determinism). */
+  val diversity = QueryDef(
+    "text_diversity",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+      m AS (SELECT doc_id, tok, c, max(c) OVER (PARTITION BY doc_id) AS mc FROM c)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        round(1 - CAST(sum(c*c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS simpson,
+        round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dominance,
+        min(CASE WHEN c = mc THEN tok END) AS top_token
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      graft.functions.TokenStats.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TokenStats.of(normText(col("text"))).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct").as("n_distinct"),
+          round(lit(1d) - col("st.sumsq").cast(DoubleType) /
+            (col("st.n_tokens") * col("st.n_tokens")).cast(DoubleType), 6).as("simpson"),
+          round(col("st.max_count").cast(DoubleType) / col("st.n_tokens").cast(DoubleType), 6)
+            .as("dominance"),
+          col("st.top_token").as("top_token"))
+        .orderBy(col("doc_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
-    dupNgramFraction, lengthHistogram, piiScrub)
+    dupNgramFraction, lengthHistogram, piiScrub, diversity)
 }

@@ -37,5 +37,6 @@ object GraftExtensions {
     graft.functions.Bloom.ensure(spark)
     graft.functions.WordShingles.ensure(spark)
     graft.functions.ZOrder.ensure(spark)
+    graft.functions.TokenStats.ensure(spark)
   }
 }

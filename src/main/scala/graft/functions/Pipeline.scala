@@ -114,6 +114,87 @@ object Pipeline {
         .orderBy(col("grp"), col("shard"))
     })
 
+  /** Fixed-length training-sequence tokens (GPT-style concat-and-chunk). */
+  val SeqTokens = 2048
+
+  /** Concat-and-chunk sequence assembly — the OTHER packing contract:
+    * [[packShards]] keeps documents whole (shard sizes vary around
+    * the budget); this operator concatenates each pack group's token
+    * stream and cuts it every [[SeqTokens]] tokens, so documents CROSS
+    * sequence boundaries — exactly what a causal-LM dataloader feeds
+    * the model. The manifest reports, per sequence, the composition a
+    * loader needs to audit fragmentation: docs overlapping, docs
+    * starting, and token occupancy (`n_docs − n_starts` = spans
+    * continued across a boundary; high values at small [[SeqTokens]]
+    * mean heavy mid-document truncation).
+    *
+    * Scale shape: one shuffle on `grp` (packing is sequential by
+    * nature; the per-group window sees ~[[PackGroupTargetDocs]] docs —
+    * see [[packShards]]), then a pure per-row explode whose fan-out is
+    * `toks/SeqTokens + 1 ≈ 1` extra row per doc, and the same
+    * metadata-scale broadcast exclusive scan for globally sequential
+    * sequence ids (group streams are gapless, so per-group ids are
+    * dense 0..max and offsets compose exactly). The corpus is never
+    * reshuffled for ids. */
+  val packSequences = QueryDef(
+    "corpus_pack_sequences",
+    Some(s"""WITH p AS (SELECT greatest($MinPackGroups,
+          CAST(ceil(count(*) / $PackGroupTargetDocs.0) AS BIGINT)) AS ngrp FROM documents),
+      t AS (SELECT doc_id, doc_id % (SELECT ngrp FROM p) AS grp,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks FROM documents),
+      c AS (SELECT doc_id, grp, toks,
+        sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks AS start
+      FROM t),
+      e AS (SELECT grp, doc_id, toks, start,
+        unnest(range(CAST(start // $SeqTokens AS BIGINT),
+                     CAST((start + toks - 1) // $SeqTokens + 1 AS BIGINT))) AS seq
+      FROM c),
+      m AS (SELECT grp, seq, count(*) AS n_docs,
+        CAST(sum(CASE WHEN start // $SeqTokens = seq THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        CAST(sum(least(start + toks, (seq + 1) * $SeqTokens)
+               - greatest(start, seq * $SeqTokens)) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM e GROUP BY grp, seq),
+      o AS (SELECT grp, COALESCE(sum(cnt) OVER (ORDER BY grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM (SELECT grp, max(seq) + 1 AS cnt FROM m GROUP BY grp))
+      SELECT m.grp, m.seq, CAST(o.base + m.seq AS BIGINT) AS global_seq,
+        n_docs, n_starts, n_tokens, first_doc, last_doc
+      FROM m JOIN o ON m.grp = o.grp ORDER BY m.grp, m.seq"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val docs = Tables.documents(s, d)
+      val params = docs.agg(greatest(lit(MinPackGroups.toLong),
+        ceil(count(lit(1)) / PackGroupTargetDocs.toDouble)).as("ngrp"))
+      val manifest = docs
+        .select(col("doc_id"), size(split(normText(col("text")), " ")).cast("long").as("toks"))
+        .crossJoin(broadcast(params))
+        .select(col("doc_id"), pmod(col("doc_id"), col("ngrp")).as("grp"), col("toks"))
+        .withColumn("start", sum(col("toks")).over(w) - col("toks"))
+        .withColumn("seq", explode(sequence(
+          expr(s"start div $SeqTokens"), expr(s"(start + toks - 1) div $SeqTokens"))))
+        .groupBy(col("grp"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr(s"start div $SeqTokens") === col("seq"), 1L).otherwise(0L))
+            .cast("long").as("n_starts"),
+          sum(least(col("start") + col("toks"), (col("seq") + 1) * SeqTokens)
+            - greatest(col("start"), col("seq") * SeqTokens)).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      // Exclusive scan over per-group sequence counts → global offsets
+      // (ngrp rows — metadata scale; broadcast back, as in packShards).
+      val wo = Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = manifest.groupBy(col("grp"))
+        .agg((max(col("seq")) + 1).as("cnt"))
+        .select(col("grp"), coalesce(sum(col("cnt")).over(wo), lit(0L)).as("base"))
+      manifest.join(broadcast(offsets), Seq("grp"))
+        .select(col("grp"), col("seq"),
+          (col("base") + col("seq")).cast("long").as("global_seq"),
+          col("n_docs"), col("n_starts"), col("n_tokens"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("grp"), col("seq"))
+    })
+
   /** Stratified sample: 50 docs per language, chosen by deterministic
     * hash order (md5 of the id — uniform over the corpus, stable
     * across runs). The per-stratum top-k runs through a window
@@ -577,7 +658,7 @@ object Pipeline {
         .orderBy(col("source"))
     })
 
-  val defs: Seq[QueryDef] = Seq(splitStats, packShards, stratifiedSample,
-    chunk, decontaminate, decontaminateBloom, decontaminateFuzzy, domainMix,
-    temperatureSample, ingestFull)
+  val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
+    stratifiedSample, chunk, decontaminate, decontaminateBloom,
+    decontaminateFuzzy, domainMix, temperatureSample, ingestFull)
 }

@@ -290,6 +290,29 @@ class PlanGuardSpec extends AnyFunSuite {
       "the corpus must never be shuffle-joined for its keep thresholds")
   }
 
+  test("text_diversity is map-only: native kernel, no aggregation exchange") {
+    // the whole point of graft_token_stats is keeping lexical scoring
+    // inside the row — the only Exchange allowed is the output sort's
+    // rangepartitioning; a hashpartitioning exchange means the plan
+    // fell back to the token-volume explode+aggregate
+    val p = plan("text_diversity")
+    assert(p.contains("graft_token_stats"),
+      "diversity must run the one-pass native kernel")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"map-only claim broken — token-volume shuffle in plan:\n$p")
+  }
+
+  test("pack_sequences broadcasts its global-id offsets — the corpus shuffles once") {
+    // the exclusive-scan offset table is ngrp rows (metadata scale);
+    // it must come back as a BroadcastHashJoin, and the corpus must
+    // never be sort-merge-joined for its ids
+    val p = plan("corpus_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"),
+      "global-id offsets must broadcast back onto the manifest")
+    assert(!p.contains("SortMergeJoin"),
+      "the manifest must never be shuffle-joined for global ids")
+  }
+
   test("q44's three distribution columns share ONE window sort") {
     // ntile/percent_rank/cume_dist are declared over the same
     // WindowSpec; Catalyst must collapse them into a single Window

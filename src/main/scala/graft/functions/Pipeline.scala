@@ -195,6 +195,74 @@ object Pipeline {
         .orderBy(col("grp"), col("seq"))
     })
 
+  /** Quality-ordered selection under a global token budget — "keep the
+    * best docs until the budget is spent", the data-selection step
+    * between scoring and training (the budget here is a derived 2/5 of
+    * corpus tokens so the query is scale-invariant; production passes
+    * an absolute target). Greedy prefix-under-budget needs a GLOBAL
+    * cumulative sum over the quality order, which naively is one
+    * unpartitioned window task holding the whole corpus. The scalable
+    * form is a two-level scan: range-partition on (score DESC,
+    * doc_id), cumulative-sum WITHIN each range partition (task-sized
+    * state), and lay the partition-level totals' exclusive scan — a
+    * #partitions-row aggregate, metadata scale — over them via
+    * broadcast. `global_cum = partition_base + local_cum` is exact, so
+    * the kept set is identical under any partition count (the guard
+    * gate re-runs at 3 AND 8 threads). Scoring is the integer-exact
+    * unique-token ratio with doc_id tie-break — a total order both
+    * engines agree on.
+    *
+    * Scale shape: two shuffles of (id, lang, score, toks) — the range
+    * sort and the pid-clustering for the local scan — both over
+    * column-pruned metadata, never the text; plus two metadata-scale
+    * broadcasts (budget row, partition offsets); no corpus-sized
+    * window state anywhere. The ranked frame is persisted (scope
+    * convention of [[ingestFull]]): besides reuse, the persist PINS
+    * one physical range partitioning for both consumers (offsets and
+    * keep filter) — `spark_partition_id` must mean the same partition
+    * in both branches, and range-boundary sampling is not otherwise
+    * guaranteed identical across recomputes. */
+  val budgetSelect = QueryDef(
+    "corpus_budget_select",
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks,
+        CAST(len(list_distinct(string_split(${normTextSql("text")}, ' '))) AS DOUBLE)
+          / len(string_split(${normTextSql("text")}, ' ')) AS score
+      FROM documents),
+      b AS (SELECT CAST(sum(toks) * 2 // 5 AS BIGINT) AS budget FROM t),
+      c AS (SELECT doc_id, lang, toks, score,
+        sum(toks) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        round(min(score), 6) AS min_score
+      FROM c WHERE cum <= (SELECT budget FROM b)
+      GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      import org.apache.spark.sql.functions.spark_partition_id
+      val toksCol = split(normText(col("text")), " ")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toksCol).cast("long").as("toks"),
+          (size(array_distinct(toksCol)).cast("double") / size(toksCol)).as("score"))
+      val budget = scored.agg(expr("CAST((sum(toks) * 2) div 5 AS BIGINT)").as("budget"))
+      val ranked = graft.CacheScope.untracked.persist(scored
+        .repartitionByRange(col("score").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("cum", sum(col("toks")).over(
+          Window.partitionBy(col("pid")).orderBy(col("score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      // partition totals → exclusive scan over pid order (#partitions
+      // rows — metadata scale), broadcast back as each task's base
+      val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranked.groupBy(col("pid")).agg(max(col("cum")).as("psum"))
+        .select(col("pid"), coalesce(sum(col("psum")).over(wo), lit(0L)).as("base"))
+      ranked.join(broadcast(offsets), Seq("pid"))
+        .crossJoin(broadcast(budget))
+        .filter(col("base") + col("cum") <= col("budget"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("sum_tokens"),
+          round(min(col("score")), 6).as("min_score"))
+        .orderBy(col("lang"))
+    })
+
   /** Stratified sample: 50 docs per language, chosen by deterministic
     * hash order (md5 of the id — uniform over the corpus, stable
     * across runs). The per-stratum top-k runs through a window
@@ -659,6 +727,6 @@ object Pipeline {
     })
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
-    stratifiedSample, chunk, decontaminate, decontaminateBloom,
+    budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull)
 }

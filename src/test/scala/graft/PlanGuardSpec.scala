@@ -313,6 +313,37 @@ class PlanGuardSpec extends AnyFunSuite {
       "the manifest must never be shuffle-joined for global ids")
   }
 
+  test("budget_select pins its ranked frame and broadcasts offsets and budget") {
+    // the two-level global scan is only correct if both consumers see
+    // ONE physical range partitioning (spark_partition_id-keyed bases)
+    // — the persist is that pin; offsets/budget come back as
+    // broadcasts, the metadata frame is never sort-merge-joined
+    val p = plan("corpus_budget_select")
+    assert(p.contains("InMemoryTableScan"),
+      "ranked frame must be persisted — pid bases diverge across recomputes otherwise")
+    assert(p.contains("BroadcastHashJoin"),
+      "partition offsets must broadcast back onto the ranked frame")
+    assert(!p.contains("SortMergeJoin"),
+      "the ranked metadata frame must never be shuffle-joined")
+    spark.catalog.clearCache()
+  }
+
+  test("budget_select kept set is invariant under partition count") {
+    // global_cum = base(pid) + local cum must not depend on how many
+    // range partitions the planner picks
+    def run(parts: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try SparkEntry.queries("corpus_budget_select")(spark, TestSpark.sfDir)
+        .collect().map(_.toString).toSeq
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+      }
+    }
+    assert(run(2) == run(7), "kept set changed with the partition count")
+  }
+
   test("q44's three distribution columns share ONE window sort") {
     // ntile/percent_rank/cume_dist are declared over the same
     // WindowSpec; Catalyst must collapse them into a single Window

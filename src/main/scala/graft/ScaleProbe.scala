@@ -106,7 +106,12 @@ object ScaleProbe {
           .select(col("o_orderkey"), (col("o_totalprice") + lit(100.0)).as("new_bal"))
         operators.Extra.scd2Apply(base, changes, "o_orderkey", "c_acctbal", "new_bal")
       }),
-      ("graph_triangles", d => operators.Graph.triangles.build(spark, d)))
+      ("graph_triangles", d => operators.Graph.triangles.build(spark, d)),
+      // the round-5 fourth-session operators
+      ("text_diversity", d => functions.TextAnalysis.diversity.build(spark, d)),
+      ("corpus_pack_sequences", d => functions.Pipeline.packSequences.build(spark, d)),
+      ("corpus_budget_select", d => functions.Pipeline.budgetSelect.build(spark, d)),
+      ("vec_covariance", d => similarity.Similarity.vecCovariance.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -38,5 +38,6 @@ object GraftExtensions {
     graft.functions.WordShingles.ensure(spark)
     graft.functions.ZOrder.ensure(spark)
     graft.functions.TokenStats.ensure(spark)
+    graft.functions.OuterSumDec.ensure(spark)
   }
 }

@@ -482,4 +482,66 @@ object AnnApi {
       .select(col("id_p"), col("rk"), col("id_c"), round(col("s"), 6).as("score"))
       .orderBy(col("id_p"), col("rk"))
   }
+
+  /** Top principal component of an embedding corpus by power iteration
+    * on the EXACT covariance matrix. The corpus contributes through
+    * ONE scan — the native decimal moment aggregates
+    * ([[graft.functions.VecSumDec]] / [[graft.functions.OuterSumDec]])
+    * reduce it to a d(d+1)/2 triangle that is metadata-scale by
+    * construction (d = embedding width, not corpus size), so the
+    * driver-side iteration is O(d²·iters) on a few KB — the same
+    * "aggregate to metadata, then finish locally" shape as
+    * [[kmeansCells]]' centroid updates. Deterministic: exact decimal
+    * sums (merge-order-free), a fixed all-ones start vector, a fixed
+    * iteration count, and a deterministic sign convention (first
+    * nonzero coordinate positive).
+    *
+    * Returns (eigenvector, eigenvalue). Power iteration converges to
+    * the dominant eigenpair at rate (λ₂/λ₁)^iters; embeddings with a
+    * spread spectrum converge in well under the default 100 rounds. */
+  def principalComponent(corpus: DataFrame, vec: String,
+      iters: Int = 100): (Array[Double], Double) = {
+    val spark = corpus.sparkSession
+    graft.functions.VecSumDec.ensure(spark)
+    graft.functions.OuterSumDec.ensure(spark)
+    val row = corpus
+      .select(expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .agg(call_function("graft_vecsum_dec", col("v")).as("sv"),
+        call_function("graft_outer_sum_dec", col("v")).as("so"))
+      .select(col("sv.sum").as("sx"), col("so"))
+      .head()
+    val sx = row.getSeq[java.math.BigDecimal](0).map(d => if (d == null) 0.0 else d.doubleValue).toArray
+    val tri = row.getSeq[org.apache.spark.sql.Row](1)
+    val d = sx.length
+    require(d > 0, "principalComponent: empty corpus")
+    val cov = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      val sxy = if (r.isNullAt(2)) 0.0 else r.getDecimal(2).doubleValue
+      val n = r.getLong(3).toDouble
+      val c = (sxy - sx(i) * sx(j) / n) / n
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm == 0.0) it = iters // degenerate: zero matrix, keep start vector
+      else {
+        lambda = nrm
+        v = w.map(_ / nrm)
+        it += 1
+      }
+    }
+    val lead = v.indexWhere(_ != 0.0)
+    if (lead >= 0 && v(lead) < 0) v = v.map(-_)
+    (v, lambda)
+  }
 }

@@ -519,5 +519,48 @@ object Similarity {
     (s, d) => AnnApi.sq8TopK(Tables.embeddings(s, d), "vec_id", "embedding",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats)
+  /** Exact corpus covariance matrix (upper triangle, 1-based dims) —
+    * the second-moment audit behind whitening/PCA decisions on an
+    * embedding corpus. Both moments come from ONE corpus scan via the
+    * native decimal aggregates ([[graft.functions.VecSumDec]] for
+    * Σx, [[graft.functions.OuterSumDec]] for Σxy): exact decimal
+    * sums are merge-order-free, so the matrix is bit-identical under
+    * any partitioning, and the exchange carries one fixed-size
+    * triangle buffer per partition instead of the corpus×dim² rows
+    * of the posexplode self-join the oracle runs. `cov = (Σxy −
+    * ΣxΣy/n)/n` evaluated in the same operation order on both
+    * engines from the same exact sums. The oracle adds `+ 0.0` after
+    * its round: a near-zero negative covariance rounds to IEEE −0.0
+    * in DuckDB, while Spark's BigDecimal-based round can only produce
+    * +0.0 — the add normalizes −0.0 to +0.0 and is exact for every
+    * other double. */
+  val vecCovariance = QueryDef(
+    "vec_covariance",
+    Some(s"""WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+          sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i),
+      s AS (SELECT i, sum(CAST(x AS DECIMAL(28,12))) AS sx FROM x GROUP BY i)
+      SELECT p.i, p.j,
+        round((CAST(sxy AS DOUBLE) - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / n) / n, 6) + 0.0 AS cov
+      FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i
+      ORDER BY p.i, p.j"""),
+    (s, d) => {
+      graft.functions.VecSumDec.ensure(s)
+      graft.functions.OuterSumDec.ensure(s)
+      Tables.embeddings(s, d)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"),
+          call_function("graft_outer_sum_dec", col("v")).as("so"))
+        .select(col("sv.sum").as("sx"), explode(col("so")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"),
+          round((col("c.sum").cast("double")
+            - element_at(col("sx"), col("c.i").cast("int")).cast("double")
+              * element_at(col("sx"), col("c.j").cast("int")).cast("double") / col("c.cnt"))
+            / col("c.cnt"), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance)
 }

@@ -111,7 +111,8 @@ object ScaleProbe {
       ("text_diversity", d => functions.TextAnalysis.diversity.build(spark, d)),
       ("corpus_pack_sequences", d => functions.Pipeline.packSequences.build(spark, d)),
       ("corpus_budget_select", d => functions.Pipeline.budgetSelect.build(spark, d)),
-      ("vec_covariance", d => similarity.Similarity.vecCovariance.build(spark, d)))
+      ("vec_covariance", d => similarity.Similarity.vecCovariance.build(spark, d)),
+      ("q45_retention", d => operators.Extra.q45.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -673,6 +673,49 @@ object Extra {
         .orderBy(col("o_orderpriority"), col("tile"), col("pct_rank"), col("o_orderkey"))
     })
 
+  // --------------------------------------------------------------- q45
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohorted by first-activity week; each cell (cohort, +k weeks)
+    * counts distinct users still active and their fraction of the
+    * cohort. Three exchanges, all key-bounded: first-touch min(ts) is
+    * a map-combinable user-keyed aggregate; the events→cohort join
+    * shuffles both sides once on user_id (the natural co-partitioning
+    * — AQE picks broadcast when the user dimension fits); cohort
+    * sizes are cohorts-scale rows broadcast back. Distinct activity
+    * runs at (user, cohort, week) grain BEFORE the cell aggregate, so
+    * per-cell state never exceeds the distinct-user count. */
+  val q45 = QueryDef(
+    "q45_retention",
+    Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, f.cw,
+          (CAST(date_trunc('week', e.ts) AS DATE) - CAST(f.cw AS DATE)) // 7 AS wk
+        FROM events e JOIN f ON e.user_id = f.user_id),
+      c AS (SELECT cw, count(*) AS cohort_n FROM f GROUP BY cw)
+      SELECT CAST(a.cw AS DATE) AS cohort_week, CAST(wk AS BIGINT) AS week_offset,
+        count(*) AS n_users,
+        round(CAST(count(*) AS DOUBLE) / c.cohort_n, 6) AS retention
+      FROM a JOIN c ON a.cw = c.cw
+      GROUP BY a.cw, wk, c.cohort_n
+      ORDER BY cohort_week, week_offset"""),
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val f = e.groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val a = e.join(f, Seq("user_id"))
+        .select(col("user_id"), col("cw"),
+          expr("datediff(CAST(date_trunc('week', ts) AS DATE), CAST(cw AS DATE)) div 7")
+            .cast("long").as("wk"))
+        .distinct()
+      val c = f.groupBy(col("cw")).agg(count(lit(1)).as("cohort_n"))
+      a.join(broadcast(c), Seq("cw"))
+        .groupBy(col("cw"), col("wk"), col("cohort_n"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cw").cast("date").as("cohort_week"), col("wk").as("week_offset"),
+          col("n_users"), round(col("n_users").cast("double") / col("cohort_n"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
+    q45)
 }

@@ -201,5 +201,48 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pagerankTop, triangles)
+  /** Item–item neighborhood similarity ("related items"): top part
+    * pairs by Jaccard of their order neighborhoods in the co-purchase
+    * bipartite graph. Candidates are only pairs sharing ≥ 1 order —
+    * everything else has J = 0 — generated by the per-order pair
+    * expansion (O(k²) per order, k = parts/order, the bounded fan-out
+    * every item-item co-occurrence engine rides; a pathological
+    * mega-order would need triangles' degree-ordering, documented
+    * there). `|∩|` falls out of the distinct co-occurrence count;
+    * `|∪| = dᵤ + dᵥ − |∩|` from the parts-scale degree table (AQE
+    * broadcasts it at gate scale; at parts ≫ memory the join
+    * shuffles on the pair's endpoints — both key-bounded). Jaccard is
+    * one rounded division of exact integers; the top-20 runs through
+    * `TakeOrderedAndProject` on the (jac, u, v) total order. */
+  val nodeSimilarity = QueryDef(
+    "graph_node_similarity",
+    Some("""WITH co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      deg AS (SELECT p, count(*) AS dg FROM co GROUP BY p),
+      pr AS (SELECT a.p AS u, b.p AS v, count(*) AS inter
+        FROM co a JOIN co b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+      SELECT u, v, inter, da.dg AS du, db.dg AS dv,
+        round(CAST(inter AS DOUBLE) / (da.dg + db.dg - inter), 6) AS jac
+      FROM pr JOIN deg da ON pr.u = da.p JOIN deg db ON pr.v = db.p
+      ORDER BY jac DESC, u, v LIMIT 20"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val co = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .transform(scope.persist)
+        val deg = co.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+        val pairs = co.as("a").join(co.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(deg.select(col("p").as("u"), col("dg").as("du")), Seq("u"))
+          .join(deg.select(col("p").as("v"), col("dg").as("dv")), Seq("v"))
+          .select(col("u"), col("v"), col("inter"), col("du"), col("dv"),
+            round(col("inter").cast("double") / (col("du") + col("dv") - col("inter")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("u"), col("v"))
+          .limit(20)
+          .localCheckpoint(true)
+      }
+    })
+
+  val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity)
 }

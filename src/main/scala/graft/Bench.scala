@@ -58,10 +58,37 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative driver-JVM GC time in ms — per-rep deltas published as
+    * `gc_sec` so a rep whose spread is GC-billed (the ngram_jaccard
+    * 6–24 s clean-box swings the r5 verdict flags) is distinguishable
+    * from one hit by ambient load: high gc_sec + low load_avg = JVM
+    * memory pressure, the reverse = noisy neighbor. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // ambient-load gate (the r5 artifact was recorded at load 13.6/32
+    // and its numbers defamed unchanged code by up to 9x): if the
+    // 1-min load is already above the threshold, wait up to
+    // SPARK_GRAFT_LOAD_WAIT seconds for it to drain; if it never
+    // does, proceed but stamp `load_warn` so downstream tooling knows
+    // the mins are suspect before comparing rounds
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "0").toInt
+    val deadline = System.nanoTime() + loadWaitSec * 1000L * 1000 * 1000
+    while (loadAvg() > maxLoad && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] 1-min load ${loadAvg()}%.1f > $maxLoad%.1f, waiting...")
+      Thread.sleep(15000)
+    }
+    val loadWarn = loadAvg() > maxLoad
+    if (loadWarn) System.err.println(
+      f"[bench] WARNING: starting at 1-min load ${loadAvg()}%.1f > $maxLoad%.1f — timings will be polluted")
     val spark = Sessions.local(cpus)
     // JVM/codegen warmup outside the timings (tiny sf, flagship plan)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -77,8 +104,9 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repGcStart = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (rep <- 1 to reps; name <- names) {
-      if (repLoads.size < rep) repLoads += loadAvg() // once per rep sweep
+      if (repLoads.size < rep) { repLoads += loadAvg(); repGcStart += gcMillis() } // once per rep sweep
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -113,8 +141,24 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.size != reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    // per-rep GC seconds: rep i's delta is bounded by the next rep's
+    // start (the final rep by now)
+    val gcEnds = repGcStart.drop(1) :+ gcMillis()
+    val gcs = repGcStart.zip(gcEnds).map { case (s, e) => f"${(e - s) / 1000.0}%.1f" }
+      .mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout scraping is lossy (the r5 driver kept only the last 2000
+    // chars of sbt output and truncated the 49-query line — `parsed:
+    // null`); the file is the canonical artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+      System.err.println(s"[bench] result written to $outPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -57,7 +57,7 @@ object Cli {
       |  evolve --data <path> --schema-path <new.json> [--dry-run] [--allow-breaking] [--no-strict] [--out <path>] [--table <ident>] [--apply] [--color]
       |         (--apply executes the emitted DDL against <ident> on the session's
       |          catalog — the reference's live-table apply; requires --table)
-      |  serialize (--data <path> | --table <ident>) --output-path <schema.json>
+      |  serialize (--data <path> | --table <ident>) --output-path <schema.json> [--json-schema [--flat]]
       |
       |catalog options (all commands; the reference's --catalog-url + config):
       |  --catalog <name>         register catalog <name> on the session before resolution
@@ -223,7 +223,15 @@ object Cli {
         case Left(path)   => GSchema.fromSpark(spark.read.parquet(path).schema)
         case Right(ident) => GSchemaIO.fromTable(spark, ident)
       }
-      Files.writeString(Paths.get(outPath), SchemaJson.toJson(schema))
+      // --json-schema: the reference's load_table_schema output shape
+      // ({type, properties, required}, catalog.py:16) instead of the
+      // Iceberg-metadata format; --flat reproduces its exact
+      // container-flattening fallback
+      val body =
+        if (flag(rest, "--json-schema"))
+          SchemaJson.toJsonSchemaDraft(schema, nested = !flag(rest, "--flat"))
+        else SchemaJson.toJson(schema)
+      Files.writeString(Paths.get(outPath), body)
       println(s"Schema written to $outPath")
     }
   }

@@ -116,6 +116,59 @@ object SchemaJson {
     GSchema(0, props.map { case (name, spec) => convertDraftField(name, spec, alloc, required) })
   }
 
+  /** GSchema → JSON-Schema draft export — [[fromJsonSchemaDraft]]'s
+    * inverse and the reference's `load_table_schema` output shape
+    * (catalog.py:16: a `{"type":"object","properties":{…},
+    * "required":[…]}` dict from a live table's schema, required =
+    * the non-optional field names in field order).
+    *
+    * Primitive mapping is the reference's `iceberg_type_to_json_type`
+    * (catalog.py:3): int/long → `integer`, float/double → `number`,
+    * boolean → `boolean`, everything else (string, date, time,
+    * timestamp, binary, decimal) → the `string` fallback.
+    *
+    * The reference flattens ALL container types through the same
+    * string fallback (`str(field.field_type)` of a struct never hits
+    * the mapping); `nested = false` reproduces that flat dict exactly.
+    * The default `nested = true` recurses — struct → `object` with its
+    * own scoped `required`, list → `array`/`items`, map → the
+    * `"map"`-typed key/value form — emitting precisely the dialect
+    * [[fromJsonSchemaDraft]] parses, so export∘import∘export is a
+    * fixpoint (property-pinned in `SchemaJsonSpec`). */
+  def toJsonSchemaDraft(schema: GSchema, nested: Boolean = true, pretty: Boolean = true): String = {
+    val props = schema.fields.map { f =>
+      f.name -> (if (nested) draftType(f.tpe)
+                 else JObject("type" -> JString(draftPrimName(f.tpe))))
+    }
+    val j = JObject(
+      "type" -> JString("object"),
+      "properties" -> JObject(props.toList),
+      "required" -> JArray(schema.fields.filter(_.required).map(f => JString(f.name)).toList))
+    if (pretty) JsonMethods.pretty(JsonMethods.render(j)) else JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private def draftPrimName(t: GType): String = t match {
+    case GInt | GLong     => "integer"
+    case GFloat | GDouble => "number"
+    case GBoolean         => "boolean"
+    case _                => "string" // reference fallback (incl. containers when nested = false)
+  }
+
+  private def draftType(t: GType): JValue = t match {
+    case GStruct(fs) => JObject(
+      "type" -> JString("object"),
+      "properties" -> JObject(fs.map(f => f.name -> draftType(f.tpe)).toList),
+      "required" -> JArray(fs.filter(_.required).map(f => JString(f.name)).toList))
+    case GList(_, _, e) => JObject(
+      "type" -> JString("array"), "items" -> draftType(e))
+    case GMap(_, k, _, _, v) => JObject(
+      "type" -> JString("map"),
+      "properties" -> JObject(List(
+        "key" -> JObject("type" -> JString(draftPrimName(k))),
+        "value" -> draftType(v))))
+    case p => JObject("type" -> JString(draftPrimName(p)))
+  }
+
   private def convertDraftField(name: String, spec: JValue, alloc: IdAllocator, required: Set[String]): GField = {
     val fieldId = alloc.next()
     val req = required.contains(name)

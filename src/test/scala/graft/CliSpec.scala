@@ -53,6 +53,32 @@ class CliSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("serialize --json-schema emits the reference's load_table_schema shape") {
+    import org.json4s._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cli_js_tbl").toString
+    // long + double + string columns cover all three reference mapping
+    // branches (catalog.py:3: long -> integer, double -> number,
+    // string fallback)
+    Seq((1L, 0.5, "x")).toDF("id", "score", "name").write.mode("overwrite").parquet(dir)
+    val outJson = Files.createTempFile("cli_js", ".json")
+    val out = captureOut {
+      Cli.serialize(List("--table", s"parquet.`$dir`",
+        "--output-path", outJson.toString, "--json-schema"))
+    }
+    assert(out.contains("Schema written"))
+    val j = org.json4s.jackson.JsonMethods.parse(Files.readString(outJson))
+    assert((j \ "type") == JString("object"))
+    assert((j \ "properties" \ "id" \ "type") == JString("integer"))
+    assert((j \ "properties" \ "score" \ "type") == JString("number"))
+    assert((j \ "properties" \ "name" \ "type") == JString("string"))
+    // parquet columns come back nullable -> nothing required
+    assert((j \ "required") == JArray(Nil))
+    // and the emitted document is importable (S3's inverse)
+    val back = SchemaJson.fromJsonSchemaDraft(Files.readString(outJson))
+    assert(back.fields.map(_.name) == Seq("id", "score", "name"))
+  }
+
   test("evolve --apply executes the DDL against the live catalog table") {
     spark.conf.set("spark.sql.catalog.graftcat", "graft.catalog.GraftCatalog")
     val dir = writeSample() // columns: id LONG, name STRING

@@ -33,6 +33,51 @@ class GraphSpec extends AnyFunSuite {
     assert(a.values.count(_ > hubRank) == 0, "the hub must carry the top rank")
   }
 
+  test("pagerank iters=20 finishes with truncated lineage (checkpoint interval)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    val r = CacheScope.withScope { implicit s =>
+      operators.Graph.pagerank(und.toDF("src", "dst"), iters = 20)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    }
+    assert(r.size == 4 && r.values.forall(_ > 0))
+    // 20 iterations cross the checkpoint cadence twice (rounds 8 and
+    // 16) — the run completing at all is the point: an unbounded
+    // 20-round lineage is the analyzed-plan blowup the interval
+    // prevents for library callers with user-set iters
+    assert(r.values.sum > 4 * 150000L)
+  }
+
+  test("node similarity drops mega-orders before the O(k^2) expansion") {
+    import spark.implicits._
+    // 3 small baskets sharing parts, plus one planted mega-basket
+    // whose size exceeds the cap — its C(n,2) pairs must NOT appear
+    val small = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 11L), (3L, 12L))
+    val mega = (100L until 160L).map(p => (99L, p)) // basket of 60 > cap 50
+    val co = (small ++ mega).toDF("o", "p")
+    val rows = CacheScope.withScope { implicit s =>
+      operators.Graph.nodeSimilarityTopK(co, k = 1000, maxOrderSize = 50).collect()
+    }
+    // every surviving pair comes from the small baskets (parts < 100);
+    // the mega-basket's 1770 pairs are gone
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < 100L && r.getLong(1) < 100L),
+      s"mega-order pairs leaked: ${rows.filter(r => r.getLong(0) >= 100L).mkString(",")}")
+    // and degrees are computed over kept baskets only: part 10 appears
+    // in baskets 1 and 2 -> du = 2 for the (10, 11) pair
+    val p1011 = rows.find(r => r.getLong(0) == 10L && r.getLong(1) == 11L).get
+    assert(p1011.getLong(3) == 2L && p1011.getLong(2) == 2L)
+    // below-cap run keeps everything: raising the cap re-admits the mega pairs
+    val all = CacheScope.withScope { implicit s =>
+      operators.Graph.nodeSimilarityTopK(co, k = 100000, maxOrderSize = 60).collect()
+    }
+    assert(all.length == rows.length + 60 * 59 / 2)
+  }
+
   test("degree-ordered triangle count equals the naive count, at any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -85,4 +85,61 @@ class SchemaJsonSpec extends AnyFunSuite {
       """{"type":"object","properties":{"counts":{"type":"object","additionalProperties":{"type":"integer"}}}}""")
     val GMap(_, GString, _, true, GInt) = s.fields.head.tpe: @unchecked
   }
+
+  test("JSON-Schema draft export: reference primitive mapping and required order") {
+    // the reference's iceberg_type_to_json_type (catalog.py:3):
+    // int/long -> integer, float/double -> number, boolean -> boolean,
+    // everything else -> string
+    val s = GSchema(0, Seq(
+      GField(1, "a", required = true, GInt),
+      GField(2, "b", required = true, GLong),
+      GField(3, "c", required = false, GFloat),
+      GField(4, "d", required = false, GDouble),
+      GField(5, "e", required = true, GBoolean),
+      GField(6, "f", required = false, GDate),
+      GField(7, "g", required = false, GTimestamp),
+      GField(8, "h", required = false, GDecimal(10, 2)),
+      GField(9, "i", required = false, GBinary)))
+    val json = SchemaJson.toJsonSchemaDraft(s, pretty = false)
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    import org.json4s._
+    def typeOf(name: String): String =
+      (j \ "properties" \ name \ "type") match { case JString(t) => t; case o => fail(s"$name: $o") }
+    assert((j \ "type") == JString("object"))
+    assert(typeOf("a") == "integer" && typeOf("b") == "integer")
+    assert(typeOf("c") == "number" && typeOf("d") == "number")
+    assert(typeOf("e") == "boolean")
+    assert(Seq("f", "g", "h", "i").forall(typeOf(_) == "string"))
+    // required = non-optional field names in field order (reference appends in order)
+    assert((j \ "required") == JArray(List(JString("a"), JString("b"), JString("e"))))
+  }
+
+  test("JSON-Schema draft export: flat mode flattens containers to the string fallback") {
+    // the reference maps str(field.field_type) of a struct/list/map
+    // through .get(..., "string") — nested = false reproduces that dict
+    val json = SchemaJson.toJsonSchemaDraft(nested, nested = false, pretty = false)
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    import org.json4s._
+    assert((j \ "properties" \ "meta" \ "type") == JString("string"))
+    assert((j \ "properties" \ "age" \ "type") == JString("integer"))
+    assert((j \ "properties" \ "meta" \ "properties") == JNothing)
+  }
+
+  test("JSON-Schema draft export round-trips through fromJsonSchemaDraft (fixpoint)") {
+    // export -> import projects types through the draft lattice
+    // (long -> int, float -> double, date/ts/decimal/binary -> string);
+    // a second export of the projected schema is bit-identical, i.e.
+    // export . import is a fixpoint on the draft dialect
+    val once = SchemaJson.toJsonSchemaDraft(nested, pretty = false)
+    val imported = SchemaJson.fromJsonSchemaDraft(once)
+    // names, requiredness, and nesting shape survive
+    assert(imported.fields.map(_.name) == nested.fields.map(_.name))
+    assert(imported.fields.map(_.required) == nested.fields.map(_.required))
+    val GStruct(metaFields) = imported.fields(3).tpe: @unchecked
+    assert(metaFields.map(_.name) == Seq("browser", "attempts", "tags"))
+    val GMap(_, GString, _, true, GStruct(tagFields)) = metaFields(2).tpe: @unchecked
+    assert(tagFields.map(_.name) == Seq("weight"))
+    val twice = SchemaJson.toJsonSchemaDraft(imported, pretty = false)
+    assert(twice == once)
+  }
 }

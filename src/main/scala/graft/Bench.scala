@@ -47,7 +47,10 @@ object Bench {
     "text_rarity_score", "ann_sq8", "q42_scd2_merge", "graph_triangles",
     "corpus_temperature_sample", "q43_stats_suite", "q44_window_frames",
     "text_diversity", "corpus_pack_sequences", "corpus_budget_select",
-    "vec_covariance", "q45_retention", "graph_node_similarity")
+    "vec_covariance", "q45_retention", "graph_node_similarity",
+    // round-6 operators
+    "dedup_keep_best", "ann_mmr", "corpus_split_leakage",
+    "corpus_quality_gate", "text_readability", "vec_pca_project")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -348,6 +348,71 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
+  // ----------------------------------------- keep-best cluster policy
+  /** Near-dup clusters resolved by the PRODUCTION keep policy: each
+    * cluster retains its highest-QUALITY member, not its min id — the
+    * policy every real pipeline wants (min-id keeps whichever shard
+    * happened to ingest first; keep-best retains the longest/cleanest
+    * variant of the duplicated content). Quality is the integer-exact
+    * unique-token permille `(uniq · 10⁶) div n_tokens` (the
+    * corpus_budget_select scoring discipline — exact integer division,
+    * so the (q DESC, doc_id) keep order is a total order both engines
+    * agree on bit-for-bit; doubles would make argmax ties
+    * engine-dependent).
+    *
+    * Scale shape: the pair graph and components are the gated
+    * `dedup_clusters` machinery unchanged (banded LSH + large/small-
+    * star, all bucket-capped); scoring is one map-only pass; the
+    * winner per cluster is a map-side-combinable `max_by` aggregate
+    * over (cluster)-keys joined back doc-keyed — no window sort over
+    * the corpus, no new quadratic term. */
+  val keepBest = QueryDef(
+    "dedup_keep_best",
+    Some(s"""WITH $bandsSqlCte,
+      $cappedBandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node),
+      q AS (SELECT doc_id,
+          (len(list_distinct(string_split(${normTextSql("text")}, ' '))) * 1000000)
+            // len(string_split(${normTextSql("text")}, ' ')) AS q
+        FROM documents),
+      best AS (SELECT c.cluster, first(c.doc_id ORDER BY q.q DESC, c.doc_id) AS keep_id
+        FROM comp c JOIN q ON q.doc_id = c.doc_id GROUP BY c.cluster)
+      SELECT c.doc_id, c.cluster, q.q, (c.doc_id = b.keep_id) AS kept
+      FROM comp c JOIN q ON q.doc_id = c.doc_id JOIN best b ON b.cluster = c.cluster
+      ORDER BY c.doc_id""".replaceFirst("WITH ", "WITH RECURSIVE ")),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupApi.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.6, maxBucketSize = LshBucketCap)
+      val comp = DedupApi.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("node").as("doc_id"), col("cluster"))
+      val toks = split(normText(col("text")), " ")
+      val qInt = docs
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          expr("(size(array_distinct(toks)) * 1000000L) div size(toks)").as("q"))
+      val withQ = comp.join(qInt, Seq("doc_id"))
+      val best = withQ.groupBy(col("cluster"))
+        .agg(expr("max_by(doc_id, struct(q, -doc_id))").as("keep_id"))
+      withQ.join(best, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("q"),
+          (col("doc_id") === col("keep_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    })
+
   // ------------------------------------- composed: exact-then-near dedup
   /** The production ordering the 20× scale probe motivates (SURVEY
     * §4): collapse exact duplicates FIRST (hash groupBy, sublinear),
@@ -372,5 +437,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, substring, embedCosine,
-    embedCosineLsh, semantic, semanticDedupPipeline, clusters, nearDedupPipeline)
+    embedCosineLsh, semantic, semanticDedupPipeline, clusters, keepBest,
+    nearDedupPipeline)
 }

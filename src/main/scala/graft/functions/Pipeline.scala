@@ -726,7 +726,85 @@ object Pipeline {
         .orderBy(col("source"))
     })
 
+  // ---------------------------------------------- split leakage audit
+  /** Train→test near-dup leakage audit — the contamination check a
+    * split assignment itself needs (decontaminate guards against an
+    * EXTERNAL benchmark; this guards the corpus's OWN held-out split:
+    * a near-duplicate pair straddling train/test silently inflates
+    * eval). Splits are the [[splitStats]] content-stable hash gate;
+    * pairs are banded SimHash at hamming ≤ 6 via the asymmetric
+    * train×test combo-key join of [[graft.dedup.DedupApi
+    * .simhashPairsIncremental]] — per-audit cost is test-keys ×
+    * collision-rate, never |train|×|test| (the test split is 5% and
+    * its distinct-signature index is what the train side bands
+    * against; same exact C(9,3) pigeonhole, lossless at d ≤ 6). The
+    * oracle recomputes the same signatures and runs the quadratic
+    * cross scan. */
+  val splitLeakage = QueryDef(
+    "corpus_split_leakage",
+    Some(s"""WITH ${graft.dedup.Dedup.simhashSqlCteOver("documents")},
+      sp AS (SELECT doc_id, ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt FROM documents),
+      tr AS (SELECT s.doc_id, s.simhash FROM sim s JOIN sp ON sp.doc_id = s.doc_id AND sp.bkt < 90),
+      te AS (SELECT s.doc_id, s.simhash FROM sim s JOIN sp ON sp.doc_id = s.doc_id AND sp.bkt >= 95)
+      SELECT tr.doc_id AS doc_train, te.doc_id AS doc_test,
+        bit_count(xor(tr.simhash, te.simhash)) AS hamming
+      FROM tr JOIN te ON bit_count(xor(tr.simhash, te.simhash)) <= 6
+      ORDER BY doc_train, doc_test"""),
+    (s, d) => {
+      val bucket = pmod(h60(col("doc_id").cast("string")), lit(100))
+      val docs = Tables.documents(s, d).withColumn("bkt", bucket)
+      graft.dedup.DedupApi.simhashPairsIncremental(
+          docs.filter(col("bkt") < 90).drop("bkt"),
+          docs.filter(col("bkt") >= 95).drop("bkt"),
+          "doc_id", "text", maxHamming = 6)
+        .select(col("doc_existing").as("doc_train"), col("doc_new").as("doc_test"), col("hamming"))
+        .orderBy(col("doc_train"), col("doc_test"))
+    })
+
+  // --------------------------------------------- quality-percentile gate
+  /** Global quality-percentile filter: keep documents whose quality
+    * score clears the corpus's own p75 — the relative-threshold twin
+    * of [[budgetSelect]] (budget = "best docs until N tokens"; this =
+    * "top quartile whatever its size", the form quality gates take
+    * when the corpus mix drifts and an absolute threshold goes
+    * stale). Score is the integer-exact unique-token permille; the
+    * threshold is the ONE scalar that needs global order statistics,
+    * computed by the q39 distributed-selection machinery
+    * ([[graft.operators.ExactPercentiles]] — bounded histogram
+    * passes, NO task ever buffers the corpus's scores) and broadcast
+    * back for a map-only gate: the corpus is scanned, never
+    * sort-shuffled. percentile_cont interpolation is the same
+    * fixed-order expression in both engines (the q13/q39 gate
+    * contract). */
+  val qualityGate = QueryDef(
+    "corpus_quality_gate",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      q AS (SELECT doc_id, (len(list_distinct(toks)) * 1000000) // len(toks) AS q FROM t),
+      th AS (SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(q AS DOUBLE)) AS thr FROM q)
+      SELECT q.doc_id, q.q, round(th.thr, 6) AS thr
+      FROM q, th WHERE CAST(q.q AS DOUBLE) >= th.thr
+      ORDER BY q.doc_id"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val toks = split(normText(col("text")), " ")
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            expr("(size(array_distinct(toks)) * 1000000L) div size(toks)").as("q"))
+          .transform(scope.persist)
+        val thr = graft.operators.ExactPercentiles.percentiles(
+            scored.select(lit(1).as("g"), col("q")), "g", "q", Seq(0.75))
+          .select(col("value").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("q").cast("double") >= col("thr"))
+          .select(col("doc_id"), col("q"), round(col("thr"), 6).as("thr"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
-    decontaminateFuzzy, domainMix, temperatureSample, ingestFull)
+    decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
+    splitLeakage, qualityGate)
 }

@@ -327,6 +327,49 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
+  // ------------------------------------------------------ readability
+  /** Flesch-reading-ease readability scoring — the classic
+    * surface-statistics quality filter next to [[quality]]'s ratio
+    * gates (readability bands are a standard corpus-audit axis:
+    * too-easy flags listicle/boilerplate, too-hard flags OCR noise).
+    * All three inputs are exact integers sharing one normalized scan:
+    * words = whitespace tokens, syllables = vowel-group runs (the
+    * standard heuristic; counting them over the WHOLE normalized text
+    * equals the per-word sum because spaces break every run — one
+    * regexp pass, no explode), sentences = `[.!?]+` runs in the RAW
+    * text floored at 1. The score is one fixed-order IEEE expression
+    * over those integers (206.835 − 1.015·w/s − 84.6·syl/w), identical
+    * in both engines; per-row map-only, ZERO shuffle at any corpus
+    * size. */
+  val readability = QueryDef(
+    "text_readability",
+    Some(s"""WITH t AS (SELECT doc_id, text, ${normTextSql("text")} AS s FROM documents),
+      c AS (SELECT doc_id,
+          len(string_split(s, ' ')) AS n_words,
+          len(regexp_extract_all(s, '[aeiou]+')) AS n_syllables,
+          greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+        FROM t)
+      SELECT doc_id, n_words, n_syllables, n_sentences,
+        round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+      FROM c ORDER BY doc_id"""),
+    (s, d) => {
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), normText(col("text")).as("s"))
+        .select(col("doc_id"),
+          size(split(col("s"), " ")).as("n_words"),
+          size(regexp_extract_all(col("s"), lit("[aeiou]+"), lit(0))).as("n_syllables"),
+          greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).as("n_sentences"))
+      counted.select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_syllables").cast("long").as("n_syllables"),
+          col("n_sentences").cast("long").as("n_sentences"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6).as("flesch"))
+        .orderBy(col("doc_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
-    dupNgramFraction, lengthHistogram, piiScrub, diversity)
+    dupNgramFraction, lengthHistogram, piiScrub, diversity, readability)
 }

@@ -46,6 +46,69 @@ object AnnApi {
     rerank(probes.as("a").join(n.as("b"), col(s"a.$id") =!= col(s"b.$id")), id, k)
   }
 
+  /** Maximal-Marginal-Relevance top-k (Carbonell & Goldstein,
+    * SIGIR'98) — diversity-aware reranking: after the exact top-
+    * `poolSize` pool per probe, picks are greedy by
+    * `λ·cos(c, probe) − (1−λ)·max_{s∈selected} cos(c, s)`, so each
+    * step keeps relevance while penalizing redundancy with what is
+    * already selected (the dedup-at-selection-time staple for RAG
+    * retrieval and diverse few-shot/training-example sampling).
+    *
+    * Scale shape: the corpus is touched ONCE (the pool build = the
+    * bruteTopK scan; swap in lshTopK/ivfTopK candidates for a larger
+    * corpus — the MMR loop only sees the pool). The k−1 greedy rounds
+    * run on the PERSISTED pool (probes × poolSize rows, probe-keyed):
+    * per round one anti-join (drop already-selected), one probe-keyed
+    * join against the ≤(t−1)-row-per-probe selected set, and one
+    * map-side-combinable argmax — never a corpus shuffle, never a
+    * driver-side loop over rows. Determinism: cosines are the shared
+    * left-to-right `graft_dot` folds, the max over selected is
+    * order-independent, the MMR expression is fixed-order IEEE, and
+    * argmax ties break on candidate id — bit-identical in DuckDB.
+    * Step 1 has an empty selected set: its score is `λ·cos` (the
+    * standard convention), which makes pick 1 the plain top-1. */
+  def mmrTopK(corpus: DataFrame, id: String, vec: String, probeIds: DataFrame,
+      poolSize: Int = 20, k: Int = 5, lambda: Double = 0.5)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val n = normalized(corpus, id, vec)
+    val probes = n.join(probeIds, Seq(id), "left_semi")
+    val pool = probes.as("a").join(n.as("b"), col(s"a.$id") =!= col(s"b.$id"))
+      .select(col(s"a.$id").as("id_p"), col(s"b.$id").as("id_c"),
+        expr(s"$dot / (a.nrm * b.nrm)").as("cos"), col("b.v").as("v"), col("b.nrm").as("nrm"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("cos").desc, col("id_c"))))
+      .filter(col("rk") <= poolSize)
+      .transform(scope.persist)
+    val lam = lit(lambda)
+    var selected = pool.filter(col("rk") === 1)
+      .select(col("id_p"), lit(1).as("step"), col("id_c"),
+        (lam * col("cos")).as("mmr"), col("cos"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val rem = pool.join(selected.select(col("id_p"), col("id_c")), Seq("id_p", "id_c"), "left_anti")
+      val ms = rem.as("r").join(selected.as("s"), col("r.id_p") === col("s.id_p"))
+        .select(col("r.id_p").as("id_p"), col("r.id_c").as("id_c"),
+          (expr("graft_dot(r.v, s.v)") / (col("r.nrm") * col("s.nrm"))).as("sim"))
+        .groupBy(col("id_p"), col("id_c"))
+        .agg(max(col("sim")).as("msim"))
+      val pick = ms.join(pool, Seq("id_p", "id_c"))
+        .select(col("id_p"), col("id_c"),
+          (lam * col("cos") - (lit(1.0) - lam) * col("msim")).as("mmr"),
+          col("cos"), col("v"), col("nrm"))
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy(col("id_p")).orderBy(col("mmr").desc, col("id_c"))))
+        .filter(col("rk2") === 1)
+        .select(col("id_p"), lit(t).as("step"), col("id_c"), col("mmr"),
+          col("cos"), col("v"), col("nrm"))
+      // selected stays ≤ probes·k rows; eager checkpoint keeps the
+      // t-times-self-referencing plan from nesting
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select(col("id_p"), col("step"), col("id_c"),
+        round(col("cos"), 6).as("cos"), round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("id_p"), col("step"))
+  }
+
   /** Multi-table random-hyperplane LSH top-k: candidates = union of
     * same-bucket rows over `Similarity.NumTables` sign-code tables. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
@@ -501,6 +564,14 @@ object AnnApi {
     * spread spectrum converge in well under the default 100 rounds. */
   def principalComponent(corpus: DataFrame, vec: String,
       iters: Int = 100): (Array[Double], Double) = {
+    val (cov, _, _) = covarianceMoments(corpus, vec)
+    powerIterate(cov, iters)
+  }
+
+  /** One corpus scan → (covariance matrix, per-dim mean, n), all
+    * driver-side doubles derived from the exact decimal moments
+    * (metadata scale: one d-vector + d(d+1)/2 triangle rows). */
+  private def covarianceMoments(corpus: DataFrame, vec: String): (Array[Array[Double]], Array[Double], Double) = {
     val spark = corpus.sparkSession
     graft.functions.VecSumDec.ensure(spark)
     graft.functions.OuterSumDec.ensure(spark)
@@ -515,14 +586,26 @@ object AnnApi {
     val d = sx.length
     require(d > 0, "principalComponent: empty corpus")
     val cov = Array.ofDim[Double](d, d)
+    var nRows = 0.0
     tri.foreach { r =>
       val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
       val sxy = if (r.isNullAt(2)) 0.0 else r.getDecimal(2).doubleValue
       val n = r.getLong(3).toDouble
+      nRows = n
       val c = (sxy - sx(i) * sx(j) / n) / n
       cov(i)(j) = c
       cov(j)(i) = c
     }
+    (cov, sx.map(_ / nRows), nRows)
+  }
+
+  /** Fixed-count power iteration with the deterministic start vector
+    * and first-nonzero-positive sign convention (see
+    * [[principalComponent]]). Every operation is a fixed-order IEEE
+    * expression, so an engine replaying the same matrix and count
+    * reproduces the eigenvector bit-for-bit. */
+  private def powerIterate(cov: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val d = cov.length
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     var lambda = 0.0
     var it = 0
@@ -543,5 +626,29 @@ object AnnApi {
     val lead = v.indexWhere(_ != 0.0)
     if (lead >= 0 && v(lead) < 0) v = v.map(-_)
     (v, lambda)
+  }
+
+  /** PCA projection: every vector's coordinate along the dominant
+    * principal component, centered — `proj = (x − mean) · e`. The
+    * whitening/visualization/outlier-audit primitive next to
+    * [[principalComponent]]. Two corpus scans total: ONE decimal-
+    * moment aggregate (covariance + mean driver-side, metadata
+    * scale), the power iteration on the driver (O(d²·iters) on a few
+    * KB), then e and mean broadcast back AS LITERALS into a map-only
+    * projection pass — the corpus is never shuffled and never
+    * re-aggregated. Deterministic end to end: the eigenvector is a
+    * fixed-order IEEE computation from exact decimal moments, and the
+    * projection is the shared left-to-right `graft_dot` fold, so a
+    * DuckDB replay of the same iterations agrees bit-for-bit. */
+  def pcaProject(corpus: DataFrame, id: String, vec: String,
+      iters: Int = 100): DataFrame = {
+    val (cov, mean, _) = covarianceMoments(corpus, vec)
+    val (e, _) = powerIterate(cov, iters)
+    graft.functions.Dot.ensure(corpus.sparkSession)
+    val meanA = array(mean.map(lit): _*)
+    val eA = array(e.map(lit): _*)
+    corpus.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("vv"))
+      .select(col(id),
+        call_function("graft_dot", zip_with(col("vv"), meanA, (x, m) => x - m), eA).as("proj"))
   }
 }

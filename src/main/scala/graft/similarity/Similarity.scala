@@ -562,5 +562,118 @@ object Similarity {
         .orderBy(col("i"), col("j"))
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance)
+  // ------------------------------------------------------------- mmr
+  /** MMR gate constants: λ = 0.5 (exact in binary, so `1 − λ` is too),
+    * pool 20, k = 5, probes `vec_id < 3`. */
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** Unrolled MMR rounds as CTEs: `cum_t` is the selected set after
+    * step t; each round scores the not-yet-selected pool rows by
+    * `0.5·cos − 0.5·max_sim_to_selected` and picks the per-probe
+    * argmax with id tie-break — the same greedy
+    * [[AnnApi.mmrTopK]] executes distributed. */
+  private def mmrSqlCtes: String = {
+    val dotRS = "list_reduce(list_transform(range(1, len(r.v) + 1), i -> r.v[i] * s.v[i]), (x, y) -> x + y)"
+    val sb = new StringBuilder(
+      s"""pool0 AS (SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS cos,
+          b.v AS v, b.nrm AS nrm,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 3 AND a.vec_id <> b.vec_id),
+      p AS (SELECT id_p, id_c, cos, v, nrm FROM pool0 WHERE rk <= $MmrPool),
+      cum1 AS (SELECT id_p, 1 AS step, id_c, 0.5 * cos AS mmr, cos, v, nrm FROM pool0 WHERE rk = 1)""")
+    for (t <- 2 to MmrK) {
+      sb.append(s""",
+      ms$t AS (SELECT r.id_p, r.id_c, max($dotRS / (r.nrm * s.nrm)) AS msim
+        FROM p r JOIN cum${t - 1} s ON s.id_p = r.id_p
+        WHERE NOT EXISTS (SELECT 1 FROM cum${t - 1} c WHERE c.id_p = r.id_p AND c.id_c = r.id_c)
+        GROUP BY r.id_p, r.id_c),
+      pick$t AS (SELECT id_p, $t AS step, id_c, mmr, cos, v, nrm FROM (
+        SELECT m.id_p, m.id_c, 0.5 * r.cos - 0.5 * m.msim AS mmr, r.cos, r.v, r.nrm,
+          row_number() OVER (PARTITION BY m.id_p ORDER BY 0.5 * r.cos - 0.5 * m.msim DESC, m.id_c) AS rk
+        FROM ms$t m JOIN p r ON r.id_p = m.id_p AND r.id_c = m.id_c) z WHERE rk = 1),
+      cum$t AS (SELECT * FROM cum${t - 1} UNION ALL SELECT * FROM pick$t)""")
+    }
+    sb.toString
+  }
+
+  /** Diversity-aware top-k: greedy Maximal Marginal Relevance over the
+    * exact top-[[MmrPool]] pool per probe — see [[AnnApi.mmrTopK]] for
+    * the algorithm and scale shape (corpus scanned once for the pool;
+    * the greedy rounds are probe-keyed joins on the persisted pool).
+    * The oracle unrolls the identical greedy rounds as CTEs; scores
+    * agree bit-for-bit because every cosine is the shared
+    * left-to-right fold, the per-candidate max over selected is
+    * order-independent, and λ = 0.5 keeps the MMR combination an
+    * exactly-representable fixed-order expression. */
+  val annMmr = QueryDef(
+    "ann_mmr",
+    Some(s"""WITH $normSqlCte, $mmrSqlCtes
+      SELECT id_p, step, id_c, round(cos, 6) AS cos, round(mmr, 6) AS mmr
+      FROM cum$MmrK ORDER BY id_p, step"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        AnnApi.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+            Tables.embeddings(s, d).filter(col("vec_id") < 3).select(col("vec_id")),
+            poolSize = MmrPool, k = MmrK, lambda = 0.5)
+          .localCheckpoint(true)
+      }
+    })
+
+  // ------------------------------------------------------ pca project
+  /** Power-iteration count for the gated PCA projection (matches the
+    * [[AnnApi.principalComponent]] default). */
+  val PcaIters = 100
+
+  /** PCA projection gated end to end — the r5 round shipped
+    * `principalComponent` as API-only (spec-verified); this puts the
+    * WHOLE path under the DuckDB gate: exact decimal moments →
+    * covariance → 100 driver-side power-iteration rounds → centered
+    * per-vector projection. The oracle rebuilds the covariance from
+    * the same decimal sums (the `vec_covariance` CTEs, unrounded),
+    * then replays the identical power iteration as a RECURSIVE CTE —
+    * matrix-vector products and norms as the same left-to-right
+    * folds, the same 1/√d start vector, the same first-nonzero-
+    * positive sign convention — and projects with the same
+    * `(x − mean) · e` ordered fold. A hash-green row therefore proves
+    * the driver-side linear algebra reproduces bit-for-bit outside
+    * the JVM, not just inside it. */
+  val vecPcaProject = QueryDef(
+    "vec_pca_project",
+    Some(s"""WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+          sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i),
+      s AS (SELECT i, sum(CAST(x AS DECIMAL(28,12))) AS sx FROM x GROUP BY i),
+      nn AS (SELECT count(*) AS n FROM embeddings),
+      cv AS (SELECT p.i AS i, p.j AS j,
+          (CAST(sxy AS DOUBLE) - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / p.n) / p.n AS c
+        FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i),
+      cf AS (SELECT i, j, c FROM cv UNION ALL SELECT j AS i, i AS j, c FROM cv WHERE i <> j),
+      mr AS (SELECT i, list(c ORDER BY j) AS r FROM cf GROUP BY i),
+      mm AS (SELECT list(r ORDER BY i) AS m FROM mr),
+      mn AS (SELECT list(CAST(s.sx AS DOUBLE) / nn.n ORDER BY s.i) AS mean FROM s, nn),
+      pw AS (SELECT 0 AS it, list_transform(range(1, ${Dim + 1}), i -> 1.0 / sqrt(${Dim}.0)) AS v
+        UNION ALL
+        SELECT b.it + 1, list_transform(b.w, x -> x / b.nrm) AS v FROM (
+          SELECT a.it, a.w,
+            sqrt(list_reduce(list_transform(a.w, y -> y * y), (acc, z) -> acc + z)) AS nrm FROM (
+            SELECT pw.it, list_transform(range(1, ${Dim + 1}), i ->
+                list_reduce(list_transform(range(1, ${Dim + 1}), j -> mm.m[i][j] * pw.v[j]),
+                  (acc, z) -> acc + z)) AS w
+            FROM pw, mm WHERE pw.it < $PcaIters) a) b),
+      ev AS (SELECT CASE WHEN len(list_filter(v, x -> x <> 0.0)) > 0
+            AND list_filter(v, x -> x <> 0.0)[1] < 0
+          THEN list_transform(v, x -> -x) ELSE v END AS e
+        FROM pw WHERE it = $PcaIters)
+      SELECT em.vec_id,
+        round(list_reduce(list_transform(range(1, ${Dim + 1}), k ->
+          (CAST(em.embedding[k] AS DOUBLE) - mn.mean[k]) * ev.e[k]), (acc, z) -> acc + z), 6) AS proj
+      FROM embeddings em, mn, ev ORDER BY em.vec_id""".replaceFirst("WITH ", "WITH RECURSIVE ")),
+    (s, d) => AnnApi.pcaProject(Tables.embeddings(s, d), "vec_id", "embedding", iters = PcaIters)
+      .select(col("vec_id"), round(col("proj"), 6).as("proj"))
+      .orderBy(col("vec_id")))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject)
 }

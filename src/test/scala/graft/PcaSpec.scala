@@ -34,4 +34,24 @@ class PcaSpec extends AnyFunSuite {
     assert(v3.toSeq == v8.toSeq && l3 == l8,
       "principal component must be bit-identical under partitioning")
   }
+
+  test("projection recovers each vector's planted coordinate, centered") {
+    import spark.implicits._
+    // exact rank-1 corpus along e1: x_i = i · e1. The dominant
+    // component is ±e1, the sign convention fixes +e1, and the
+    // centered projection must be exactly i − mean(i).
+    val n = 40
+    val df = (0 until n).map(i => (i.toLong, Array.tabulate(6)(k => if (k == 0) i.toDouble else 0.0)))
+      .toDF("id", "v")
+    val got = similarity.AnnApi.pcaProject(df, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val mean = (0 until n).sum.toDouble / n
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - (i - mean)) < 1e-9,
+        s"proj($i) = ${got(i.toLong)}, want ${i - mean}")
+    }
+    // map-only projection: the pass adds no exchange of any kind
+    val plan = similarity.AnnApi.pcaProject(df, "id", "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection pass must be map-only:\n$plan")
+  }
 }

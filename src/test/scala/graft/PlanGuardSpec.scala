@@ -353,4 +353,28 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("""(?m)^[\s+:*-]*Window """.r.findAllIn(p).length == 1,
       s"expected exactly one Window operator:\n$p")
   }
+
+  test("split leakage plans hash joins only (asymmetric banding, no quadratic operator)") {
+    val p = plan("corpus_split_leakage")
+    assert(!p.contains("CartesianProduct"), "leakage audit plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "leakage audit plans a nested-loop join")
+  }
+
+  test("keep-best resolves winners by aggregate, never a corpus window sort") {
+    // the per-cluster winner is a map-side-combinable max_by; a Window
+    // operator here would mean a per-cluster sort of the corpus
+    val p = plan("dedup_keep_best")
+    assert(!"""(?m)^[\s+:*-]*Window """.r.findAllIn(p).hasNext,
+      s"keep-best must not plan a Window operator:\n$p")
+    assert(p.contains("max_by") || p.contains("Max_by") || p.contains("MaxBy"),
+      "winner selection must be the max_by aggregate")
+  }
+
+  test("readability is map-only up to the output sort") {
+    // per-row integer counts + one IEEE expression: nothing may
+    // aggregate or join, and the only exchange is the gate's orderBy
+    val p = plan("text_readability")
+    assert(!p.contains("Join"), s"readability must not join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"readability must not hash-shuffle:\n$p")
+  }
 }

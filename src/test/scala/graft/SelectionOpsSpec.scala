@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral properties for the round-6 selection/audit operators:
+  * MMR diversity reranking, the keep-best cluster policy, the global
+  * quality-percentile gate, readability scoring, and the train→test
+  * split-leakage audit. The DuckDB gate pins cross-engine exactness;
+  * these pin the SEMANTICS (diversity actually traded for relevance,
+  * the kept doc actually the best, the threshold actually the p75). */
+class SelectionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("MMR step 2 trades relevance for diversity; plain top-k would not") {
+    import spark.implicits._
+    // probe 0; candidates 1 and 2 nearly identical to each other and
+    // most relevant; candidate 3 less relevant but diverse. Plain
+    // top-3 ranks [1, 2, 3]; MMR must pick 3 at step 2 because 2's
+    // redundancy with the already-selected 1 eats its margin.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.141f, 0.0f, 0.0f)),
+      (3L, Array(0.8f, -0.6f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probe = Seq(Tuple1(0L)).toDF("vec_id")
+    def run(parts: Int): Seq[(Long, Int, Long)] = CacheScope.withScope { implicit s =>
+      similarity.AnnApi.mmrTopK(vecs.repartition(parts), "vec_id", "embedding",
+          probe, poolSize = 10, k = 3, lambda = 0.5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    }
+    val sel = run(2)
+    assert(sel.map(_._3) == Seq(1L, 3L, 2L),
+      s"MMR order must be [1, 3, 2] (diversity pick at step 2), got $sel")
+    // and the greedy selection is partitioning-invariant
+    assert(run(5) == sel)
+  }
+
+  test("keep-best retains exactly one member per cluster — the (q, -id)-max one") {
+    val rows = dedup.Dedup.keepBest.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length} members")
+      // winner = max quality, min id among quality ties
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(kept.head._1 == best._1,
+        s"cluster $c kept ${kept.head} but best is $best")
+    }
+    // multi-member clusters exist at sf0.001 (else the policy is untested)
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
+  test("quality gate keeps precisely the docs at or above the corpus p75") {
+    val out = functions.Pipeline.qualityGate.build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val thr = out.head.getDouble(2)
+    // every emitted doc clears the threshold the query itself reports
+    assert(out.forall(_.getLong(1).toDouble >= thr))
+    // independent count: score every doc, compare the kept population
+    val toks = split(Portable.normText(col("text")), " ")
+    val scores = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(expr("(size(array_distinct(toks)) * 1000000L) div size(toks)").as("q"))
+      .collect().map(_.getLong(0)).sorted
+    val expectKept = scores.count(_.toDouble >= thr)
+    assert(out.length == expectKept, s"kept ${out.length}, expected $expectKept")
+    // the reported threshold IS percentile_cont(0.75): rank 0.75(n-1)
+    val pos = 0.75 * (scores.length - 1)
+    val (lo, hi) = (scores(pos.toInt), scores(math.ceil(pos).toInt))
+    val expectThr = lo + (pos - math.floor(pos)) * (hi - lo)
+    assert(math.abs(thr - expectThr) < 1e-9, s"thr $thr != percentile_cont $expectThr")
+  }
+
+  test("readability counts and Flesch score match the closed form") {
+    import spark.implicits._
+    // 5 words, 6 vowel-group syllables, 2 sentence terminators
+    val df = Seq((1L, "Hello world. It is good!", 24)).toDF("doc_id", "text", "n_chars")
+    val toksOf = split(Portable.normText(col("text")), " ")
+    val r = df.select(
+        size(toksOf).as("w"),
+        size(regexp_extract_all(Portable.normText(col("text")), lit("[aeiou]+"), lit(0))).as("syl"),
+        greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).as("sen"))
+      .collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((5, 6, 2)))
+    val flesch = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (6.0 / 5)
+    assert(math.abs(flesch - 102.7775) < 1e-9)
+    // and the gated query emits that exact score for an equivalent doc
+    val out = functions.TextAnalysis.readability.build(spark, sfDir)
+      .filter(col("n_words") === 5 && col("n_syllables") === 6 && col("n_sentences") === 2)
+    out.collect().foreach(row => assert(row.getDouble(4) == 102.7775))
+  }
+
+  test("split leakage equals the quadratic train×test scan") {
+    val bucket = pmod(Portable.h60(col("doc_id").cast("string")), lit(100))
+    val docs = Tables.documents(spark, sfDir).withColumn("bkt", bucket)
+    val sig = dedup.DedupApi.simhashSignatures(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("bkt")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tr = sig.filter(_._3 < 90)
+    val te = sig.filter(_._3 >= 95)
+    val brute = (for {
+      (ta, sa, _) <- tr
+      (tb, sb, _) <- te
+      if java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ta, tb)).toSet
+    val got = functions.Pipeline.splitLeakage.build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"banded leakage ${got.size} pairs != quadratic ${brute.size}")
+    assert(brute.nonEmpty, "sf0.001 must contain at least one leaking pair")
+  }
+}

@@ -50,7 +50,8 @@ object Bench {
     "vec_covariance", "q45_retention", "graph_node_similarity",
     // round-6 operators
     "dedup_keep_best", "ann_mmr", "corpus_split_leakage",
-    "corpus_quality_gate", "text_readability", "vec_pca_project")
+    "corpus_quality_gate", "text_readability", "vec_pca_project",
+    "corpus_bpe_merges", "corpus_epoch_mix", "q46_peak_concurrency")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

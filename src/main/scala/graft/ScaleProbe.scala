@@ -112,7 +112,18 @@ object ScaleProbe {
       ("corpus_pack_sequences", d => functions.Pipeline.packSequences.build(spark, d)),
       ("corpus_budget_select", d => functions.Pipeline.budgetSelect.build(spark, d)),
       ("vec_covariance", d => similarity.Similarity.vecCovariance.build(spark, d)),
-      ("q45_retention", d => operators.Extra.q45.build(spark, d)))
+      ("q45_retention", d => operators.Extra.q45.build(spark, d)),
+      // the round-6 operators
+      ("dedup_keep_best", d => dedup.Dedup.keepBest.build(spark, d)),
+      ("ann_mmr", d => similarity.Similarity.annMmr.build(spark, d)),
+      ("corpus_split_leakage", d => functions.Pipeline.splitLeakage.build(spark, d)),
+      ("corpus_quality_gate", d => functions.Pipeline.qualityGate.build(spark, d)),
+      ("text_readability", d => functions.TextAnalysis.readability.build(spark, d)),
+      ("vec_pca_project", d => similarity.Similarity.vecPcaProject.build(spark, d)),
+      ("graph_node_similarity", d => operators.Graph.nodeSimilarity.build(spark, d)),
+      ("corpus_bpe_merges", d => functions.Corpus.bpeMerges.build(spark, d)),
+      ("corpus_epoch_mix", d => functions.Pipeline.epochMix.build(spark, d)),
+      ("q46_peak_concurrency", d => operators.Extra.q46.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

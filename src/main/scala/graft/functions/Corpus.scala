@@ -210,6 +210,116 @@ object Corpus {
         .orderBy(col("lang"))
     })
 
+  // ---------------------------------------------------------- BPE merges
+  /** Number of gated BPE merge rounds. */
+  val BpeRounds = 5
+  /** Token separator inside the merge representation: U+001F (unit
+    * separator) cannot occur in normalized text. Boundaries between
+    * tokens carry TWO separators and each end one, so a pair pattern
+    * `␟a␟␟b␟` consumes one separator from each side and leaves the
+    * neighbor boundary intact — adjacent occurrences (`a b a b`) all
+    * merge in a single left-to-right `replace` pass, exactly the
+    * non-overlapping greedy application real BPE training uses (a
+    * single-separator encoding would consume the shared boundary and
+    * silently skip every second occurrence). */
+  private val BSep = "\u001F"
+
+  /** Byte-pair-encoding merge training, the first [[BpeRounds]] merges
+    * (Sennrich et al. ACL'16 — THE subword-tokenizer-training op a
+    * training-data engine owes its users): word-frequency table →
+    * per-word character sequence → iteratively merge the corpus-wide
+    * most frequent adjacent symbol pair (count DESC, then
+    * lexicographic pair — a deterministic total order).
+    *
+    * 100 TB shape: the corpus is touched ONCE (the word-count
+    * aggregate, shrinking-key); every round then runs on the DISTINCT-
+    * WORD table (vocabulary-scale, persisted) — pair extraction is a
+    * bounded per-word explode, the pair count a map-side-combinable
+    * aggregate, the winning pair ONE broadcast row, and the merge
+    * application a map-only `replace`. This is exactly how production
+    * BPE trainers scale: state lives at vocab grain, never corpus
+    * grain. Determinism: exact integer counts, the (n DESC, a, b)
+    * tie-break, and `replace`'s left-to-right non-overlapping scan —
+    * identical in DuckDB, so the oracle replays the same rounds. */
+  val bpeMerges = QueryDef(
+    "corpus_bpe_merges",
+    Some {
+      val s1 = "chr(31)"
+      val s2 = "chr(31) || chr(31)"
+      val sb = new StringBuilder(
+        s"""WITH w AS (SELECT tok AS word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents) t
+          WHERE tok <> '' GROUP BY tok),
+        r0 AS (SELECT word, cnt,
+            $s1 || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), $s2) || $s1 AS rep
+          FROM w)""")
+      for (t <- 1 to BpeRounds) {
+        sb.append(s""",
+        p$t AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt, toks[i] AS a, toks[i + 1] AS b FROM (
+              SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+                SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), $s2) AS toks
+                FROM r${t - 1}) q0) q1) q2
+          GROUP BY a, b),
+        m$t AS (SELECT a, b, n FROM p$t ORDER BY n DESC, a, b LIMIT 1),
+        r$t AS (SELECT w.word, w.cnt,
+            replace(w.rep, $s1 || m.a || $s2 || m.b || $s1, $s1 || m.a || m.b || $s1) AS rep
+          FROM r${t - 1} w, m$t m)""")
+      }
+      sb.append(s"""
+        SELECT * FROM (${(1 to BpeRounds).map(t =>
+          s"SELECT $t AS step, a AS lhs, b AS rhs, n FROM m$t").mkString(" UNION ALL ")}) z
+        ORDER BY step""")
+      sb.toString
+    },
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        bpeTrain(Tables.documents(s, d), "text").localCheckpoint(true)
+      }
+    })
+
+  /** BPE merge training over `df`'s text column — see [[bpeMerges]]
+    * for the algorithm, encoding, and scale shape. Returns one row
+    * per merge round: (step, lhs, rhs, n). Rounds whose pair table is
+    * empty (every word fully merged) emit no row. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, text: String, rounds: Int = BpeRounds)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    val sep1 = lit(BSep)
+    val sep2 = lit(BSep + BSep)
+    val words = df
+      .select(explode(split(normText(col(text)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var rep = words.select(col("word"), col("cnt"),
+        concat(sep1,
+          array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            BSep + BSep),
+          sep1).as("rep"))
+      .transform(scope.persist)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    for (t <- 1 to rounds) {
+      val toks = rep.select(col("cnt"),
+          split(expr("substring(rep, 2, length(rep) - 2)"), BSep + BSep).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = toks.select(col("cnt"),
+          explode(expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
+        .select(col("cnt"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+      // ONE winner row, pinned eagerly: both consumers (the merge
+      // table and the next round's replace) must see the same pair
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(true)
+      merges += top.select(lit(t).as("step"), col("a").as("lhs"), col("b").as("rhs"), col("n"))
+      rep = rep.crossJoin(broadcast(top.select(col("a"), col("b"))))
+        .select(col("word"), col("cnt"),
+          call_function("replace", col("rep"),
+            concat(sep1, col("a"), sep2, col("b"), sep1),
+            concat(sep1, col("a"), col("b"), sep1)).as("rep"))
+        .transform(scope.persist)
+    }
+    merges.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
-    rarityScore, qualityDedupPipeline)
+    rarityScore, qualityDedupPipeline, bpeMerges)
 }

@@ -803,8 +803,47 @@ object Pipeline {
       }
     })
 
+  // ------------------------------------------------------- epoch mixing
+  /** Per-source epoch upsampling — the "repeat high-quality sources
+    * fractionally" mixing recipe (LLaMA-style: curated sources run
+    * >1 epoch, e.g. Wikipedia 2.45, while bulk web runs <1): each doc
+    * emits `floor(e)` full copies plus one more with probability
+    * `frac(e)`, decided by a content-stable hash of
+    * (source, doc_id, copy) — exact-in-expectation, reproducible
+    * across runs and cluster sizes. Unlike [[domainMix]] (a keep/drop
+    * gate, rates ≤ 1) this REPLICATES, which is what epoch counts
+    * above 1 require; the dataloader consumes the (doc, copy) rows
+    * directly. Epochs live in integer permyriad derived from the
+    * source id ({0.5, 1.1, 1.7, 2.3, 2.9} across the 5 residue
+    * classes), so the gate is pure integer arithmetic.
+    *
+    * 100 TB shape: ZERO shuffle — a per-row ≤ ⌈e⌉-way explode and a
+    * per-row hash gate; output volume is Σ e_d·|d| by construction. */
+  val epochMix = QueryDef(
+    "corpus_epoch_mix",
+    Some(s"""WITH e AS (SELECT doc_id, source,
+        5000 + (CAST(substr(source, 4) AS INT) % 5) * 6000 AS ep FROM documents),
+      x AS (SELECT doc_id, source, ep, unnest(range(0, (ep + 9999) // 10000)) AS k FROM e)
+      SELECT doc_id, source, CAST(k AS BIGINT) AS copy
+      FROM x
+      WHERE k < ep // 10000
+        OR ${h60Sql("source || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 10000 < ep % 10000
+      ORDER BY doc_id, copy"""),
+    (s, d) => {
+      val ep = (lit(5000) + (substring(col("source"), 4, 10).cast("int") % 5) * 6000)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), ep.as("ep"))
+        .select(col("doc_id"), col("source"), col("ep"),
+          explode(sequence(lit(0), expr("(ep + 9999) div 10000") - 1)).as("k"))
+        .filter(col("k") < expr("ep div 10000")
+          || pmod(h60(concat_ws(":", col("source"), col("doc_id"), col("k"))), lit(10000))
+             < pmod(col("ep"), lit(10000)))
+        .select(col("doc_id"), col("source"), col("k").cast("long").as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
-    splitLeakage, qualityGate)
+    splitLeakage, qualityGate, epochMix)
 }

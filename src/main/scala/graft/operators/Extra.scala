@@ -715,7 +715,73 @@ object Extra {
         .orderBy(col("cohort_week"), col("week_offset"))
     })
 
+  // --------------------------------------------------------------- q46
+  /** Fixed interval width for the q46 sweep: every event occupies
+    * [ts, ts + 300 s). */
+  val ConcurrencySeconds = 300
+
+  /** q46: peak concurrency per day via a DISTRIBUTED sweep line — the
+    * classic interval-analytics staple (max simultaneous sessions /
+    * connections / jobs). Each event contributes a +1 point at `ts`
+    * and a −1 at `ts + 300 s`; concurrency at any instant is the
+    * running sum over the (pt, delta, event_id) total order (−1 sorts
+    * before +1 at the same instant — half-open [start, end)
+    * semantics), and the answer is the per-day max of that sum.
+    *
+    * The running sum is GLOBAL — naively one unpartitioned window
+    * task holding every point (the q13-style ceiling). Shipped as the
+    * budget_select two-level scan: range-partition on the sweep
+    * order, cumsum WITHIN each partition (task-sized state), per-
+    * partition delta TOTALS' exclusive scan (#partitions rows,
+    * metadata scale) broadcast back as bases — `conc = base +
+    * local_cum` is exact integer arithmetic, so the sweep is
+    * partition-count invariant. The ranked frame is persisted for the
+    * same two-consumer pin budget_select documents. Midnight-crossing
+    * intervals need no special casing: the sum carries across day
+    * boundaries and each day's max is taken over its own points. */
+  val q46 = QueryDef(
+    "q46_peak_concurrency",
+    Some(s"""WITH pts AS (
+        SELECT event_id, ts AS pt, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_id, ts + INTERVAL $ConcurrencySeconds SECOND AS pt, -1 AS delta FROM events),
+      c AS (SELECT pt, delta,
+          sum(delta) OVER (ORDER BY pt, delta, event_id ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts)
+      SELECT CAST(date_trunc('day', pt) AS DATE) AS day, CAST(max(conc) AS BIGINT) AS peak
+      FROM c GROUP BY 1 ORDER BY day"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        peakConcurrency(Tables.events(s, d).select(col("event_id"), col("ts")))
+          .localCheckpoint(true)
+      }
+    })
+
+  /** Distributed sweep line over (event_id, ts) rows — see [[q46]]
+    * for semantics and the two-level-scan scale argument. Returns one
+    * (day, peak) row per day touched by any interval endpoint. */
+  def peakConcurrency(ev: DataFrame, widthSeconds: Int = ConcurrencySeconds)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val pts = ev.select(col("event_id"), col("ts").as("pt"), lit(1).as("delta"))
+      .unionAll(ev.select(col("event_id"),
+        (col("ts") + expr(s"INTERVAL $widthSeconds SECOND")).as("pt"),
+        lit(-1).as("delta")))
+    val ranked = scope.persist(pts
+      .repartitionByRange(col("pt"), col("delta"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cum", sum(col("delta")).over(
+        Window.partitionBy(col("pid")).orderBy(col("pt"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid")).agg(sum(col("delta")).as("psum"))
+      .select(col("pid"), coalesce(sum(col("psum")).over(wo), lit(0L)).as("base"))
+    ranked.join(broadcast(offsets), Seq("pid"))
+      .groupBy(date_trunc("day", col("pt")).cast("date").as("day"))
+      .agg(max(col("base") + col("cum")).as("peak"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45)
+    q45, q46)
 }

@@ -439,6 +439,51 @@ object Streams {
       .drop(tsCol)
   }
 
+  /** Composed streaming ingest — the streaming twin of the batch
+    * `pipeline_ingest_full` front half, stages in the same
+    * cheap-per-row-first order: quality gate (token-count band +
+    * unique-token ratio, the batch pipeline's expressions) →
+    * benchmark decontamination DROP → exact-content dedup within the
+    * watermark ([[dedupDocStream]], which also emits the SimHash
+    * signature downstream near-dup banding consumes).
+    *
+    * Decontamination here DROPS the doc (the ingest contract) rather
+    * than emitting flags ([[decontaminateStream]]'s audit contract).
+    * Both benchmark tables ride one-row/array BROADCASTS probed
+    * map-side: the Bloom blob prefilters, and only blob hits pay the
+    * exact `arrays_overlap` against the broadcast hash-set array — a
+    * clean doc costs k Bloom probes, zero joins, zero state. This is
+    * the eval-scale contract (benchmark sets are MBs); a benchmark too
+    * big for one broadcast array downgrades to flags via
+    * [[decontaminateStream]]'s shuffled verify join. Stream-batch
+    * parity of every gate is pinned in `StreamingDedupSpec`. */
+  def ingestStream(docs: DataFrame, benchHashes: DataFrame, bloomBlob: DataFrame,
+      id: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
+      k: Int = graft.functions.Pipeline.DecontaminationShingle,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(benchHashes.columns.toSet == Set("hk"),
+      s"benchHashes must be (hk) — got ${benchHashes.columns.mkString(", ")}")
+    require(bloomBlob.columns.toSet == Set("bloom"),
+      s"bloomBlob must be (bloom) — got ${bloomBlob.columns.mkString(", ")}")
+    val spark = docs.sparkSession
+    graft.functions.WordShingles.ensure(spark)
+    graft.functions.Bloom.ensure(spark)
+    val benchArr = benchHashes.agg(sort_array(collect_set(col("hk"))).as("bench_arr"))
+    val toks = split(graft.Portable.normText(col(textCol)), " ")
+    val gated = docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")).between(20, 80) &&
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.3)
+      .withColumn("sh", graft.functions.WordShingles.hashes(
+        graft.Portable.normText(col(textCol)), k))
+      .join(broadcast(bloomBlob))  // one-row cross joins: blob + exact set
+      .join(broadcast(benchArr))
+      .filter(!expr("exists(sh, h -> graft_bloom_contains(bloom, h))")
+        || !arrays_overlap(col("sh"), col("bench_arr")))
+      .drop("bloom", "bench_arr", "sh", "toks")
+    dedupDocStream(gated, id, tsCol, watermarkDelay)
+  }
+
   /** Build the two static tables [[decontaminateStream]] consumes from
     * a benchmark document table: the distinct shingle-hash set and the
     * one-row Bloom blob sized at build time from its count. The hash

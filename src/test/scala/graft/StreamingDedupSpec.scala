@@ -299,6 +299,45 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally { benchHkP.unpersist(); blobP.unpersist() }
   }
 
+  test("streaming ingest composes quality gate, decontamination drop, and exact dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val benchText = "the held out benchmark passage about rivers and mountains of europe today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ") // 30 distinct tokens
+    val docs = Seq(
+      // 1: clean, quality-passing -> kept
+      (1L, ts("2024-01-01 00:00:00"), s"$filler alpha"),
+      // 2: too short (3 tokens) -> quality-dropped
+      (2L, ts("2024-01-01 00:00:10"), "too short doc"),
+      // 3: contaminated (shares an 8-shingle with the benchmark) -> dropped
+      (3L, ts("2024-01-01 00:00:20"), s"$filler leaked $benchText"),
+      // 4: exact duplicate of 1 (same normalized text) -> deduped
+      (4L, ts("2024-01-01 00:00:30"), s"$filler   alpha"),
+      // 5: repetitive (2 distinct / 40 tokens, uniq ratio 0.05) -> quality-dropped
+      (5L, ts("2024-01-01 00:00:40"), Seq.fill(20)("spam ham").mkString(" ")),
+      // 6: clean and distinct -> kept
+      (6L, ts("2024-01-01 00:00:50"), s"$filler beta"))
+      .toDF("doc_id", "ts", "text")
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    docs.coalesce(1).write.parquet(s"$in/b000")
+    val (benchHk, blob) = Streams.benchBloomTables(bench)
+    benchHk.count(); val blobP = blob.cache(); blobP.count()
+    try {
+      val q = Streams.ingestStream(
+          spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(s"$in/*"),
+          benchHk, blobP)
+        .writeStream.format("memory").queryName("ingest_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val out = spark.table("ingest_out")
+      val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 6L), s"ingest kept $kept, want {1, 6}")
+      // the emitted rows carry the downstream banding signature
+      assert(out.columns.contains("simhash"), "ingest output must carry the simhash column")
+    } finally blobP.unpersist()
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-partw").toString + "/events_parted"
     val ev = Tables.events(spark, TestSpark.sfDir)

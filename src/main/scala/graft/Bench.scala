@@ -51,7 +51,9 @@ object Bench {
     // round-6 operators
     "dedup_keep_best", "ann_mmr", "corpus_split_leakage",
     "corpus_quality_gate", "text_readability", "vec_pca_project",
-    "corpus_bpe_merges", "corpus_epoch_mix", "q46_peak_concurrency")
+    "corpus_bpe_merges", "corpus_epoch_mix", "q46_peak_concurrency",
+    "q47_anomaly_zscore", "q48_asof_tolerance", "q49_time_weighted_avg",
+    "dedup_containment")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
@@ -103,6 +105,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
+    // one untimed sweep before the timed reps (SPARK_GRAFT_BENCH_WARMUP=0
+    // disables): rep 1 was systematically the spread's top end — cold
+    // parquet page cache + per-query JIT, not GC (gc_sec ≈ 0.3 s/rep on
+    // an isolated 5-rep ngram_jaccard run whose spread was still
+    // [3.6, 9.1]) and not ambient load. Warm reps answer the question
+    // the bench asks — steady-state engine time — and the cold-start
+    // cost is visible in the warmup's own wall time if ever needed.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      for (name <- names) {
+        try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        spark.catalog.clearCache()
+      }
+      System.gc()
+    }
     // rep-major: time rep 1 of every query, then rep 2 of every query,
     // ... so an ambient-load spike overlaps at most one rep per query
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]

@@ -123,7 +123,11 @@ object ScaleProbe {
       ("graph_node_similarity", d => operators.Graph.nodeSimilarity.build(spark, d)),
       ("corpus_bpe_merges", d => functions.Corpus.bpeMerges.build(spark, d)),
       ("corpus_epoch_mix", d => functions.Pipeline.epochMix.build(spark, d)),
-      ("q46_peak_concurrency", d => operators.Extra.q46.build(spark, d)))
+      ("q46_peak_concurrency", d => operators.Extra.q46.build(spark, d)),
+      ("q47_anomaly_zscore", d => operators.Extra.q47.build(spark, d)),
+      ("q48_asof_tolerance", d => operators.Extra.q48.build(spark, d)),
+      ("q49_time_weighted_avg", d => operators.Extra.q49.build(spark, d)),
+      ("dedup_containment", d => dedup.Dedup.containment.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -143,6 +143,36 @@ object Dedup {
         .orderBy(col("doc_existing"), col("doc_new"))
     })
 
+  // ------------------------------------------------ containment pairs
+  /** Containment cap shared by engine and oracle (the LshBucketCap
+    * discipline: one definition, mirrored). */
+  val ContainmentShingleCap = 30
+
+  /** Asymmetric containment pairs (see [[DedupApi.containmentPairs]]):
+    * the quote/excerpt signal Jaccard misses — and the reason this
+    * query's candidates CANNOT ride MinHash banding (collision
+    * probability IS Jaccard). Oracle mirrors the df-capped
+    * shared-shingle blocking, which is part of the semantics. */
+  val containment = QueryDef(
+    "dedup_containment",
+    Some(s"""WITH $shSqlCte,
+      ex AS (SELECT doc_id, unnest(sh) AS h FROM shx),
+      ovs AS (SELECT h FROM ex GROUP BY h HAVING count(*) > $ContainmentShingleCap),
+      kept AS (SELECT e.doc_id, e.h FROM ex e WHERE h NOT IN (SELECT h FROM ovs)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+      v AS (SELECT c.doc_a, c.doc_b,
+          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS inter,
+          least(len(s1.sh), len(s2.sh)) AS lm
+        FROM cand c JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        round(CAST(inter AS DOUBLE) / lm, 6) AS containment
+      FROM v WHERE CAST(inter AS DOUBLE) / lm >= 0.8
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => DedupApi.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxShingleDocs = ContainmentShingleCap)
+      .orderBy(col("doc_a"), col("doc_b")))
+
   // --------------------------------------------- n-gram Jaccard dedup
   /** Character-5-gram Jaccard near-dup at the standard 0.7
     * near-duplicate threshold, prefix-filtered within `source`
@@ -436,7 +466,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, incremental, ngramJaccard, substring, embedCosine,
-    embedCosineLsh, semantic, semanticDedupPipeline, clusters, keepBest,
-    nearDedupPipeline)
+    simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
+    embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
+    keepBest, nearDedupPipeline)
 }

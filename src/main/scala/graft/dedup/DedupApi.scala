@@ -234,6 +234,53 @@ object DedupApi {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  // ---------------------------------------------- containment pairs
+  /** Asymmetric CONTAINMENT near-dup pairs: `C = |A∩B| / min(|A|,|B|)`
+    * over word-shingle sets — the quote/excerpt/near-superset signal
+    * Jaccard structurally misses (a doc fully contained in one 10×
+    * its size has J ≤ 0.1 but C = 1.0). That asymmetry also rules out
+    * MinHash-LSH candidates here: band-collision probability IS
+    * Jaccard, so banding would systematically drop exactly the pairs
+    * this operator exists to find. Candidates instead come from
+    * SHARED-SHINGLE buckets with a document-frequency cap
+    * (`maxShingleDocs`, the substring scan's `maxFpDocs` discipline):
+    * a contained doc shares EVERY shingle with its container, so any
+    * sub-cap shingle of the contained side produces the candidate;
+    * only docs composed entirely of boilerplate shingles can be
+    * missed (the documented trade, mirrored in the oracle). Verify is
+    * the native merge-walk intersect over the persisted sorted-hash
+    * arrays — the ngram/minhash verify plan. Per-bucket fan-out is
+    * ≤ C(maxShingleDocs, 2); candidate volume is df-bounded, never
+    * corpus². */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.8, k: Int = 3, maxShingleDocs: Int = 30)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val sh = shingleHashes60(df, id, text, k).transform(scope.persist)
+    val ex = sh.select(col(id), explode(col("sh")).as("h"))
+    // broadcast the drop list: oversized shingles are rare by design
+    val oversized = ex.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDocs)
+      .select(col("h").as("f_h"))
+    val kept = ex.join(broadcast(oversized), col("h") === col("f_h"), "left_anti")
+      .transform(scope.persist)
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .distinct()
+    graft.functions.SortedInter.ensure(df.sparkSession)
+    cand
+      .join(sh.hint("shuffle_hash").as("s1"), col("doc_a") === col(s"s1.$id"))
+      .join(sh.hint("shuffle_hash").as("s2"), col("doc_b") === col(s"s2.$id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SortedInter.interSize(col("s1.sh"), col("s2.sh")).as("inter"),
+        least(size(col("s1.sh")), size(col("s2.sh"))).as("lm"))
+      .withColumn("containment", col("inter").cast("double") / col("lm"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   // ------------------------------------------ repeated-substring dedup
   /** Winnowed substring fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",

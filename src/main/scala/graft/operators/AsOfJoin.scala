@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.StructType
   * equal timestamps deterministically (e.g. an event id).
   */
 object AsOfJoin {
+  /** `toleranceSeconds`: when set, a carried match older than the
+    * tolerance is nulled out AFTER the merge (the pandas
+    * `merge_asof(tolerance=...)` contract). Nulling is exact, not
+    * lossy: the carried row is the LATEST right row ≤ leftTime, so if
+    * it falls outside the window no qualifying right row exists at
+    * all. The merge itself is unchanged — one shuffle, one window
+    * pass; the tolerance is a per-row mask on the carried struct. */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -32,7 +39,8 @@ object AsOfJoin {
       rightTime: String,
       rightCols: Seq[String],
       prefix: String = "asof_",
-      tieBreak: Option[(String, String)] = None): DataFrame = {
+      tieBreak: Option[(String, String)] = None,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val (lTie, rTie) = tieBreak match {
       case Some((l, r)) => (col(l), col(r))
@@ -43,7 +51,10 @@ object AsOfJoin {
     // independently with last(ignoreNulls) would skip a right row's
     // legitimate NULL and resurrect a stale value from an older row —
     // mixing columns of different right rows in one output row.
-    val rStructType = StructType(rightCols.map(c => right.schema(c).copy(nullable = true)))
+    // The matched row's own timestamp rides along as an internal field
+    // so the tolerance mask can compare against it.
+    val rStructType = StructType(rightCols.map(c => right.schema(c).copy(nullable = true)) :+
+      right.schema(rightTime).copy(name = "__asof_rts", nullable = true))
     val taggedLeft = left
       .select(Seq(col(key).as("__asof_key"), col(leftTime).as("__asof_ts"),
         lit(1).as("__asof_side"), lTie.as("__asof_tie"),
@@ -52,7 +63,7 @@ object AsOfJoin {
     val taggedRight = right
       .select(Seq(col(key).as("__asof_key"), col(rightTime).as("__asof_ts"),
         lit(0).as("__asof_side"), rTie.as("__asof_tie"),
-        struct(rightCols.map(col): _*).as("__asof_r")) ++
+        struct(rightCols.map(col) :+ col(rightTime).as("__asof_rts"): _*).as("__asof_r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // right (side=0) sorts before left (side=1) at equal ts ⇒ inclusive
@@ -63,7 +74,15 @@ object AsOfJoin {
     val carried = taggedLeft.unionByName(taggedRight)
       .withColumn("__asof_last", last(col("__asof_r"), ignoreNulls = true).over(w))
 
-    carried.filter(col("__asof_side") === 1)
+    val masked = toleranceSeconds match {
+      case Some(tol) => carried.withColumn("__asof_last",
+        when(col("__asof_last").isNotNull &&
+          col("__asof_last.__asof_rts") + expr(s"INTERVAL $tol SECOND") >= col("__asof_ts"),
+          col("__asof_last")))
+      case None => carried
+    }
+
+    masked.filter(col("__asof_side") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__asof_last.$c").as(s"$prefix$c")): _*)
   }

@@ -781,7 +781,144 @@ object Extra {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q47
+  /** q47: z-score anomaly flags — the monitoring/data-quality staple
+    * (flag events whose value sits > 2σ from its type's mean). The
+    * moments come from the q43 determinism discipline: DECIMAL
+    * primitive sums (merge-order-free under any partitioning), the
+    * closed-form sample stddev as a fixed-order IEEE expression, and
+    * the 2σ decision itself computed identically in both engines —
+    * so even borderline events flag identically. 100 TB shape: ONE
+    * map-side-combinable moment aggregate over the corpus (types-
+    * scale result), broadcast back into a map-only flag pass — the
+    * corpus is scanned twice, never shuffled. */
+  val q47 = QueryDef(
+    "q47_anomaly_zscore",
+    Some("""WITH m AS (SELECT event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+      s AS (SELECT event_type, n, sx / n AS mean,
+        sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM m)
+      SELECT e.event_id, e.event_type, e.value,
+        round((e.value - s.mean) / s.sd, 6) AS z
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE abs(e.value - s.mean) > 2 * s.sd
+      ORDER BY e.event_id"""),
+    (s, d) => anomalyZscore(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")))
+      .orderBy(col("event_id")))
+
+  /** Z-score anomaly flags over (event_id, group, value) rows — see
+    * [[q47]] for the determinism and scale argument. Returns the rows
+    * whose |value − group mean| exceeds `sigmas`·(sample stddev),
+    * with the rounded z-score attached. */
+  def anomalyZscore(ev: DataFrame, group: String = "event_type",
+      sigmas: Double = 2.0): DataFrame = {
+    val m = ev.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 8))).cast("double").as("sxx"))
+      .select(col(group),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd"))
+    ev.join(broadcast(m), Seq(group))
+      .filter(abs(col("value") - col("mean")) > lit(sigmas) * col("sd"))
+      .select(col("event_id"), col(group), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+  }
+
+  // --------------------------------------------------------------- q48
+  /** q48: as-of join with a TOLERANCE window (the pandas
+    * `merge_asof(tolerance=...)` contract q19 doesn't exercise): each
+    * purchase attaches its most recent click ≤ purchase time AND
+    * within the last hour — stale attributions null out. Same
+    * union-merge plan as q19 (ONE user-keyed shuffle + one window
+    * pass; the tolerance is a per-row mask on the carried struct, not
+    * a second join); the oracle takes the windowed-row_number route
+    * since DuckDB's ASOF has no tolerance clause — agreement also
+    * cross-checks q19's ASOF semantics against an independent SQL
+    * formulation. */
+  val q48 = QueryDef(
+    "q48_asof_tolerance",
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS cid, user_id, ts AS cts, value AS cval
+        FROM events WHERE event_type = 'click'),
+      j AS (SELECT p.event_id AS pid, c.cts, c.cval,
+          row_number() OVER (PARTITION BY p.event_id ORDER BY c.cts DESC, c.cid DESC) AS rk
+        FROM p JOIN c ON c.user_id = p.user_id
+          AND c.cts <= p.ts AND c.cts + INTERVAL 1 HOUR >= p.ts)
+      SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS purchase_sec,
+        date_trunc('second', j.cts) AS click_sec, j.cval AS click_value
+      FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j ON j.pid = p.event_id
+      ORDER BY p.event_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      AsOfJoin.join(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_ts", "click_value"), prefix = "last_",
+          tieBreak = Some(("event_id", "event_id")),
+          toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("purchase_sec"),
+          date_trunc("second", col("last_click_ts")).as("click_sec"),
+          col("last_click_value").as("click_value"))
+        .orderBy(col("event_id"))
+    })
+
+  // --------------------------------------------------------------- q49
+  /** q49: time-weighted average (TWAP — the finance/ops staple where a
+    * plain mean over-weights bursts): per (user, day), each event's
+    * value is weighted by how long it was "current" (microseconds to
+    * the next event; the day's last event carries no weight). The
+    * weight is an exact integer (event timestamps carry no sub-µs
+    * component, so both engines diff identical µs instants); the
+    * weighted numerator folds through DECIMAL per-term casts (the q43
+    * discipline — a double Σ(w·v) would be shuffle-merge-order
+    * dependent), and the one division is a fixed-order IEEE op.
+    * Plan: ONE (user, day)-keyed shuffle serving both the lead()
+    * window and the aggregate. */
+  val q49 = QueryDef(
+    "q49_time_weighted_avg",
+    Some("""WITH o AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        ts, event_id, value,
+        lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+          ORDER BY ts, event_id) AS nts
+      FROM events),
+      w AS (SELECT user_id, day, value,
+        CASE WHEN nts IS NULL THEN 0 ELSE date_diff('microsecond', ts, nts) END AS w
+      FROM o)
+      SELECT user_id, day, count(*) AS n_events,
+        round(CAST(sum(CAST(w * value AS DECIMAL(38,6))) AS DOUBLE)
+          / CAST(sum(w) AS DOUBLE), 6) AS twap
+      FROM w GROUP BY user_id, day HAVING sum(w) > 0
+      ORDER BY user_id, day"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val w = ev
+        .withColumn("nts", lead(col("ts"), 1).over(
+          Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"), col("event_id"))))
+        .withColumn("w", when(col("nts").isNull, lit(0L))
+          .otherwise(expr("timestampdiff(MICROSECOND, ts, nts)")))
+      w.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(w * value AS DECIMAL(38,6))")).as("num"),
+          sum(col("w")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("day"), col("n_events"),
+          round(col("num").cast("double") / col("den").cast("double"), 6).as("twap"))
+        .orderBy(col("user_id"), col("day"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46)
+    q45, q46, q47, q48, q49)
 }

@@ -31,6 +31,44 @@ class ApiSpec extends AnyFunSuite {
       (1L, 5L, Some(100.0)), (1L, 6L, Some(101.0)), (2L, 7L, None), (3L, 8L, None)))
   }
 
+  test("AsOfJoin tolerance nulls matches older than the window, keeps fresh ones") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100.0),
+      (2L, Timestamp.valueOf("2024-01-01 08:00:00"), 200.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 5L), // 30 min old → kept
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 6L), // exactly 1 h → inclusive, kept
+      (1L, Timestamp.valueOf("2024-01-01 11:00:01"), 7L), // 1 h + 1 s → nulled
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L)  // 2 h old → nulled
+    ).toDF("sym", "tts", "qty")
+    val out = operators.AsOfJoin.join(trades, quotes,
+        key = "sym", leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+        toleranceSeconds = Some(3600L))
+      .orderBy("sym", "tts")
+      .select(col("qty"), col("asof_price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(out.toSeq == Seq(
+      (5L, Some(100.0)), (6L, Some(100.0)), (7L, None), (8L, None)))
+  }
+
+  test("z-score anomaly moments flag exactly the >2-sigma rows") {
+    import spark.implicits._
+    // 9 zeros + one 100: mean 10, sample sd = sqrt(9000/9) ≈ 31.6 —
+    // only the 100 clears 2 sigma (90 > 63.2; zeros: 10 < 63.2)
+    val base = Timestamp.valueOf("2024-05-01 00:00:00")
+    val ev = (1 to 9).map(i => (i.toLong, base, 1L, "click", 0.0)) :+
+      ((10L, base, 1L, "click", 100.0))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = operators.Extra.anomalyZscore(
+        df.select(col("event_id"), col("event_type"), col("value")))
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(10L), s"flagged ${out.toSeq}, want id 10")
+    // z = (100 - 10) / sqrt(9000/9) = 90 / 31.6227766 ≈ 2.846050
+    assert(math.abs(out.head.getDouble(3) - 2.846050) < 1e-6)
+  }
+
   test("banded simhash pairs = exact pairs for maxHamming <= 6 (9-block pigeonhole)") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val exact = dedup.DedupApi.simhashPairs(docs, "doc_id", "text", maxHamming = 6, banded = false)

@@ -94,6 +94,48 @@ class SelectionOpsSpec extends AnyFunSuite {
     out.collect().foreach(row => assert(row.getDouble(4) == 102.7775))
   }
 
+  test("containment pairs find the excerpt Jaccard misses, and equal the capped brute scan") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$body extra trailing words making this the long container document"),
+      (2L, body.split(" ").take(12).mkString(" ")), // excerpt: 12 of doc 1's first tokens
+      (3L, (100 to 130).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = CacheScope.withScope { implicit s =>
+      dedup.DedupApi.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    }
+    // the excerpt's 10 shingles are all in the container: C = 1.0 —
+    // while its Jaccard vs doc 1 is 10/48 ≈ 0.21, far below any
+    // near-dup threshold
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $got")
+    assert(got.head._3 == 1.0)
+    // brute equality on a seeded overlap corpus, same df-cap blocking
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Vector.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val cap = 10
+    val shingles = CacheScope.withScope { implicit s =>
+      dedup.DedupApi.shingleHashes60(corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    }
+    val df60 = shingles.values.flatten.groupBy(identity).map { case (h, xs) => (h, xs.size) }
+    val keptSh = shingles.map { case (d, s) => (d, s.filter(h => df60(h) <= cap)) }
+    val brute = (for {
+      (a, sa) <- shingles.toSeq; (b, sb) <- shingles.toSeq if a < b
+      if (keptSh(a) & keptSh(b)).nonEmpty // df-capped blocking
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size) if c >= 0.5
+    } yield (a, b)).toSet
+    val engine = CacheScope.withScope { implicit s =>
+      dedup.DedupApi.containmentPairs(corpus, "doc_id", "text",
+          threshold = 0.5, maxShingleDocs = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(engine == brute, s"engine ${engine.size} pairs != brute ${brute.size}")
+  }
+
   test("split leakage equals the quadratic train×test scan") {
     val bucket = pmod(Portable.h60(col("doc_id").cast("string")), lit(100))
     val docs = Tables.documents(spark, sfDir).withColumn("bkt", bucket)

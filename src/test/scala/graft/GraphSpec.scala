@@ -106,4 +106,26 @@ class GraphSpec extends AnyFunSuite {
         s"degree-ordered count ${row.getLong(2)} != naive $naive at $parts partitions")
     }
   }
+
+  test("component summary labels planted components by min id, any partitioning") {
+    import spark.implicits._
+    val off = operators.Graph.SuppOffset
+    // component A: customers {1,2,3} via supplier off+1; component B:
+    // customers {10,11} via suppliers off+2, off+3 (a 2-supplier chain);
+    // component C: the isolated pair (20, off+9)
+    val co = Seq(
+      (1L, off + 1), (2L, off + 1), (3L, off + 1),
+      (10L, off + 2), (11L, off + 2), (11L, off + 3),
+      (20L, off + 9))
+    for (parts <- Seq(1, 7)) {
+      val rows = operators.Graph.componentSummary(
+          co.toDF("c", "p").repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1L, 4L, 3L, 1L),   // {1,2,3,off+1} labeled by min id 1
+        (10L, 4L, 2L, 2L),  // {10,11,off+2,off+3}
+        (20L, 2L, 1L, 1L)), // {20,off+9}
+        s"component summary at $parts partitions: ${rows.toSeq}")
+    }
+  }
 }

@@ -842,8 +842,88 @@ object Pipeline {
         .orderBy(col("doc_id"), col("copy"))
     })
 
+  // ------------------------------------------------- DSIR selection
+  /** Hashed-feature buckets for the DSIR importance model. 64 buckets
+    * keeps the weight table broadcast-trivial at any corpus size; the
+    * published recipe uses 10⁴ hashed n-gram buckets — the bucket
+    * count is a quality knob, not a scale knob. */
+  val DsirBuckets = 64
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by
+    * its importance weight under hashed bag-of-words models of a
+    * TARGET distribution (here: the English sub-corpus, the "domain
+    * you want more of") vs the RAW corpus, then keep the top quartile.
+    * Gate-exact adaptation: the published per-bucket weight is the
+    * log-ratio log(p_tgt/p_raw) summed over tokens and sampled with
+    * Gumbel noise; logs and RNG are both gate-hostile, so the weight
+    * is the add-one-smoothed frequency RATIO in integer ppm
+    * (`(tc+1)·10⁶ div (rc+1)`) and a doc's score is the ppm MEAN over
+    * its token occurrences — the same monotone target-likeness signal
+    * (a global p_raw/p_tgt normalizer would rescale every score
+    * equally and is dropped), and the paper's deterministic top-k
+    * ablation replaces the Gumbel resample. Selection threshold = the
+    * exact 75th percentile of scores via the q39 bounded-histogram
+    * machinery, broadcast back for a map-only gate.
+    *
+    * 100 TB shape: token scan → TWO 64-row map-side-combinable
+    * aggregates; the 64-row weight table is broadcast onto the token
+    * stream (map-only); per-doc mean is one doc-keyed combinable
+    * shuffle; the percentile never sorts the corpus; the final gate is
+    * map-only. The corpus is never globally sorted or re-shuffled.
+    * (Per-bucket products stay < 2⁶³ up to ~10¹² tokens/bucket —
+    * beyond that, widen the ppm scale to DECIMAL(38,0).) */
+  val dsirSelect = QueryDef(
+    "corpus_dsir",
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+        unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      bk AS (SELECT doc_id, lang, ${h60Sql("tok")} % $DsirBuckets AS b FROM t),
+      raw AS (SELECT b, count(*) AS rc FROM bk GROUP BY b),
+      tgt AS (SELECT b, count(*) AS tc FROM bk WHERE lang = 'en' GROUP BY b),
+      w AS (SELECT raw.b, ((coalesce(tc, 0) + 1) * 1000000) // (rc + 1) AS w
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw
+        FROM bk JOIN w USING (b) GROUP BY doc_id),
+      s2 AS (SELECT doc_id, n_tokens, CAST(sw // n_tokens AS BIGINT) AS score_ppm FROM sc),
+      th AS (SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(score_ppm AS DOUBLE)) AS thr FROM s2)
+      SELECT s2.doc_id, CAST(s2.n_tokens AS BIGINT) AS n_tokens, s2.score_ppm,
+        round(th.thr, 6) AS thr
+      FROM s2, th WHERE CAST(score_ppm AS DOUBLE) >= th.thr
+      ORDER BY doc_id"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val bk = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(normText(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            pmod(h60(col("tok")), lit(DsirBuckets)).as("b"))
+          .transform(scope.persist)
+        val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+        val tgt = bk.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        val w = raw.join(tgt, Seq("b"), "left")
+          .select(col("b"),
+            expr("((coalesce(tc, 0) + 1) * 1000000) div (rc + 1)").as("w"))
+        val scored = bk.join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("sw div n_tokens").as("score_ppm"))
+          .transform(scope.persist)
+        val thr = graft.operators.ExactPercentiles.percentiles(
+            scored.select(lit(1).as("g"), col("score_ppm")), "g", "score_ppm", Seq(0.75))
+          .select(col("value").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("score_ppm").cast("double") >= col("thr"))
+          .select(col("doc_id"), col("n_tokens"), col("score_ppm"),
+            round(col("thr"), 6).as("thr"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
-    splitLeakage, qualityGate, epochMix)
+    splitLeakage, qualityGate, epochMix, dsirSelect)
 }

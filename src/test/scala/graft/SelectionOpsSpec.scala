@@ -154,4 +154,25 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(got == brute, s"banded leakage ${got.size} pairs != quadratic ${brute.size}")
     assert(brute.nonEmpty, "sf0.001 must contain at least one leaking pair")
   }
+
+  test("DSIR selection keeps the top quartile and over-represents the target domain") {
+    val kept = functions.Pipeline.dsirSelect.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(kept.nonEmpty)
+    val thr = kept.head._3
+    assert(kept.forall(_._2.toDouble >= thr), "every kept doc must clear the p75 threshold")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val n = docs.size
+    // p75 gate keeps ~25% (ties at the threshold may widen it slightly)
+    assert(kept.length >= n / 5 && kept.length <= n / 2,
+      s"p75 gate kept ${kept.length} of $n docs")
+    // the selected set must be richer in the target (en) domain than
+    // the corpus base rate — the whole point of importance weighting
+    val baseRate = docs.values.count(_ == "en").toDouble / n
+    val keptRate = kept.count(k => docs(k._1) == "en").toDouble / kept.length
+    assert(keptRate > baseRate,
+      s"target-domain rate among kept ($keptRate) must exceed base rate ($baseRate)")
+  }
 }

@@ -918,7 +918,99 @@ object Extra {
         .orderBy(col("user_id"), col("day"))
     })
 
+  // --------------------------------------------------------------- q50
+  /** Per-bin concurrency cap for the interval self-join: a bin whose
+    * session count exceeds this is dropped BEFORE the pair expansion
+    * (the node_similarity/`maxBucketSize` discipline — one
+    * pathological hour with 10⁵ live sessions would emit 5×10⁹ pairs
+    * in one task). Never fires on the gate data; mirrored in the
+    * oracle. */
+  val MaxBinSessions = 1000
+
+  /** Interval-overlap SELF-join at scale: which user sessions were
+    * live at the same time? Sessions (q17's 30-min-gap definition,
+    * spans only — ≥ 2 events) become [start, end] intervals; a naive
+    * overlap join `s1.st <= s2.en AND s2.st <= s1.en` is a cross
+    * product Catalyst can only express as BroadcastNestedLoopJoin —
+    * the classic Spark range-join trap. The published fix (bin-wise
+    * range join — Databricks' range-join optimization, interval
+    * binning): explode each interval onto its covered hour bins, join
+    * on BIN EQUALITY (a hash join!) with the overlap predicate as a
+    * post-filter, and count each pair exactly once at the bin
+    * containing its overlap START (`bin = date_trunc(hour,
+    * greatest(st₁, st₂))`) — no distinct needed, the standard
+    * first-overlapping-bin dedup. Pair fan-out per bin is the true
+    * concurrency (what the query measures), quadratic only in
+    * per-bin density, guarded by [[MaxBinSessions]].
+    *
+    * 100 TB shape: one user-keyed shuffle builds sessions (window +
+    * groupBy share it), one bin-keyed hash-join shuffle builds pairs;
+    * bins are time-bounded so the join never degenerates to a cross
+    * product; the only quadratic term is per-bin and capped. */
+  val q50 = QueryDef(
+    "q50_session_overlap",
+    Some(s"""WITH m AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 1
+               WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts,
+          CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sn
+        FROM m),
+      sess AS (SELECT user_id, sn, min(ts) AS st, max(ts) AS en
+        FROM s GROUP BY user_id, sn HAVING count(*) >= 2),
+      b AS (SELECT user_id, sn, st, en,
+          unnest(generate_series(date_trunc('hour', st), date_trunc('hour', en), INTERVAL 1 HOUR)) AS bin
+        FROM sess),
+      ok AS (SELECT bin FROM b GROUP BY bin HAVING count(*) <= $MaxBinSessions),
+      bk AS (SELECT b.* FROM b JOIN ok ON b.bin = ok.bin)
+      SELECT a.user_id AS u1, a.sn AS sn1, c.user_id AS u2, c.sn AS sn2,
+        date_diff('microsecond', greatest(a.st, c.st), least(a.en, c.en)) AS overlap_us
+      FROM bk a JOIN bk c ON a.bin = c.bin AND a.user_id < c.user_id
+        AND a.st <= c.en AND c.st <= a.en
+        AND a.bin = date_trunc('hour', greatest(a.st, c.st))
+      ORDER BY u1, sn1, u2, sn2"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull, 1)
+            .when(col("ts") - col("prev_ts") > expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("sn", sum(col("is_new")).over(wr))
+        .groupBy(col("user_id"), col("sn"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"), count(lit(1)).as("ne"))
+        .filter(col("ne") >= 2)
+        .select(col("user_id"), col("sn"), col("st"), col("en"))
+      sessionOverlapPairs(sess)
+    })
+
+  /** Bin-wise interval self-join over `(user_id, sn, st, en)` session
+    * rows — see [[q50]] for the algorithm. Exposed for direct use on
+    * any interval table with those columns. */
+  def sessionOverlapPairs(sess: DataFrame,
+      maxBinSessions: Int = MaxBinSessions): DataFrame = {
+    val b = sess.withColumn("bin",
+      explode(sequence(date_trunc("hour", col("st")), date_trunc("hour", col("en")),
+        expr("INTERVAL '1' HOUR"))))
+    val bk = b.join(
+      b.groupBy(col("bin")).agg(count(lit(1)).as("nb"))
+        .filter(col("nb") <= maxBinSessions).select(col("bin")),
+      Seq("bin"))
+    bk.as("a").join(bk.as("c"),
+        col("a.bin") === col("c.bin") && col("a.user_id") < col("c.user_id") &&
+        col("a.st") <= col("c.en") && col("c.st") <= col("a.en") &&
+        col("a.bin") === date_trunc("hour", greatest(col("a.st"), col("c.st"))))
+      .select(col("a.user_id").as("u1"), col("a.sn").as("sn1"),
+        col("c.user_id").as("u2"), col("c.sn").as("sn2"),
+        expr("timestampdiff(MICROSECOND, greatest(a.st, c.st), least(a.en, c.en))").as("overlap_us"))
+      .orderBy(col("u1"), col("sn1"), col("u2"), col("sn2"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49)
+    q45, q46, q47, q48, q49, q50)
 }

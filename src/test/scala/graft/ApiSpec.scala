@@ -201,4 +201,28 @@ class ApiSpec extends AnyFunSuite {
     assert(n > 0, "expected planted near-dup pairs at jaccard >= 0.8")
     assert(pairs.agg(min(col("jaccard"))).collect()(0).getDouble(0) >= 0.8)
   }
+
+  test("session overlap join: exact pairs, first-bin dedup, mega-bin cap") {
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // A(u1) 10:00–12:30 spans 3 hour-bins and overlaps B(u2) 11:00–11:10
+    // (pair emitted ONCE although they share two bins) and C(u3)
+    // 12:00–14:00; B and C are disjoint; D(u9) is far away
+    val sess = Seq(
+      (1L, 1L, ts(0), ts(150)),
+      (2L, 1L, ts(60), ts(70)),
+      (3L, 1L, ts(120), ts(240)),
+      (9L, 1L, ts(10000), ts(10010))).toDF("user_id", "sn", "st", "en")
+    val got = operators.Extra.sessionOverlapPairs(sess)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 10L * 60000000L),    // A∩B = 10 min, emitted once
+      (1L, 3L, 30L * 60000000L)),   // A∩C = 30 min; B∩C disjoint; D alone
+      s"unexpected pairs: ${got.toSeq}")
+    // mega-bin cap: 5 concurrent sessions in one hour, cap 4 → bin
+    // dropped, zero pairs survive
+    val burst = (1L to 5L).map(u => (u, 1L, ts(0), ts(30))).toDF("user_id", "sn", "st", "en")
+    assert(operators.Extra.sessionOverlapPairs(burst, maxBinSessions = 4).count() == 0)
+    assert(operators.Extra.sessionOverlapPairs(burst, maxBinSessions = 5).count() == 10)
+  }
 }

@@ -132,6 +132,43 @@ object AnnApi {
     rerank(pairs, id, k)
   }
 
+  /** Radius (range) search: ALL same-bucket candidates within cosine
+    * ≥ `tau` of each probe — the "find everything similar enough"
+    * twin of [[lshTopK]] (top-k bounds the answer size; range search
+    * bounds the SIMILARITY, the contract retrieval filters and
+    * near-dup audits actually want). Candidate generation is the
+    * identical 4-table hyperplane-bucket join — recall is bucket-
+    * bounded by construction and the oracle mirrors the same buckets,
+    * so the gate pins the full pipeline, not a lucky subset. Output
+    * is every qualifying (probe, candidate, cos), ordered; size is
+    * data-dependent (that is the point), bucket caps bound the
+    * candidate volume at scale. */
+  def lshRange(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, tau: Double)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val n = normalized(corpus, id, vec)
+      .transform(scope.persist)
+    val tables = (0 until Similarity.NumTables).map(t =>
+      struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk")))
+    val tb = n.withColumn("tbl", explode(array(tables: _*)))
+      .select(col(id), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
+      .transform(scope.persist)
+    val tbProbes = tb.join(probeIds, Seq(id), "left_semi")
+    val cand = tbProbes.as("ca").join(tb.as("cb"),
+        col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
+        col(s"ca.$id") =!= col(s"cb.$id"))
+      .select(col(s"ca.$id").as("pid"), col(s"cb.$id").as("cid"))
+      .distinct()
+    cand
+      .join(n.as("a"), col(s"a.$id") === col("pid"))
+      .join(n.as("b"), col(s"b.$id") === col("cid"))
+      .select(col("pid").as("id_p"), col("cid").as("id_c"),
+        expr(s"$dot / (a.nrm * b.nrm)").as("c"))
+      .filter(col("c") >= tau)
+      .select(col("id_p"), col("id_c"), round(col("c"), 6).as("cos"))
+      .orderBy(col("id_p"), col("cos").desc, col("id_c"))
+  }
+
   /** Deterministic Lloyd k-means cell assignment for IVF: fixed
     * iteration count, `id % kCells` init over a deterministic
     * training sample (`id % trainMod == 0` — the standard

@@ -675,5 +675,41 @@ object Similarity {
       .select(col("vec_id"), round(col("proj"), 6).as("proj"))
       .orderBy(col("vec_id")))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject)
+  // ----------------------------------------------------- range search
+  /** Cosine threshold for the range-search gate — sized to the test
+    * embeddings (probe-pair cosine tops out near 0.49 at sf0.01, p99
+    * ≈ 0.29), so the radius keeps the top ~1% while exercising real
+    * boundary decisions. */
+  val RangeTau = 0.3
+
+  /** Radius search: every candidate within cosine ≥ [[RangeTau]] of a
+    * probe, via the same 4-table hyperplane buckets as [[lsh]] — the
+    * answer is similarity-bounded instead of count-bounded (top-k's
+    * contract). The oracle mirrors the bucket join, so hash equality
+    * pins candidate generation AND the threshold verify; recall vs a
+    * brute threshold scan is asserted in `EngineSpec` (bucketed recall
+    * is the documented trade, same as [[lsh]]). */
+  val annRange = QueryDef(
+    "ann_range_search",
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS id_p, cb.vec_id AS id_c
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk
+          AND ca.vec_id < 10 AND ca.vec_id <> cb.vec_id)
+      SELECT id_p, id_c, round(c, 6) AS cos FROM (
+        SELECT cd.id_p, cd.id_c, $dotSql / (a.nrm * b.nrm) AS c
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+      WHERE c >= $RangeTau ORDER BY id_p, c DESC, id_c"""
+    },
+    (s, d) => AnnApi.lshRange(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
+      tau = RangeTau))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange)
 }

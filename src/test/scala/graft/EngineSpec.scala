@@ -89,6 +89,28 @@ class EngineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ann_range_search returns only above-threshold pairs with bucketed recall") {
+    val tau = similarity.Similarity.RangeTau
+    val got = similarity.Similarity.annRange.build(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= tau), "every returned pair must clear the radius")
+    // brute threshold scan over the same probes: returned set ⊆ brute,
+    // with nontrivial recall (bucketing is the documented trade)
+    val n = similarity.AnnApi.normalized(
+      Tables.embeddings(spark, d), "vec_id", "embedding")
+    val brute = n.as("a").join(n.as("b"),
+        col("a.vec_id") < 10 && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("p"), col("b.vec_id").as("c"),
+        expr("graft_dot(a.v, b.v) / (a.nrm * b.nrm)").as("cos"))
+      .filter(col("cos") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = got.map(_._1).toSet
+    assert(gotSet.subsetOf(brute), "range search must never invent a pair")
+    val recall = (brute & gotSet).size.toDouble / brute.size
+    assert(recall > 0.15, s"range recall too low: $recall")
+  }
+
   test("k-means IVF recall vs brute force at least matches label-cell IVF") {
     val brute = similarity.Similarity.bruteTopK.build(spark, d)
       .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -53,7 +53,11 @@ object Bench {
     "corpus_quality_gate", "text_readability", "vec_pca_project",
     "corpus_bpe_merges", "corpus_epoch_mix", "q46_peak_concurrency",
     "q47_anomaly_zscore", "q48_asof_tolerance", "q49_time_weighted_avg",
-    "dedup_containment")
+    "dedup_containment",
+    // round-6 continuation
+    "graph_connected_components", "corpus_dsir", "q50_session_overlap",
+    "ann_range_search", "mm_phash_dedup", "q51_streaks",
+    "corpus_bpe_encode", "q52_winsorize")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

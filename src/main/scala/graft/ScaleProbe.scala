@@ -127,7 +127,15 @@ object ScaleProbe {
       ("q47_anomaly_zscore", d => operators.Extra.q47.build(spark, d)),
       ("q48_asof_tolerance", d => operators.Extra.q48.build(spark, d)),
       ("q49_time_weighted_avg", d => operators.Extra.q49.build(spark, d)),
-      ("dedup_containment", d => dedup.Dedup.containment.build(spark, d)))
+      ("dedup_containment", d => dedup.Dedup.containment.build(spark, d)),
+      // the round-6 continuation operators
+      ("graph_connected_components", d => operators.Graph.connectedComponents.build(spark, d)),
+      ("corpus_dsir", d => functions.Pipeline.dsirSelect.build(spark, d)),
+      ("q50_session_overlap", d => operators.Extra.q50.build(spark, d)),
+      ("ann_range_search", d => similarity.Similarity.annRange.build(spark, d)),
+      ("q51_streaks", d => operators.Extra.q51.build(spark, d)),
+      ("corpus_bpe_encode", d => functions.Corpus.bpeEncode.build(spark, d)),
+      ("q52_winsorize", d => operators.Extra.q52.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

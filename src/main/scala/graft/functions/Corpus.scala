@@ -241,37 +241,44 @@ object Corpus {
     * grain. Determinism: exact integer counts, the (n DESC, a, b)
     * tie-break, and `replace`'s left-to-right non-overlapping scan —
     * identical in DuckDB, so the oracle replays the same rounds. */
+  /** Shared oracle prefix: the `WITH` chain that trains [[BpeRounds]]
+    * merge rounds in DuckDB — `w` (word counts), `r0` (char split),
+    * then `p_t`/`m_t`/`r_t` per round; `r$BpeRounds` holds every
+    * word's final encoded representation. Both the merge gate and the
+    * encode gate compose on top, so the two oracles agree on the
+    * training by construction. */
+  private def bpeOracleCtes: String = {
+    val s1 = "chr(31)"
+    val s2 = "chr(31) || chr(31)"
+    val sb = new StringBuilder(
+      s"""WITH w AS (SELECT tok AS word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents) t
+        WHERE tok <> '' GROUP BY tok),
+      r0 AS (SELECT word, cnt,
+          $s1 || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), $s2) || $s1 AS rep
+        FROM w)""")
+    for (t <- 1 to BpeRounds) {
+      sb.append(s""",
+      p$t AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          SELECT cnt, toks[i] AS a, toks[i + 1] AS b FROM (
+            SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+              SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), $s2) AS toks
+              FROM r${t - 1}) q0) q1) q2
+        GROUP BY a, b),
+      m$t AS (SELECT a, b, n FROM p$t ORDER BY n DESC, a, b LIMIT 1),
+      r$t AS (SELECT w.word, w.cnt,
+          replace(w.rep, $s1 || m.a || $s2 || m.b || $s1, $s1 || m.a || m.b || $s1) AS rep
+        FROM r${t - 1} w, m$t m)""")
+    }
+    sb.toString
+  }
+
   val bpeMerges = QueryDef(
     "corpus_bpe_merges",
-    Some {
-      val s1 = "chr(31)"
-      val s2 = "chr(31) || chr(31)"
-      val sb = new StringBuilder(
-        s"""WITH w AS (SELECT tok AS word, count(*) AS cnt FROM (
-            SELECT unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents) t
-          WHERE tok <> '' GROUP BY tok),
-        r0 AS (SELECT word, cnt,
-            $s1 || array_to_string(list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), $s2) || $s1 AS rep
-          FROM w)""")
-      for (t <- 1 to BpeRounds) {
-        sb.append(s""",
-        p$t AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
-            SELECT cnt, toks[i] AS a, toks[i + 1] AS b FROM (
-              SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
-                SELECT cnt, string_split(substr(rep, 2, length(rep) - 2), $s2) AS toks
-                FROM r${t - 1}) q0) q1) q2
-          GROUP BY a, b),
-        m$t AS (SELECT a, b, n FROM p$t ORDER BY n DESC, a, b LIMIT 1),
-        r$t AS (SELECT w.word, w.cnt,
-            replace(w.rep, $s1 || m.a || $s2 || m.b || $s1, $s1 || m.a || m.b || $s1) AS rep
-          FROM r${t - 1} w, m$t m)""")
-      }
-      sb.append(s"""
-        SELECT * FROM (${(1 to BpeRounds).map(t =>
-          s"SELECT $t AS step, a AS lhs, b AS rhs, n FROM m$t").mkString(" UNION ALL ")}) z
-        ORDER BY step""")
-      sb.toString
-    },
+    Some(s"""$bpeOracleCtes
+      SELECT * FROM (${(1 to BpeRounds).map(t =>
+        s"SELECT $t AS step, a AS lhs, b AS rhs, n FROM m$t").mkString(" UNION ALL ")}) z
+      ORDER BY step"""),
     (s, d) => {
       graft.CacheScope.withScope { implicit scope =>
         bpeTrain(Tables.documents(s, d), "text").localCheckpoint(true)
@@ -283,7 +290,19 @@ object Corpus {
     * per merge round: (step, lhs, rhs, n). Rounds whose pair table is
     * empty (every word fully merged) emit no row. */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, text: String, rounds: Int = BpeRounds)(
-      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame =
+    bpeCore(df, text, rounds)._1
+
+  /** The vocabulary table after [[bpeTrain]]'s merges: one row per
+    * distinct word — (word, cnt, rep) with `rep` the separator-encoded
+    * BPE token sequence. This IS the tokenizer: encoding a corpus is a
+    * word-keyed join against it. */
+  def bpeWordEncoding(df: org.apache.spark.sql.DataFrame, text: String, rounds: Int = BpeRounds)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame =
+    bpeCore(df, text, rounds)._2
+
+  private def bpeCore(df: org.apache.spark.sql.DataFrame, text: String, rounds: Int)(
+      implicit scope: graft.CacheScope): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sep1 = lit(BSep)
     val sep2 = lit(BSep + BSep)
     val words = df
@@ -317,9 +336,55 @@ object Corpus {
             concat(sep1, col("a"), col("b"), sep1)).as("rep"))
         .transform(scope.persist)
     }
-    merges.reduce(_ unionAll _).orderBy(col("step"))
+    (merges.reduce(_ unionAll _).orderBy(col("step")), rep)
   }
 
+  // ---------------------------------------------------------- BPE encode
+  /** Tokenize the corpus with the merges just trained — the APPLY half
+    * of the BPE story (train without encode is a benchmark, not a
+    * tokenizer). Each doc reports its word count, BPE token count, and
+    * fertility (tokens/word — THE tokenizer-quality metric: lower is
+    * better, 1.0 means every word stayed whole... after only
+    * [[BpeRounds]] merges most words are still char-split, so gate
+    * fertility is high; the metric, not its value, is the product).
+    *
+    * 100 TB shape: the encoder is the VOCABULARY-grain (word, rep)
+    * table — encoding is one word-keyed join of the corpus token
+    * stream against it (AQE broadcasts a small vocab; beyond memory it
+    * is a key-bounded hash join) + one doc-keyed combinable aggregate.
+    * The corpus is touched twice (once for training's word counts,
+    * once for encoding), never sorted. The oracle composes the SAME
+    * trained `r$BpeRounds` CTE the merge gate verifies, so train and
+    * encode agree across engines by construction. */
+  val bpeEncode = QueryDef(
+    "corpus_bpe_encode",
+    Some(s"""$bpeOracleCtes,
+      enc AS (SELECT word,
+          len(string_split(substr(rep, 2, length(rep) - 2), chr(31) || chr(31))) AS ntok
+        FROM r$BpeRounds),
+      dw AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS word FROM documents)
+      SELECT doc_id, count(*) AS n_words, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+        round(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS fertility
+      FROM dw JOIN enc USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val docs = Tables.documents(s, d)
+        val enc = bpeWordEncoding(docs, "text")
+          .select(col("word"),
+            size(split(expr("substring(rep, 2, length(rep) - 2)"), BSep + BSep)).as("ntok"))
+        docs.select(col("doc_id"), explode(split(normText(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(enc, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+            round(col("n_bpe_tokens").cast(DoubleType) / col("n_words"), 6).as("fertility"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
-    rarityScore, qualityDedupPipeline, bpeMerges)
+    rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode)
 }

@@ -382,8 +382,139 @@ object Multimodal {
         .orderBy(col("audio_id"))
     })
 
+  // --------------------------------------------- perceptual-hash dedup
+  /** Average-hash (aHash) of a decoded image: 8×8 grid of Rec.601
+    * luma block sums; bit (bx, by) is set iff the block's mean STRICTLY
+    * exceeds the global mean, decided by exact integer cross-multiply
+    * (`S·N > G·n` — no division, no doubles, so the oracle can derive
+    * the identical bits analytically). The 64 bits are returned as two
+    * nonnegative 32-bit halves so banding/XOR stay clear of the BIGINT
+    * sign bit. Flat images hash to all-zero — aHash's documented
+    * collision class, which is exactly what makes it a dedup signal:
+    * re-encoded/resized copies of the same picture land on the same or
+    * nearby bits. Kernel is generic per-pixel work over the REAL
+    * `javax.imageio` decode; the gate's analytic oracle exploits that
+    * gate patterns vary only by row. */
+  def decodeAHash(docId: Long, bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    decodeRaw(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val blockSum = Array.ofDim[Long](8, 8)
+      val blockN = Array.ofDim[Long](8, 8)
+      var g = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          val bx = x * 8 / w
+          blockSum(by)(bx) += lum
+          blockN(by)(bx) += 1
+          g += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var h1 = 0L; var h2 = 0L
+      var b = 0
+      while (b < 64) {
+        val by = b / 8; val bx = b % 8
+        if (blockSum(by)(bx) * n > g * blockN(by)(bx)) {
+          if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (docId, h1, h2)
+    }
+
+  /** Hamming radius for aHash near-duplicates (out of 64 bits). */
+  val PhashHamT = 6
+
+  /** Perceptual-hash image near-dup pairs over the REAL decode
+    * pipeline: aHash each blob ([[decodeAHash]]), band the 64 bits
+    * into 4×16-bit blocks, candidate pairs share ≥ 1 band (exact
+    * hamming-0 dups ALWAYS share all four; radius-6 near-dups are
+    * found when ≥ 1 band survives — the simhash banding trade), verify
+    * by exact popcount ≤ [[PhashHamT]]. The oracle derives every
+    * hash analytically from the gate patterns (flat images are the
+    * all-zero collision class; gradients differ per pattern) and runs
+    * the identical band join + popcount — a hash-green row proves
+    * decode, blocking, banding, and verify end-to-end.
+    *
+    * 100 TB shape: decode is mapPartitions batch work; the pair stage
+    * is the standard banded near-dup join (bucket-bounded, never
+    * all-pairs); band-cap discipline would mirror DedupApi's
+    * `maxBucketSize` on a real crawl corpus. */
+  val phashDedup = QueryDef(
+    "mm_phash_dedup",
+    Some(s"""WITH imgs AS (SELECT i AS img_id,
+        8 + (i*7)%25 AS w, 8 + (i*11)%25 AS h, i%2 AS kind,
+        (i*37)%256 AS br, (i*59)%256 AS bg, (i*83)%256 AS bb
+      FROM range(0, ${ImageGate.NumImages}) t(i)),
+      ys0 AS (SELECT img_id, w, h, kind, br, bg, bb, unnest(range(0, h)) AS y FROM imgs),
+      ys AS (SELECT img_id, w, h, y,
+        (299*(CASE WHEN kind = 0 THEN br ELSE (br + 3*y) % 256 END)
+         + 587*bg + 114*bb) // 1000 AS lum
+      FROM ys0),
+      rsum AS (SELECT img_id, w, h, (y*8)//h AS by, sum(lum) AS rs, count(*) AS yc
+        FROM ys GROUP BY img_id, w, h, (y*8)//h),
+      xc AS (SELECT img_id, (x*8)//w AS bx, count(*) AS xc
+        FROM (SELECT img_id, w, unnest(range(0, w)) AS x FROM imgs) t GROUP BY img_id, (x*8)//w),
+      gt AS (SELECT img_id, w*h AS n, (SELECT sum(rs*i.w) FROM rsum r WHERE r.img_id = i.img_id) AS g
+        FROM imgs i),
+      bits AS (SELECT r.img_id, r.by, x.bx,
+          CASE WHEN r.rs * x.xc * gt.n > gt.g * (x.xc * r.yc) THEN 1 ELSE 0 END AS bit
+        FROM rsum r JOIN xc x ON x.img_id = r.img_id JOIN gt ON gt.img_id = r.img_id),
+      hs AS (SELECT img_id,
+          CAST(sum(CASE WHEN by*8+bx < 32 THEN bit * (CAST(1 AS BIGINT) << (by*8+bx)) ELSE 0 END) AS BIGINT) AS h1,
+          CAST(sum(CASE WHEN by*8+bx >= 32 THEN bit * (CAST(1 AS BIGINT) << (by*8+bx-32)) ELSE 0 END) AS BIGINT) AS h2
+        FROM bits GROUP BY img_id),
+      bands AS (SELECT img_id, h1, h2, unnest([
+          (h1 & 65535), ((h1 >> 16) & 65535) + 65536*1,
+          (h2 & 65535) + 65536*2, ((h2 >> 16) & 65535) + 65536*3]) AS bd
+        FROM hs),
+      cand AS (SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
+        FROM bands a JOIN bands b ON a.bd = b.bd AND a.img_id < b.img_id),
+      pr AS (SELECT ia, ib,
+          bit_count(CAST(xor(ha.h1, hb.h1) AS BIGINT)) + bit_count(CAST(xor(ha.h2, hb.h2) AS BIGINT)) AS ham
+        FROM cand JOIN hs ha ON ha.img_id = cand.ia JOIN hs hb ON hb.img_id = cand.ib)
+      SELECT ia, ib, CAST(ham AS BIGINT) AS hamming FROM pr
+      WHERE ham <= $PhashHamT ORDER BY ia, ib"""),
+    (s, d) => {
+      val path = ImageGate.ensureParquet(s)
+      val sp = s
+      import sp.implicits._
+      val hs = s.read.parquet(path)
+        .select(col("img_id").cast("long"), col("png").cast("binary"))
+        .filter(col("img_id").isNotNull && col("png").isNotNull)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (i, bytes) => decodeAHash(i, bytes) })
+        .toDF("img_id", "h1", "h2")
+      val bands = hs.select(col("img_id"), col("h1"), col("h2"),
+        explode(array(
+          expr("h1 & 65535"),
+          expr("(shiftright(h1, 16) & 65535) + 65536"),
+          expr("(h2 & 65535) + 131072"),
+          expr("(shiftright(h2, 16) & 65535) + 196608"))).as("bd"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bd") === col("b.bd") && col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"))
+        .distinct()
+      cand
+        .join(hs.select(col("img_id").as("ia"), col("h1").as("a1"), col("h2").as("a2")), Seq("ia"))
+        .join(hs.select(col("img_id").as("ib"), col("h1").as("b1"), col("h2").as("b2")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= PhashHamT)
+        .orderBy(col("ia"), col("ib"))
+    })
+
   val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate,
-    audioFeaturesGate)
+    audioFeaturesGate, phashDedup)
 }
 
 /** Deterministic synthetic WAV corpus for the real-codec audio gate:

@@ -1010,7 +1010,93 @@ object Extra {
       .orderBy(col("u1"), col("sn1"), col("u2"), col("sn2"))
   }
 
+  // --------------------------------------------------------------- q51
+  /** Gaps-and-islands: longest consecutive-active-day streak per user
+    * (the retention/engagement staple, and the canonical
+    * row_number-difference idiom — `day_number − row_number()` is
+    * constant exactly within a run of consecutive days, so one window
+    * pass turns runs into group keys; no self-join, no recursion).
+    * Integer day arithmetic end-to-end. Scale: distinct shuffles on
+    * (user, day), the window + both rollups share the user key —
+    * key-bounded exchanges only, no global sort. */
+  val q51 = QueryDef(
+    "q51_streaks",
+    Some("""WITH dd AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      i AS (SELECT user_id, day,
+        date_diff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS k FROM dd),
+      st AS (SELECT user_id, k, count(*) AS n FROM i GROUP BY user_id, k)
+      SELECT user_id, CAST(max(n) AS BIGINT) AS longest_streak,
+        CAST(sum(n) AS BIGINT) AS active_days, count(*) AS n_streaks
+      FROM st GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("k",
+          expr("datediff(day, DATE '1970-01-01')").cast(LongType)
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("longest_streak"),
+          sum(col("n")).as("active_days"), count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    })
+
+  // --------------------------------------------------------------- q52
+  /** Winsorization — clip each event type's values to its own
+    * [p05, p95] band (the outlier-robust preprocessing staple: metric
+    * pipelines winsorize before averaging so one stuck sensor or bot
+    * burst can't drag the mean). Group thresholds come from the q39
+    * distributed-selection machinery (bounded histogram passes, no
+    * task buffers a group), broadcast back for a MAP-ONLY clip — the
+    * corpus is scanned twice, never sort-shuffled. Interpolation is
+    * the q13/q39 `percentile_cont` contract, the clip comparisons and
+    * the winsorized mean's decimal fold are identical IEEE/decimal
+    * expressions in both engines. */
+  val q52 = QueryDef(
+    "q52_winsorize",
+    Some("""WITH th AS (SELECT event_type,
+        percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+        percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type),
+      w AS (SELECT e.event_type,
+        CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END AS wv,
+        CASE WHEN value < lo THEN 1 ELSE 0 END AS cl,
+        CASE WHEN value > hi THEN 1 ELSE 0 END AS ch
+      FROM events e JOIN th USING (event_type))
+      SELECT event_type, count(*) AS n,
+        CAST(sum(cl) AS BIGINT) AS n_clip_lo, CAST(sum(ch) AS BIGINT) AS n_clip_hi,
+        round(CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_winsorized
+      FROM w GROUP BY event_type ORDER BY event_type"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+          .transform(scope.persist)
+        val th = graft.operators.ExactPercentiles.percentiles(
+            ev, "event_type", "value", Seq(0.05, 0.95))
+          .groupBy(col("g").as("event_type"))
+          .agg(min(when(col("p") === 0.05, col("value"))).as("lo"),
+            min(when(col("p") === 0.95, col("value"))).as("hi"))
+        ev.join(broadcast(th), Seq("event_type"))
+          .select(col("event_type"),
+            when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value")).as("wv"),
+            when(col("value") < col("lo"), 1L).otherwise(0L).as("cl"),
+            when(col("value") > col("hi"), 1L).otherwise(0L).as("ch"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cl")).as("n_clip_lo"), sum(col("ch")).as("n_clip_hi"),
+            round(sum(col("wv").cast(DecimalType(18, 6))).cast(DoubleType)
+              / count(lit(1)), 6).as("mean_winsorized"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50)
+    q45, q46, q47, q48, q49, q50, q51, q52)
 }

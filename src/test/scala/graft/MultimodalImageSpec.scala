@@ -65,4 +65,24 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert((kf.width, kf.height) == (4, 4), "images under the cap keep their size")
     assert(Multimodal.resizePng(Array[Byte](9, 9, 9), 16).isEmpty)
   }
+
+  test("aHash: flat images collide at zero, left/right split sets exactly the bright half") {
+    // flat image: every block mean equals the global mean → strict >
+    // never fires → the all-zero collision class
+    val (_, f1, f2) = Multimodal.decodeAHash(0L, png(16, 16)((_, _) => 0x123456)).get
+    assert((f1, f2) == (0L, 0L))
+    // left half black, right half white, 16×16: blocks bx∈[4,8) are
+    // all-white (mean 255 > global 127), bx∈[0,4) all-black → bits
+    // set exactly where bx >= 4, in every row by
+    val (_, s1, s2) = Multimodal.decodeAHash(1L,
+      png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)).get
+    val expectRow = (4 until 8).map(bx => 1L << bx).sum // 0xF0 per 8-bit row
+    val expect32 = (0 until 4).map(by => expectRow << (8 * by)).reduce(_ | _)
+    assert((s1, s2) == (expect32, expect32), f"got ($s1%x, $s2%x)")
+    // hamming(flat, split) = 32 — far outside the near-dup radius;
+    // two flat images of different colors are hamming-0 dups
+    val (_, g1, g2) = Multimodal.decodeAHash(2L, png(12, 20)((_, _) => 0xabcdef)).get
+    assert((g1, g2) == (0L, 0L))
+    assert(Multimodal.decodeAHash(3L, Array[Byte](1, 2, 3)).isEmpty)
+  }
 }

@@ -175,4 +175,18 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(keptRate > baseRate,
       s"target-domain rate among kept ($keptRate) must exceed base rate ($baseRate)")
   }
+
+  test("winsorize clips ~5% per tail and the winsorized mean sits inside the band") {
+    val rows = operators.Extra.q52.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, lo, hi, mean) =>
+      // p05/p95 thresholds: each tail clips at most ~5% + interpolation slack
+      assert(lo <= n * 6 / 100 && hi <= n * 6 / 100,
+        s"$et clipped too much: lo=$lo hi=$hi of $n")
+      assert(lo + hi >= n * 6 / 100,
+        s"$et clipped too little: lo=$lo hi=$hi of $n — thresholds not biting")
+      assert(!mean.isNaN)
+    }
+  }
 }

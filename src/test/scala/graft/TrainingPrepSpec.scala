@@ -88,4 +88,24 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(3L, 1L), s"got $got")
     assert(run(7) == got, "sweep result changed with partition count")
   }
+
+  test("BPE encode applies the trained merges: low/lower tokenize through the learned vocab") {
+    import spark.implicits._
+    // after the textbook merges (l,o)(lo,w)(e,r)(low,er): 'low' → 1
+    // token, 'lower' → 1 token, an unmerged word char-splits
+    val docs = Seq((1L, "low low lower"), (2L, "ox")).toDF("doc_id", "text")
+    val got = CacheScope.withScope { implicit s =>
+      // rounds=4 learns the textbook (l,o)(lo,w)(e,r)(low,er) here —
+      // 'ox' merges only in round 5, so it must stay char-split
+      val enc = functions.Corpus.bpeWordEncoding(docs, "text", rounds = 4)
+        .collect().map(r => (r.getString(0),
+          r.getString(2).stripPrefix("").stripSuffix("").split("").toSeq))
+        .toMap
+      enc
+    }
+    assert(got("low") == Seq("low"), s"'low' fully merged, got ${got("low")}")
+    assert(got("lower") == Seq("lower"), s"'lower' fully merged, got ${got("lower")}")
+    // 'ox' shares no trained pair — stays char-split
+    assert(got("ox") == Seq("o", "x"), s"'ox' must stay char-split, got ${got("ox")}")
+  }
 }

@@ -16,6 +16,7 @@ object SparkEntry {
         functions.TextAnalysis.defs ++
         functions.Corpus.defs ++
         functions.Pipeline.defs ++
+        functions.LangModel.defs ++
         sources.Sources.defs ++
         dedup.Dedup.defs ++
         similarity.Similarity.defs ++

@@ -1096,7 +1096,52 @@ object Extra {
       }
     })
 
+  // --------------------------------------------------------------- q53
+  /** Trailing EWMA feature snapshot — per user, the exponentially
+    * weighted mean (α = 1/2) of the last 16 event values at the
+    * user's latest event (the feature-store "decayed activity"
+    * signal). One row_number window on the user key, then a user-keyed
+    * fold: two key-bounded shuffles, no self-join, no recursion — the
+    * recursive ewma_t = αx + (1−α)·ewma_{t−1} is equivalent, within
+    * the 16-step horizon, to the closed weighted mean computed here.
+    *
+    * Float discipline: weights are the INTEGERS 2^(15−lag) (the α=1/2
+    * geometric series scaled by 2^15, which cancels in the ratio) —
+    * value·weight is an exact power-of-two scaling of the input
+    * double, folded decimal-exactly; a fractional 0.5^lag weight cast
+    * to decimal would land exactly on a rounding half-digit at
+    * lag = 13 where the engines' tie rules could differ. */
+  val q53 = QueryDef(
+    "q53_ewma",
+    Some("""WITH r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1 AS lag,
+        count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events),
+      t AS (SELECT user_id, n_events, value,
+          CAST(pow(2.0, 15 - lag) AS BIGINT) AS w
+        FROM r WHERE lag < 16)
+      SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+        round(CAST(sum(CAST(value * w AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(sum(w) AS DOUBLE), 6) AS ewma
+      FROM t GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("event_id"), col("ts"))
+        .withColumn("lag", row_number().over(w) - 1)
+        .withColumn("n_events",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("lag") < 16)
+        .withColumn("w", pow(lit(2.0), lit(15) - col("lag")).cast(LongType))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          round(sum((col("value") * col("w")).cast(DecimalType(28, 6))).cast(DoubleType)
+            / sum(col("w")).cast(DoubleType), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

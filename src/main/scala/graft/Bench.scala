@@ -57,7 +57,11 @@ object Bench {
     // round-6 continuation
     "graph_connected_components", "corpus_dsir", "q50_session_overlap",
     "ann_range_search", "mm_phash_dedup", "q51_streaks",
-    "corpus_bpe_encode", "q52_winsorize")
+    "corpus_bpe_encode", "q52_winsorize",
+    // round-6 third session
+    "corpus_ngram_lm", "pipeline_perplexity_filter", "corpus_pmi_bigrams",
+    "corpus_sample_weighted", "corpus_naive_bayes", "graph_kcore",
+    "q53_ewma", "q54_anomaly_mad")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -135,7 +135,16 @@ object ScaleProbe {
       ("ann_range_search", d => similarity.Similarity.annRange.build(spark, d)),
       ("q51_streaks", d => operators.Extra.q51.build(spark, d)),
       ("corpus_bpe_encode", d => functions.Corpus.bpeEncode.build(spark, d)),
-      ("q52_winsorize", d => operators.Extra.q52.build(spark, d)))
+      ("q52_winsorize", d => operators.Extra.q52.build(spark, d)),
+      // the round-6 third-session operators
+      ("corpus_ngram_lm", d => functions.LangModel.ngramLm.build(spark, d)),
+      ("pipeline_perplexity_filter", d => functions.LangModel.perplexityFilter.build(spark, d)),
+      ("corpus_pmi_bigrams", d => functions.LangModel.pmiBigrams.build(spark, d)),
+      ("corpus_sample_weighted", d => functions.LangModel.sampleWeighted.build(spark, d)),
+      ("corpus_naive_bayes", d => functions.LangModel.naiveBayes.build(spark, d)),
+      ("graph_kcore", d => operators.Graph.kcoreQuery.build(spark, d)),
+      ("q53_ewma", d => operators.Extra.q53.build(spark, d)),
+      ("q54_anomaly_mad", d => operators.Extra.q54.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -37,9 +37,12 @@ object LangModel {
     * as a one-row broadcast. One corpus-scale shuffle total (the
     * doc-bigram collapse), everything after is vocab-scale.
     */
-  val ngramLm = QueryDef(
-    "corpus_ngram_lm",
-    Some(s"""WITH t AS (SELECT doc_id, lang, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+  /** Shared oracle CTE chain: doc-bigram counts → model → per-doc
+    * mean negative log-likelihood (ends with a `scored` CTE exposing
+    * doc_id, lang, n_bigrams, and the final select's nll expression —
+    * composed by both the scoring gate and the filter pipeline). */
+  private def nllOracleCtes: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
       db AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS big FROM t),
       dbc AS (SELECT doc_id, lang, big, count(*) AS c FROM db GROUP BY doc_id, lang, big),
       model AS (SELECT big, sum(c) AS c12 FROM dbc GROUP BY big),
@@ -50,35 +53,70 @@ object LangModel {
           CAST(sum(c) AS BIGINT) AS n_bigrams
         FROM dbc JOIN model USING (big)
           JOIN firsts ON string_split(dbc.big, ' ')[1] = firsts.w1, vocab
-        GROUP BY dbc.doc_id, dbc.lang)
-      SELECT doc_id, lang, n_bigrams,
-        round(CAST(-s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS nll
-      FROM scored ORDER BY doc_id"""),
+        GROUP BY dbc.doc_id, dbc.lang),
+      nl AS (SELECT doc_id, lang, n_bigrams,
+        round(CAST(-s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS nll FROM scored)"""
+
+  /** Shared Spark scoring plan — see [[ngramLm]] for the shape
+    * discussion; returns (doc_id, lang, n_bigrams, nll). */
+  private def nllScores(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(Portable.normText(col("text")), " ").as("toks"))
+    val dbc = t
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("big"))
+      .groupBy(col("doc_id"), col("lang"), col("big"))
+      .agg(count(lit(1)).as("c"))
+    val model = dbc.groupBy(col("big")).agg(sum(col("c")).as("c12"))
+      .withColumn("w1", element_at(split(col("big"), " "), 1))
+    val firsts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = t.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    dbc
+      .join(model.select(col("big"), col("c12"), col("w1")), Seq("big"))
+      .join(firsts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp",
+        round(log((col("c12") + 1).cast(DoubleType) / (col("c1") + col("v")).cast(DoubleType)), 12))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum((col("c") * col("lnp")).cast(DecimalType(28, 12))).as("s"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round((-col("s")).cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6).as("nll"))
+  }
+
+  val ngramLm = QueryDef(
+    "corpus_ngram_lm",
+    Some(s"""$nllOracleCtes
+      SELECT doc_id, lang, n_bigrams, nll FROM nl ORDER BY doc_id"""),
+    (s, d) => nllScores(s, d).orderBy(col("doc_id")))
+
+  /** Perplexity filter pipeline — the CCNet recipe end-to-end: score
+    * every doc with the bigram-LM mean NLL ([[nllScores]]), take the
+    * exact p75 over the corpus scores (the distributed bounded-
+    * histogram selection machinery, no sort), keep the low-perplexity
+    * 75%. The threshold rides back as a one-row broadcast; the kept
+    * set is a map-only filter over the persisted scores — the corpus
+    * is never re-scored or sort-shuffled. */
+  val perplexityFilter = QueryDef(
+    "pipeline_perplexity_filter",
+    Some(s"""$nllOracleCtes,
+      th AS (SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY nll) AS thr FROM nl)
+      SELECT nl.doc_id, nl.lang, nl.nll, round(th.thr, 6) AS thr
+      FROM nl, th WHERE nl.nll <= th.thr
+      ORDER BY nl.doc_id"""),
     (s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(Portable.normText(col("text")), " ").as("toks"))
-      val dbc = t
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("big"))
-        .groupBy(col("doc_id"), col("lang"), col("big"))
-        .agg(count(lit(1)).as("c"))
-      val model = dbc.groupBy(col("big")).agg(sum(col("c")).as("c12"))
-        .withColumn("w1", element_at(split(col("big"), " "), 1))
-      val firsts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val vocab = t.select(explode(col("toks")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      dbc
-        .join(model.select(col("big"), col("c12"), col("w1")), Seq("big"))
-        .join(firsts, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("lnp",
-          round(log((col("c12") + 1).cast(DoubleType) / (col("c1") + col("v")).cast(DoubleType)), 12))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum((col("c") * col("lnp")).cast(DecimalType(28, 12))).as("s"),
-          sum(col("c")).as("n_bigrams"))
-        .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          round((-col("s")).cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6).as("nll"))
-        .orderBy(col("doc_id"))
+      graft.CacheScope.withScope { implicit scope =>
+        val scored = nllScores(s, d).transform(scope.persist)
+        val thr = graft.operators.ExactPercentiles.percentiles(
+            scored.select(lit(1).as("g"), col("nll").as("q")), "g", "q", Seq(0.75))
+          .select(col("value").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("nll") <= col("thr"))
+          .select(col("doc_id"), col("lang"), col("nll"), round(col("thr"), 6).as("thr"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      }
     })
 
   /** PMI collocation mining: top-20 bigrams by pointwise mutual
@@ -263,5 +301,5 @@ object LangModel {
         .orderBy(col("label"), col("pred"))
     })
 
-  val defs: Seq[QueryDef] = Seq(ngramLm, pmiBigrams, sampleWeighted, naiveBayes)
+  val defs: Seq[QueryDef] = Seq(ngramLm, perplexityFilter, pmiBigrams, sampleWeighted, naiveBayes)
 }

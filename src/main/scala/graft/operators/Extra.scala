@@ -1141,7 +1141,56 @@ object Extra {
         .orderBy(col("user_id"))
     })
 
+  // --------------------------------------------------------------- q54
+  /** Robust MAD anomaly flags — the median/MAD twin of q47's
+    * mean/σ z-score (the robust-statistics staple: one genuine
+    * outlier inflates σ and hides its neighbors; the median absolute
+    * deviation doesn't break down until half the data is bad). Flags
+    * events with |value − median| > 3·(1.4826·MAD), the normal-
+    * consistent robust z. Both medians come from the q39 exact
+    * distributed-selection machinery (bounded histogram passes, no
+    * sort, no task buffers a group); each threshold table is
+    * types-scale and broadcast back into a map-only flag pass — the
+    * corpus is scanned three times, never sort-shuffled. All decision
+    * arithmetic is fixed-order IEEE over engine-identical medians, so
+    * borderline events flag identically. */
+  val q54 = QueryDef(
+    "q54_anomaly_mad",
+    Some("""WITH med AS (SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type),
+      dev AS (SELECT e.event_id, e.event_type, e.value, med.med
+        FROM events e JOIN med USING (event_type)),
+      mad AS (SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med)) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value,
+        round((d.value - d.med) / (1.4826 * m.mad), 6) AS rz
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE abs(d.value - d.med) > 3 * (1.4826 * m.mad)
+      ORDER BY d.event_id"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .transform(scope.persist)
+        val med = graft.operators.ExactPercentiles.percentiles(
+            ev, "event_type", "value", Seq(0.5))
+          .select(col("g").as("event_type"), col("value").as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("ad", abs(col("value") - col("med")))
+          .transform(scope.persist)
+        val mad = graft.operators.ExactPercentiles.percentiles(
+            dev, "event_type", "ad", Seq(0.5))
+          .select(col("g").as("event_type"), col("value").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .filter(abs(col("value") - col("med")) > lit(3) * (lit(1.4826) * col("mad")))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6).as("rz"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      }
+    })
+
   val defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-    q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -102,6 +102,36 @@ object Streams {
       }
   }
 
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+  final case class EwmaState(ewma: Double, n: Long, lastTs: Long, lastId: Long)
+
+  /** Running per-user EWMA (α = 1/2) via `mapGroupsWithState` — the
+    * incremental twin of `q53_ewma`: state is the single decayed value
+    * (the recursion ewma' = x/2 + ewma/2 needs no history), each
+    * microbatch folds its events in (ts, event_id) order, update mode
+    * re-emits the user's current feature row. Within any 16-event
+    * horizon this equals the batch closed form to 2^-16 of the value
+    * scale — the spec checks the recursion exactly and the q53
+    * agreement numerically. Out-of-order events *across* microbatches
+    * are folded in arrival order (same staleness contract as the other
+    * update-mode planes here); within a batch the sort makes order
+    * canonical. O(users) fixed-size state, no history buffer. */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(0.0, 0L, Long.MinValue, Long.MinValue))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            s = if (s.n == 0L) EwmaState(e.value, 1L, e.ts.getTime, e.event_id)
+            else EwmaState(e.value / 2.0 + s.ewma / 2.0, s.n + 1, e.ts.getTime, e.event_id)
+          }
+          state.update(s)
+          EwmaOut(user, s.n, s.ewma)
+      }
+  }
+
   /** Streaming funnel — the incremental twin of the batch
     * `q40_funnel` fold (`operators.Extra.funnelCounts`): per-user
     * state carries the prefix of matched step timestamps, each

@@ -73,6 +73,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((5L, 3L, 7.0)), rows.toString)
   }
 
+  test("streaming ewma equals the driver recursion across batches, near the q53 closed form") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-ewma-in").toString
+    val vals = Seq(10.0, 2.0, 8.0, 4.0, 6.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Streams.Event(i + 1L, ts(f"2024-01-01 00:0$i:00"), 9L, "click", v) }
+    writeBatches(in, Seq(evs.take(2), evs.drop(2)))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.ewmaStream(stream)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val last = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 == 9L).maxBy(_._2)
+    // literal recursion: first event seeds, then x/2 + prev/2
+    val expct = vals.tail.foldLeft(vals.head)((p, x) => x / 2.0 + p / 2.0)
+    assert(last._2 == vals.size.toLong)
+    assert(math.abs(last._3 - expct) < 1e-12, s"got ${last._3} expected $expct")
+    // and the batch q53 closed form over the same history agrees to the
+    // truncation bound (here n < 16, so EXACT up to the renormalization
+    // of the missing tail weights)
+    val num = vals.reverse.zipWithIndex.map { case (v, i) => v * math.pow(2.0, 15 - i) }.sum
+    val den = vals.indices.map(i => math.pow(2.0, 15 - i)).sum
+    assert(math.abs(last._3 - num / den) < 0.5, "closed form in the same ballpark (tail renormalization)")
+  }
+
   test("streaming funnel stages equal the batch fold, including cross-batch completion") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-funnel-in").toString

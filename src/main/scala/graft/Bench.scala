@@ -61,7 +61,10 @@ object Bench {
     // round-6 third session
     "corpus_ngram_lm", "pipeline_perplexity_filter", "corpus_pmi_bigrams",
     "corpus_sample_weighted", "corpus_naive_bayes", "graph_kcore",
-    "q53_ewma", "q54_anomaly_mad")
+    "q53_ewma", "q54_anomaly_mad",
+    // round-6 fourth session
+    "q55_fuzzy_link", "q56_transition_matrix", "q57_skyline",
+    "ml_linear_probe")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -13,6 +13,7 @@ object SparkEntry {
     val defs =
       operators.Relational.defs ++
         operators.Extra.defs ++
+        operators.Analytics.defs ++
         functions.TextAnalysis.defs ++
         functions.Corpus.defs ++
         functions.Pipeline.defs ++

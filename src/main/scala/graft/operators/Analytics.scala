@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 analytics tier: entity resolution, Markov transitions,
+  * skyline (Pareto frontier), and a distributed linear probe — the
+  * four relational/ML staples the q1–q54 ladder doesn't cover.
+  *
+  * Determinism discipline is the house one (SURVEY §5): integer /
+  * decimal folds wherever an aggregate crosses partitions, fixed-order
+  * IEEE expressions shared token-for-token with the oracle otherwise.
+  */
+object Analytics {
+
+  // ----------------------------------------------------------- q55
+  /** Per-blocking-key population cap for [[q55]] — the `maxBucketSize`
+    * discipline: a degenerate key (e.g. every name sharing one
+    * boilerplate token after deletion) would otherwise emit |key|²
+    * candidate pairs in one task. Keys above the cap are dropped
+    * BEFORE the self-join, mirrored in the oracle; a real pair lost
+    * this way must share ONLY mega-keys (for edit distance 1 the two
+    * names share all but one deletion key, so only names whose every
+    * variant is boilerplate can be missed — the documented trade). */
+  val MaxKeyNames = 64
+
+  /** q55: fuzzy record linkage — customer names within edit distance 1
+    * (the entity-resolution staple: OCR'd / re-keyed customer rosters
+    * carry single-keystroke variants). A naive approach is the
+    * |names|² levenshtein cross scan; the shipped plan is the FastSS /
+    * deletion-neighborhood blocking (Bocek et al. 2007, public): two
+    * strings are within one edit iff they share a key in
+    * {name} ∪ {name minus one char}, so candidates come from an EXACT
+    * hash self-join on those keys (≤ len+1 keys per name — linear
+    * fan-out), then `levenshtein` verifies exactly. 100 TB shape: one
+    * key-hashed shuffle for the cap + self-join, candidate volume
+    * bounded by Σ|key|² over capped keys; the verify is per-pair and
+    * the quadratic cross scan never exists. Both engines compute the
+    * identical classic DP levenshtein on identical UTF-8 names. */
+  val q55 = QueryDef(
+    "q55_fuzzy_link",
+    Some(s"""WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+      k AS (SELECT id, nm, unnest(list_distinct(list_concat(
+          list_transform(range(1, len(nm) + 1), i -> substr(nm, 1, i - 1) || substr(nm, i + 1, len(nm))),
+          [nm]))) AS key FROM n),
+      kc AS (SELECT id, nm, key, count(*) OVER (PARTITION BY key) AS keyn FROM k),
+      kk AS (SELECT id, nm, key FROM kc WHERE keyn <= $MaxKeyNames),
+      cand AS (SELECT DISTINCT a.id AS a_id, a.nm AS a_nm, b.id AS b_id, b.nm AS b_nm
+        FROM kk a JOIN kk b ON a.key = b.key AND a.id < b.id)
+      SELECT a_id, b_id, CAST(levenshtein(a_nm, b_nm) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(a_nm, b_nm) = 1
+      ORDER BY a_id, b_id"""),
+    (s, d) => {
+      val n = Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val k = n.select(col("id"), col("nm"),
+        explode(expr("""array_union(
+            transform(sequence(1, length(nm)), i -> concat(substr(nm, 1, i - 1), substr(nm, i + 1, length(nm)))),
+            array(nm))""")).as("key"))
+      val kk = k
+        .withColumn("keyn", count(lit(1)).over(Window.partitionBy(col("key"))))
+        .filter(col("keyn") <= MaxKeyNames)
+        .select(col("id"), col("nm"), col("key"))
+      val a = kk.select(col("id").as("a_id"), col("nm").as("a_nm"), col("key"))
+      val b = kk.select(col("id").as("b_id"), col("nm").as("b_nm"), col("key"))
+      a.join(b, Seq("key")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("a_nm"), col("b_id"), col("b_nm")).distinct()
+        .filter(levenshtein(col("a_nm"), col("b_nm")) === 1)
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_nm"), col("b_nm")).cast(LongType).as("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
+  // ----------------------------------------------------------- q56
+  /** q56: Markov transition matrix over per-user event sequences —
+    * the user-journey staple (P(next event type | current)): order
+    * each user's events by (ts, event_id), pair each with its
+    * successor via `lead`, count (cur → nxt) cells, and normalize by
+    * the per-cur total. ONE user-keyed shuffle serves the sequence
+    * window; the cell aggregate shrinks to |types|² rows and the
+    * per-cur totals (|types| rows) broadcast back, so the corpus is
+    * shuffled once at any scale. The probability is one
+    * small-integer IEEE division, identical in both engines. */
+  val q56 = QueryDef(
+    "q56_transition_matrix",
+    Some("""WITH t AS (SELECT event_type AS cur,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      c AS (SELECT cur, nxt, count(*) AS n FROM t WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      s AS (SELECT cur, sum(n) AS tot FROM c GROUP BY cur)
+      SELECT c.cur, c.nxt, c.n, round(CAST(c.n AS DOUBLE) / s.tot, 6) AS p
+      FROM c JOIN s ON c.cur = s.cur
+      ORDER BY c.cur, c.nxt"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val c = t.groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast(DoubleType) / col("tot"), 6).as("p"))
+        .orderBy(col("cur"), col("nxt"))
+    })
+
+  // ----------------------------------------------------------- q57
+  /** q57: skyline (Pareto frontier) of orders — maximize
+    * (o_totalprice, o_orderdate): an order is kept iff no other order
+    * is ≥ on both axes and strictly better on one (the multi-criteria
+    * shortlist staple). The quadratic dominance scan never runs; for
+    * a 2-D skyline the frontier test factors through two max tables:
+    * keep iff date = max date AT its price AND date > max date over
+    * all STRICTLY higher prices. The per-price max is a map-
+    * combinable aggregate; the "max over higher prices" is an
+    * EXCLUSIVE running max over the price-DESC order of the DISTINCT-
+    * price table, shipped as the budget_select two-level scan (range
+    * partition on price desc, task-local exclusive running max,
+    * per-partition maxes' exclusive scan — #partitions rows, metadata
+    * scale — broadcast back), so NO task ever holds the price table
+    * and the scan is partition-count invariant. One price-keyed join
+    * maps the thresholds back onto orders. Ties on both axes are
+    * mutually non-dominating and all kept (the standard defn). */
+  val q57 = QueryDef(
+    "q57_skyline",
+    Some("""WITH pm AS (SELECT o_totalprice AS p, max(o_orderdate) AS pmax
+        FROM orders GROUP BY 1),
+      hm AS (SELECT p, pmax, max(pmax) OVER (ORDER BY p DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hmax FROM pm)
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders o JOIN hm ON o.o_totalprice = hm.p
+      WHERE o.o_orderdate = hm.pmax AND (hm.hmax IS NULL OR o.o_orderdate > hm.hmax)
+      ORDER BY o_totalprice DESC, o_orderkey"""),
+    (s, d) => {
+      graft.CacheScope.withScope { implicit scope =>
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        skyline2d(o, col("o_totalprice"), col("o_orderdate"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .localCheckpoint(true)
+      }
+    })
+
+  /** 2-D max-max skyline of `df` over (`price`, `date`) — see [[q57]]
+    * for the two-level-scan scale argument. Returns the input rows on
+    * the Pareto frontier (ties on both axes all kept). */
+  def skyline2d(df: DataFrame, price: org.apache.spark.sql.Column,
+      date: org.apache.spark.sql.Column)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val pm = df.groupBy(price.as("p")).agg(max(date).as("pmax"))
+    val ranked = scope.persist(pm
+      .repartitionByRange(col("p").desc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lmax", max(col("pmax")).over(
+        Window.partitionBy(col("pid")).orderBy(col("p").desc)
+          .rowsBetween(Window.unboundedPreceding, -1))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid")).agg(max(col("pmax")).as("pmx"))
+      .select(col("pid"), max(col("pmx")).over(wo).as("bmax"))
+    val hm = ranked.join(broadcast(offsets), Seq("pid"))
+      // greatest() skips nulls: null only when NO strictly-higher price exists
+      .select(col("p"), col("pmax"), greatest(col("lmax"), col("bmax")).as("hmax"))
+    df.join(hm, price === col("p"))
+      .filter(date === col("pmax") && (col("hmax").isNull || date > col("hmax")))
+      .drop("p", "pmax", "hmax")
+  }
+
+  // ------------------------------------------------- ml_linear_probe
+  /** 3×3 determinant as a shared SQL fragment — the SAME string is
+    * evaluated by Spark (`selectExpr`) and DuckDB, so the Cramer
+    * solve is the identical fixed-order IEEE expression tree in both
+    * engines (correctly-rounded double ops ⇒ bit-equal results). */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
+  private val detA  = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+  private val detA0 = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+  private val detA1 = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+  private val detA2 = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+  /** ml_linear_probe: ordinary least squares fit of
+    * `l_extendedprice ~ 1 + l_quantity + l_discount`, trained and
+    * evaluated distributed — the "linear probe" a feature/training
+    * pipeline runs to sanity-check a signal before spending GPU time.
+    * The published scale recipe (normal equations): ONE map-
+    * combinable aggregate produces the 9 Gram-matrix moments as
+    * DECIMAL sums (merge-order-free under any partitioning), the 3×3
+    * Cramer solve runs on that single row as a fixed-order IEEE
+    * expression SHARED token-for-token with the oracle, and the fit
+    * audit (RMSE, R²) is a second map-only pass with the weights
+    * broadcast — the corpus is never shuffled, and the plan is two
+    * scans + two one-row exchanges at any scale. Residual squares are
+    * rounded to 10 dp and summed as DECIMAL(38,10) so the audit
+    * aggregate is also merge-order-free. */
+  val linearProbe = QueryDef(
+    "ml_linear_probe",
+    Some(s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+        CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+        CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+        CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        FROM lineitem),
+      w AS (SELECT n, sy, syy,
+        $detA0 / $detA AS w0, $detA1 / $detA AS w1, $detA2 / $detA AS w2 FROM m),
+      r AS (SELECT CAST(sum(CAST(round(
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)) *
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)), 10)
+          AS DECIMAL(38,10))) AS DOUBLE) AS sse FROM lineitem, w)
+      SELECT CAST(w.n AS BIGINT) AS n,
+        round(w.w0, 6) AS w0, round(w.w1, 6) AS w1, round(w.w2, 6) AS w2,
+        round(sqrt(r.sse / w.n), 6) AS rmse,
+        round(1 - r.sse / (w.syy - w.sy * w.sy / w.n), 6) AS r2
+      FROM w, r"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val m = li.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType).as("s2"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).cast(DoubleType).as("s11"),
+        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s12"),
+        sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s22"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s2y"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("syy"))
+      val w = m.selectExpr("n", "sy", "syy",
+        s"$detA0 / $detA AS w0", s"$detA1 / $detA AS w1", s"$detA2 / $detA AS w2")
+      val r = li.crossJoin(broadcast(w))
+        .select((col("l_extendedprice") -
+          (col("w0") + col("w1") * col("l_quantity") + col("w2") * col("l_discount"))).as("resid"))
+        .agg(sum(round(col("resid") * col("resid"), 10).cast(DecimalType(38, 10)))
+          .cast(DoubleType).as("sse"))
+      w.crossJoin(broadcast(r)).select(
+        col("n").cast(LongType).as("n"),
+        round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+        round(col("w2"), 6).as("w2"),
+        round(sqrt(col("sse") / col("n")), 6).as("rmse"),
+        round(lit(1d) - col("sse") / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe)
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixtures for the round-6 analytics tier (operators.Analytics):
+  * planted closed-form answers for the fuzzy linker, the transition
+  * matrix, the skyline, and the linear probe, plus the
+  * partition-invariance property the two-level skyline scan buys. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------- q55
+  test("fuzzy link finds distance-1 pairs and only those") {
+    val r = operators.Analytics.q55.build(spark, TestSpark.sfDir).collect()
+    assert(r.nonEmpty, "the padded customer roster carries 1-digit variants")
+    assert(r.forall(_.getLong(2) == 1L), "verify must keep only distance-1 pairs")
+    // Customer#000000000 vs Customer#000000001 differ in one digit
+    assert(r.exists(row => row.getLong(0) == 0L && row.getLong(1) == 1L))
+    // distance-2 pair must NOT appear: ids 0 and 11 differ in two digits
+    assert(!r.exists(row => row.getLong(0) == 0L && row.getLong(1) == 11L))
+  }
+
+  test("fuzzy link on a planted roster: indel + substitution found, far names not") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "anna meyer"), (2L, "anna mayer"),   // substitution, dist 1
+      (3L, "jon smith"), (4L, "john smith"),    // insertion, dist 1
+      (5L, "completely different")).toDF("id", "nm")
+    // re-run the q55 plan shape inline on the fixture
+    val k = names.select(col("id"), col("nm"),
+      explode(expr("""array_union(
+          transform(sequence(1, length(nm)), i -> concat(substr(nm, 1, i - 1), substr(nm, i + 1, length(nm)))),
+          array(nm))""")).as("key"))
+    val a = k.select(col("id").as("a_id"), col("nm").as("a_nm"), col("key"))
+    val b = k.select(col("id").as("b_id"), col("nm").as("b_nm"), col("key"))
+    val pairs = a.join(b, Seq("key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_nm"), col("b_id"), col("b_nm")).distinct()
+      .filter(levenshtein(col("a_nm"), col("b_nm")) === 1)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  // ------------------------------------------------------------- q56
+  test("transition matrix on a two-user fixture is the closed form") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a -> b -> a ; user 2: a -> b    => a->b twice, b->a once
+    val ev = Seq(
+      (1L, ts(10), 1L, "a"), (2L, ts(20), 1L, "b"), (3L, ts(30), 1L, "a"),
+      (4L, ts(10), 2L, "a"), (5L, ts(20), 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = ev.withColumn("nxt", lead(col("event_type"), 1).over(w)).filter(col("nxt").isNotNull)
+    val c = t.groupBy(col("event_type").as("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    val out = c.join(broadcast(tot), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"), round(col("n").cast("double") / col("tot"), 6).as("p"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("a", "b") -> ((2L, 1.0d)), ("b", "a") -> ((1L, 1.0d))))
+  }
+
+  test("transition probabilities sum to 1 per source state on real data") {
+    val r = operators.Analytics.q56.build(spark, TestSpark.sfDir)
+      .groupBy(col("cur")).agg(sum(col("p")).as("s")).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-4,
+      s"per-cur probabilities must sum to ~1, got ${row.getDouble(1)}"))
+  }
+
+  // ------------------------------------------------------------- q57
+  test("skyline keeps exactly the non-dominated rows, ties included") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val rows = Seq(
+      (1L, 100.0, day(5)),  // dominated by 2 (higher price, later date)
+      (2L, 200.0, day(6)),  // skyline
+      (3L, 200.0, day(6)),  // tie with 2 on both axes -> both kept
+      (4L, 200.0, day(3)),  // same price as 2, earlier date -> dominated
+      (5L, 300.0, day(2)),  // skyline (highest price)
+      (6L, 150.0, day(9))   // skyline (latest date)
+    ).toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    def run(parts: Int): Set[Long] = CacheScope.withScope { implicit s =>
+      operators.Analytics.skyline2d(rows.repartition(parts),
+        col("o_totalprice"), col("o_orderdate"))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    }
+    assert(run(2) == Set(2L, 3L, 5L, 6L))
+    assert(run(7) == Set(2L, 3L, 5L, 6L), "two-level scan must be partition-count invariant")
+  }
+
+  test("skyline members are mutually non-dominated on real data") {
+    val sky = operators.Analytics.q57.build(spark, TestSpark.sfDir)
+      .select(col("o_totalprice"), col("o_orderdate")).collect()
+      .map(r => (r.getDouble(0), r.getAs[java.time.LocalDateTime](1)))
+    assert(sky.nonEmpty)
+    for (a <- sky; b <- sky if a != b)
+      assert(!(b._1 >= a._1 && !b._2.isBefore(a._2) && (b._1 > a._1 || b._2.isAfter(a._2))),
+        s"$a dominated by $b inside the skyline")
+  }
+
+  // --------------------------------------------------- ml_linear_probe
+  test("linear probe recovers a planted exact linear signal") {
+    import spark.implicits._
+    // y = 3 + 2*x1 - 5*x2 exactly; OLS must recover it with rmse 0, r2 1
+    val rows = for (x1 <- 1 to 20; x2 <- Seq(0.0, 0.04, 0.08))
+      yield (x1.toDouble, x2, 3.0 + 2.0 * x1 - 5.0 * x2)
+    val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    df.createOrReplaceTempView("li_probe")
+    // reuse the fragments through the public QueryDef on a temp dir is
+    // not possible (it reads parquet); assert on the closed-form math
+    // via a direct normal-equation solve over the fixture instead
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("s1"),
+      sum(col("l_discount").cast("decimal(18,6)")).cast("double").as("s2"),
+      sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,8)")).cast("double").as("s11"),
+      sum((col("l_quantity") * col("l_discount")).cast("decimal(28,8)")).cast("double").as("s12"),
+      sum((col("l_discount") * col("l_discount")).cast("decimal(28,8)")).cast("double").as("s22"),
+      sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,8)")).cast("double").as("s1y"),
+      sum((col("l_discount") * col("l_extendedprice")).cast("decimal(28,8)")).cast("double").as("s2y"))
+    val w = m.selectExpr(
+      "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS w0",
+      "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS w1",
+      "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS w2")
+      .collect().head
+    assert(math.abs(w.getDouble(0) - 3.0) < 1e-6)
+    assert(math.abs(w.getDouble(1) - 2.0) < 1e-6)
+    assert(math.abs(w.getDouble(2) + 5.0) < 1e-6)
+  }
+
+  test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
+    val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
+    val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))
+    assert(n > 0)
+    assert(rmse > 0, "the synthetic price column is not an exact linear function")
+    // train-set OLS with an intercept: 0 <= r2 <= 1 by construction
+    assert(r2 >= 0 && r2 <= 1)
+  }
+}

@@ -416,6 +416,134 @@ object Graph {
   def edgesForTest(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     edges(s, d)
 
+  // ------------------------------------------------------------- bfs
+  /** BFS round budget: the co-purchase graph's effective diameter is
+    * tiny (dense bipartite); both engines run the identical fixed
+    * schedule so the gate is SF-independent. */
+  val BfsRounds = 4
+
+  /** Multi-source BFS hop distances — `dist(v) = min hops to any
+    * seed`, the reachability/radius staple (impact analysis: "how far
+    * does a recalled part / flagged supplier propagate?"). Each round
+    * is the standard distributed relaxation `d' = min(d, d⋈e + 1)`:
+    * one node-keyed min-aggregate over the frontier-expanded union —
+    * map-side combinable, state is one (node, dist) row per reached
+    * node, lineage truncated per round. Distances are exact integers,
+    * so no merge-order hazard exists at any partitioning. Unreached
+    * nodes are reported as one `dist = -1` bucket (count derived from
+    * the node table, never a per-node anti-join output). */
+  def bfs(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val e = edges0.localCheckpoint(true)
+    var d = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = e.join(d.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      d = d.unionAll(expanded)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
+  /** Seed predicate for [[bfsQuery]]: every 100th customer node —
+    * present at all scale factors, shared with the oracle. */
+  val BfsSeedModulus = 100L
+
+  val bfsQuery = QueryDef(
+    "graph_bfs",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
+        d0 AS MATERIALIZED (SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM nodes
+          WHERE n < $SuppOffset AND n % $BfsSeedModulus = 0)""")
+      for (it <- 1 to BfsRounds) {
+        sb.append(s""",
+        d$it AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM d${it - 1}
+          UNION ALL
+          SELECT e.dst, d.dist + 1 FROM d${it - 1} d JOIN e ON d.node = e.src) GROUP BY node)""")
+      }
+      sb.append(s"""
+        SELECT dist, count(*) AS n_nodes FROM d$BfsRounds GROUP BY dist
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+          (SELECT count(*) FROM nodes) - (SELECT count(*) FROM d$BfsRounds)
+        ORDER BY dist""")
+      sb.toString
+    },
+    (s, d) => {
+      val e = edges(s, d)
+      val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+      val seeds = nodes.filter(col("node") < SuppOffset &&
+        col("node") % BfsSeedModulus === 0)
+      val reached = bfs(e, seeds)
+      val hist = reached.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      val unreached = nodes.agg(count(lit(1)).as("total"))
+        .crossJoin(broadcast(reached.agg(count(lit(1)).as("r"))))
+        .select(lit(-1L).as("dist"), (col("total") - col("r")).as("n_nodes"))
+      hist.unionAll(unreached).orderBy(col("dist"))
+    })
+
+  // ------------------------------------------- label propagation
+  /** Fixed synchronous LPA schedule — both engines unroll the same
+    * rounds, so oscillation (inherent to synchronous LPA on bipartite
+    * graphs) is identically reproduced rather than worked around. */
+  val LpaRounds = 3
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * near-linear community-detection staple): every node starts as
+    * its own label; each round every node adopts its neighborhood's
+    * MODE label, ties broken by the smallest label — the
+    * deterministic variant (the randomized original is not
+    * gate-able). Per round: one edge-scale join + (node, label)
+    * count aggregate (map-side combinable) + a per-node window
+    * (key-bounded — frame size = the node's distinct neighbor-label
+    * count, ≤ degree). Labels are node ids (exact integers); the
+    * argmax order `(count DESC, label ASC)` is a total order, so any
+    * partitioning yields the identical labeling. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges0.localCheckpoint(true)
+    var l = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cnt = e.join(l.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))
+      l = cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    l
+  }
+
+  val labelPropQuery = QueryDef(
+    "graph_label_prop",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)""")
+      for (it <- 1 to LpaRounds) {
+        sb.append(s""",
+        l$it AS MATERIALIZED (SELECT node, lbl FROM (
+          SELECT e.dst AS node, l.lbl, count(*) AS c,
+            row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rk
+          FROM e JOIN l${it - 1} l ON e.src = l.node GROUP BY e.dst, l.lbl) t WHERE rk = 1)""")
+      }
+      sb.append(s"""
+        SELECT lbl AS community, count(*) AS n_nodes FROM l$LpaRounds
+        GROUP BY lbl ORDER BY n_nodes DESC, community""")
+      sb.toString
+    },
+    (s, d) => labelPropagation(edges(s, d))
+      .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community")))
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
-    connectedComponents, kcoreQuery)
+    connectedComponents, kcoreQuery, bfsQuery, labelPropQuery)
 }

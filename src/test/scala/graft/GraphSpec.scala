@@ -147,4 +147,54 @@ class GraphSpec extends AnyFunSuite {
     assert(real.nonEmpty, "real co-purchase graph has a nonempty 8-core at sf0.001")
     assert(real.forall(_.getLong(1) >= k), "converged: no node below k remains after the round budget")
   }
+
+  test("bfs: planted path distances exact, disconnected pair unreached, partition invariant") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {10, 11}
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val e = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    for (parts <- Seq(2, 7)) {
+      val seeds = Seq(1L).toDF("node")
+      val d = operators.Graph.bfs(e.repartition(parts), seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+        s"path distances at $parts partitions: $d")
+    }
+  }
+
+  test("bfs: multi-source takes the min over seeds") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val d = operators.Graph.bfs(e, Seq(1L, 5L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("label propagation: disconnected cliques converge to distinct single labels") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a != b } yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))).toDF("src", "dst")
+    for (parts <- Seq(2, 5)) {
+      val l = operators.Graph.labelPropagation(e.repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(l.keySet == Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+      // with no bridge, each clique settles onto exactly one label
+      // (the min id, reached by round 2 under the (count DESC, label
+      // ASC) tie order) and the components cannot share one
+      assert(l.filter(_._1 <= 4L).values.toSet == Set(1L), s"clique A: $l")
+      assert(l.filter(_._1 >= 11L).values.toSet == Set(11L), s"clique B: $l")
+    }
+  }
+
+  test("label propagation: bridged graph labels are partition-count invariant") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a != b } yield (a, b)
+    val bridge = Seq((3L, 13L), (13L, 3L))
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++ bridge)
+      .toDF("src", "dst")
+    def run(parts: Int) = operators.Graph.labelPropagation(e.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(2) == run(7), "the (count DESC, label ASC) total order must make sync LPA deterministic")
+  }
 }

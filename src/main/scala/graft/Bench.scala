@@ -64,7 +64,8 @@ object Bench {
     "q53_ewma", "q54_anomaly_mad",
     // round-6 fourth session
     "q55_fuzzy_link", "q56_transition_matrix", "q57_skyline",
-    "ml_linear_probe", "graph_bfs", "graph_label_prop")
+    "ml_linear_probe", "graph_bfs", "graph_label_prop",
+    "vec_rp_project", "ann_knn_graph")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -132,6 +132,43 @@ object AnnApi {
     rerank(pairs, id, k)
   }
 
+  /** Corpus-wide k-NN graph over the LSH buckets — [[lshTopK]] with
+    * EVERY vector as a probe, plus the MUTUAL flag (reverse edge in
+    * the graph too): the precursor structure for SemDeDup-style
+    * clustering and graph ANN. One corpus→(table, bucket) shuffle,
+    * candidate volume Σ|bucket|², per-source window frame bounded by
+    * the candidate count; the mutual flag is one pairs-scale
+    * self-join on the reversed key — the corpus is never reshuffled.
+    * Output `(src, rk, dst, cos, mutual)`, ordered. */
+  def knnGraph(corpus: DataFrame, id: String, vec: String, k: Int = 3)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val n = normalized(corpus, id, vec)
+      .transform(scope.persist)
+    val tables = (0 until Similarity.NumTables).map(t =>
+      struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk")))
+    val tb = n.withColumn("tbl", explode(array(tables: _*)))
+      .select(col(id), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
+      .transform(scope.persist)
+    val cand = tb.as("ca").join(tb.as("cb"),
+        col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
+        col(s"ca.$id") =!= col(s"cb.$id"))
+      .select(col(s"ca.$id").as("src"), col(s"cb.$id").as("dst"))
+      .distinct()
+    val topk = cand
+      .join(n.as("a"), col(s"a.$id") === col("src"))
+      .join(n.as("b"), col(s"b.$id") === col("dst"))
+      .select(col("src"), col("dst"), expr(s"$dot / (a.nrm * b.nrm)").as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("c").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .transform(scope.persist)
+    val rev = topk.select(col("src").as("r_src"), col("dst").as("r_dst"))
+    topk.join(rev, col("dst") === col("r_src") && col("src") === col("r_dst"), "left")
+      .select(col("src"), col("rk"), col("dst"), round(col("c"), 6).as("cos"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   /** Radius (range) search: ALL same-bucket candidates within cosine
     * ≥ `tau` of each probe — the "find everything similar enough"
     * twin of [[lshTopK]] (top-k bounds the answer size; range search

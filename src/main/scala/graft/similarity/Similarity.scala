@@ -711,5 +711,94 @@ object Similarity {
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
       tau = RangeTau))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange)
+  // ---------------------------------------------------- rp projection
+  /** JL random projection: output dimensionality and the
+    * deterministic ±1 matrix (Achlioptas 2003 — database-friendly
+    * random projections: ±1 entries preserve pairwise distances in
+    * expectation like Gaussians, and the md5-derived signs make the
+    * matrix portable to the oracle by construction). */
+  val RpDim = 8
+  private def rpSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_plane_${j}_$i".getBytes("UTF-8"))
+    if ((md(0) & 1) == 1) 1 else -1
+  }
+  private val rpSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until RpDim).map(j => (0 until Dim).map(i => rpSign(j, i)))
+
+  /** vec_rp_project: Johnson–Lindenstrauss ±1 random projection
+    * 64 → 8 dims — the cheap dimensionality-reduction staple feeding
+    * coarse clustering / visualization / pre-LSH whitening. Purely
+    * MAP-ONLY: each output coordinate is one `graft_dot` fold against
+    * a broadcast-literal sign row over the scaled input — zero
+    * shuffles at any corpus size (the ORDER BY exists only for oracle
+    * determinism). Determinism: the fold is the same left-to-right
+    * IEEE sum in both engines (±1·x = ±x exactly), the 1/√8 scaling
+    * is one correctly-rounded division. */
+  val vecRpProject = QueryDef(
+    "vec_rp_project",
+    Some {
+      val cols = (0 until RpDim).map { j =>
+        val terms = rpSigns(j).zipWithIndex
+          .map { case (sg, i) => if (sg > 0) s"v[${i + 1}]" else s"(- v[${i + 1}])" }
+          .mkString(" + ")
+        s"round(($terms) / sqrt(CAST($RpDim AS DOUBLE)), 6) AS p$j"
+      }.mkString(", ")
+      s"""WITH $normSqlCte
+      SELECT vec_id, $cols FROM nx ORDER BY vec_id"""
+    },
+    (s, d) => {
+      graft.functions.Dot.ensure(s)
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cols = (0 until RpDim).map { j =>
+        val arr = rpSigns(j).map(sg => s"CAST($sg AS DOUBLE)").mkString("array(", ", ", ")")
+        expr(s"round(graft_dot($arr, v) / sqrt(CAST($RpDim AS DOUBLE)), 6)").as(s"p$j")
+      }
+      base.select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
+    })
+
+  // ------------------------------------------------------- knn graph
+  /** k for the corpus-wide neighbor graph. */
+  val KnnGraphK = 3
+
+  /** ann_knn_graph: the corpus-wide k-NN GRAPH — every vector's top-k
+    * bucket-mates plus the MUTUAL flag (reverse edge also present),
+    * the precursor structure for SemDeDup-style clustering, kNN
+    * classification, and graph-based ANN. Candidates come from the
+    * identical 4-table hyperplane buckets as [[lsh]] with EVERY
+    * vector as a probe: one corpus→(table, bucket) shuffle, candidate
+    * volume Σ|bucket|² bounded by the plane count, exact-cosine
+    * re-rank per source (window frame ≤ candidate count). The mutual
+    * flag is ONE pairs-scale self-join on the reversed key — never a
+    * corpus re-shuffle. The oracle mirrors buckets, ranking, and the
+    * reverse join, so hash equality pins the full graph. */
+  val annKnnGraph = QueryDef(
+    "ann_knn_graph",
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS src, cb.vec_id AS dst
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk AND ca.vec_id <> cb.vec_id),
+      topk AS (SELECT src, dst, c, rk FROM (
+        SELECT cd.src, cd.dst, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY cd.src ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.dst) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.src JOIN nx b ON b.vec_id = cd.dst) t
+        WHERE rk <= $KnnGraphK)
+      SELECT k.src, k.rk, k.dst, round(k.c, 6) AS cos,
+        (r.src IS NOT NULL) AS mutual
+      FROM topk k LEFT JOIN topk r ON r.src = k.dst AND r.dst = k.src
+      ORDER BY k.src, k.rk"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      AnnApi.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", KnnGraphK)
+        .localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph)
 }

@@ -111,6 +111,39 @@ class EngineSpec extends AnyFunSuite {
     assert(recall > 0.15, s"range recall too low: $recall")
   }
 
+  test("vec_rp_project preserves corpus-mean squared norm (JL unbiasedness) and is exact on scaling") {
+    val p = similarity.Similarity.vecRpProject.build(spark, d).collect()
+    assert(p.length > 0)
+    val projSq = p.map(r => (1 to similarity.Similarity.RpDim)
+      .map(j => { val x = r.getDouble(j); x * x }).sum)
+    val n = similarity.AnnApi.normalized(Tables.embeddings(spark, d), "vec_id", "embedding")
+      .select(col("vec_id"), (col("nrm") * col("nrm")).as("sq"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ratio = projSq.sum / p.map(r => n(r.getLong(0))).sum
+    // E[||Px||^2] = ||x||^2 for the ±1/√d matrix; 8 dims is noisy per
+    // vector but tight on the corpus mean
+    assert(ratio > 0.5 && ratio < 1.5, s"JL energy ratio off: $ratio")
+  }
+
+  test("ann_knn_graph: at most k neighbors per source, ranked by cosine, mutual flag exact") {
+    val k = similarity.Similarity.KnnGraphK
+    val rows = similarity.Similarity.annKnnGraph.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= k))
+    bySrc.values.foreach { es =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+    val edgeSet = rows.map(e => (e._1, e._3)).toSet
+    rows.foreach { e =>
+      assert(e._5 == edgeSet.contains((e._3, e._1)),
+        s"mutual flag of ${(e._1, e._3)} must equal reverse-edge membership") }
+    assert(rows.exists(_._5), "a tight corpus has at least one mutual pair")
+  }
+
   test("k-means IVF recall vs brute force at least matches label-cell IVF") {
     val brute = similarity.Similarity.bruteTopK.build(spark, d)
       .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

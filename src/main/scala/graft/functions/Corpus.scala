@@ -385,6 +385,64 @@ object Corpus {
       }
     })
 
+  // ---------------------------------------------------- vocab growth
+  /** corpus_vocab_growth: Heaps-law audit — cumulative vocabulary vs
+    * cumulative token volume over the ingestion order (doc_id
+    * deciles). The curve is how corpus builders detect saturation: a
+    * flattening tail means new shards stop contributing new types
+    * (time to diversify sources); a straight line means the corpus is
+    * still under-sampled. 100 TB shape: per-doc token counts are the
+    * MAP-ONLY `graft_token_stats` kernel (no explode for the volume
+    * axis); the vocabulary axis needs one (token → min doc_id)
+    * shrinking-key aggregate — the same ladder as `text_top_tokens` —
+    * then everything collapses to TEN bucket rows and the cumulative
+    * window runs at metadata scale. All arithmetic is exact integers
+    * (`div` bucketing shared with the oracle). */
+  val vocabGrowth = QueryDef(
+    "corpus_vocab_growth",
+    Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      b AS (SELECT doc_id, (doc_id * 10) // (mx.m + 1) AS bucket,
+          len(string_split(${normTextSql("text")}, ' ')) AS nt
+        FROM documents, mx),
+      pb AS (SELECT bucket, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_toks
+        FROM b GROUP BY bucket),
+      t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      fo AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY tok),
+      nv AS (SELECT (fo.fd * 10) // (mx.m + 1) AS bucket, count(*) AS new_vocab
+        FROM fo, mx GROUP BY 1)
+      SELECT pb.bucket,
+        CAST(sum(pb.n_docs) OVER w AS BIGINT) AS cum_docs,
+        CAST(sum(pb.n_toks) OVER w AS BIGINT) AS cum_tokens,
+        CAST(sum(COALESCE(nv.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+      FROM pb LEFT JOIN nv ON pb.bucket = nv.bucket
+      WINDOW w AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
+      ORDER BY pb.bucket"""),
+    (s, d) => {
+      TokenStats.ensure(s)
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      val b = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"), expr("(doc_id * 10) div (m + 1)").as("bucket"),
+          TokenStats.of(normText(col("text"))).getField("n_tokens").as("nt"))
+      val pb = b.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
+      val fo = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val nv = fo.crossJoin(broadcast(mx))
+        .select(expr("(fd * 10) div (m + 1)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+      // ten bucket rows: the global window is metadata scale
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pb.join(nv, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(col("n_docs")).over(w).as("cum_docs"),
+          sum(col("n_toks")).over(w).as("cum_tokens"),
+          sum(coalesce(col("new_vocab"), lit(0L))).over(w).as("cum_vocab"))
+        .orderBy(col("bucket"))
+    })
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
-    rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode)
+    rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode, vocabGrowth)
 }

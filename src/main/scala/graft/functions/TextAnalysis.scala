@@ -370,6 +370,57 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
+  // --------------------------------------------------------- entropy
+  /** Shannon token entropy per document — the information-density
+    * quality signal next to [[diversity]]'s Simpson index (low
+    * entropy flags boilerplate/generated spam, near-max entropy flags
+    * uniform gibberish; the CCNet/Gopher-family filters use both).
+    * Uses the identity `H = ln n − (Σ c·ln c)/n`, so only ONE
+    * aggregate over the (doc, token) counts is needed — the same
+    * shrinking-key ladder as [[topTokens]] (the oracle computes the
+    * identical shape). Float discipline is the `corpus_ngram_lm`
+    * one: each `c·ln c` term is rounded to 12 decimals and summed as
+    * DECIMAL(28,12) — merge-order-free under any partitioning, and a
+    * last-ulp `ln` divergence between engines moves one term ≤ 1e-12,
+    * invisible under the final round(·, 6). `entropy_norm` = H/ln n
+    * (0 for single-token docs) is the length-independent variant
+    * pipelines threshold on. */
+  val entropy = QueryDef(
+    "text_entropy",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+      e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(CAST(round(c * ln(c), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+        round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+        CASE WHEN n_tokens > 1 THEN round((ln(n_tokens) - s / n_tokens) / ln(n_tokens), 6)
+             ELSE CAST(0 AS DOUBLE) END AS entropy_norm
+      FROM e ORDER BY doc_id"""),
+    (s, d) => entropyDf(Tables.documents(s, d)))
+
+  /** Per-document Shannon token entropy — see [[entropy]]. Input needs
+    * (doc_id, text); output (doc_id, n_tokens, n_distinct, entropy,
+    * entropy_norm), ordered. */
+  def entropyDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val e = c.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(round(col("c") * log(col("c")), 12).cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("s"))
+    e.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("s") / col("n_tokens"), 6).as("entropy"),
+        when(col("n_tokens") > 1,
+          round((log(col("n_tokens")) - col("s") / col("n_tokens")) / log(col("n_tokens")), 6))
+          .otherwise(lit(0d)).as("entropy_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
-    dupNgramFraction, lengthHistogram, piiScrub, diversity, readability)
+    dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
+    entropy)
 }

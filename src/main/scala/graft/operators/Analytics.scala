@@ -250,5 +250,63 @@ object Analytics {
         round(lit(1d) - col("sse") / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe)
+  // ----------------------------------------------------------- q58
+  /** q58: last-touch marketing attribution — every purchase is
+    * credited to its user's most recent click/view STRICTLY before it
+    * (in the (ts, event_id) total order) and within a 1-hour window,
+    * else to 'none'; output is the per-channel conversion count and
+    * share. The engine is the q19/q48 union-merge plan: ONE
+    * user-keyed shuffle, the touch rides as a struct(ts, event_id,
+    * channel) whose running `max` over the strictly-preceding frame
+    * IS the latest touch (struct order = the oracle's `ts DESC,
+    * event_id DESC` pick), and the 1-hour tolerance is a per-row mask
+    * — exact because the carried touch is the latest overall: if IT
+    * is stale, every earlier touch is staler (the q48 argument), so
+    * filtering after the pick equals the oracle's pick-after-filter.
+    * The oracle takes the independent join + row_number route
+    * (quadratic in per-user activity — oracle-only), which
+    * cross-checks the window semantics rather than mirroring them. */
+  val q58 = QueryDef(
+    "q58_attribution",
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      t AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_type IN ('click', 'view')),
+      j AS (SELECT p.event_id, t.event_type AS ch,
+          row_number() OVER (PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_id DESC) AS rk
+        FROM p JOIN t ON t.user_id = p.user_id
+          AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+          AND t.ts >= p.ts - INTERVAL 1 HOUR),
+      a AS (SELECT p.event_id, COALESCE(j.ch, 'none') AS channel
+        FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rk = 1),
+      c AS (SELECT channel, count(*) AS n FROM a GROUP BY channel),
+      s AS (SELECT sum(n) AS tot FROM c)
+      SELECT c.channel, c.n, round(CAST(c.n AS DOUBLE) / s.tot, 6) AS share
+      FROM c, s ORDER BY c.channel"""),
+    (s, d) => lastTouchAttribution(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))))
+
+  /** Last-touch attribution over an event stream — see [[q58]]. Input
+    * needs (user_id, ts, event_id, event_type); returns per-channel
+    * (channel, n, share). */
+  def lastTouchAttribution(ev: DataFrame,
+      touchTypes: Seq[String] = Seq("click", "view"),
+      conversionType: String = "purchase"): DataFrame = {
+    val tagged = ev.withColumn("touch",
+      when(col("event_type").isin(touchTypes.map(x => x: Any): _*),
+        struct(col("ts").as("tts"), col("event_id").as("tid"), col("event_type").as("ch"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val att = tagged.withColumn("lt", max(col("touch")).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(when(col("lt").isNotNull &&
+          col("lt.tts") >= col("ts") - expr("INTERVAL 1 HOUR"), col("lt.ch"))
+        .otherwise(lit("none")).as("channel"))
+    val c = att.groupBy(col("channel")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("tot"))
+    c.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n"),
+        round(col("n").cast(DoubleType) / col("tot"), 6).as("share"))
+      .orderBy(col("channel"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58)
 }

@@ -216,4 +216,77 @@ class SelectionOpsSpec extends AnyFunSuite {
       assert(math.abs(got(u) - expct) < 1e-5, s"user $u: got ${got(u)} expected $expct")
     }
   }
+
+  test("text_entropy: closed forms on planted docs, bounds on real data") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b"),        // H = ln2, norm = ln2/ln4 = 0.5
+      (2L, "a b c d"),        // uniform: H = ln4, norm = 1
+      (3L, "a a a a a"),      // degenerate: H = 0, norm = 0
+      (4L, "x")               // single token: H = 0, norm = 0 by convention
+    ).toDF("doc_id", "text")
+    val r = functions.TextAnalysis.entropyDf(docs).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L)._1 == 4 && r(1L)._2 == 2)
+    assert(math.abs(r(1L)._3 - math.log(2)) < 1e-5)
+    assert(math.abs(r(1L)._4 - 0.5) < 1e-5)
+    assert(math.abs(r(2L)._3 - math.log(4)) < 1e-5 && math.abs(r(2L)._4 - 1.0) < 1e-5)
+    assert(math.abs(r(3L)._3) < 1e-5 && math.abs(r(3L)._4) < 1e-5)
+    assert(r(4L)._3 == 0.0 && r(4L)._4 == 0.0)
+    // real data: 0 <= H <= ln(n_tokens), norm in [0, 1]
+    val real = functions.TextAnalysis.entropy.build(spark, TestSpark.sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { x =>
+      val (n, h, hn) = (x.getLong(1), x.getDouble(3), x.getDouble(4))
+      // half-ulp slack at 6 dp: the reported H is round(·, 6)
+      assert(h >= -5e-7 && h <= math.log(n.toDouble) + 5e-7, s"doc ${x.getLong(0)}: H=$h out of bounds")
+      assert(hn >= -5e-7 && hn <= 1 + 5e-7)
+    }
+  }
+
+  test("corpus_vocab_growth: cumulative axes are consistent and monotone") {
+    val rows = functions.Corpus.vocabGrowth.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach { ax =>
+      val v = rows.map(ax)
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"axis not monotone: ${v.toSeq}")
+    }
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val totalDocs = docs.count()
+    val vocab = docs.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(Portable.normText(
+          org.apache.spark.sql.functions.col("text")), " ")).as("tok"))
+      .distinct().count()
+    assert(rows.last._2 == totalDocs, "final cum_docs must equal the corpus size")
+    assert(rows.last._4 == vocab, "final cum_vocab must equal the distinct token count")
+  }
+
+  test("q58 attribution: planted last-touch fixture, tolerance and strict ordering honored") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: click at 10, purchase at 30 -> click attributed
+      (1L, ts(10), 1L, "click"), (2L, ts(30), 1L, "purchase"),
+      // user 2: view at 10, purchase at 100 -> stale (>1h), none
+      (3L, ts(10), 2L, "view"), (4L, ts(100), 2L, "purchase"),
+      // user 3: view 5 then click 20, purchase 25 -> click (latest wins)
+      (5L, ts(5), 3L, "view"), (6L, ts(20), 3L, "click"), (7L, ts(25), 3L, "purchase"),
+      // user 4: purchase with no touches -> none
+      (8L, ts(40), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val got = operators.Analytics.lastTouchAttribution(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "click" -> ((2L, 0.5d)), "none" -> ((2L, 0.5d))), s"got $got")
+  }
+
+  test("q58 attribution on real data: shares sum to 1 over known channels") {
+    val rows = operators.Analytics.q58.build(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "none")))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
 }

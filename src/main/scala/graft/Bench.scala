@@ -66,7 +66,8 @@ object Bench {
     "q55_fuzzy_link", "q56_transition_matrix", "q57_skyline",
     "ml_linear_probe", "graph_bfs", "graph_label_prop",
     "vec_rp_project", "ann_knn_graph",
-    "text_entropy", "corpus_vocab_growth", "q58_attribution")
+    "text_entropy", "corpus_vocab_growth", "q58_attribution",
+    "vec_silhouette")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

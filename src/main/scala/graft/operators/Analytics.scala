@@ -235,8 +235,11 @@ object Analytics {
         sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s1y"),
         sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s2y"),
         sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("syy"))
+      // ONE row — eager checkpoint so the moment scan runs once, not
+      // once per consumer (the residual pass and the final select)
       val w = m.selectExpr("n", "sy", "syy",
         s"$detA0 / $detA AS w0", s"$detA1 / $detA AS w1", s"$detA2 / $detA AS w2")
+        .localCheckpoint(true)
       val r = li.crossJoin(broadcast(w))
         .select((col("l_extendedprice") -
           (col("w0") + col("w1") * col("l_quantity") + col("w2") * col("l_discount"))).as("resid"))

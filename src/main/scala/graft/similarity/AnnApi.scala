@@ -169,6 +169,50 @@ object AnnApi {
       .orderBy(col("src"), col("rk"))
   }
 
+  /** Simplified silhouette (centroid-based — Hruschka et al.'s
+    * standard large-data variant of Rousseeuw 1987): per cluster, the
+    * mean of `s = (b − a) / max(a, b)` where `a` is the Euclidean
+    * distance to the OWN centroid and `b` the distance to the nearest
+    * OTHER centroid — the clustering-quality audit run after any
+    * k-means/IVF build. 100 TB shape: centroids from ONE
+    * map-combinable `graft_vecsum_dec` aggregate (k rows, collected
+    * into a single broadcast row), scoring MAP-ONLY against the
+    * broadcast centroid array (distance = √(x·x − 2·x·c + c·c), all
+    * shared left-to-right folds), then one label-keyed combinable
+    * aggregate of 12-dp-rounded DECIMAL terms — the corpus is never
+    * joined or re-shuffled. */
+  def silhouette(corpus: DataFrame, id: String, vec: String, label: String)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    graft.functions.VecSumDec.ensure(corpus.sparkSession)
+    val n = normalized(corpus, id, vec, passthrough = Seq(label))
+      .transform(scope.persist)
+    val cents = n.groupBy(col(label))
+      .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
+      .select(col(label).as("cl"),
+        expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
+      .select(struct(col("cl"), col("cm"), expr("graft_dot(cm, cm)").as("cc")).as("ct"))
+      .agg(collect_list(col("ct")).as("cents"))
+    val s = n.crossJoin(broadcast(cents))
+      .select(col(label),
+        // greatest(·, 0) before the sqrt: x·x − 2·x·c + c·c is ≥ 0 in
+        // exact arithmetic but can land a few ulps NEGATIVE when x sits
+        // on its centroid — sqrt would return NaN and poison the mean
+        expr(s"""transform(cents, ct -> named_struct(
+            'cl', ct.cl,
+            'd', sqrt(greatest(graft_dot(v, v) - 2 * graft_dot(v, ct.cm) + ct.cc,
+                               CAST(0 AS DOUBLE)))))""").as("ds"))
+      .select(col(label),
+        expr(s"element_at(filter(ds, x -> x.cl = $label), 1).d").as("a"),
+        expr(s"array_min(transform(filter(ds, x -> x.cl <> $label), x -> x.d))").as("b"))
+      .select(col(label),
+        expr("CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE CAST(0 AS DOUBLE) END").as("s"))
+    s.groupBy(col(label))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("s"), 12).cast(DecimalType(28, 12))).cast(DoubleType).as("ssum"))
+      .select(col(label), col("n"), round(col("ssum") / col("n"), 6).as("mean_sil"))
+      .orderBy(col(label))
+  }
+
   /** Radius (range) search: ALL same-bucket candidates within cosine
     * ≥ `tau` of each probe — the "find everything similar enough"
     * twin of [[lshTopK]] (top-k bounds the answer size; range search

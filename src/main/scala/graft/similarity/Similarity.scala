@@ -800,5 +800,40 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph)
+  // ------------------------------------------------------ silhouette
+  /** vec_silhouette: centroid-based simplified silhouette per label
+    * cluster — see [[AnnApi.silhouette]] for the algorithm and the
+    * broadcast/map-only scale argument. The oracle rebuilds the
+    * decimal centroid means with the ivf machinery and replays the
+    * identical distance folds, so a hash-green row pins centroids,
+    * distances, and the per-cluster means end to end. */
+  val vecSilhouette = QueryDef(
+    "vec_silhouette",
+    Some(s"""WITH $normSqlCte,
+      pos AS (SELECT vec_id, label, i, v[i] AS x FROM nx, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      cent AS (SELECT label, i, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        FROM pos GROUP BY label, i),
+      crow AS (SELECT label AS cl, list(m ORDER BY i) AS cm FROM cent GROUP BY label),
+      ccn AS (SELECT cl, cm, list_reduce(list_transform(cm, x -> x * x), (a, b) -> a + b) AS cc FROM crow),
+      d AS (SELECT n.vec_id, n.label, c.cl,
+          sqrt(greatest(list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * n.v[i]), (a, b) -> a + b)
+            - 2 * list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cm[i]), (a, b) -> a + b)
+            + c.cc, CAST(0 AS DOUBLE))) AS d
+        FROM nx n, ccn c),
+      ab AS (SELECT vec_id, label,
+          min(CASE WHEN cl = label THEN d END) AS a,
+          min(CASE WHEN cl <> label THEN d END) AS b
+        FROM d GROUP BY vec_id, label),
+      sil AS (SELECT label,
+          CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE CAST(0 AS DOUBLE) END AS s
+        FROM ab)
+      SELECT label, count(*) AS n,
+        round(CAST(sum(CAST(round(s, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_sil
+      FROM sil GROUP BY label ORDER BY label"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      AnnApi.silhouette(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette)
 }

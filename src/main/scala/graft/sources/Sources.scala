@@ -81,6 +81,34 @@ object Sources {
         .orderBy(col("event_type"))
     })
 
+  /** Hive-style partitioned write + partition-PRUNED read — the
+    * layout contract every 100 TB lake depends on: `partitionBy`
+    * lays one directory per key, and a reader filtering on the key
+    * must touch ONLY those directories (the scan's PartitionFilters,
+    * not a post-scan filter — `CompactSpec` pins the plan shape).
+    * The gate aggregates the pruned read back against DuckDB over
+    * the unpartitioned original, so path-encoded values (the
+    * partition column round-trips through directory NAMES, not
+    * data pages) are proven lossless. */
+  val partitionedPrune = QueryDef(
+    "src_partitioned_prune",
+    Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/partitioned_prune_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      write(src, "parquet", tmp, partitionBy = Seq("lang"))
+      // no explicit schema: the partition column's type comes from
+      // directory discovery, the data columns from the parquet footer
+      read(s, "parquet", tmp)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    })
+
   /** JSON round-trip on string/long columns via the documents table. */
   val jsonRoundtrip = QueryDef(
     "src_json_roundtrip",
@@ -178,5 +206,5 @@ object Sources {
     })
 
   val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    zorderKeys, binaryFileRoundtrip)
+    zorderKeys, binaryFileRoundtrip, partitionedPrune)
 }

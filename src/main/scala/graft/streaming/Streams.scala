@@ -132,6 +132,39 @@ object Streams {
       }
   }
 
+  final case class TransitionOut(user_id: Long, cur: String, nxt: String)
+  final case class LastEvt(ts: Long, id: Long, tpe: String)
+
+  /** Streaming Markov transitions — the incremental twin of
+    * `q56_transition_matrix`: per-user state is the LAST event (one
+    * fixed-size row, O(users), no history buffer); each microbatch
+    * sorts its group's events in (ts, event_id) order and emits one
+    * (cur → nxt) pair per consecutive step, including the pair that
+    * straddles the batch boundary (state carries the previous batch's
+    * tail). Append-mode output: downstream aggregates counts/
+    * probabilities exactly like the batch twin's cell aggregate.
+    * Cross-batch out-of-order arrival has the same staleness contract
+    * as the other update planes here; time-ordered ingestion
+    * converges to the batch answer exactly (spec-pinned). */
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvt, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[LastEvt]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransitionOut]
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionOut(user, p.tpe, e.event_type))
+            prev = Some(LastEvt(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming funnel — the incremental twin of the batch
     * `q40_funnel` fold (`operators.Extra.funnelCounts`): per-user
     * state carries the prefix of matched step timestamps, each

@@ -222,4 +222,33 @@ class StreamingSpec extends AnyFunSuite {
       else r)
     assert(batchHist.subsetOf(histAsOfBatch1), s"batch=$batchHist hist=$hist")
   }
+
+  test("streaming transitions equal the batch q56 pairs, including the cross-batch pair") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-trans-in").toString
+    // user 1: a -> b in batch 1, then -> a in batch 2 (the b->a pair
+    // STRADDLES the boundary — state must carry the tail); user 2's
+    // batch-2 events arrive out of order within the batch (the group
+    // iterator sorts on (ts, event_id))
+    writeBatches(in, Seq(
+      Seq(Streams.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 0.0),
+        Streams.Event(2, ts("2024-01-01 00:01:00"), 1, "b", 0.0)),
+      Seq(Streams.Event(3, ts("2024-01-01 00:02:00"), 1, "a", 0.0),
+        Streams.Event(5, ts("2024-01-01 00:04:00"), 2, "b", 0.0),
+        Streams.Event(4, ts("2024-01-01 00:03:00"), 2, "a", 0.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.transitionStream(stream)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("trans_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // batch twin on the union of both batches: the q56 lead() pairs
+    assert(got == Map(
+      (1L, "a", "b") -> 1, (1L, "b", "a") -> 1, (2L, "a", "b") -> 1), s"got $got")
+  }
 }

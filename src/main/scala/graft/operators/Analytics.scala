@@ -99,8 +99,11 @@ object Analytics {
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("nxt", lead(col("event_type"), 1).over(w))
         .filter(col("nxt").isNotNull)
+      // |types|² rows — eager checkpoint so the corpus scan+shuffle
+      // behind the cell aggregate runs once, not once per consumer
       val c = t.groupBy(col("event_type").as("cur"), col("nxt"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = c.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
       c.join(broadcast(tot), Seq("cur"))
         .select(col("cur"), col("nxt"), col("n"),
@@ -303,7 +306,10 @@ object Analytics {
       .select(when(col("lt").isNotNull &&
           col("lt.tts") >= col("ts") - expr("INTERVAL 1 HOUR"), col("lt.ch"))
         .otherwise(lit("none")).as("channel"))
+    // |channels| rows — eager checkpoint: the user-keyed window scan
+    // behind it must run once, not once per consumer
     val c = att.groupBy(col("channel")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = c.agg(sum(col("n")).as("tot"))
     c.crossJoin(broadcast(tot))
       .select(col("channel"), col("n"),

@@ -377,4 +377,59 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"readability must not join:\n$p")
     assert(!p.contains("hashpartitioning"), s"readability must not hash-shuffle:\n$p")
   }
+
+  test("vec_rp_project is map-only up to the output sort") {
+    // one graft_dot fold per output dim against literal sign rows:
+    // no join, no hash shuffle — the only exchange is the orderBy
+    val p = plan("vec_rp_project")
+    assert(!p.contains("Join"), s"rp projection must not join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"rp projection must not hash-shuffle:\n$p")
+  }
+
+  test("ml_linear_probe never hash-shuffles the corpus") {
+    // moments and residuals are global aggregates (SinglePartition
+    // exchanges of ONE row); weights ride a broadcast — a
+    // hashpartitioning exchange would mean a corpus shuffle crept in
+    val p = plan("ml_linear_probe")
+    assert(!p.contains("hashpartitioning"), s"linear probe must not hash-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"weights must broadcast, not sort-merge:\n$p")
+  }
+
+  test("q55 fuzzy-link candidates come from a hash join on the deletion keys") {
+    val p = plan("q55_fuzzy_link")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy link must never plan the quadratic cross scan:\n$p")
+  }
+
+  test("q57 skyline broadcasts the partition offsets, never sorts the orders table globally") {
+    // the QueryDef checkpoints its result (two-consumer persist), so
+    // guard the API's plan directly
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val p = operators.Analytics.skyline2d(o, col("o_totalprice"), col("o_orderdate"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"per-partition maxes must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"skyline must not cross-join:\n$p")
+    // the range partitioning (two-level scan) runs over the DISTINCT-
+    // price aggregate, never over the raw orders scan
+    assert(p.contains("rangepartitioning"), "the two-level scan needs its range exchange")
+  }
+
+  test("q58 attribution shuffles once on the user key") {
+    val p = plan("q58_attribution")
+    val userShuffles = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+    assert(userShuffles <= 1, s"expected one user-keyed exchange:\n$p")
+  }
+
+  test("vec_silhouette scores map-side against broadcast centroids") {
+    // guard the API plan: the QueryDef checkpoints its tiny result
+    val p = similarity.AnnApi.silhouette(
+        Tables.embeddings(spark, TestSpark.sfDir), "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"silhouette must not sort-merge the corpus:\n$p")
+  }
 }

@@ -67,7 +67,8 @@ object Bench {
     "ml_linear_probe", "graph_bfs", "graph_label_prop",
     "vec_rp_project", "ann_knn_graph",
     "text_entropy", "corpus_vocab_growth", "q58_attribution",
-    "vec_silhouette")
+    "vec_silhouette", "q59_ab_test", "graph_degree_stats",
+    "mm_audio_fingerprint")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -513,8 +513,103 @@ object Multimodal {
         .orderBy(col("ia"), col("ib"))
     })
 
+  // --------------------------------------------- audio fingerprint dedup
+  /** Energy-contour fingerprint windows: the clip is cut into
+    * [[AudioFpWindows]] equal sample windows; bit i is set iff window
+    * i's energy STRICTLY exceeds window i−1's — the shape (not the
+    * level) of the energy envelope, the core idea behind published
+    * audio fingerprints (Haitsma–Kalker 2002 band-energy signs,
+    * Shazam's peak constellations): level-invariant, robust to gain
+    * changes, exact integer arithmetic end to end. */
+  val AudioFpWindows = 16
+
+  /** Energy-contour fingerprint over the REAL `javax.sound.sampled`
+    * decode (channel 0, same header/PCM contract as [[decodeAudio]]):
+    * per-window Σv² in exact Longs, 15 strict-compare bits packed
+    * little-endian. Returns None for undecodable bytes. */
+  def decodeAudioFp(audioId: Long, bytes: Array[Byte]): Option[(Long, Long)] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val bigEndian = fmt.isBigEndian
+          val data = ais.readAllBytes()
+          val nFrames = data.length / (2 * channels)
+          if (nFrames < AudioFpWindows) return None // degenerate: empty windows
+          val energy = new Array[Long](AudioFpWindows)
+          var j = 0
+          while (j < nFrames) {
+            val base = j * 2 * channels
+            val s =
+              if (bigEndian) ((data(base) << 8) | (data(base + 1) & 0xff)).toShort
+              else ((data(base + 1) << 8) | (data(base) & 0xff)).toShort
+            val v = s.toLong
+            energy(j * AudioFpWindows / nFrames) += v * v
+            j += 1
+          }
+          var fp = 0L
+          var i = 1
+          while (i < AudioFpWindows) {
+            if (energy(i) > energy(i - 1)) fp |= 1L << (i - 1)
+            i += 1
+          }
+          Some((audioId, fp))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** mm_audio_fingerprint: audio near-dup PAIRS by energy-contour
+    * fingerprint equality over the REAL WAV decode — the audio twin of
+    * [[phashDedup]]. The fingerprint table is one map-partitions
+    * decode pass; pairs come from an EXACT hash self-join on the
+    * 15-bit fingerprint (a re-gained copy of a clip lands on the SAME
+    * contour — the level-invariance the sign encoding buys). Flat
+    * clips (constant energy) are the all-zero collision class, the
+    * aHash-analogous documented behavior. The oracle re-derives every
+    * fingerprint ANALYTICALLY from the gate patterns (window energies
+    * as grouped integer sums over the same closed forms) and replays
+    * the identical pair join, so a hash-green row pins decode →
+    * windowing → sign bits → blocking end to end. */
+  val audioFingerprint = QueryDef(
+    "mm_audio_fingerprint",
+    Some(s"""WITH clips AS (SELECT i AS audio_id,
+        500 + (i*131) % 1000 AS n, i % 2 AS kind,
+        1000 + (i*37) % 9000 AS amp, 7919 + 2*i AS c1, (i*104729) % 20001 AS c2
+      FROM range(0, ${AudioGate.NumClips}) t(i)),
+      xs AS (SELECT audio_id, n, j,
+        CASE WHEN kind = 0 THEN amp ELSE ((j*c1 + c2) % 20001) - 10000 END AS x
+      FROM (SELECT audio_id, n, kind, amp, c1, c2, unnest(range(0, n)) AS j FROM clips)),
+      e AS (SELECT audio_id, (j * $AudioFpWindows) // n AS w, CAST(sum(x*x) AS BIGINT) AS e
+        FROM xs GROUP BY audio_id, (j * $AudioFpWindows) // n),
+      fp AS (SELECT c.audio_id, CAST(sum(CASE WHEN c.e > p.e THEN 1 << (c.w - 1) ELSE 0 END) AS BIGINT) AS fp
+        FROM e c JOIN e p ON p.audio_id = c.audio_id AND p.w = c.w - 1
+        GROUP BY c.audio_id)
+      SELECT a.audio_id AS a_id, b.audio_id AS b_id, a.fp
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.audio_id < b.audio_id
+      ORDER BY a_id, b_id"""),
+    (s, d) => {
+      val sp = s
+      import sp.implicits._
+      val path = AudioGate.ensureParquet(s)
+      val fp = s.read.parquet(path)
+        .select(col("audio_id").cast("long"), col("wav").cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (i, bytes) => decodeAudioFp(i, bytes) })
+        .toDF("audio_id", "fp")
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.audio_id") < col("b.audio_id"))
+        .select(col("a.audio_id").as("a_id"), col("b.audio_id").as("b_id"), col("a.fp"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate,
-    audioFeaturesGate, phashDedup)
+    audioFeaturesGate, phashDedup, audioFingerprint)
 }
 
 /** Deterministic synthetic WAV corpus for the real-codec audio gate:

@@ -317,5 +317,61 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58)
+  // ----------------------------------------------------------- q59
+  /** Welch's t statistic as a shared SQL fragment (same string in
+    * `selectExpr` and the oracle — identical fixed-order IEEE tree):
+    * t = (x̄ₐ − x̄ᵦ) / √(s²ₐ/nₐ + s²ᵦ/nᵦ), the unequal-variance form
+    * every experimentation platform defaults to. */
+  private val welchT =
+    "(sa / na - sb / nb) / sqrt((saa - sa * sa / na) / (na - 1) / na + (sbb - sb * sb / nb) / (nb - 1) / nb)"
+
+  /** q59: A/B test readout — the experimentation staple: users are
+    * hash-split into two arms (parity of user_id — any content-stable
+    * gate works; the split rule is shared with the oracle), and each
+    * event type gets a Welch two-sample t on `value` plus the
+    * \|t\| > 1.96 significance flag. ONE map-combinable aggregate
+    * produces both arms' DECIMAL moments per type (conditional sums —
+    * the corpus is scanned once, shuffled once on the tiny type key);
+    * the statistic is a fixed-order IEEE expression SHARED
+    * token-for-token with the oracle, so even the boolean flag
+    * compares bit-identically. On the synthetic corpus the arms are
+    * exchangeable by construction, so flags land false — the planted
+    * AnalyticsSpec fixture pins the true-positive path. */
+  val q59 = QueryDef(
+    "q59_ab_test",
+    Some(s"""WITH m AS (SELECT event_type,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS saa,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS sbb
+      FROM events GROUP BY event_type)
+      SELECT event_type, na, nb,
+        round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+        round($welchT, 6) AS t_stat,
+        abs($welchT) > 1.96 AS significant
+      FROM m ORDER BY event_type"""),
+    (s, d) => abTest(Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("value"))))
+
+  /** Welch A/B readout over (event_type, user_id, value) rows — see
+    * [[q59]]. The arm split is `user_id % 2`. */
+  def abTest(ev: DataFrame): DataFrame = {
+    val armA = expr("user_id % 2 = 0")
+    val m = ev.groupBy(col("event_type")).agg(
+      sum(when(armA, 1L).otherwise(0L)).as("na"),
+      sum(when(!armA, 1L).otherwise(0L)).as("nb"),
+      sum(when(armA, col("value").cast(DecimalType(18, 6)))).cast(DoubleType).as("sa"),
+      sum(when(!armA, col("value").cast(DecimalType(18, 6)))).cast(DoubleType).as("sb"),
+      sum(when(armA, (col("value") * col("value")).cast(DecimalType(28, 8)))).cast(DoubleType).as("saa"),
+      sum(when(!armA, (col("value") * col("value")).cast(DecimalType(28, 8)))).cast(DoubleType).as("sbb"))
+    m.selectExpr("event_type", "na", "nb",
+        "round(sa / na, 6) AS mean_a", "round(sb / nb, 6) AS mean_b",
+        s"round($welchT, 6) AS t_stat",
+        s"abs($welchT) > 1.96 AS significant")
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59)
 }

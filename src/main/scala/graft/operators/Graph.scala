@@ -544,6 +544,34 @@ object Graph {
       .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community")))
 
+  // --------------------------------------------- degree distribution
+  /** Degree-distribution histogram over the co-purchase graph — the
+    * first sanity check on ANY graph pipeline (a power-law tail says
+    * "expect hubs: salt or cap them"; its absence says uniform
+    * partitioning is safe — this is how the triangles/node_similarity
+    * cap parameters get set). Buckets are powers of two via exact
+    * INTEGER arithmetic (`length(bin(deg)) − 1` = ⌊log₂ deg⌋ — no
+    * float log, so bucket edges can't disagree across engines). One
+    * map-combinable degree aggregate + one bucket-scale aggregate;
+    * nothing else touches the edge list. */
+  val degreeStats = QueryDef(
+    "graph_degree_stats",
+    Some(s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      e AS (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+      SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket, count(*) AS n_nodes,
+        CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+      FROM deg GROUP BY 1 ORDER BY bucket"""),
+    (s, d) => {
+      val deg = edges(s, d).groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      deg.select((length(bin(col("deg"))) - 1).cast("long").as("bucket"), col("deg"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
+    })
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
-    connectedComponents, kcoreQuery, bfsQuery, labelPropQuery)
+    connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats)
 }

@@ -133,6 +133,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(w.getDouble(2) + 5.0) < 1e-6)
   }
 
+  test("ab test flags a planted arm shift and stays quiet on exchangeable arms") {
+    import spark.implicits._
+    // arm A (even users) shifted +10 on type "x"; type "y" exchangeable
+    val rows = (0 until 400).map { i =>
+      val u = i % 20
+      val shift = if (u % 2 == 0) 10.0 else 0.0
+      ("x", u.toLong, 1.0 + (i % 5) + shift)
+    } ++ (0 until 400).map { i => ("y", (i % 20).toLong, 1.0 + (i % 5)) }
+    val got = operators.Analytics.abTest(rows.toDF("event_type", "user_id", "value"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got("x")._2, s"a +10 shift on 400 rows must flag: ${got("x")}")
+    assert(got("x")._1 > 1.96)
+    assert(!got("y")._2, s"identical arms must not flag: ${got("y")}")
+  }
+
+  test("degree stats buckets a planted star graph exactly") {
+    // star: hub 0 with 8 leaves (plus both edge directions) -> hub
+    // degree 8 = bucket 3, leaves degree 1 = bucket 0
+    val und = (1L to 8L).map(v => (0L, v))
+    val e = und ++ und.map(p => (p._2, p._1))
+    import spark.implicits._
+    val deg = e.toDF("src", "dst").groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val got = deg.select((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 8L, 3L -> 1L), s"got $got")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

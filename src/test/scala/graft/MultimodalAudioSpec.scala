@@ -70,4 +70,34 @@ class MultimodalAudioSpec extends AnyFunSuite {
     // spot-check a 44.1 kHz clip (i % 3 == 2) decoded its header rate
     assert(rows.exists(_.getLong(1) == 44100L))
   }
+
+  test("audio fingerprint is gain-invariant and separates different contours") {
+    // hand-built WAVs: a ramp clip, the SAME ramp at 2x gain (every
+    // window energy scales by 4 — the strict-compare bits cannot
+    // move), and a reversed ramp (mirrored contour, different bits)
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, j) =>
+        pcm(2 * j) = (v & 0xff).toByte; pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ramp = Array.tabulate(640)(j => (j * 10).toShort)
+    val rampLoud = ramp.map(v => (v * 2).toShort)
+    val rampRev = ramp.reverse
+    val fp = Multimodal.decodeAudioFp(1L, wav(ramp)).get._2
+    assert(fp == Multimodal.decodeAudioFp(2L, wav(rampLoud)).get._2,
+      "a re-gained copy must land on the identical energy contour")
+    assert(fp != Multimodal.decodeAudioFp(3L, wav(rampRev)).get._2,
+      "a mirrored contour must produce different sign bits")
+    // rising energy: every window beats its predecessor -> all 15 bits
+    assert(fp == (1L << (Multimodal.AudioFpWindows - 1)) - 1)
+    // too-short clips (empty windows) are rejected, not mis-hashed
+    assert(Multimodal.decodeAudioFp(4L, wav(Array.tabulate(10)(_.toShort))).isEmpty)
+  }
 }

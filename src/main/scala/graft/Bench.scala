@@ -68,7 +68,7 @@ object Bench {
     "vec_rp_project", "ann_knn_graph",
     "text_entropy", "corpus_vocab_growth", "q58_attribution",
     "vec_silhouette", "q59_ab_test", "graph_degree_stats",
-    "mm_audio_fingerprint")
+    "mm_audio_fingerprint", "ml_logreg_gd", "q60_psi_drift")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

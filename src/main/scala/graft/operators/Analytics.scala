@@ -373,5 +373,182 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59)
+  // ---------------------------------------------------- ml_logreg_gd
+  /** Learning rate and round budget for the distributed
+    * logistic-regression gradient descent — FIXED schedule shared
+    * with the unrolled oracle (the gate pins the training loop, not a
+    * convergence claim; callers raise `rounds` via [[logregGd]]). */
+  val GdLr = 0.01
+  val GdRounds = 3
+
+  /** σ(z) − y as a shared SQL fragment over (x1, x2, y) rows and the
+    * weight columns (wa, wb, wc) — the same string runs in
+    * `selectExpr` and the oracle, so every sigmoid, every gradient
+    * term, and every weight update is the identical fixed-order IEEE
+    * tree in both engines. */
+  private def residExpr = "(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) - y)"
+  private def gradSql(xTerm: String) =
+    s"CAST(sum(CAST(round($residExpr$xTerm, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+
+  /** ml_logreg_gd: logistic regression trained DISTRIBUTED by batch
+    * gradient descent — the canonical "does distributed training
+    * reproduce?" operator. Each round is ONE map-combinable gradient
+    * aggregate (σ-residual terms rounded to 12 dp and summed as
+    * DECIMAL(28,12) — merge-order-free; a last-ulp exp divergence
+    * moves one term ≤ 1e-12, the `corpus_ngram_lm` discipline), the
+    * weight update a one-row broadcast expression. The corpus is
+    * scanned once per round and NEVER shuffled; weights ride
+    * broadcasts — the textbook 100 TB batch-GD shape. The audit pass
+    * (log-loss + accuracy) reuses the same discipline; accuracy
+    * decides via `z > 0 ⇔ σ(z) > ½` in exact comparisons. */
+  def logregGd(b0: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
+    val b = b0 // (x1, x2, y) rows
+    var w = b.sparkSession.range(1)
+      .selectExpr("CAST(0 AS DOUBLE) AS wa", "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wc")
+      .localCheckpoint(true)
+    val n = b.count().toDouble
+    for (_ <- 1 to rounds) {
+      val g = b.crossJoin(broadcast(w)).agg(
+        expr(gradSql("")).as("g0"),
+        expr(gradSql(" * x1")).as("g1"),
+        expr(gradSql(" * x2")).as("g2"))
+      w = w.crossJoin(broadcast(g)).selectExpr(
+        s"wa - CAST($lr AS DOUBLE) * (g0 / CAST($n AS DOUBLE)) AS wa",
+        s"wb - CAST($lr AS DOUBLE) * (g1 / CAST($n AS DOUBLE)) AS wb",
+        s"wc - CAST($lr AS DOUBLE) * (g2 / CAST($n AS DOUBLE)) AS wc")
+        .localCheckpoint(true)
+    }
+    b.crossJoin(broadcast(w)).agg(
+        count(lit(1)).as("n"),
+        expr("""CAST(sum(CAST(round(-(y * ln(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))))
+             + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))))), 12) AS DECIMAL(28,12))) AS DOUBLE)""").as("lsum"),
+        expr("CAST(sum(CASE WHEN ((wa + wb * x1 + wc * x2) > 0) = (y > 0.5) THEN 1 ELSE 0 END) AS BIGINT)").as("ncorrect"),
+        first(col("wa")).as("wa"), first(col("wb")).as("wb"), first(col("wc")).as("wc"))
+      .selectExpr("n",
+        "round(wa, 6) AS w0", "round(wb, 6) AS w1", "round(wc, 6) AS w2",
+        "round(lsum / n, 6) AS logloss",
+        "round(CAST(ncorrect AS DOUBLE) / n, 6) AS accuracy")
+  }
+
+  val mlLogregGd = QueryDef(
+    "ml_logreg_gd",
+    Some {
+      val base = """b AS (SELECT l_quantity AS x1, l_discount AS x2,
+          CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        FROM lineitem),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
+        w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wc)"""
+      val sb = new StringBuilder(s"WITH $base")
+      for (it <- 1 to GdRounds) {
+        sb.append(s""",
+        g$it AS (SELECT ${gradSql("")} AS g0, ${gradSql(" * x1")} AS g1, ${gradSql(" * x2")} AS g2
+          FROM b, w${it - 1}),
+        w$it AS (SELECT wa - CAST($GdLr AS DOUBLE) * (g0 / n) AS wa,
+            wb - CAST($GdLr AS DOUBLE) * (g1 / n) AS wb,
+            wc - CAST($GdLr AS DOUBLE) * (g2 / n) AS wc
+          FROM w${it - 1}, g$it, nn)""")
+      }
+      sb.append(s"""
+        SELECT CAST(nn.n AS BIGINT) AS n,
+          round(wa, 6) AS w0, round(wb, 6) AS w1, round(wc, 6) AS w2,
+          round(CAST(sum(CAST(round(-(y * ln(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))))
+             + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))))), 12) AS DECIMAL(28,12))) AS DOUBLE) / nn.n, 6) AS logloss,
+          round(CAST(sum(CASE WHEN ((wa + wb * x1 + wc * x2) > 0) = (y > 0.5) THEN 1 ELSE 0 END) AS DOUBLE) / nn.n, 6) AS accuracy
+        FROM b, w$GdRounds, nn GROUP BY nn.n, wa, wb, wc""")
+      sb.toString
+    },
+    (s, d) => logregGd(Tables.lineitem(s, d).selectExpr(
+      "l_quantity AS x1", "l_discount AS x2",
+      "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")))
+
+  // ----------------------------------------------------------- q60
+  /** q60: PSI drift monitor — the ML-monitoring staple (population
+    * stability index between a REFERENCE window and the CURRENT one;
+    * > 0.2 is the industry "investigate" threshold). The stream is
+    * split at the exact integer midpoint of its time range; each
+    * type's reference half fixes 10 equi-width value bins (one
+    * fixed-order IEEE bin expression shared with the oracle — clamped,
+    * so current-half outliers land in the edge bins); PSI is
+    * Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over add-one-smoothed bin frequencies with
+    * the 12-dp DECIMAL term discipline. Scale shape: one global
+    * (min,max) timestamp aggregate, one per-type reference range
+    * aggregate (broadcast), ONE (type, half, bin)-grain count shuffle,
+    * then everything is |types|×10 rows; the full 10-bin grid is
+    * enumerated on both sides so empty bins contribute their smoothed
+    * terms identically. */
+  val q60 = QueryDef(
+    "q60_psi_drift",
+    Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+      m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      h AS (SELECT event_type, CASE WHEN us <= m.mid THEN 0 ELSE 1 END AS half, value FROM ev, m),
+      rng AS (SELECT event_type, min(value) AS mnv, max(value) AS mxv FROM h WHERE half = 0 GROUP BY event_type),
+      binned AS (SELECT h.event_type, h.half,
+          CASE WHEN r.mxv = r.mnv THEN 0
+               ELSE least(9, greatest(0, CAST(floor((h.value - r.mnv) * 10 / (r.mxv - r.mnv)) AS INT))) END AS bin
+        FROM h JOIN rng r ON h.event_type = r.event_type),
+      cnt AS (SELECT event_type, half, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+      tot AS (SELECT event_type,
+          CAST(sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS DOUBLE) AS nref,
+          CAST(sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS DOUBLE) AS ncur
+        FROM cnt GROUP BY 1),
+      grid AS (SELECT r.event_type, i AS bin FROM rng r, (SELECT unnest(range(0, 10)) AS i)),
+      cells AS (SELECT g.event_type, g.bin,
+          CAST(COALESCE(cr.c, 0) AS DOUBLE) AS cref, CAST(COALESCE(cc.c, 0) AS DOUBLE) AS ccur
+        FROM grid g
+        LEFT JOIN cnt cr ON cr.event_type = g.event_type AND cr.bin = g.bin AND cr.half = 0
+        LEFT JOIN cnt cc ON cc.event_type = g.event_type AND cc.bin = g.bin AND cc.half = 1),
+      psi AS (SELECT c.event_type, t.nref, t.ncur,
+          CAST(sum(CAST(round(((c.cref + 1) / (t.nref + 10) - (c.ccur + 1) / (t.ncur + 10)) * ln(((c.cref + 1) / (t.nref + 10)) / ((c.ccur + 1) / (t.ncur + 10))), 12) AS DECIMAL(28,12))) AS DOUBLE) AS psi
+        FROM cells c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY c.event_type, t.nref, t.ncur)
+      SELECT event_type, CAST(nref AS BIGINT) AS n_ref, CAST(ncur AS BIGINT) AS n_cur,
+        round(psi, 6) AS psi, psi > 0.2 AS drift
+      FROM psi ORDER BY event_type"""),
+    (s, d) => psiDrift(Tables.events(s, d).select(col("event_type"), col("ts"), col("value"))))
+
+  /** PSI drift readout over (event_type, ts, value) rows — see
+    * [[q60]]. */
+  def psiDrift(ev0: DataFrame): DataFrame = {
+    // session TZ is UTC, so the NTZ→TIMESTAMP cast is the identity on
+    // the underlying micros (same integers DuckDB's epoch_us reads)
+    val ev = ev0.select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("value"))
+    val m = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val h = ev.crossJoin(broadcast(m))
+      .select(col("event_type"),
+        when(col("us") <= col("mid"), 0).otherwise(1).as("half"), col("value"))
+    val rng = h.filter(col("half") === 0).groupBy(col("event_type"))
+      .agg(min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+    val binned = h.join(broadcast(rng), Seq("event_type"))
+      .select(col("event_type"), col("half"),
+        expr("""CASE WHEN mxv = mnv THEN 0
+             ELSE least(9, greatest(0, CAST(floor((value - mnv) * 10 / (mxv - mnv)) AS INT))) END""").as("bin"))
+    // |types| × 2 × 10 rows — eager checkpoint: one corpus count
+    // shuffle feeds grid, totals, and cells
+    val cnt = binned.groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = cnt.groupBy(col("event_type")).agg(
+      sum(when(col("half") === 0, col("c")).otherwise(0L)).cast(DoubleType).as("nref"),
+      sum(when(col("half") === 1, col("c")).otherwise(0L)).cast(DoubleType).as("ncur"))
+    val grid = rng.select(col("event_type"))
+      .crossJoin(broadcast(ev.sparkSession.range(0, 10).select(col("id").cast("int").as("bin"))))
+    val cr = cnt.filter(col("half") === 0).select(col("event_type"), col("bin"), col("c").as("c_ref"))
+    val cc = cnt.filter(col("half") === 1).select(col("event_type"), col("bin"), col("c").as("c_cur"))
+    val cells = grid
+      .join(cr, Seq("event_type", "bin"), "left")
+      .join(cc, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).cast(DoubleType).as("cref"),
+        coalesce(col("c_cur"), lit(0L)).cast(DoubleType).as("ccur"))
+    cells.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("nref"), col("ncur"))
+      .agg(expr("""CAST(sum(CAST(round(((cref + 1) / (nref + 10) - (ccur + 1) / (ncur + 10)) * ln(((cref + 1) / (nref + 10)) / ((ccur + 1) / (ncur + 10))), 12) AS DECIMAL(28,12))) AS DOUBLE)""").as("psum"))
+      .select(col("event_type"),
+        col("nref").cast("long").as("n_ref"), col("ncur").cast("long").as("n_cur"),
+        round(col("psum"), 6).as("psi"), (col("psum") > 0.2).as("drift"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd, q60)
 }

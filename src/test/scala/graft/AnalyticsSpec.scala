@@ -161,6 +161,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 8L, 3L -> 1L), s"got $got")
   }
 
+  test("logreg GD learns a planted separable rule and is partition-invariant") {
+    import spark.implicits._
+    // y = 1 iff x1 > 10; center the feature so lr 0.01 converges fast
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 21).toDouble
+      (x1 - 10.0, 0.0, if (x1 > 10.0) 1.0 else 0.0)
+    }
+    def run(parts: Int) = operators.Analytics.logregGd(
+        rows.toDF("x1", "x2", "y").repartition(parts), lr = 0.5, rounds = 60)
+      .collect().head
+    val a = run(3)
+    assert(a.getDouble(5) > 0.9, s"separable rule must be learned: $a")
+    // boundary sits at x1 = 0.5 (y flips between 0 and 1), so the
+    // intercept is small-negative relative to the slope, not zero
+    assert(math.abs(a.getDouble(1)) < 2.0, s"near-centered threshold -> bounded intercept: $a")
+    assert(a.getDouble(2) > 0, "slope must point toward the positive class")
+    val b = run(11)
+    assert(a.getDouble(1) == b.getDouble(1) && a.getDouble(2) == b.getDouble(2) &&
+      a.getDouble(4) == b.getDouble(4),
+      "decimal-term gradients must make GD bit-reproducible across partitionings")
+  }
+
+  test("psi drift flags a planted distribution shift and stays quiet on a stable stream") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // type x: ref half in [0, 10), cur half in [50, 60) -> massive PSI.
+    // type y: identical uniform pattern in both halves -> tiny PSI.
+    val rows =
+      (0 until 100).map(i => ("x", ts(i), (i % 10).toDouble)) ++
+      (0 until 100).map(i => ("x", ts(200 + i), 50.0 + (i % 10))) ++
+      (0 until 100).map(i => ("y", ts(i), (i % 10).toDouble)) ++
+      (0 until 100).map(i => ("y", ts(200 + i), (i % 10).toDouble))
+    val got = operators.Analytics.psiDrift(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("x")._2, s"a full range shift must flag: ${got("x")}")
+    assert(!got("y")._2 && got("y")._1 < 0.05, s"identical halves must stay quiet: ${got("y")}")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

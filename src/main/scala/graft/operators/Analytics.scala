@@ -506,6 +506,21 @@ object Analytics {
       FROM psi ORDER BY event_type"""),
     (s, d) => psiDrift(Tables.events(s, d).select(col("event_type"), col("ts"), col("value"))))
 
+  /** The q60 bin assignment — clamped equi-width decile over the
+    * reference range (mnv, mxv). ONE shared fragment: the batch
+    * oracle, the batch engine, and the streaming drift plane all
+    * evaluate this exact string, so a value lands in the same bin
+    * everywhere. */
+  val PsiBinExpr: String =
+    """CASE WHEN mxv = mnv THEN 0
+         ELSE least(9, greatest(0, CAST(floor((value - mnv) * 10 / (mxv - mnv)) AS INT))) END"""
+
+  /** Per-type reference range (mnv, mxv) of a static frame — the
+    * broadcast side of the streaming drift plane. */
+  def psiReferenceRange(ref: DataFrame): DataFrame =
+    ref.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+
   /** PSI drift readout over (event_type, ts, value) rows — see
     * [[q60]]. */
   def psiDrift(ev0: DataFrame): DataFrame = {
@@ -520,9 +535,7 @@ object Analytics {
     val rng = h.filter(col("half") === 0).groupBy(col("event_type"))
       .agg(min(col("value")).as("mnv"), max(col("value")).as("mxv"))
     val binned = h.join(broadcast(rng), Seq("event_type"))
-      .select(col("event_type"), col("half"),
-        expr("""CASE WHEN mxv = mnv THEN 0
-             ELSE least(9, greatest(0, CAST(floor((value - mnv) * 10 / (mxv - mnv)) AS INT))) END""").as("bin"))
+      .select(col("event_type"), col("half"), expr(PsiBinExpr).as("bin"))
     // |types| × 2 × 10 rows — eager checkpoint: one corpus count
     // shuffle feeds grid, totals, and cells
     val cnt = binned.groupBy(col("event_type"), col("half"), col("bin"))
@@ -550,5 +563,42 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd, q60)
+  // ----------------------------------------------------------- q61
+  /** q61: top user journeys — the product-analytics "what do people
+    * actually do?" readout: each (user, day)'s first 3 events in
+    * (ts, event_id) order form a path string (`a>b>c`), and the
+    * output is the 10 most common paths. ONE user/day-keyed window
+    * (row_number ≤ 3) + a same-key ordered fold — `collect_list`
+    * order is NOT deterministic under shuffles, so the fold sorts the
+    * (rn, type) structs INSIDE the row (`array_sort` on exact
+    * integers) before joining; the path aggregate shrinks to distinct
+    * paths and the top-10 is a TakeOrderedAndProject, never a global
+    * sort. Ties break on the path string — a total order in both
+    * engines (ASCII event names). */
+  val q61 = QueryDef(
+    "q61_top_paths",
+    Some("""WITH r AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id, event_type,
+        row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE) ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id, day)
+      SELECT path, count(*) AS n FROM p GROUP BY path
+      ORDER BY n DESC, path LIMIT 10"""),
+    (s, d) => {
+      val day = date_trunc("day", col("ts")).cast("date").as("day")
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), day, col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("day"))
+        .agg(collect_list(struct(col("rn"), col("event_type").as("et"))).as("steps"))
+        .select(expr("array_join(transform(array_sort(steps), x -> x.et), '>')").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    })
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
+    q60, q61)
 }

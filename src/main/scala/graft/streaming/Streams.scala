@@ -165,6 +165,27 @@ object Streams {
       }
   }
 
+  /** Streaming drift plane — the incremental twin of `q60_psi_drift`:
+    * incoming events are bin-assigned against a STATIC per-type
+    * reference range ([[graft.operators.Analytics.psiReferenceRange]],
+    * broadcast stream–static join, map-side) using the IDENTICAL
+    * clamped bin expression the batch gate runs
+    * ([[graft.operators.Analytics.PsiBinExpr]]), then counted per
+    * watermarked 1-hour window × (type, bin) — the windowed cells a
+    * monitor computes PSI from (per-window algebra is |types|×10
+    * rows, done downstream/foreachBatch exactly like the batch
+    * smoothing). State is bounded by the watermark; the reference
+    * never re-shuffles. */
+  def binnedDriftStream(events: DataFrame, refRange: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(refRange), Seq("event_type"))
+      .select(col("ts"), col("event_type"),
+        expr(graft.operators.Analytics.PsiBinExpr).as("bin"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("bin"), col("c"))
+
   /** Streaming funnel — the incremental twin of the batch
     * `q40_funnel` fold (`operators.Extra.funnelCounts`): per-user
     * state carries the prefix of matched step timestamps, each

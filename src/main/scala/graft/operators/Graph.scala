@@ -572,6 +572,69 @@ object Graph {
         .orderBy(col("bucket"))
     })
 
+  // ------------------------------------------------------ modularity
+  /** Newman modularity of the LPA partition — the community-quality
+    * audit (Q = Σ_c [win_c/2m − (d_c/2m)²]; Q near 0 says the
+    * "communities" are no better than random, and that verdict should
+    * gate whether a partition is USED). Directed-edge form: with both
+    * edge directions present, 2m = Σ_c d_c and win_c counts
+    * within-community directed edges — all EXACT integers from one
+    * labeled-edge aggregate (labels are the gated [[labelPropagation]]
+    * fixpoint; the label join is two node-keyed hash joins). The
+    * per-community contribution is one shared fixed-order IEEE
+    * expression; 2m derives from the community table, so the edge
+    * list is scanned once past the labeling. */
+  val modularityQuery = QueryDef(
+    "graph_modularity",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)""")
+      for (it <- 1 to LpaRounds) {
+        sb.append(s""",
+        l$it AS MATERIALIZED (SELECT node, lbl FROM (
+          SELECT e.dst AS node, l.lbl, count(*) AS c,
+            row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rk
+          FROM e JOIN l${it - 1} l ON e.src = l.node GROUP BY e.dst, l.lbl) t WHERE rk = 1)""")
+      }
+      sb.append(s""",
+        cs AS (SELECT ls.lbl AS community,
+            CAST(count(*) AS BIGINT) AS d_c,
+            CAST(sum(CASE WHEN ls.lbl = ld.lbl THEN 1 ELSE 0 END) AS BIGINT) AS win_c
+          FROM e JOIN l$LpaRounds ls ON e.src = ls.node JOIN l$LpaRounds ld ON e.dst = ld.node
+          GROUP BY ls.lbl),
+        mm AS (SELECT CAST(sum(d_c) AS DOUBLE) AS m2 FROM cs)
+        SELECT community, d_c, win_c,
+          round(win_c / m2 - (d_c / m2) * (d_c / m2), 6) AS contribution
+        FROM cs, mm ORDER BY community""")
+      sb.toString
+    },
+    (s, d) => {
+      val e = edges(s, d).localCheckpoint(true)
+      modularityOf(e, labelPropagation(e))
+    })
+
+  /** Per-community modularity contributions of a (node, lbl)
+    * labeling over a directed edge list (both directions present) —
+    * see [[modularityQuery]]. Σ contribution = Newman's Q. */
+  def modularityOf(e: DataFrame, l: DataFrame): DataFrame = {
+    val cs = e
+      .join(l.withColumnRenamed("node", "src").withColumnRenamed("lbl", "sl"), Seq("src"))
+      .join(l.withColumnRenamed("node", "dst").withColumnRenamed("lbl", "dl"), Seq("dst"))
+      .groupBy(col("sl").as("community"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("win_c"))
+      .localCheckpoint(true) // communities-scale; feeds 2m and the output
+    val mm = cs.agg(sum(col("d_c")).cast("double").as("m2"))
+    cs.crossJoin(broadcast(mm))
+      .selectExpr("community", "d_c", "win_c",
+        "round(win_c / m2 - (d_c / m2) * (d_c / m2), 6) AS contribution")
+      .orderBy(col("community"))
+  }
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
-    connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats)
+    connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
+    modularityQuery)
 }

@@ -200,6 +200,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!got("y")._2 && got("y")._1 < 0.05, s"identical halves must stay quiet: ${got("y")}")
   }
 
+  test("kfold CV: folds partition the corpus and held-out rmse is sane") {
+    val total = Tables.lineitem(spark, TestSpark.sfDir).count()
+    val rows = operators.Analytics.mlKfoldCv.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, nTrain, nTest, rmse) =>
+      assert(nTrain + nTest == total, "train + test must partition the corpus exactly")
+      assert(rmse > 0)
+    }
+    // held-out rmse should sit near the full-fit train rmse (same
+    // model family, same data distribution) — a wild ratio means the
+    // total-minus-fold decimal algebra broke
+    val trainRmse = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir)
+      .collect().head.getDouble(4)
+    rows.foreach { case (f, _, _, rmse) =>
+      assert(rmse > trainRmse * 0.5 && rmse < trainRmse * 2.0,
+        s"fold $f rmse $rmse implausible vs train $trainRmse") }
+  }
+
+  test("histogram2d covers the corpus with bins in range") {
+    val total = Tables.lineitem(spark, TestSpark.sfDir).count()
+    val rows = operators.Analytics.q62.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == total, "every row lands in exactly one cell")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9 && r._2 >= 0 && r._2 <= 9))
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

@@ -187,6 +187,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity of two disconnected cliques under their LPA labels is exactly 1/2") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a != b } yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))).toDF("src", "dst")
+    val rows = operators.Graph.modularityOf(e, operators.Graph.labelPropagation(e))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each clique: d_c = win_c = 12 directed edges, m2 = 24:
+    // contribution = 1/2 - 1/4 = 1/4; Q = 1/2 (the closed form for
+    // two equal disconnected communities)
+    assert(rows.map(_._1).toSet == Set(1L, 11L))
+    rows.foreach { r =>
+      assert(r._2 == 12L && r._3 == 12L)
+      assert(r._4 == 0.25)
+    }
+    assert(rows.map(_._4).sum == 0.5)
+  }
+
   test("label propagation: bridged graph labels are partition-count invariant") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a != b } yield (a, b)

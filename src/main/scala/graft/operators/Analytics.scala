@@ -718,6 +718,117 @@ object Analytics {
         .orderBy(col("qbin"), col("dbin"))
     })
 
+  // ----------------------------------------------------------- q63
+  /** q63: cumulative reach — distinct users ever seen, by day (the
+    * growth curve every product dashboard opens with). First-touch
+    * day per user is ONE map-combinable min aggregate; the rest
+    * collapses to days-scale rows (first-touch counts per day, a
+    * LEFT join against the active-day spine so gap days carry their
+    * running value) and the cumulative window runs at metadata
+    * scale. Exact integers end to end. */
+  val q63 = QueryDef(
+    "q63_cumulative_reach",
+    Some("""WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS d0
+        FROM events GROUP BY user_id),
+      days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      nf AS (SELECT d0, count(*) AS nu FROM f GROUP BY d0)
+      SELECT day,
+        CAST(sum(COALESCE(nu, 0)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS reach
+      FROM days LEFT JOIN nf ON days.day = nf.d0 ORDER BY day"""),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).cast("date").as("d0"))
+      val days = ev.select(date_trunc("day", col("ts")).cast("date").as("day")).distinct()
+      val nf = f.groupBy(col("d0")).agg(count(lit(1)).as("nu"))
+      // days-scale rows: the global window is metadata scale
+      val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(nf, days("day") === nf("d0"), "left")
+        .select(col("day"), coalesce(col("nu"), lit(0L)).as("nu"))
+        .select(col("day"), sum(col("nu")).over(w).as("reach"))
+        .orderBy(col("day"))
+    })
+
+  // ----------------------------------------------------------- q64
+  /** q64: RFM segmentation — the marketing-analytics staple: each
+    * customer scored 1–5 on Recency (days since last order, lower
+    * better), Frequency (order count), and Monetary (decimal-exact
+    * spend), with quintile thresholds from the q39/q52 EXACT
+    * distributed-selection machinery (bounded histogram passes — NO
+    * task ever holds the customer table's metric column) broadcast
+    * back into a MAP-ONLY scoring pass; output is the segment-grid
+    * census. The customer rollup is one map-combinable aggregate;
+    * the customer table is scanned, never sort-shuffled. Threshold
+    * comparisons are strict `>` / `<` on identical doubles (the
+    * interpolated percentile contract both engines share), so every
+    * customer lands in the same cell in both engines. */
+  val q64 = QueryDef(
+    "q64_rfm",
+    Some("""WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS gmax FROM orders),
+      cust AS (SELECT o_custkey,
+          CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), mx.gmax) AS DOUBLE) AS r,
+          CAST(count(*) AS DOUBLE) AS f,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+        FROM orders, mx GROUP BY o_custkey, mx.gmax),
+      th AS (SELECT
+          percentile_cont(0.2) WITHIN GROUP (ORDER BY r) AS r20,
+          percentile_cont(0.4) WITHIN GROUP (ORDER BY r) AS r40,
+          percentile_cont(0.6) WITHIN GROUP (ORDER BY r) AS r60,
+          percentile_cont(0.8) WITHIN GROUP (ORDER BY r) AS r80,
+          percentile_cont(0.2) WITHIN GROUP (ORDER BY f) AS f20,
+          percentile_cont(0.4) WITHIN GROUP (ORDER BY f) AS f40,
+          percentile_cont(0.6) WITHIN GROUP (ORDER BY f) AS f60,
+          percentile_cont(0.8) WITHIN GROUP (ORDER BY f) AS f80,
+          percentile_cont(0.2) WITHIN GROUP (ORDER BY m) AS m20,
+          percentile_cont(0.4) WITHIN GROUP (ORDER BY m) AS m40,
+          percentile_cont(0.6) WITHIN GROUP (ORDER BY m) AS m60,
+          percentile_cont(0.8) WITHIN GROUP (ORDER BY m) AS m80
+        FROM cust),
+      sc AS (SELECT
+          1 + (CASE WHEN r < r80 THEN 1 ELSE 0 END) + (CASE WHEN r < r60 THEN 1 ELSE 0 END)
+            + (CASE WHEN r < r40 THEN 1 ELSE 0 END) + (CASE WHEN r < r20 THEN 1 ELSE 0 END) AS r_score,
+          1 + (CASE WHEN f > f20 THEN 1 ELSE 0 END) + (CASE WHEN f > f40 THEN 1 ELSE 0 END)
+            + (CASE WHEN f > f60 THEN 1 ELSE 0 END) + (CASE WHEN f > f80 THEN 1 ELSE 0 END) AS f_score,
+          1 + (CASE WHEN m > m20 THEN 1 ELSE 0 END) + (CASE WHEN m > m40 THEN 1 ELSE 0 END)
+            + (CASE WHEN m > m60 THEN 1 ELSE 0 END) + (CASE WHEN m > m80 THEN 1 ELSE 0 END) AS m_score
+        FROM cust, th)
+      SELECT r_score, f_score, m_score, count(*) AS n_customers
+      FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val mx = o.agg(max(col("o_orderdate")).cast("date").as("gmax"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).cast("date").as("last"),
+          count(lit(1)).cast(DoubleType).as("f"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("m"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"), datediff(col("gmax"), col("last")).cast(DoubleType).as("r"),
+          col("f"), col("m"))
+        .withColumn("grp", lit(0))
+        .transform(scope.persist)
+      def thOf(metric: String): DataFrame =
+        ExactPercentiles.percentiles(cust, "grp", metric, Seq(0.2, 0.4, 0.6, 0.8))
+          .groupBy(col("g"))
+          .agg(min(when(col("p") === 0.2, col("value"))).as(s"${metric}20"),
+            min(when(col("p") === 0.4, col("value"))).as(s"${metric}40"),
+            min(when(col("p") === 0.6, col("value"))).as(s"${metric}60"),
+            min(when(col("p") === 0.8, col("value"))).as(s"${metric}80"))
+          .drop("g")
+      val th = thOf("r").crossJoin(thOf("f")).crossJoin(thOf("m"))
+      cust.crossJoin(broadcast(th))
+        .selectExpr(
+          """1 + (CASE WHEN r < r80 THEN 1 ELSE 0 END) + (CASE WHEN r < r60 THEN 1 ELSE 0 END)
+             + (CASE WHEN r < r40 THEN 1 ELSE 0 END) + (CASE WHEN r < r20 THEN 1 ELSE 0 END) AS r_score""",
+          """1 + (CASE WHEN f > f20 THEN 1 ELSE 0 END) + (CASE WHEN f > f40 THEN 1 ELSE 0 END)
+             + (CASE WHEN f > f60 THEN 1 ELSE 0 END) + (CASE WHEN f > f80 THEN 1 ELSE 0 END) AS f_score""",
+          """1 + (CASE WHEN m > m20 THEN 1 ELSE 0 END) + (CASE WHEN m > m40 THEN 1 ELSE 0 END)
+             + (CASE WHEN m > m60 THEN 1 ELSE 0 END) + (CASE WHEN m > m80 THEN 1 ELSE 0 END) AS m_score""")
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61, mlKfoldCv, q62)
+    q60, q61, mlKfoldCv, q62, q63, q64)
 }

@@ -227,6 +227,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.forall(r => r._1 >= 0 && r._1 <= 9 && r._2 >= 0 && r._2 <= 9))
   }
 
+  test("cumulative reach ends at the distinct-user count and never decreases") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val users = ev.select(col("user_id")).distinct().count()
+    val rows = operators.Analytics.q63.build(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b }, "reach is cumulative")
+    assert(rows.last == users, "final reach = every user ever seen")
+  }
+
+  test("rfm covers every customer with scores in 1..5 and near-quintile marginals") {
+    val nCust = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_custkey")).distinct().count()
+    val rows = operators.Analytics.q64.build(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    assert(rows.map(_._2).sum == nCust, "every customer lands in exactly one cell")
+    assert(rows.forall { case ((a, b, c), _) =>
+      Seq(a, b, c).forall(s => s >= 1 && s <= 5) })
+    // monetary is continuous-ish, so its marginal should be close to
+    // quintiles (recency/frequency are chunky integers — skip those)
+    val mMarg = rows.groupBy(_._1._3).view.mapValues(_.map(_._2).sum).toMap
+    mMarg.values.foreach(v => assert(v > nCust / 10 && v < nCust * 3 / 10,
+      s"monetary marginal far from quintile: $mMarg"))
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

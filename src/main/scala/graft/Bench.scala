@@ -70,7 +70,8 @@ object Bench {
     "vec_silhouette", "q59_ab_test", "graph_degree_stats",
     "mm_audio_fingerprint", "ml_logreg_gd", "q60_psi_drift",
     "q61_top_paths", "ml_kfold_cv", "graph_modularity", "q62_histogram2d",
-    "q63_cumulative_reach", "q64_rfm")
+    "q63_cumulative_reach", "q64_rfm", "ml_threshold_sweep",
+    "corpus_version_diff")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

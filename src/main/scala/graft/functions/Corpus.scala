@@ -443,6 +443,59 @@ object Corpus {
         .orderBy(col("bucket"))
     })
 
+  // ---------------------------------------------------- version diff
+  /** Content-hash diff of two corpus snapshots on (id, fp) frames —
+    * the dataset-versioning readout (what changed between crawl N and
+    * N+1): ONE id-keyed full-outer join, map-only classification,
+    * tiny census. At 100 TB both sides shuffle once on the id — the
+    * minimum any diff owes — and fingerprints travel instead of
+    * text. */
+  def snapshotDiff(v1: org.apache.spark.sql.DataFrame,
+      v2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(when(col("a.fp").isNull, "added")
+        .when(col("b.fp").isNull, "removed")
+        .when(col("a.fp") === col("b.fp"), "unchanged")
+        .otherwise("changed").as("change_type"))
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+
+  /** corpus_version_diff: [[snapshotDiff]] gated end-to-end — v2 is
+    * derived from the corpus by shared literal rules (every 7th doc
+    * removed, every remaining 5th edited, every 11th cloned as a new
+    * id), so the oracle reconstructs the identical second snapshot
+    * and the diff census is hash-checked. Fingerprints are the
+    * portable h60 over normalized text — the same content identity
+    * `dedup_exact` keys on. */
+  val versionDiff = QueryDef(
+    "corpus_version_diff",
+    Some(s"""WITH v1 AS (SELECT doc_id, ${Portable.h60Sql(Portable.normTextSql("text"))} AS fp FROM documents),
+      v2 AS (
+        SELECT doc_id, ${Portable.h60Sql(Portable.normTextSql("(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)"))} AS fp
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, ${Portable.h60Sql(Portable.normTextSql("(text || ' new')"))} AS fp
+        FROM documents WHERE doc_id % 11 = 0),
+      j AS (SELECT a.fp AS f1, b.fp AS f2
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      SELECT CASE WHEN f1 IS NULL THEN 'added' WHEN f2 IS NULL THEN 'removed'
+          WHEN f1 = f2 THEN 'unchanged' ELSE 'changed' END AS change_type,
+        count(*) AS n
+      FROM j GROUP BY 1 ORDER BY change_type"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v1 = docs.select(col("doc_id"), Portable.h60(normText(col("text"))).as("fp"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), Portable.h60(normText(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))).as("fp"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            Portable.h60(normText(concat(col("text"), lit(" new")))).as("fp")))
+      snapshotDiff(v1, v2)
+    })
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
-    rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode, vocabGrowth)
+    rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode, vocabGrowth,
+    versionDiff)
 }

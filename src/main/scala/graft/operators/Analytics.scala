@@ -401,8 +401,10 @@ object Analytics {
     * broadcasts — the textbook 100 TB batch-GD shape. The audit pass
     * (log-loss + accuracy) reuses the same discipline; accuracy
     * decides via `z > 0 ⇔ σ(z) > ½` in exact comparisons. */
-  def logregGd(b0: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
-    val b = b0 // (x1, x2, y) rows
+  /** The GD training loop alone: returns the one-row (wa, wb, wc)
+    * weight frame after `rounds` — shared by [[logregGd]] and the
+    * threshold sweep. */
+  def logregWeights(b: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
     var w = b.sparkSession.range(1)
       .selectExpr("CAST(0 AS DOUBLE) AS wa", "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wc")
       .localCheckpoint(true)
@@ -418,6 +420,12 @@ object Analytics {
         s"wc - CAST($lr AS DOUBLE) * (g2 / CAST($n AS DOUBLE)) AS wc")
         .localCheckpoint(true)
     }
+    w
+  }
+
+  def logregGd(b0: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
+    val b = b0 // (x1, x2, y) rows
+    val w = logregWeights(b, lr, rounds)
     b.crossJoin(broadcast(w)).agg(
         count(lit(1)).as("n"),
         expr("""CAST(sum(CAST(round(-(y * ln(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))))
@@ -430,24 +438,32 @@ object Analytics {
         "round(CAST(ncorrect AS DOUBLE) / n, 6) AS accuracy")
   }
 
-  val mlLogregGd = QueryDef(
-    "ml_logreg_gd",
-    Some {
-      val base = """b AS (SELECT l_quantity AS x1, l_discount AS x2,
+  /** Oracle CTE block `b / nn / w0..wR` for the GD loop — shared by
+    * the ml_logreg_gd and ml_threshold_sweep gates so both verify the
+    * SAME unrolled training. */
+  private def logregCtes(rounds: Int): String = {
+    val base = """b AS (SELECT l_quantity AS x1, l_discount AS x2,
           CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
         FROM lineitem),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
         w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wc)"""
-      val sb = new StringBuilder(s"WITH $base")
-      for (it <- 1 to GdRounds) {
-        sb.append(s""",
+    val sb = new StringBuilder(s"WITH $base")
+    for (it <- 1 to rounds) {
+      sb.append(s""",
         g$it AS (SELECT ${gradSql("")} AS g0, ${gradSql(" * x1")} AS g1, ${gradSql(" * x2")} AS g2
           FROM b, w${it - 1}),
         w$it AS (SELECT wa - CAST($GdLr AS DOUBLE) * (g0 / n) AS wa,
             wb - CAST($GdLr AS DOUBLE) * (g1 / n) AS wb,
             wc - CAST($GdLr AS DOUBLE) * (g2 / n) AS wc
           FROM w${it - 1}, g$it, nn)""")
-      }
+    }
+    sb.toString
+  }
+
+  val mlLogregGd = QueryDef(
+    "ml_logreg_gd",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
       sb.append(s"""
         SELECT CAST(nn.n AS BIGINT) AS n,
           round(wa, 6) AS w0, round(wb, 6) AS w1, round(wc, 6) AS w2,
@@ -829,6 +845,51 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // ----------------------------------------------- ml_threshold_sweep
+  /** ml_threshold_sweep: precision/recall across the decision-
+    * threshold grid for the GD-trained classifier — the eval readout
+    * that turns [[mlLogregGd]]'s one accuracy number into an
+    * operating curve. The decision `σ(z) > t` is evaluated as
+    * `z > logit(t)` (same monotone transform in both engines), so
+    * the counts are EXACT integers; the 9-row threshold grid rides a
+    * broadcast and the corpus is scanned ONCE past training. The
+    * oracle shares the [[logregCtes]] unrolled-training block with
+    * the ml_logreg_gd gate, so both gates verify the SAME weights. */
+  val mlThresholdSweep = QueryDef(
+    "ml_threshold_sweep",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        th AS (SELECT CAST(i AS DOUBLE) / 10 AS t FROM (SELECT unnest(range(1, 10)) AS i)),
+        sc AS (SELECT th.t,
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t)) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t)) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t))) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM b, w$GdRounds, th GROUP BY th.t)
+        SELECT t, tp, fp, fn,
+          CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+          CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec
+        FROM sc ORDER BY t""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = Tables.lineitem(s, d).selectExpr(
+        "l_quantity AS x1", "l_discount AS x2",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
+      val w = logregWeights(b)
+      val th = b.sparkSession.range(1, 10)
+        .select((col("id").cast(DoubleType) / 10).as("t"))
+      b.crossJoin(broadcast(w)).crossJoin(broadcast(th))
+        .groupBy(col("t")).agg(
+          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(t / (1 - t)) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("tp"),
+          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(t / (1 - t)) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fp"),
+          expr("CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > ln(t / (1 - t))) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fn"))
+        .selectExpr("t", "tp", "fp", "fn",
+          "CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec",
+          "CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec")
+        .orderBy(col("t"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61, mlKfoldCv, q62, q63, q64)
+    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep)
 }

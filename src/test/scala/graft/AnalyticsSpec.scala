@@ -252,6 +252,27 @@ class AnalyticsSpec extends AnyFunSuite {
       s"monetary marginal far from quintile: $mMarg"))
   }
 
+  test("snapshot diff census is the closed form on a planted pair of versions") {
+    import spark.implicits._
+    val v1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "fp")
+    val v2 = Seq((1L, 10L), (2L, 99L), (4L, 40L)).toDF("doc_id", "fp")
+    val got = functions.Corpus.snapshotDiff(v1, v2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("added" -> 1L, "changed" -> 1L, "removed" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("threshold sweep: recall non-increasing in t, positives conserved") {
+    val rows = operators.Analytics.mlThresholdSweep.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length == 9)
+    val positives = rows.map(r => r._2 + r._4).distinct
+    assert(positives.size == 1, s"tp + fn must be the positive count at every t: $rows")
+    val tps = rows.map(_._2)
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      "raising the threshold can only shed true positives")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

@@ -495,7 +495,116 @@ object Corpus {
       snapshotDiff(v1, v2)
     })
 
+  // --------------------------------------------------- topic clusters
+  /** Hashed-BoW geometry and Lloyd schedule for
+    * [[topicClusters]] — shared with the unrolled oracle. */
+  val TopicDims = 16
+  val TopicK = 4
+  val TopicIters = 2
+
+  /** corpus_topic_clusters: unsupervised document clustering with
+    * top-term summaries — the corpus-organization staple (feature
+    * hashing → k-means → "what is each cluster about"). Doc vectors
+    * are [[TopicDims]]-dim token-hash count vectors (the hashing
+    * trick, Weinberger et al. 2009 — fixed width at any vocabulary);
+    * [[TopicIters]] Lloyd rounds with init `doc_id % k`, per-dim
+    * DECIMAL centroid means (`graft_vecsum_dec`, one map-combinable
+    * aggregate per round), and MAP-ONLY L2 argmin against the
+    * broadcast centroid array — d² = x·x − 2·x·m + m·m as shared
+    * left-to-right folds, ties to the smallest cell, the
+    * `kmeansCells`/`vec_silhouette` determinism recipe. Top terms are
+    * one (cluster, token) shrinking-key aggregate over the ALREADY
+    * collapsed (doc, token) counts + a per-cluster window (frame ≤
+    * distinct tokens). The corpus text is scanned ONCE; every
+    * iteration touches only the 16-dim vector table. */
+  val topicClusters = QueryDef(
+    "corpus_topic_clusters",
+    Some {
+      val dotVV = s"list_reduce(list_transform(range(1, ${TopicDims + 1}), i -> d.v[i] * d.v[i]), (p, q) -> p + q)"
+      val dotVM = s"list_reduce(list_transform(range(1, ${TopicDims + 1}), i -> d.v[i] * k.cm[i]), (p, q) -> p + q)"
+      val sb = new StringBuilder(
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        dc AS (SELECT doc_id, ${Portable.h60Sql("tok")} % $TopicDims AS dim, CAST(sum(c) AS DOUBLE) AS x
+          FROM c GROUP BY doc_id, ${Portable.h60Sql("tok")} % $TopicDims),
+        ds AS (SELECT DISTINCT doc_id FROM documents),
+        grid AS (SELECT ds.doc_id, i AS dim FROM ds, (SELECT unnest(range(0, $TopicDims)) AS i)),
+        gv AS (SELECT g.doc_id, g.dim, COALESCE(dc.x, 0) AS x
+          FROM grid g LEFT JOIN dc ON dc.doc_id = g.doc_id AND dc.dim = g.dim),
+        dv AS MATERIALIZED (SELECT doc_id, list(x ORDER BY dim) AS v FROM gv GROUP BY doc_id),
+        ka0 AS (SELECT doc_id, doc_id % $TopicK AS cell FROM ds)""")
+      for (it <- 1 to TopicIters) {
+        sb.append(s""",
+        kc$it AS (SELECT a.cell, g.dim, CAST(sum(CAST(g.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+          FROM gv g JOIN ka${it - 1} a ON g.doc_id = a.doc_id GROUP BY a.cell, g.dim),
+        kr$it AS (SELECT cell, list(m ORDER BY dim) AS cm FROM kc$it GROUP BY cell),
+        kn$it AS (SELECT cell, cm, list_reduce(list_transform(cm, x -> x * x), (p, q) -> p + q) AS cc FROM kr$it),
+        ka$it AS MATERIALIZED (SELECT doc_id, cell FROM (
+          SELECT d.doc_id, k.cell,
+            row_number() OVER (PARTITION BY d.doc_id
+              ORDER BY ($dotVV - 2 * $dotVM + k.cc), k.cell) AS rk
+          FROM dv d, kn$it k) z WHERE rk = 1)""")
+      }
+      sb.append(s""",
+        sizes AS (SELECT cell, count(*) AS n_docs FROM ka$TopicIters GROUP BY cell),
+        ct AS (SELECT a.cell, c.tok, CAST(sum(c.c) AS BIGINT) AS n_tok
+          FROM c JOIN ka$TopicIters a ON c.doc_id = a.doc_id GROUP BY a.cell, c.tok),
+        top AS (SELECT cell, tok, n_tok,
+            row_number() OVER (PARTITION BY cell ORDER BY n_tok DESC, tok) AS rk FROM ct)
+        SELECT t.cell AS cluster, s.n_docs, t.rk, t.tok AS token, t.n_tok
+        FROM top t JOIN sizes s ON t.cell = s.cell WHERE t.rk <= 3
+        ORDER BY cluster, rk""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      topicClustersOf(Tables.documents(s, d)).localCheckpoint(true)
+    })
+
+  /** Engine pipeline for [[topicClusters]] over a (doc_id, text)
+    * frame. */
+  def topicClustersOf(docs: org.apache.spark.sql.DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    graft.functions.Dot.ensure(docs.sparkSession)
+    graft.functions.VecSumDec.ensure(docs.sparkSession)
+    val cnt = scope.persist(docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c")))
+    val dimcnt = cnt
+      .select(col("doc_id"), (Portable.h60(col("tok")) % TopicDims).as("dim"), col("c"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("c")).as("x"))
+    val dv = scope.persist(dimcnt
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("x")))).as("mp"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${TopicDims - 1}), i -> CAST(coalesce(element_at(mp, CAST(i AS BIGINT)), 0) AS DOUBLE))").as("v")))
+    var asg = dv.select(col("doc_id"), col("v"), (col("doc_id") % TopicK).as("cell"))
+    for (_ <- 1 to TopicIters) {
+      val cents = asg.groupBy(col("cell"))
+        .agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
+        .select(col("cell"), expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
+        .select(struct(col("cell"), col("cm"), expr("graft_dot(cm, cm)").as("cc")).as("ct"))
+        .agg(collect_list(col("ct")).as("cents"))
+      asg = dv.crossJoin(broadcast(cents))
+        .select(col("doc_id"), col("v"),
+          expr("""-array_max(transform(cents, ct -> named_struct(
+              'negd', -(graft_dot(v, v) - 2 * graft_dot(v, ct.cm) + ct.cc),
+              'negc', -ct.cell))).negc""").as("cell"))
+    }
+    val fin = scope.persist(asg.select(col("doc_id"), col("cell")))
+    val sizes = fin.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val topTerms = cnt.join(fin, Seq("doc_id"))
+      .groupBy(col("cell"), col("tok")).agg(sum(col("c")).as("n_tok"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("n_tok").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+    topTerms.join(broadcast(sizes), Seq("cell"))
+      .select(col("cell").as("cluster"), col("n_docs"), col("rk"),
+        col("tok").as("token"), col("n_tok"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
     rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode, vocabGrowth,
-    versionDiff)
+    versionDiff, topicClusters)
 }

@@ -284,6 +284,33 @@ class SelectionOpsSpec extends AnyFunSuite {
       "click" -> ((2L, 0.5d)), "none" -> ((2L, 0.5d))), s"got $got")
   }
 
+  test("topic clusters separate a planted two-topic corpus and are partition invariant") {
+    import spark.implicits._
+    // topic A docs speak only feline tokens, topic B only canine —
+    // hashed 16-dim vectors are orthogonal-ish, so no cluster may mix
+    val a = (0 until 20).map(i => (i.toLong, "cat whisker purr feline cat purr"))
+    val b = (0 until 20).map(i => (100L + i, "dog bark fetch canine dog bark"))
+    def run(parts: Int) = CacheScope.withScope { implicit s =>
+      functions.Corpus.topicClustersOf((a ++ b).toDF("doc_id", "text").repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    }
+    val r1 = run(3)
+    // structure: ≤3 ranked terms per cluster, sizes cover the corpus
+    val byCluster = r1.groupBy(_._1)
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks dense: $rows")
+      assert(rows.length <= 3)
+      assert(rows.map(_._2).distinct.length == 1, "one size per cluster")
+    }
+    assert(byCluster.map(_._2.head._2).sum == 40L, "cluster sizes cover the corpus")
+    // both topics' dominant tokens surface somewhere in the summaries
+    val allTop = r1.map(_._4).toSet
+    assert(allTop.contains("cat") || allTop.contains("purr"), s"feline topic absent: $allTop")
+    assert(allTop.contains("dog") || allTop.contains("bark"), s"canine topic absent: $allTop")
+    // determinism is the hard guarantee: identical output at any partitioning
+    assert(r1.toSeq == run(7).toSeq, "clustering must be partition-count invariant")
+  }
+
   test("q58 attribution on real data: shares sum to 1 over known channels") {
     val rows = operators.Analytics.q58.build(spark, TestSpark.sfDir).collect()
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "none")))

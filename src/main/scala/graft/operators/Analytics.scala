@@ -890,6 +890,39 @@ object Analytics {
         .orderBy(col("t"))
     })
 
+  // ----------------------------------------------------------- q65
+  /** q65: week-over-week change report — the KPI-dashboard staple
+    * (volume and value deltas per event type): one map-combinable
+    * (type, week) aggregate with the DECIMAL value discipline, then
+    * weeks-scale rows only — the lag window and the percent deltas
+    * run at metadata scale; percent math is one fixed-order IEEE
+    * expression on exact inputs, identical in both engines. */
+  val q65 = QueryDef(
+    "q65_wow_change",
+    Some(s"""WITH w AS (SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        count(*) AS n, ${graft.Portable.decSum2Sql("value")} AS sv
+        FROM events GROUP BY 1, 2),
+      l AS (SELECT event_type, wk, n, sv,
+          lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS pn,
+          lag(sv) OVER (PARTITION BY event_type ORDER BY wk) AS psv
+        FROM w)
+      SELECT event_type, wk, n, round(sv, 2) AS total_value,
+        CASE WHEN pn IS NOT NULL THEN round((n - pn) * 100.0 / pn, 6) END AS n_wow_pct,
+        CASE WHEN psv IS NOT NULL AND psv <> 0 THEN round((sv - psv) * 100.0 / psv, 6) END AS value_wow_pct
+      FROM l ORDER BY event_type, wk"""),
+    (s, d) => {
+      val w = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"), graft.Portable.decSum2(col("value")).as("sv"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      w.withColumn("pn", lag(col("n"), 1).over(win))
+        .withColumn("psv", lag(col("sv"), 1).over(win))
+        .selectExpr("event_type", "wk", "n", "round(sv, 2) AS total_value",
+          "CASE WHEN pn IS NOT NULL THEN round((n - pn) * 100.0 / pn, 6) END AS n_wow_pct",
+          "CASE WHEN psv IS NOT NULL AND psv <> 0 THEN round((sv - psv) * 100.0 / psv, 6) END AS value_wow_pct")
+        .orderBy(col("event_type"), col("wk"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep)
+    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65)
 }

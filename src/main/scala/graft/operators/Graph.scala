@@ -634,7 +634,54 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  // --------------------------------------------------- assortativity
+  /** Degree assortativity — Pearson correlation of (deg(src),
+    * deg(dst)) across directed edges (Newman 2002): the one-number
+    * answer to "do hubs attach to hubs?", which decides whether
+    * degree-based partitioning/salting will help. Degrees are one
+    * map-combinable aggregate joined back onto the edge list (two
+    * node-keyed, key-bounded joins); the correlation runs on exact
+    * integer degree pairs through the q43 DECIMAL moment discipline
+    * and one fixed-order IEEE expression. Bipartite co-purchase
+    * graphs skew negative — high-degree customers buy from many
+    * ordinary suppliers. */
+  val assortativity = QueryDef(
+    "graph_assortativity",
+    Some(s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      e AS (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+      deg AS (SELECT src AS node, count(*) AS dg FROM e GROUP BY src),
+      pr AS (SELECT a.dg AS dx, b.dg AS dy
+        FROM e JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node),
+      m AS (SELECT count(*) AS n,
+          CAST(sum(CAST(dx AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(dy AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(dx * dx AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(dy * dy AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(dx * dy AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+        FROM pr)
+      SELECT n AS n_edges,
+        round((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS assortativity
+      FROM m"""),
+    (s, d) => {
+      val e = edges(s, d).localCheckpoint(true)
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val pr = e
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("dg", "dx"), Seq("src"))
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("dg", "dy"), Seq("dst"))
+      val m = pr.agg(count(lit(1)).as("n"),
+        sum(col("dx").cast(org.apache.spark.sql.types.DecimalType(18, 0))).cast("double").as("sx"),
+        sum(col("dy").cast(org.apache.spark.sql.types.DecimalType(18, 0))).cast("double").as("sy"),
+        sum((col("dx") * col("dx")).cast(org.apache.spark.sql.types.DecimalType(28, 0))).cast("double").as("sxx"),
+        sum((col("dy") * col("dy")).cast(org.apache.spark.sql.types.DecimalType(28, 0))).cast("double").as("syy"),
+        sum((col("dx") * col("dy")).cast(org.apache.spark.sql.types.DecimalType(28, 0))).cast("double").as("sxy"))
+      m.selectExpr("n AS n_edges",
+        """round((sxy - sx * sy / n) /
+           sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS assortativity""")
+    })
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
-    modularityQuery)
+    modularityQuery, assortativity)
 }

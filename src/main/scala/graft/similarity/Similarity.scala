@@ -835,5 +835,58 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette)
+  // -------------------------------------------------------- outliers
+  /** vec_outliers: embedding-corpus outlier audit — per-label counts
+    * of vectors farther than mean + 2σ from the GLOBAL centroid (the
+    * embedding-QA pass that catches corrupt encodes / wrong-modality
+    * rows before they poison ANN recall). One `graft_vecsum_dec`
+    * centroid aggregate (one row, broadcast), a MAP-ONLY distance
+    * pass (the silhouette folds, NaN-guarded), 12-dp/8-dp-rounded
+    * DECIMAL distance moments (merge-order-free), and a map-only
+    * flag — the corpus is never joined or shuffled. The threshold
+    * is one fixed-order IEEE expression shared with the oracle, so
+    * every boundary decision lands identically. */
+  val vecOutliers = QueryDef(
+    "vec_outliers",
+    Some(s"""WITH $normSqlCte,
+      pos AS (SELECT vec_id, i, v[i] AS x FROM nx, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+      cent AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m FROM pos GROUP BY i),
+      crow AS (SELECT list(m ORDER BY i) AS cm FROM cent),
+      ccn AS (SELECT cm, list_reduce(list_transform(cm, x -> x * x), (p, q) -> p + q) AS c2 FROM crow),
+      dd AS (SELECT n.vec_id, n.label,
+          sqrt(greatest(list_reduce(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]), (p, q) -> p + q)
+            - 2 * list_reduce(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cm[i]), (p, q) -> p + q)
+            + c.c2, CAST(0 AS DOUBLE))) AS d
+        FROM nx n, ccn c),
+      mo AS (SELECT count(*) AS n,
+          CAST(sum(CAST(round(d, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(round(d * d, 8) AS DECIMAL(28,8))) AS DOUBLE) AS s2
+        FROM dd),
+      th AS (SELECT s1 / n + 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS thr FROM mo)
+      SELECT label, count(*) AS n,
+        CAST(sum(CASE WHEN d > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dd, th GROUP BY label ORDER BY label"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      graft.functions.VecSumDec.ensure(s)
+      val n = AnnApi.normalized(Tables.embeddings(s, d), "vec_id", "embedding", Seq("label"))
+      val cents = n.agg(call_function("graft_vecsum_dec", col("v")).as("sv"))
+        .select(expr("zip_with(sv.sum, sv.cnt, (x, c) -> CAST(x AS DOUBLE) / c)").as("cm"))
+        .select(col("cm"), expr("graft_dot(cm, cm)").as("c2"))
+      val dd = scope.persist(n.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"),
+          expr("""sqrt(greatest(graft_dot(v, v) - 2 * graft_dot(v, cm) + c2,
+                 CAST(0 AS DOUBLE)))""").as("d")))
+      val mo = dd.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(d, 12) AS DECIMAL(28,12))")).cast("double").as("s1"),
+        sum(expr("CAST(round(d * d, 8) AS DECIMAL(28,8))")).cast("double").as("s2"))
+      val th = mo.selectExpr("s1 / n + 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS thr")
+      dd.crossJoin(broadcast(th))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") > col("thr"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("label"))
+        .localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers)
 }

@@ -61,4 +61,15 @@ class CompactSpec extends AnyFunSuite {
     assert(real.nonEmpty)
     assert(real.forall(x => x.getDouble(2) >= -1.0 - 1e-6 && x.getDouble(2) <= 1.0 + 1e-6))
   }
+
+  test("vec_outliers flags only genuinely far vectors on real embeddings") {
+    val rows = similarity.Similarity.vecOutliers.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val (total, out) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    // mean + 2σ keeps the flag rate in the single digits on any
+    // roughly unimodal corpus (Chebyshev bounds it at 25%)
+    assert(out <= total / 4, s"outlier rate implausible: $out of $total")
+    assert(rows.forall(r => r._3 <= r._2))
+  }
 }

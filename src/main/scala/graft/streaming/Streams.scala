@@ -165,6 +165,32 @@ object Streams {
       }
   }
 
+  final case class FirstTouch(user_id: Long, first_ts: java.sql.Timestamp)
+
+  /** Streaming first-touch plane — the incremental twin of
+    * `q63_cumulative_reach`: each user's FIRST event emits exactly one
+    * (user, first_ts) row, all later events are swallowed by the
+    * one-bit state; a downstream day-grain count of the emissions IS
+    * the reach curve's increments. O(users) fixed-size state, append
+    * mode; with time-ordered ingestion across batches the emitted
+    * first_ts equals the batch min (in-batch disorder is sorted out
+    * by the group iterator — spec-pinned). */
+  def firstTouchStream(events: Dataset[Event]): Dataset[FirstTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, FirstTouch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(e => (e.ts.getTime, e.event_id))
+            state.update(1L)
+            Iterator.single(FirstTouch(user, first.ts))
+          }
+      }
+  }
+
   /** Streaming drift plane — the incremental twin of `q60_psi_drift`:
     * incoming events are bin-assigned against a STATIC per-type
     * reference range ([[graft.operators.Analytics.psiReferenceRange]],

@@ -273,6 +273,27 @@ class AnalyticsSpec extends AnyFunSuite {
       "raising the threshold can only shed true positives")
   }
 
+  test("seasonality chi2: all-one-weekday hits the 6n closed form, uniform weeks stay quiet") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00")
+    // type "m": 70 events all on Mondays (2024-01-01, -08, ...) ->
+    // chi2 = 6n = 420; type "u": 10 on each of 7 consecutive days
+    val rows = (0 until 70).map(i => ("m", day(1 + 7 * (i % 4)))) ++
+      (0 until 70).map(i => ("u", day(1 + i % 7)))
+    val got = operators.Analytics.seasonalityOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("m") == ((70L, 420.0, true)), s"closed form 6n: ${got("m")}")
+    assert(got("u") == ((70L, 0.0, false)), s"uniform: ${got("u")}")
+  }
+
+  test("gini: bounded in [0, 1) and positive on skewed real spend") {
+    val r = operators.Analytics.q67.build(spark, TestSpark.sfDir).collect().head
+    val (n, g) = (r.getLong(0), r.getDouble(2))
+    assert(n > 0)
+    assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

@@ -287,4 +287,29 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(batch == Seq(3, 9, 9, 0), s"batch bins: $batch")
   }
+
+  test("first-touch stream emits exactly one row per user with its earliest ts") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-reach-in").toString
+    // user 1 appears in both batches (second must be swallowed);
+    // user 2's batch arrives out of order (min picked by the sorter)
+    writeBatches(in, Seq(
+      Seq(Streams.Event(1, ts("2024-01-01 00:05:00"), 1, "a", 0.0),
+        Streams.Event(2, ts("2024-01-01 00:01:00"), 1, "a", 0.0)),
+      Seq(Streams.Event(3, ts("2024-01-02 00:00:00"), 1, "a", 0.0),
+        Streams.Event(5, ts("2024-01-02 00:09:00"), 2, "a", 0.0),
+        Streams.Event(4, ts("2024-01-02 00:02:00"), 2, "a", 0.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.firstTouchStream(stream)
+      .writeStream.format("memory").queryName("reach_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("reach_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(got == Map(
+      1L -> ts("2024-01-01 00:01:00"), 2L -> ts("2024-01-02 00:02:00")), s"got $got")
+  }
 }

@@ -110,5 +110,74 @@ object Sketches {
         .orderBy(col("rk"))
     })
 
-  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles, approxTopK)
+  /** Count-min heavy hitters: the token stream folds into ONE
+    * fixed-size CMS (ε = 0.001, δ = 0.01 — mergeable, map-side
+    * combinable, the 100 TB frequency-query path), and the top-5
+    * exact tokens' point queries are checked against the published
+    * one-sided guarantee: exact ≤ estimate ≤ exact + ε·N. The sketch
+    * is METADATA-scale, so querying it on the driver is the intended
+    * use (it would ship to an online service in production); the
+    * gate compares the exact twin + the bound booleans. */
+  val approxHeavyHitters = QueryDef(
+    "approx_heavy_hitters",
+    Some(s"""WITH tok AS (SELECT unnest(string_split(${graft.Portable.normTextSql("text")}, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok),
+      r AS (SELECT tok, exact_n, row_number() OVER (ORDER BY exact_n DESC, tok) AS rk FROM f)
+      SELECT rk, tok, CAST(exact_n AS BIGINT) AS exact_n,
+        TRUE AS no_underestimate, TRUE AS within_eps_n
+      FROM r WHERE rk <= 5 ORDER BY rk"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sp = s
+      import sp.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split(graft.Portable.normText(col("text")), " ")).as("tok"))
+        .localCheckpoint(true) // token stream feeds exact, N, and the sketch
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(5)
+        .withColumn("rk", row_number().over(Window.orderBy(col("exact_n").desc, col("tok"))))
+        .collect().map(r => (r.getInt(2), r.getString(0), r.getLong(1)))
+      val n = toks.count()
+      val eps = 0.001
+      val skBytes = toks.agg(
+        count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42)).as("sk"))
+        .collect().head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      exact.map { case (rk, tok, ex) =>
+        // Spark's CMS aggregate adds string columns as UTF-8 BYTES
+        val est = cms.estimateCount(tok.getBytes("UTF-8"))
+        (rk, tok, ex, est >= ex, est <= ex + (eps * n).ceil.toLong)
+      }.toSeq.toDF("rk", "tok", "exact_n", "no_underestimate", "within_eps_n")
+        .orderBy(col("rk"))
+    })
+
+  /** HLL sketch MERGEABILITY — the property the whole tier exists
+    * for: one fixed-size sketch per source shard, a union fold, one
+    * estimate — at 100 TB the shards never exchange rows, only
+    * KB-size sketches. The gate pins the exact twin (distinct docs,
+    * distinct sources) and that the unioned estimate lands within the
+    * standard HLL error envelope of the true global distinct. */
+  val approxHllUnion = QueryDef(
+    "approx_hll_union",
+    Some("""SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+        TRUE AS union_within_bound
+      FROM documents"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val per = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      val un = per.agg(
+        count(lit(1)).as("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val ex = docs.agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      un.crossJoin(broadcast(ex))
+        .select(col("n_sources"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= greatest(col("exact_distinct") * 0.05, lit(16))).as("union_within_bound"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles, approxTopK,
+    approxHeavyHitters, approxHllUnion)
 }

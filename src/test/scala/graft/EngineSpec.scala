@@ -158,6 +158,16 @@ class EngineSpec extends AnyFunSuite {
     assert(cells.select("cell").distinct().count() > 1)
   }
 
+  test("count-min guarantee and HLL union bound hold on the corpus") {
+    val hh = operators.Sketches.approxHeavyHitters.build(spark, d).collect()
+    assert(hh.length == 5)
+    assert(hh.forall(_.getBoolean(3)), "CMS must never underestimate")
+    assert(hh.forall(_.getBoolean(4)), "CMS estimate must stay within eps*N")
+    val un = operators.Sketches.approxHllUnion.build(spark, d).collect().head
+    assert(un.getLong(0) > 1, "union must actually merge several source sketches")
+    assert(un.getBoolean(2), "unioned HLL estimate within the error envelope")
+  }
+
   test("PII scrub redacts adversarial mixes and leaves clean text untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1035,6 +1035,128 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // --------------------------------------------------- ml_lift_deciles
+  /** ml_lift_deciles: gains/lift table by score decile — the
+    * campaign-targeting readout ("mail the top decile, capture X% of
+    * responders"). Scores are the GD model's margins z (monotone in
+    * σ(z), so deciling z IS deciling the probability); decile edges
+    * come from the exact selection machinery (the `percentile_cont`
+    * contract — oracle thresholds match bit-for-bit) broadcast into a
+    * MAP-ONLY 1–10 binning, then everything is 10-row algebra
+    * (rates, lift vs base rate, cumulative gain from the top
+    * decile). Corpus scanned once past training. */
+  val mlLiftDeciles = QueryDef(
+    "ml_lift_deciles",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val ths = (1 to 9).map(i =>
+        s"percentile_cont(0.${i}) WITHIN GROUP (ORDER BY z) AS t$i").mkString(", ")
+      val binSum = (1 to 9).map(i => s"(CASE WHEN z > t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      sb.append(s""",
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w$GdRounds),
+        th AS (SELECT $ths FROM zz),
+        binned AS (SELECT 1 + $binSum AS decile, y FROM zz, th),
+        dd AS (SELECT decile, count(*) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM binned GROUP BY decile),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(pos) AS DOUBLE) AS tp FROM dd),
+        cum AS (SELECT decile, n, pos,
+            CAST(sum(pos) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cpos
+          FROM dd)
+        SELECT c.decile, c.n, c.pos,
+          round(CAST(c.pos AS DOUBLE) / c.n, 6) AS rate,
+          round((CAST(c.pos AS DOUBLE) / c.n) / (tot.tp / tot.tn), 6) AS lift,
+          round(c.cpos / tot.tp, 6) AS cum_gain
+        FROM cum c, tot ORDER BY c.decile""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = Tables.lineitem(s, d).selectExpr(
+        "l_quantity AS x1", "l_discount AS x2",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
+      val w = logregWeights(b)
+      val zz = scope.persist(b.crossJoin(broadcast(w))
+        .select(expr("wa + wb * x1 + wc * x2").as("z"), col("y"), lit(0).as("grp")))
+      val th = ExactPercentiles.percentiles(zz, "grp", "z",
+          (1 to 9).map(_ / 10.0))
+        .groupBy(col("g"))
+        .agg((1 to 9).map(i =>
+          min(when(col("p") === i / 10.0, col("value"))).as(s"t$i")).head,
+          (1 to 9).map(i =>
+            min(when(col("p") === i / 10.0, col("value"))).as(s"t$i")).tail: _*)
+        .drop("g")
+      val binSum = (1 to 9).map(i => s"(CASE WHEN z > t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val dd = zz.crossJoin(broadcast(th))
+        .selectExpr(s"1 + $binSum AS decile", "y")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint(true) // 10 rows feed totals + cumulative
+      val tot = dd.agg(sum(col("n")).cast(DoubleType).as("tn"),
+        sum(col("pos")).cast(DoubleType).as("tp"))
+      val wdesc = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dd.withColumn("cpos", sum(col("pos")).over(wdesc).cast(DoubleType))
+        .crossJoin(broadcast(tot))
+        .selectExpr("decile", "n", "pos",
+          "round(CAST(pos AS DOUBLE) / n, 6) AS rate",
+          "round((CAST(pos AS DOUBLE) / n) / (tp / tn), 6) AS lift",
+          "round(cpos / tp, 6) AS cum_gain")
+        .orderBy(col("decile"))
+        .localCheckpoint(true)
+    })
+
+  // ----------------------------------------------------------- q68
+  /** Head size for the Zipf fit — the heavy head is where the power
+    * law lives (the tail bends down; every corpus-linguistics fit
+    * truncates). */
+  val ZipfHead = 1000
+
+  /** q68: Zipf-law fit over the token frequency head — the
+    * corpus-statistics audit next to `corpus_vocab_growth` (a healthy
+    * natural-language corpus fits ln f ≈ c − s·ln r with s ≈ 1; a
+    * flat slope flags templated/synthetic text). Frequencies are one
+    * shrinking-key aggregate; the top-[[ZipfHead]] head comes from a
+    * distributed top-k (TakeOrderedAndProject — never a global sort),
+    * after which ranks and the OLS slope are 1000-row algebra: ln
+    * terms rounded to 8 dp (values ≲ 12 — the 12-dp grid would sit at
+    * double precision), DECIMAL moment sums, one shared IEEE slope
+    * expression. */
+  val q68 = QueryDef(
+    "q68_zipf_fit",
+    Some(s"""WITH t AS (SELECT unnest(string_split(${graft.Portable.normTextSql("text")}, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      h AS (SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT $ZipfHead),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM h),
+      lp AS (SELECT round(ln(rk), 8) AS lx, round(ln(c), 8) AS ly FROM r),
+      m AS (SELECT count(*) AS n,
+          CAST(sum(CAST(lx AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(ly AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(lx * lx, 8) AS DECIMAL(18,8))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(round(lx * ly, 8) AS DECIMAL(18,8))) AS DOUBLE) AS sxy
+        FROM lp)
+      SELECT n AS n_ranks,
+        round(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6) AS zipf_exponent
+      FROM m"""),
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(explode(split(graft.Portable.normText(col("text")), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val h = f.orderBy(col("c").desc, col("tok")).limit(ZipfHead)
+      // ≤ 1000 rows from here: the rank window is metadata scale
+      val r = h.withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      val lp = r.selectExpr("round(ln(rk), 8) AS lx", "round(ln(c), 8) AS ly")
+      lp.agg(count(lit(1)).as("n"),
+          sum(col("lx").cast(DecimalType(18, 8))).cast(DoubleType).as("sx"),
+          sum(col("ly").cast(DecimalType(18, 8))).cast(DoubleType).as("sy"),
+          sum(round(col("lx") * col("lx"), 8).cast(DecimalType(18, 8))).cast(DoubleType).as("sxx"),
+          sum(round(col("lx") * col("ly"), 8).cast(DecimalType(18, 8))).cast(DoubleType).as("sxy"))
+        .selectExpr("n AS n_ranks",
+          "round(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6) AS zipf_exponent")
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
-    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67)
+    q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
+    mlLiftDeciles, q68)
 }

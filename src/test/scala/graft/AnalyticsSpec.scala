@@ -294,6 +294,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
   }
 
+  test("lift deciles: population conserved, cumulative gain reaches 1, base lift averages out") {
+    val rows = operators.Analytics.mlLiftDeciles.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 10)
+    val total = Tables.lineitem(spark, TestSpark.sfDir).count()
+    assert(rows.map(_._2).sum == total, "every row lands in exactly one decile")
+    // cumulative gain runs from the TOP decile down to 1.0 at decile 1
+    val byDec = rows.sortBy(_._1)
+    assert(math.abs(byDec.head._6 - 1.0) < 1e-9, "full population captures all positives")
+    val gains = byDec.map(_._6)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "cumulative gain decreases toward the top decile slice")
+  }
+
+  test("zipf fit: exponent positive and in a plausible band on the corpus head") {
+    val r = operators.Analytics.q68.build(spark, TestSpark.sfDir).collect().head
+    // the sf0.001 synthetic vocabulary is tiny — the head is whatever
+    // exists, the fit still runs
+    assert(r.getLong(0) > 10)
+    val s = r.getDouble(1)
+    assert(s > 0.0 && s < 3.0, s"zipf exponent implausible: $s")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

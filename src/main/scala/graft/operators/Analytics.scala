@@ -1156,7 +1156,51 @@ object Analytics {
           "round(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6) AS zipf_exponent")
     })
 
+  // ----------------------------------------------------------- q69
+  /** q69: order→ship lead-time distribution per priority — the
+    * supply-chain SLA readout (how long from order to first
+    * shipment, and does priority actually buy speed?). One
+    * orderkey-keyed join (the natural co-partitioning), per-order MIN
+    * ship date (map-combinable), integer day lead times, then
+    * p50/p90 through the exact selection machinery (the
+    * `percentile_cont` contract) plus exact max — the order table is
+    * scanned, never sort-shuffled. */
+  val q69 = QueryDef(
+    "q69_lead_time",
+    Some("""WITH lt AS (SELECT o.o_orderpriority AS prio,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(min(l.l_shipdate) AS DATE)) AS DOUBLE) AS lead_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate)
+      SELECT prio, count(*) AS n_orders,
+        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lead_days), 6) AS p50_days,
+        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lead_days), 6) AS p90_days,
+        CAST(max(lead_days) AS BIGINT) AS max_days
+      FROM lt GROUP BY prio ORDER BY prio"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val lt = scope.persist(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        .agg(min(col("l_shipdate")).as("first_ship"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
+            .cast(DoubleType).as("lead_days")))
+      val pct = ExactPercentiles.percentiles(lt, "prio", "lead_days", Seq(0.5, 0.9))
+        .groupBy(col("g").as("prio"))
+        .agg(min(when(col("p") === 0.5, col("value"))).as("p50"),
+          min(when(col("p") === 0.9, col("value"))).as("p90"))
+      val agg = lt.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), max(col("lead_days")).as("mx"))
+      agg.join(broadcast(pct), Seq("prio"))
+        .select(col("prio"), col("n_orders"),
+          round(col("p50"), 6).as("p50_days"), round(col("p90"), 6).as("p90_days"),
+          col("mx").cast(LongType).as("max_days"))
+        .orderBy(col("prio"))
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
-    mlLiftDeciles, q68)
+    mlLiftDeciles, q68, q69)
 }

@@ -109,6 +109,39 @@ object Sources {
         .orderBy(col("lang"))
     })
 
+  /** Parquet schema-evolution read — the LAKE-side twin of the schema
+    * engine's `union_by_name` diff: two writers with compatible but
+    * different schemas (v2 adds a column) land in one dataset, and a
+    * `mergeSchema` read reconciles them by NAME, nulling the missing
+    * column for v1 files. The gate aggregates the merged read with
+    * null-aware sums against DuckDB reconstructing the same union —
+    * proving added-column evolution works end-to-end at the file
+    * level, not just in the diff engine. */
+  val mergeSchemaRead = QueryDef(
+    "src_mergeschema_read",
+    Some("""WITH v1 AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0),
+      v2 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+      u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM u GROUP BY lang ORDER BY lang"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/mergeschema_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = Tables.documents(s, d)
+      // two writers, two schemas: v1 lacks n_chars (the pre-evolution
+      // files), v2 carries it
+      write(docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang")),
+        "parquet", s"$tmp/part=v1")
+      write(docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars")),
+        "parquet", s"$tmp/part=v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/part=v1", s"$tmp/part=v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    })
+
   /** JSON round-trip on string/long columns via the documents table. */
   val jsonRoundtrip = QueryDef(
     "src_json_roundtrip",
@@ -206,5 +239,5 @@ object Sources {
     })
 
   val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    zorderKeys, binaryFileRoundtrip, partitionedPrune)
+    zorderKeys, binaryFileRoundtrip, partitionedPrune, mergeSchemaRead)
 }

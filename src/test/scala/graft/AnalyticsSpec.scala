@@ -317,6 +317,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(s > 0.0 && s < 3.0, s"zipf exponent implausible: $s")
   }
 
+  test("lead time: quantiles ordered, orders conserved") {
+    val rows = operators.Analytics.q69.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, _, p50, p90, mx) =>
+      assert(p50 <= p90 + 1e-9 && p90 <= mx + 1e-9, s"quantiles out of order for $p") }
+    val totalOrders = Tables.orders(spark, TestSpark.sfDir)
+      .join(Tables.lineitem(spark, TestSpark.sfDir),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_._2).sum == totalOrders, "every shipped order counted once")
+  }
+
+  test("mergeSchema read nulls the evolved column for pre-evolution files") {
+    val rows = sources.Sources.mergeSchemaRead.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // v1 files (even ids) lack n_chars: roughly half the rows carry it
+    val (n, withC) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(withC > 0 && withC < n, s"expected a null/non-null mix, got $withC of $n")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

@@ -144,7 +144,23 @@ object ScaleProbe {
       ("corpus_naive_bayes", d => functions.LangModel.naiveBayes.build(spark, d)),
       ("graph_kcore", d => operators.Graph.kcoreQuery.build(spark, d)),
       ("q53_ewma", d => operators.Extra.q53.build(spark, d)),
-      ("q54_anomaly_mad", d => operators.Extra.q54.build(spark, d)))
+      ("q54_anomaly_mad", d => operators.Extra.q54.build(spark, d)),
+      // the round-6 fourth-session operators (the scale-sensitive ones:
+      // pair scans, iterative GD/BFS/LPA, selection-machinery users,
+      // two-level ranks — map-only ops like vec_rp_project scale
+      // trivially and stay out to keep the probe wall-time bounded)
+      ("q55_fuzzy_link", d => operators.Analytics.q55.build(spark, d)),
+      ("q57_skyline", d => operators.Analytics.q57.build(spark, d)),
+      ("ml_linear_probe", d => operators.Analytics.linearProbe.build(spark, d)),
+      ("ml_logreg_gd", d => operators.Analytics.mlLogregGd.build(spark, d)),
+      ("ml_kfold_cv", d => operators.Analytics.mlKfoldCv.build(spark, d)),
+      ("graph_bfs", d => operators.Graph.bfsQuery.build(spark, d)),
+      ("graph_label_prop", d => operators.Graph.labelPropQuery.build(spark, d)),
+      ("ann_knn_graph", d => similarity.Similarity.annKnnGraph.build(spark, d)),
+      ("corpus_topic_clusters", d => functions.Corpus.topicClusters.build(spark, d)),
+      ("q64_rfm", d => operators.Analytics.q64.build(spark, d)),
+      ("q67_gini", d => operators.Analytics.q67.build(spark, d)),
+      ("text_entropy", d => functions.TextAnalysis.entropy.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -74,7 +74,7 @@ object Bench {
     "corpus_version_diff", "corpus_topic_clusters", "q65_wow_change",
     "graph_assortativity", "vec_outliers", "q66_seasonality", "q67_gini",
     "approx_heavy_hitters", "approx_hll_union", "ml_lift_deciles",
-    "q68_zipf_fit", "q69_lead_time")
+    "q68_zipf_fit", "q69_lead_time", "q70_abandoned_carts")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -1200,7 +1200,63 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // ----------------------------------------------------------- q70
+  /** q70: cart-abandonment rate by day — the FORWARD as-of the
+    * q19/q48/q58 family doesn't cover (they all look backward): a
+    * click converts iff its user's EARLIEST strictly-later purchase
+    * (in the (ts, event_id) total order) lands within 1 hour. The
+    * engine reverses the union-merge trick: one user-keyed window
+    * sorted DESCENDING, whose strictly-preceding frame holds exactly
+    * the strictly-LATER events, and the running `min` of the carried
+    * purchase struct IS the earliest later purchase (struct order =
+    * ts first) — the tolerance masks it per row, exact by the q48
+    * argument mirrored in time. ONE user-keyed shuffle; the oracle
+    * takes the independent join+count route, cross-checking the
+    * reversed-window semantics. */
+  val q70 = QueryDef(
+    "q70_abandoned_carts",
+    Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT c.event_id, c.ts, count(p.event_id) AS npurch
+        FROM c LEFT JOIN p ON p.user_id = c.user_id
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.event_id, c.ts),
+      d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          count(*) AS n_clicks,
+          CAST(sum(CASE WHEN npurch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        FROM j GROUP BY 1)
+      SELECT day, n_clicks, n_abandoned,
+        round(CAST(n_abandoned AS DOUBLE) / n_clicks, 6) AS abandonment_rate
+      FROM d ORDER BY day"""),
+    (s, d) => abandonedCarts(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))))
+
+  /** Forward as-of abandonment readout — see [[q70]]. */
+  def abandonedCarts(ev: DataFrame,
+      cartType: String = "click", conversionType: String = "purchase"): DataFrame = {
+    val tagged = ev
+      .filter(col("event_type").isin(cartType, conversionType))
+      .withColumn("purch",
+        when(col("event_type") === conversionType,
+          struct(col("ts").as("pts"), col("event_id").as("pid"))))
+    // DESC order: the strictly-preceding frame = strictly-LATER events
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clicks = tagged.withColumn("np", min(col("purch")).over(w))
+      .filter(col("event_type") === cartType)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        when(col("np").isNull || col("np.pts") > col("ts") + expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L).as("abandoned"))
+    clicks.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("abandoned")).as("n_abandoned"))
+      .select(col("day"), col("n_clicks"), col("n_abandoned"),
+        round(col("n_abandoned").cast(DoubleType) / col("n_clicks"), 6).as("abandonment_rate"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
-    mlLiftDeciles, q68, q69)
+    mlLiftDeciles, q68, q69, q70)
 }

@@ -338,6 +338,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(withC > 0 && withC < n, s"expected a null/non-null mix, got $withC of $n")
   }
 
+  test("abandoned carts: forward window honors direction, tolerance, and the 1h boundary") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val H = 3600L
+    val ev = Seq(
+      // user 1: click then purchase 10 min later -> converted
+      (1L, ts(100), 1L, "click"), (2L, ts(700), 1L, "purchase"),
+      // user 2: purchase BEFORE the click only -> abandoned (forward!)
+      (3L, ts(50), 2L, "purchase"), (4L, ts(100), 2L, "click"),
+      // user 3: purchase at exactly +1h -> converted (inclusive)
+      (5L, ts(100), 3L, "click"), (6L, ts(100 + H), 3L, "purchase"),
+      // user 4: purchase at +1h+1s -> abandoned
+      (7L, ts(100), 4L, "click"), (8L, ts(101 + H), 4L, "purchase"),
+      // user 5: click, never purchases -> abandoned
+      (9L, ts(100), 5L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val got = operators.Analytics.abandonedCarts(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+    assert(got == ((5L, 3L, 0.6d)), s"got $got")
+  }
+
   test("linear probe on real data: valid audit stats, OLS r2 in [0,1]") {
     val r = operators.Analytics.linearProbe.build(spark, TestSpark.sfDir).collect().head
     val (n, rmse, r2) = (r.getLong(0), r.getDouble(4), r.getDouble(5))

@@ -423,6 +423,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(userShuffles <= 1, s"expected one user-keyed exchange:\n$p")
   }
 
+  test("q70 abandoned carts shuffles once on the user key, never joins") {
+    // the forward as-of is ONE reversed window — a join (the oracle's
+    // route) or a second user exchange would be the quadratic/tasked
+    // regression
+    val p = plan("q70_abandoned_carts")
+    assert(!p.contains("Join"), s"forward as-of must stay a window, not a join:\n$p")
+    val userShuffles = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).size
+    assert(userShuffles == 1, s"expected exactly one user-keyed exchange:\n$p")
+  }
+
+  test("q66 seasonality and q62 histogram bin map-side against broadcast stats") {
+    for (q <- Seq("q66_seasonality", "q62_histogram2d")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q must broadcast its stats row:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+    }
+  }
+
   test("vec_silhouette scores map-side against broadcast centroids") {
     // guard the API plan: the QueryDef checkpoints its tiny result
     val p = similarity.AnnApi.silhouette(

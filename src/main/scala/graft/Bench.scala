@@ -74,7 +74,9 @@ object Bench {
     "corpus_version_diff", "corpus_topic_clusters", "q65_wow_change",
     "graph_assortativity", "vec_outliers", "q66_seasonality", "q67_gini",
     "approx_heavy_hitters", "approx_hll_union", "ml_lift_deciles",
-    "q68_zipf_fit", "q69_lead_time", "q70_abandoned_carts")
+    "q68_zipf_fit", "q69_lead_time", "q70_abandoned_carts",
+    // round-7 operators
+    "q71_basket_lift", "q72_stickiness", "q73_bm25", "q74_cohort_matrix")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
@@ -133,11 +135,21 @@ object Bench {
     // [3.6, 9.1]) and not ambient load. Warm reps answer the question
     // the bench asks — steady-state engine time — and the cold-start
     // cost is visible in the warmup's own wall time if ever needed.
+    // clearCache() only drops catalog-tracked cache entries; the many
+    // localCheckpoint(true) RDDs queries materialize wait on GC-driven
+    // ContextCleaner otherwise and pile up block-manager memory across
+    // the 115-query session (the r5/r6 verdicts' ngram_jaccard rep
+    // variance billed 35–41 s/rep to GC). Unpersist them DETERMINISTICALLY
+    // between queries instead of hoping System.gc() gets there in time.
+    def dropAllBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
       for (name <- names) {
         try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
-        spark.catalog.clearCache()
+        dropAllBlocks()
       }
       System.gc()
     }
@@ -157,7 +169,7 @@ object Bench {
       // per-query persists must not eat later reps'/queries' memory, and
       // a GC+settle outside the timed section keeps one query's garbage
       // from billing the next query's rep
-      spark.catalog.clearCache()
+      dropAllBlocks()
       System.gc()
       Thread.sleep(100)
       if (ok) samples(name) = samples(name) :+ elapsed

@@ -110,6 +110,32 @@ object Portable {
   def decSum2Sql(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
   def decSum6Sql(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Exact round-half-away-from-zero of the rational num/den at 6
+    * decimal places, in PURE BIGINT arithmetic — the engine-portable
+    * replacement for `round(<double division>, 6)`, whose
+    * shortest-repr (Spark) vs exact-binary (DuckDB) round()
+    * semantics diverge on boundary digits (the q65/q66 lesson).
+    * Both engines truncate BIGINT division toward zero (verified:
+    * DuckDB `-7 // 2 = -3`, Spark `-7 div 2 = -3`), so on absolute
+    * values truncation IS floor and
+    * `floor((2·|num|·10⁶ + |den|) / (2·|den|))` is the exact
+    * half-up magnitude; the sign is reapplied, matching round()'s
+    * half-AWAY-from-zero in both engines. The only IEEE op is the
+    * final `/ 1e6` of an exact integer — one deterministic
+    * round-to-nearest, bit-identical everywhere. NULL den, zero den,
+    * or NULL num propagate NULL (guard upstream for explicit CASE
+    * semantics). Headroom: |num|·2·10⁶ must fit BIGINT, i.e.
+    * |num| < 4.6e12 — percent numerators (Δ·100) at 100 TB weekly
+    * grain stay well under. `idiv` is the engine's integer-division
+    * token: "div" (Spark) / "//" (DuckDB) — NOT decimal division,
+    * which DuckDB silently degrades to DOUBLE. */
+  def round6RatioSql(num: String, den: String, idiv: String): String = {
+    val q = s"((abs($num) * 2000000 + abs($den)) $idiv (2 * abs($den)))"
+    s"(CAST(CASE WHEN (($num) < 0) <> (($den) < 0) THEN -$q ELSE $q END AS DOUBLE) / 1000000.0)"
+  }
+  def round6RatioSpark(num: String, den: String): String = round6RatioSql(num, den, "div")
+  def round6RatioDuck(num: String, den: String): String = round6RatioSql(num, den, "//")
+
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 

@@ -336,7 +336,10 @@ object Analytics {
     * token-for-token with the oracle, so even the boolean flag
     * compares bit-identically. On the synthetic corpus the arms are
     * exchangeable by construction, so flags land false — the planted
-    * AnalyticsSpec fixture pins the true-positive path. */
+    * AnalyticsSpec fixture pins the true-positive path. Singleton or
+    * empty arms NULL the t columns explicitly (na/nb > 1 guard):
+    * Spark NULLs a double ÷0 where DuckDB yields ±Inf, so unguarded
+    * skewed splits would flip the gate. */
   val q59 = QueryDef(
     "q59_ab_test",
     Some(s"""WITH m AS (SELECT event_type,
@@ -349,8 +352,8 @@ object Analytics {
       FROM events GROUP BY event_type)
       SELECT event_type, na, nb,
         round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
-        round($welchT, 6) AS t_stat,
-        abs($welchT) > 1.96 AS significant
+        CASE WHEN na > 1 AND nb > 1 THEN round($welchT, 6) END AS t_stat,
+        CASE WHEN na > 1 AND nb > 1 THEN abs($welchT) > 1.96 END AS significant
       FROM m ORDER BY event_type"""),
     (s, d) => abTest(Tables.events(s, d)
       .select(col("event_type"), col("user_id"), col("value"))))
@@ -368,8 +371,8 @@ object Analytics {
       sum(when(!armA, (col("value") * col("value")).cast(DecimalType(28, 8)))).cast(DoubleType).as("sbb"))
     m.selectExpr("event_type", "na", "nb",
         "round(sa / na, 6) AS mean_a", "round(sb / nb, 6) AS mean_b",
-        s"round($welchT, 6) AS t_stat",
-        s"abs($welchT) > 1.96 AS significant")
+        s"CASE WHEN na > 1 AND nb > 1 THEN round($welchT, 6) END AS t_stat",
+        s"CASE WHEN na > 1 AND nb > 1 THEN abs($welchT) > 1.96 END AS significant")
       .orderBy(col("event_type"))
   }
 
@@ -898,33 +901,43 @@ object Analytics {
   // ----------------------------------------------------------- q65
   /** q65: week-over-week change report — the KPI-dashboard staple
     * (volume and value deltas per event type): one map-combinable
-    * (type, week) aggregate with the DECIMAL value discipline, then
-    * weeks-scale rows only — the lag window and the percent deltas
-    * run at metadata scale; percent math is one fixed-order IEEE
-    * expression on exact inputs, identical in both engines. */
+    * (type, week) aggregate, then weeks-scale rows only — the lag
+    * window and the percent deltas run at metadata scale. Money is
+    * carried as exact BIGINT cents (value cast to DECIMAL(18,2)
+    * half-up identically in both engines, ×100, summed — merge-order
+    * free) and BOTH percent deltas use [[graft.Portable.round6RatioSql]]'s
+    * pure-integer half-away rounding: the r6 gate caught the
+    * `round(<double division>, 6)` form diverging on a boundary
+    * digit (Spark rounds the shortest decimal repr, DuckDB the exact
+    * binary value — the same divergence q66's scaladoc documents),
+    * so no double is divided before rounding anywhere in this query.
+    * The only IEEE ops are the final `/1e6` and `/100` of exact
+    * integers — bit-identical everywhere. */
   val q65 = QueryDef(
     "q65_wow_change",
     Some(s"""WITH w AS (SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
-        count(*) AS n, ${graft.Portable.decSum2Sql("value")} AS sv
+        count(*) AS n,
+        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS svc
         FROM events GROUP BY 1, 2),
-      l AS (SELECT event_type, wk, n, sv,
+      l AS (SELECT event_type, wk, n, svc,
           lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS pn,
-          lag(sv) OVER (PARTITION BY event_type ORDER BY wk) AS psv
+          lag(svc) OVER (PARTITION BY event_type ORDER BY wk) AS psvc
         FROM w)
-      SELECT event_type, wk, n, round(sv, 2) AS total_value,
-        CASE WHEN pn IS NOT NULL THEN round((n - pn) * 100.0 / pn, 6) END AS n_wow_pct,
-        CASE WHEN psv IS NOT NULL AND psv <> 0 THEN round((sv - psv) * 100.0 / psv, 6) END AS value_wow_pct
+      SELECT event_type, wk, n, CAST(svc AS DOUBLE) / 100.0 AS total_value,
+        CASE WHEN pn IS NOT NULL THEN ${graft.Portable.round6RatioDuck("(n - pn) * 100", "pn")} END AS n_wow_pct,
+        CASE WHEN psvc IS NOT NULL AND psvc <> 0 THEN ${graft.Portable.round6RatioDuck("(svc - psvc) * 100", "psvc")} END AS value_wow_pct
       FROM l ORDER BY event_type, wk"""),
     (s, d) => {
       val w = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("wk"))
-        .agg(count(lit(1)).as("n"), graft.Portable.decSum2(col("value")).as("sv"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).cast(LongType).as("svc"))
       val win = Window.partitionBy(col("event_type")).orderBy(col("wk"))
       w.withColumn("pn", lag(col("n"), 1).over(win))
-        .withColumn("psv", lag(col("sv"), 1).over(win))
-        .selectExpr("event_type", "wk", "n", "round(sv, 2) AS total_value",
-          "CASE WHEN pn IS NOT NULL THEN round((n - pn) * 100.0 / pn, 6) END AS n_wow_pct",
-          "CASE WHEN psv IS NOT NULL AND psv <> 0 THEN round((sv - psv) * 100.0 / psv, 6) END AS value_wow_pct")
+        .withColumn("psvc", lag(col("svc"), 1).over(win))
+        .selectExpr("event_type", "wk", "n", "CAST(svc AS DOUBLE) / 100.0 AS total_value",
+          s"CASE WHEN pn IS NOT NULL THEN ${graft.Portable.round6RatioSpark("(n - pn) * 100", "pn")} END AS n_wow_pct",
+          s"CASE WHEN psvc IS NOT NULL AND psvc <> 0 THEN ${graft.Portable.round6RatioSpark("(svc - psvc) * 100", "psvc")} END AS value_wow_pct")
         .orderBy(col("event_type"), col("wk"))
     })
 
@@ -938,7 +951,12 @@ object Analytics {
     * verdict. Day-of-week comes from EXACT integer epoch arithmetic
     * (`(days + 4) % 7`, Sunday = 0 — engine-portable, unlike the
     * engines' different dayofweek conventions); one (type, dow)
-    * count aggregate, then |types|×7-row algebra. The χ² statistic is
+    * count aggregate, then |types|×7-row algebra. (Engine check,
+    * r7: DuckDB `//` on BIGINT truncates toward zero exactly like
+    * Spark `div` — verified `-7 // 2 = -3` — and `%` follows the
+    * dividend sign in both, so pre-1970 negative epochs bin
+    * identically in both engines; the day label would be shifted for
+    * such rows but the gate cannot diverge.) The χ² statistic is
     * computed in EXACT integer arithmetic: Σ(oᵢ − n/7)²/(n/7) =
     * Σ(7oᵢ − n)² / (7n), so the numerator is one DECIMAL(38,0) sum of
     * integer squares and the whole statistic is a single IEEE

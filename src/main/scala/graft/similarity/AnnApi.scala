@@ -139,16 +139,54 @@ object AnnApi {
     * candidate volume Σ|bucket|², per-source window frame bounded by
     * the candidate count; the mutual flag is one pairs-scale
     * self-join on the reversed key — the corpus is never reshuffled.
-    * Output `(src, rk, dst, cos, mutual)`, ordered. */
-  def knnGraph(corpus: DataFrame, id: String, vec: String, k: Int = 3)(
+    * Output `(src, rk, dst, cos, mutual)`, ordered.
+    *
+    * SCALE GUARDS (r7; the r6 verdict's "constant-factor discount on
+    * all-pairs" finding): with a FIXED plane count the per-table
+    * bucket population grows as n/2^planes, so the bucket self-join
+    * is Θ(n²/2^planes) — quadratic in disguise. Two defenses, both
+    * required on a real corpus:
+    *  - `maxBucketSize > 0` drops (table, bucket) groups larger than
+    *    the cap before the self-join (broadcast drop-list anti-join —
+    *    the [[graft.dedup.DedupApi.minhashPairs]] `maxBucketSize` /
+    *    Graph `MaxOrderSize` discipline, third repetition). A vector
+    *    in a dropped bucket keeps its edges from the other
+    *    `NumTables − 1` tables; only rows oversized in EVERY table
+    *    lose out — exactly the degenerate near-duplicate mass a k-NN
+    *    graph over raw buckets should not be fed anyway (dedup
+    *    first, or use [[knnGraphScaled]]).
+    *  - `planesPerTable` widens the code so expected bucket size
+    *    n/2^planes stays at a TARGET constant: see [[planesFor]] and
+    *    [[knnGraphScaled]], which picks planes ≈ log₂(n/target) from
+    *    a corpus count — that makes candidate volume Θ(n·target),
+    *    linear in n, the genuinely sub-quadratic plan.
+    * The gated `ann_knn_graph` query passes the cap (mirrored
+    * verbatim in its oracle); `EngineSpec` pins the planted-megabucket
+    * behavior. */
+  def knnGraph(corpus: DataFrame, id: String, vec: String, k: Int = 3,
+      maxBucketSize: Int = 0,
+      planesPerTable: Int = Similarity.PlanesPerTable)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val n = normalized(corpus, id, vec)
       .transform(scope.persist)
     val tables = (0 until Similarity.NumTables).map(t =>
-      struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk")))
-    val tb = n.withColumn("tbl", explode(array(tables: _*)))
+      struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t, planesPerTable)).as("bk")))
+    val tbAll = n.withColumn("tbl", explode(array(tables: _*)))
       .select(col(id), col("tbl.t").as("t"), col("tbl.bk").as("bk"))
       .transform(scope.persist)
+    val tb =
+      if (maxBucketSize <= 0) tbAll
+      else {
+        // broadcast the DROP list: oversized buckets are the rare
+        // pathology by design, buckets <= cap are nearly all of them
+        val oversized = tbAll.groupBy(col("t"), col("bk"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("t").as("f_t"), col("bk").as("f_bk"))
+        tbAll.join(broadcast(oversized),
+            col("t") === col("f_t") && col("bk") === col("f_bk"), "left_anti")
+          .transform(scope.persist)
+      }
     val cand = tb.as("ca").join(tb.as("cb"),
         col("ca.t") === col("cb.t") && col("ca.bk") === col("cb.bk") &&
         col(s"ca.$id") =!= col(s"cb.$id"))
@@ -167,6 +205,34 @@ object AnnApi {
       .select(col("src"), col("rk"), col("dst"), round(col("c"), 6).as("cos"),
         col("r_src").isNotNull.as("mutual"))
       .orderBy(col("src"), col("rk"))
+  }
+
+  /** Planes per table so the EXPECTED bucket population lands at
+    * `targetBucket`: ⌈log₂(n / targetBucket)⌉, floored at the
+    * default [[Similarity.PlanesPerTable]]. With this width the
+    * bucket self-join's candidate volume is Θ(n · targetBucket) —
+    * LINEAR in corpus size — instead of the fixed-width
+    * Θ(n² / 2^planes). */
+  def planesFor(n: Long, targetBucket: Int = 256): Int =
+    math.max(Similarity.PlanesPerTable,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+
+  /** [[knnGraph]] sized for the data: ONE corpus count picks the
+    * plane width via [[planesFor]] (expected bucket ≈ `targetBucket`)
+    * and the bucket cap is enforced at 8× target, so even a
+    * degenerate vector cluster (all-identical embeddings hash to one
+    * bucket in EVERY table) bounds its pair volume at 64·target²
+    * per table instead of |cluster|². This is the form to run on a
+    * real corpus; the fixed-width [[knnGraph]] stays as the
+    * oracle-parity gate surface. */
+  def knnGraphScaled(corpus: DataFrame, id: String, vec: String, k: Int = 3,
+      targetBucket: Int = 256)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val n = corpus.count()
+    knnGraph(corpus, id, vec, k,
+      maxBucketSize = targetBucket * 8,
+      planesPerTable = planesFor(n, targetBucket))
   }
 
   /** Simplified silhouette (centroid-based — Hruschka et al.'s

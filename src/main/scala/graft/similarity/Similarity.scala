@@ -79,10 +79,18 @@ object Similarity {
     * oracle parity), but far smaller codegen — the inline form emitted
     * 16 × 64-term expression trees per row and its generated method
     * dominated query time at small scale. */
-  def bucketExprSparkFor(table: Int): String = {
-    val bits = (0 until PlanesPerTable).map { b =>
-      val p = table * PlanesPerTable + b
-      val signArr = signs(p).map(s => s"CAST($s AS DOUBLE)").mkString("array(", ", ", ")")
+  def bucketExprSparkFor(table: Int): String = bucketExprSparkFor(table, PlanesPerTable)
+
+  /** Width-parameterized variant: the md5 sign derivation extends to
+    * ANY plane index, so wider codes (AnnApi.planesFor's
+    * log₂(n/target) scaling) reuse the same deterministic matrix —
+    * at `planesPerTable` = [[PlanesPerTable]] this is bit-identical
+    * to the fixed matrix the oracles share. */
+  def bucketExprSparkFor(table: Int, planesPerTable: Int): String = {
+    val bits = (0 until planesPerTable).map { b =>
+      val p = table * planesPerTable + b
+      val signArr = (0 until Dim).map(i => s"CAST(${sign(p, i)} AS DOUBLE)")
+        .mkString("array(", ", ", ")")
       s"""IF(graft_dot($signArr, v) > CAST(0 AS DOUBLE),
            shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"""
     }
@@ -761,6 +769,14 @@ object Similarity {
   // ------------------------------------------------------- knn graph
   /** k for the corpus-wide neighbor graph. */
   val KnnGraphK = 3
+  /** Per-(table, bucket) population cap for the gated graph (r7 —
+    * closes the r6 "unguarded Σ|bucket|²" verdict item): buckets
+    * above this never enter the self-join, in ENGINE AND ORACLE
+    * alike, so the gate pins the cap semantics too. Generous at gate
+    * scale (sf0.1 averages ≈ n/16 ≈ 400/bucket) — it is the
+    * megabucket pathology guard, not a recall tuner; production runs
+    * scale the plane count as well via `AnnApi.knnGraphScaled`. */
+  val KnnGraphMaxBucket = 1024
 
   /** ann_knn_graph: the corpus-wide k-NN GRAPH — every vector's top-k
     * bucket-mates plus the MUTUAL flag (reverse edge also present),
@@ -768,11 +784,14 @@ object Similarity {
     * classification, and graph-based ANN. Candidates come from the
     * identical 4-table hyperplane buckets as [[lsh]] with EVERY
     * vector as a probe: one corpus→(table, bucket) shuffle, candidate
-    * volume Σ|bucket|² bounded by the plane count, exact-cosine
-    * re-rank per source (window frame ≤ candidate count). The mutual
-    * flag is ONE pairs-scale self-join on the reversed key — never a
-    * corpus re-shuffle. The oracle mirrors buckets, ranking, and the
-    * reverse join, so hash equality pins the full graph. */
+    * volume Σ|bucket|² bounded by the plane count AND the
+    * [[KnnGraphMaxBucket]] population cap (dropped buckets are
+    * excluded by both engines — the cap is part of the gated
+    * semantics), exact-cosine re-rank per source (window frame ≤
+    * candidate count). The mutual flag is ONE pairs-scale self-join
+    * on the reversed key — never a corpus re-shuffle. The oracle
+    * mirrors buckets, cap, ranking, and the reverse join, so hash
+    * equality pins the full graph. */
   val annKnnGraph = QueryDef(
     "ann_knn_graph",
     Some {
@@ -782,7 +801,10 @@ object Similarity {
         .mkString(" UNION ALL ")
       s"""WITH $normSqlCte,
       bk AS (SELECT vec_id, $bkCols FROM nx),
-      tb AS ($tb),
+      tb0 AS ($tb),
+      bsz AS (SELECT t, bk, count(*) AS bn FROM tb0 GROUP BY t, bk),
+      tb AS (SELECT tb0.* FROM tb0 JOIN bsz ON tb0.t = bsz.t AND tb0.bk = bsz.bk
+        WHERE bsz.bn <= $KnnGraphMaxBucket),
       cand AS (SELECT DISTINCT ca.vec_id AS src, cb.vec_id AS dst
         FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk AND ca.vec_id <> cb.vec_id),
       topk AS (SELECT src, dst, c, rk FROM (
@@ -796,7 +818,8 @@ object Similarity {
       ORDER BY k.src, k.rk"""
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      AnnApi.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", KnnGraphK)
+      AnnApi.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", KnnGraphK,
+          maxBucketSize = KnnGraphMaxBucket)
         .localCheckpoint(true)
     })
 

@@ -369,4 +369,55 @@ class AnalyticsSpec extends AnyFunSuite {
     // train-set OLS with an intercept: 0 <= r2 <= 1 by construction
     assert(r2 >= 0 && r2 <= 1)
   }
+
+  // ------------------------------------------- portable 6-dp rounding
+  test("round6Ratio: pure-integer half-away rounding equals BigDecimal HALF_UP at 6 dp") {
+    import spark.implicits._
+    // adversarial cases: exact .5 boundaries both signs, huge ratios,
+    // tiny ratios, and a pseudo-random sweep
+    val planted = Seq(
+      (1L, 2L), (-1L, 2L), (1L, -2L), (-1L, -2L),       // ±0.5
+      (1L, 2000000L), (-1L, 2000000L),                  // ±5e-7, the rounding boundary
+      (3L, 2000000L), (-3L, 2000000L),                  // ±1.5e-6
+      (1L, 3L), (-2L, 3L), (100L, 7L), (-1000L, 7L),
+      (999999999L, 1000000L), (1L, 999999937L))
+    val rng = new scala.util.Random(42)
+    val swept = (0 until 500).map { _ =>
+      val den = { val x = rng.nextLong() % 1000000L; if (x == 0) 7L else x }
+      (rng.nextLong() % 100000000L, den)
+    }
+    val rows = (planted ++ swept).toDF("num", "den")
+    val got = rows.selectExpr("num", "den",
+        graft.Portable.round6RatioSpark("num", "den") + " AS r")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (planted ++ swept).foreach { case (n0, d0) =>
+      val expect = (BigDecimal(n0) / BigDecimal(d0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((n0, d0)) == expect,
+        s"$n0/$d0: got ${got((n0, d0))}, want $expect")
+    }
+  }
+
+  test("q65 percent deltas: planted weeks hit the closed form, first week NULL") {
+    import spark.implicits._
+    // 3 weeks of counts 8, 10, 7 → +25%, -30%; pure-integer path
+    val ev = Seq.tabulate(8)(i => ("a", "2024-01-01 10:00:00", i)) ++
+      Seq.tabulate(10)(i => ("a", "2024-01-08 10:00:00", i)) ++
+      Seq.tabulate(7)(i => ("a", "2024-01-15 10:00:00", i))
+    val df = ev.toDF("event_type", "tss", "i")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"),
+        lit(1.5).as("value"))
+    val w = df.groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("wk"))
+    val out = w.withColumn("pn", lag(col("n"), 1).over(win))
+      .selectExpr("wk", "n",
+        s"CASE WHEN pn IS NOT NULL THEN ${graft.Portable.round6RatioSpark("(n - pn) * 100", "pn")} END AS pct")
+      .orderBy(col("wk")).collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(2), "first week has no prior")
+    assert(out(1).getDouble(2) == 25.0)
+    assert(out(2).getDouble(2) == -30.0)
+  }
 }

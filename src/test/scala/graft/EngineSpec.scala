@@ -144,6 +144,41 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.exists(_._5), "a tight corpus has at least one mutual pair")
   }
 
+  test("knnGraph: the bucket cap suppresses a planted megabucket; planesFor scales with n") {
+    import spark.implicits._
+    val dim = similarity.Similarity.Dim
+    val rng = new scala.util.Random(7)
+    // 25 IDENTICAL vectors: same sign code in every table → one
+    // megabucket per table (the degenerate near-duplicate mass)
+    val shared = Array.fill(dim)(rng.nextDouble() - 0.5)
+    val mega = (1000L until 1025L).map(i => (i, shared.toSeq))
+    val normal = (1L to 10L).map(i => (i, Array.fill(dim)(rng.nextDouble() - 0.5).toSeq))
+    val corpus = (mega ++ normal).toDF("vec_id", "embedding")
+    val capped = graft.CacheScope.withScope { implicit s =>
+      similarity.AnnApi.knnGraph(corpus, "vec_id", "embedding", k = 3, maxBucketSize = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    // megabucket members only ever co-occur in over-cap buckets →
+    // zero intra-cluster edges survive
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      s"planted megabucket must contribute no pairs: ${capped.filter(_._1 >= 1000L).take(5)}")
+    assert(capped.exists { case (a, b) => a < 1000L && b < 1000L },
+      "normal vectors must keep their graph edges")
+    val uncapped = graft.CacheScope.withScope { implicit s =>
+      similarity.AnnApi.knnGraph(corpus, "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    assert(uncapped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "uncapped control: identical vectors flood the graph")
+    // plane scaling: constant at small n, log2-grows past the target
+    assert(similarity.AnnApi.planesFor(1000, 256) == similarity.Similarity.PlanesPerTable)
+    assert(similarity.AnnApi.planesFor(1L << 20, 256) == 12)
+    assert(similarity.AnnApi.planesFor(1L << 30, 256) == 22)
+    // wider codes actually change the bucket expression arity
+    val wide = similarity.Similarity.bucketExprSparkFor(0, 6)
+    assert(wide.split("shiftleft").length - 1 == 6)
+  }
+
   test("k-means IVF recall vs brute force at least matches label-cell IVF") {
     val brute = similarity.Similarity.bruteTopK.build(spark, d)
       .select("id_p", "id_c").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -85,4 +85,23 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert((g1, g2) == (0L, 0L))
     assert(Multimodal.decodeAHash(3L, Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("phashPairs: the enforced band cap suppresses a planted flat-image megabucket") {
+    import spark.implicits._
+    // 30 flat images → all-zero hash, every band identical (the crawl
+    // boilerplate pathology); 2 distinct near-dups below the cap
+    val mega = (0L until 30L).map(i => (i, 0L, 0L))
+    // h1=3, h2=0x7F: hamming 9 from the flat class (outside radius 6),
+    // hamming 0 from each other
+    val pair = Seq((100L, 3L, 127L), (101L, 3L, 127L))
+    val hs = (mega ++ pair).toDF("img_id", "h1", "h2")
+    val capped = Multimodal.phashPairs(hs, maxBandSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"megabucket pairs must be dropped, small-band pair kept: $capped")
+    // uncapped control: the megabucket alone contributes C(30,2) pairs
+    val uncapped = Multimodal.phashPairs(hs, maxBandSize = 0).count()
+    assert(uncapped == 30L * 29 / 2 + 1,
+      s"uncapped join must be quadratic in the megabucket: $uncapped")
+  }
 }

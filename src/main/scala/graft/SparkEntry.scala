@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Relational.defs ++
         operators.Extra.defs ++
         operators.Analytics.defs ++
+        operators.Insights.defs ++
         functions.TextAnalysis.defs ++
         functions.Corpus.defs ++
         functions.Pipeline.defs ++

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-7 analytics tier (SURVEY.md §2.2 cont.): market-basket
+  * association rules, DAU/MAU engagement stickiness, BM25 document
+  * ranking, and the cohort-week retention matrix — the four readouts
+  * a product-analytics / IR stack runs daily that the suite did not
+  * yet cover.
+  *
+  * House determinism rules applied throughout (the q65 lesson):
+  * ratios surfaced at 6 dp go through [[Portable.round6RatioSql]]'s
+  * pure-integer half-away rounding; doubles that must hash-compare
+  * are either fixed-order IEEE trees over exact integer inputs shared
+  * token-for-token with the oracle (bit-identical in both engines) or
+  * 12-dp-rounded DECIMAL sums (the `corpus_ngram_lm` ln discipline);
+  * `round(<double division>, 6)` never appears.
+  */
+object Insights {
+
+  // ----------------------------------------------------------- q71
+  /** Baskets larger than this never enter the pair expansion — the
+    * megabucket guard (house `maxBucketSize` discipline): one
+    * wholesale order with 10⁴ distinct items would contribute
+    * C(10⁴,2) ≈ 5·10⁷ pairs on its own. Enforced in BOTH engines, so
+    * the gate pins the cap semantics. TPC-H-ish baskets top out ≈ 7
+    * items; the cap only exists for the pathological tail. */
+  val MaxBasketSize = 50
+  /** Minimum co-occurrence count for a rule to be scored. */
+  val MinPairSupport = 2
+
+  /** q71: market-basket association rules over lineitem baskets
+    * (order = basket, part = item) — support / confidence inputs and
+    * LIFT = (n_ab · N) / (n_a · n_b), the cross-sell staple. Top 20
+    * rules by lift.
+    *
+    * 100 TB shape: ONE distinct (order, part) projection; the pair
+    * stage is a per-basket self-join bounded by [[MaxBasketSize]]
+    * (≤ C(50,2) pairs per basket — linear in basket count, never
+    * corpus×corpus), immediately collapsed by a (pa, pb) count
+    * aggregate; item supports are an item-grain aggregate; N rides in
+    * as a one-row broadcast. Top-20 is TakeOrderedAndProject (per-
+    * partition top-k + driver merge), no global sort. The lift double
+    * is the fixed-order IEEE tree `CAST(cab AS DOUBLE) * nb / ca / cb`
+    * over exact BIGINT counts, shared token-for-token with the oracle
+    * — bit-identical in both engines, no round() hazard. */
+  val q71 = QueryDef(
+    "q71_basket_lift",
+    Some(s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      bsz AS (SELECT ok, count(*) AS sz FROM b GROUP BY ok),
+      bf AS (SELECT b.ok, b.pk FROM b JOIN bsz ON b.ok = bsz.ok WHERE bsz.sz <= $MaxBasketSize),
+      n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM bf),
+      item AS (SELECT pk, count(*) AS c FROM bf GROUP BY pk),
+      pair AS (SELECT a.pk AS pa, b2.pk AS pb, count(*) AS cab
+        FROM bf a JOIN bf b2 ON a.ok = b2.ok AND a.pk < b2.pk GROUP BY a.pk, b2.pk),
+      sup AS (SELECT pa, pb, cab, ia.c AS ca, ib.c AS cb FROM pair
+        JOIN item ia ON ia.pk = pair.pa JOIN item ib ON ib.pk = pair.pb
+        WHERE cab >= $MinPairSupport),
+      sc AS (SELECT pa, pb, cab, ca, cb, CAST(cab AS DOUBLE) * nb / ca / cb AS lift FROM sup, n),
+      r AS (SELECT pa, pb, cab, ca, cb, lift,
+          row_number() OVER (ORDER BY lift DESC, pa, pb) AS rk FROM sc)
+      SELECT rk, pa, pb, cab, ca, cb, lift FROM r WHERE rk <= 20 ORDER BY rk"""),
+    (s, d) => basketLift(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+
+  /** Association rules over (ok = basket id, pk = item) rows — see
+    * [[q71]]. `minSupport`/`maxBasket` parameterized for callers;
+    * gate values are the shared constants. */
+  def basketLift(rows: DataFrame, minSupport: Int = MinPairSupport,
+      maxBasket: Int = MaxBasketSize, topK: Int = 20): DataFrame = {
+    val b = rows.select(col("ok"), col("pk")).distinct()
+    val bsz = b.groupBy(col("ok")).agg(count(lit(1)).as("sz"))
+    val bf = b.join(bsz.filter(col("sz") <= maxBasket).select(col("ok")), Seq("ok"))
+    val n = bf.agg(countDistinct(col("ok")).cast(LongType).as("nb"))
+    val item = bf.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pair = bf.as("a").join(bf.as("b2"),
+        col("a.ok") === col("b2.ok") && col("a.pk") < col("b2.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b2.pk").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+    val sc = pair
+      .join(item.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(item.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .selectExpr("pa", "pb", "cab", "ca", "cb",
+        "CAST(cab AS DOUBLE) * nb / ca / cb AS lift")
+    val top = sc.orderBy(col("lift").desc, col("pa"), col("pb")).limit(topK)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("lift").desc, col("pa"), col("pb"))))
+      .select(col("rk"), col("pa"), col("pb"), col("cab"), col("ca"), col("cb"), col("lift"))
+      .orderBy(col("rk"))
+  }
+
+  // ----------------------------------------------------------- q72
+  /** Trailing window (days, inclusive) for the MAU side. */
+  val MauWindowDays = 28
+
+  /** q72: DAU / MAU engagement stickiness per day — the product-
+    * health KPI: distinct daily actives over distinct trailing-28-day
+    * actives.
+    *
+    * 100 TB shape: the corpus collapses to distinct (user, day) ONCE
+    * (one shuffle); the MAU side avoids a range join by the EXPLODE
+    * trick — each (user, day) row covers report days d..d+27 via a
+    * `sequence()` explode (a fixed 28× fan-out, linear in user-days),
+    * equi-joined to the broadcast day grid, then one distinct-user
+    * count per report day. No per-day rescans, no O(|ud|·|days|)
+    * nested loop. Stickiness is [[Portable.round6RatioSql]]'s exact
+    * integer rounding of dau/mau. The oracle runs the equivalent
+    * BETWEEN range join — same result, and the engine's explode plan
+    * is the one that survives scale. */
+  val q72 = QueryDef(
+    "q72_stickiness",
+    Some(s"""WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      days AS (SELECT DISTINCT d FROM ud),
+      dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+      mau AS (SELECT dy.d, count(DISTINCT ud.user_id) AS mau FROM days dy
+        JOIN ud ON ud.d <= dy.d AND ud.d >= dy.d - ${MauWindowDays - 1} GROUP BY dy.d)
+      SELECT dau.d, dau.dau, mau.mau,
+        ${Portable.round6RatioDuck("dau.dau", "mau.mau")} AS stickiness
+      FROM dau JOIN mau ON dau.d = mau.d ORDER BY dau.d"""),
+    (s, d) => stickiness(Tables.events(s, d).select(col("user_id"), col("ts"))))
+
+  /** DAU/MAU over (user_id, ts) rows — see [[q72]]. */
+  def stickiness(ev: DataFrame, windowDays: Int = MauWindowDays): DataFrame = {
+    val ud = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val covered = ud.select(col("user_id"),
+      explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("rd"))
+    val mau = covered.join(broadcast(days.select(col("d").as("rd"))), Seq("rd"))
+      .groupBy(col("rd").as("d")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("d"))
+      .selectExpr("d", "dau", "mau",
+        s"${Portable.round6RatioSpark("dau", "mau")} AS stickiness")
+      .orderBy(col("d"))
+  }
+
+  // ----------------------------------------------------------- q73
+  /** Fixed query-term set (corpus mid-frequency tokens) and the
+    * standard BM25 constants — literals shared with the oracle. */
+  val Bm25Terms = Seq("join", "scan", "filter")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 15
+
+  /** q73: BM25 document ranking (Robertson–Spärck Jones / Okapi —
+    * the IR scoring staple, and the retrieval half of every RAG
+    * data pipeline) for the fixed [[Bm25Terms]] query. Per (doc,
+    * term): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * always-positive idf = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * Determinism: each per-term score is rounded to 12 dp and summed
+    * as DECIMAL — the `corpus_ngram_lm` ln discipline (a last-ulp ln
+    * divergence moves one term ≤ 1e-12 and the decimal sum is merge-
+    * order-free); ranking orders on the EXACT decimal sum, never on a
+    * re-rounded double, so ranks cannot diverge at ulp boundaries;
+    * the surfaced score is one deterministic decimal→double cast.
+    *
+    * 100 TB shape: ONE corpus scan produces (doc, dl) and the term-
+    * filtered tf rows (the filter collapses the explode to |terms|
+    * rows per doc BEFORE any shuffle); df and the (N, avgdl) row are
+    * term-/corpus-grain aggregates riding back as broadcasts; top-15
+    * is TakeOrderedAndProject. The corpus is never joined to itself
+    * and never re-scanned. */
+  /** The shared per-(doc, term) BM25 score fragment — every operand
+    * explicitly CAST to DOUBLE before any division, because a bare
+    * `(nd - df + 0.5) / (df + 0.5)` would be DECIMAL-typed in Spark
+    * (decimal division, HALF_UP at a result scale) but silently
+    * degrade to DOUBLE division in DuckDB — the engines' decimal
+    * division semantics NEVER agree, so the fragment keeps the whole
+    * tree in IEEE doubles where both are correctly rounded. */
+  private val bm25Frag =
+    s"round(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+      s" * (CAST(tf AS DOUBLE) * ${1 + Bm25K1})" +
+      s" / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)), 12)"
+
+  val q73 = QueryDef(
+    "q73_bm25", {
+      val termsSql = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${Portable.normTextSql("text")}, ' ') AS toks FROM documents),
+      dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlt),
+      tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t) u
+        WHERE tok IN $termsSql GROUP BY doc_id, dl, tok),
+      dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      term AS (SELECT tf.doc_id, CAST($bm25Frag AS DECIMAL(28,12)) AS ts
+        FROM tf JOIN dft ON tf.tok = dft.tok, st),
+      sc AS (SELECT doc_id, sum(ts) AS s FROM term GROUP BY doc_id),
+      r AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM sc)
+      SELECT rk, doc_id, CAST(s AS DOUBLE) AS score FROM r WHERE rk <= $Bm25TopK ORDER BY rk""")
+    },
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(Portable.normText(col("text")), " ").as("toks"))
+      val dlt = t.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+      val st = dlt.agg(count(lit(1)).cast(LongType).as("nd"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+      // dl rides through the tf aggregation (constant per doc) — no
+      // corpus-grain join back for document length
+      val tf = t.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+          explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms.map(x => x: Any): _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val term = tf.join(broadcast(dft), Seq("tok"))
+        .crossJoin(broadcast(st))
+        .selectExpr("doc_id", s"CAST($bm25Frag AS DECIMAL(28,12)) AS ts")
+      val sc = term.groupBy(col("doc_id")).agg(sum(col("ts")).as("s"))
+      val top = sc.orderBy(col("s").desc, col("doc_id")).limit(Bm25TopK)
+      top.withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("s").cast(DoubleType).as("score"))
+        .orderBy(col("rk"))
+    })
+
+  // ----------------------------------------------------------- q74
+  /** q74: cohort-week retention matrix — users cohorted by first
+    * active week, the (cohort, week-age) triangle of distinct actives
+    * with retention vs the cohort's size. The growth-analytics view
+    * behind every retention chart ([[Extra]]'s q45 is the single-
+    * cohort curve; this is the full matrix).
+    *
+    * 100 TB shape: corpus → distinct (user, week) once; first-week
+    * per user is a user-grain aggregate; the matrix is ONE join of
+    * user-weeks to their (user-grain) cohort row followed by a
+    * (cohort, age) count — every stage keyed and shrinking, no
+    * windows over the corpus, no per-week rescans. Ages are exact
+    * integer week arithmetic (both engines' day subtraction is exact,
+    * weeks are aligned so the division is exact); retention is
+    * [[Portable.round6RatioSql]]. */
+  val q74 = QueryDef(
+    "q74_cohort_matrix",
+    Some(s"""WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+      sz AS (SELECT cohort, count(*) AS cohort_n FROM fw GROUP BY cohort),
+      act AS (SELECT f.cohort, CAST((uw.wk - f.cohort) // 7 AS BIGINT) AS age, count(*) AS n_active
+        FROM uw JOIN fw f ON uw.user_id = f.user_id GROUP BY 1, 2)
+      SELECT act.cohort, act.age, act.n_active, sz.cohort_n,
+        ${Portable.round6RatioDuck("act.n_active", "sz.cohort_n")} AS retention
+      FROM act JOIN sz ON act.cohort = sz.cohort ORDER BY act.cohort, act.age"""),
+    (s, d) => cohortMatrix(Tables.events(s, d).select(col("user_id"), col("ts"))))
+
+  /** Cohort-week retention matrix over (user_id, ts) rows — see
+    * [[q74]]. */
+  def cohortMatrix(ev: DataFrame): DataFrame = {
+    val uw = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val fw = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sz = fw.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+    val act = uw.join(fw, Seq("user_id"))
+      .select(col("cohort"), expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("age"))
+      .groupBy(col("cohort"), col("age")).agg(count(lit(1)).as("n_active"))
+    act.join(sz, Seq("cohort"))
+      .selectExpr("cohort", "age", "n_active", "cohort_n",
+        s"${Portable.round6RatioSpark("n_active", "cohort_n")} AS retention")
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted closed-form fixtures for the round-7 analytics tier
+  * (operators.Insights): basket-lift association rules, DAU/MAU
+  * stickiness, BM25 ranking, cohort retention matrix. */
+class InsightsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  // ------------------------------------------------------------- q71
+  test("basket lift: planted baskets hit the closed form, support gate holds") {
+    import spark.implicits._
+    // baskets: {A,B} {A,B} {A,C} {C} → N=4, ca(A)=3, c(B)=2, c(C)=2,
+    // cab(A,B)=2 → lift = 2·4/(3·2) = 4/3; (A,C) support 1 < 2 dropped
+    val rows = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 30L)).toDF("ok", "pk")
+    val got = operators.Insights.basketLift(rows).collect()
+    assert(got.length == 1, s"only (A,B) clears min support: ${got.mkString(";")}")
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((10L, 20L, 2L, 3L, 2L)))
+    assert(r.getDouble(6) == 2.0 * 4 / 3 / 2, "lift must be the exact IEEE tree")
+  }
+
+  test("basket lift: the basket-size cap drops a planted mega-basket") {
+    import spark.implicits._
+    // one 60-item basket (over the 50 cap) would mint C(60,2) pairs;
+    // two small baskets keep their rule
+    val mega = (1L to 60L).map(pk => (100L, pk))
+    val small = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val got = operators.Insights.basketLift((mega ++ small).toDF("ok", "pk")).collect()
+    assert(got.length == 1, s"mega-basket pairs must be dropped: ${got.length} rules")
+    // N counts only surviving baskets (2), so lift = 2·2/(2·2) = 1
+    assert(got.head.getDouble(6) == 1.0)
+  }
+
+  // ------------------------------------------------------------- q72
+  test("stickiness: planted days hit the closed DAU/MAU form") {
+    import spark.implicits._
+    // 2-day window for a readable fixture: day1 users {1,2}, day2 {2,3}
+    // → DAU 2,2; MAU(day1)={1,2}, MAU(day2)={1,2,3}
+    val ev = Seq(
+      (1L, "2024-03-01 01:00:00"), (2L, "2024-03-01 02:00:00"),
+      (2L, "2024-03-02 01:00:00"), (3L, "2024-03-02 02:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    val got = operators.Insights.stickiness(ev, windowDays = 2).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 2L, 2L, 1.0),
+      ("2024-03-02", 2L, 3L, 0.666667)))
+  }
+
+  // ------------------------------------------------------------- q73
+  test("bm25: ranks the term-dense doc first and scores only matching docs") {
+    val rows = operators.Insights.q73.build(spark, d).collect()
+    assert(rows.length == operators.Insights.Bm25TopK)
+    // ranks are 1..k and scores non-increasing in rank
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0), "the +1 idf variant is always positive")
+  }
+
+  // ------------------------------------------------------------- q74
+  test("cohort matrix: planted two-cohort fixture hits the closed form") {
+    import spark.implicits._
+    // cohort W1 = {u1, u2}: u1 active W1+W2, u2 only W1
+    // cohort W2 = {u3}: active W2 only
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-08 10:00:00"), (3L, "2024-01-09 10:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    val got = operators.Insights.cohortMatrix(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0)))
+  }
+}

@@ -451,4 +451,31 @@ class PlanGuardSpec extends AnyFunSuite {
       s"centroid row must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"silhouette must not sort-merge the corpus:\n$p")
   }
+
+  test("q71 basket lift plans sort-free top-k and no quadratic join operators") {
+    val p = plan("q71_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"basket pair stage must stay keyed:\n$p")
+    // exactly ONE nested-loop join is allowed: the broadcast cross of
+    // the one-row basket-count frame (the house stat-row shape); the
+    // basket pair join itself must stay a keyed hash join
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the one-row stat cross may nested-loop:\n$p")
+  }
+
+  test("q72 stickiness plans the MAU side as an equi-join on the exploded day grid") {
+    // the BETWEEN range-join form would be a BroadcastNestedLoopJoin
+    // evaluating |user-days| x |days| predicates; the explode form is a
+    // hash equi-join on the covered day
+    val p = plan("q72_stickiness")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"MAU must not range-join:\n$p")
+    assert(p.contains("Explode") || p.contains("Generate"), s"MAU must explode coverage:\n$p")
+  }
+
+  test("q73 bm25 broadcasts df and corpus stats, never self-joins the corpus") {
+    val p = plan("q73_bm25")
+    assert(p.contains("BroadcastExchange"), s"df/stats rows must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-15 must be TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-grain sort-merge join:\n$p")
+  }
 }

@@ -76,7 +76,9 @@ object Bench {
     "approx_heavy_hitters", "approx_hll_union", "ml_lift_deciles",
     "q68_zipf_fit", "q69_lead_time", "q70_abandoned_carts",
     // round-7 operators
-    "q71_basket_lift", "q72_stickiness", "q73_bm25", "q74_cohort_matrix")
+    "q71_basket_lift", "q72_stickiness", "q73_bm25", "q74_cohort_matrix",
+    "ml_ridge_path", "graph_closeness", "text_keyphrases",
+    "vec_hard_negatives", "q75_purchase_intervals")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -420,7 +420,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ keyphrases
+  /** RAKE candidate phrases longer than this are dropped (the
+    * published convention: long stopword-free runs are boilerplate,
+    * not keyphrases). */
+  val MaxPhraseLen = 4
+  val KeyphraseTopK = 10
+
+  /** text_keyphrases: corpus keyphrase extraction à la RAKE (Rose et
+    * al. 2010 — the unsupervised keyword staple): candidate phrases
+    * are maximal stopword-free token runs (≤ [[MaxPhraseLen]] long),
+    * each word w gets freq(w) = its occurrences across candidates and
+    * deg(w) = Σ length of the candidates containing it, and a phrase
+    * scores Σ_w deg(w)/freq(w); top-10 phrases corpus-wide.
+    *
+    * Determinism: runs come from the classic `i − row_number()` gap
+    * trick under the exact token order (phrase text rebuilt from
+    * `array_sort`ed (i, tok) structs — collect order is shuffle-
+    * dependent, the sort restores it; the oracle's `string_agg(…
+    * ORDER BY i)` is the same total order); per-word ratios are
+    * 12-dp-rounded DECIMAL terms (merge-order-free sums) and the
+    * ranking orders on the EXACT decimal score (the q73 discipline).
+    *
+    * 100 TB shape: positional explode is map-side; the only corpus-
+    * grain shuffles are the (doc, run) phrase fold and the word-stat
+    * aggregate (vocabulary-scale output); phrase scoring joins the
+    * DISTINCT-phrase table (≤ 4 words each) against vocab-grain
+    * stats; top-10 is TakeOrderedAndProject. */
+  val keyphrases = QueryDef(
+    "text_keyphrases", {
+      val stop = inListSql("tok", Stopwords)
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      pos AS (SELECT doc_id, s.i AS i, s.tok AS tok FROM
+        (SELECT doc_id, unnest(list_transform(toks, (x, i) -> struct_pack(i := i, tok := x))) AS s FROM t) q),
+      ns AS (SELECT doc_id, i, tok,
+          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
+        FROM pos WHERE NOT ($stop) AND tok <> ''),
+      ph AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS phrase, count(*) AS plen
+        FROM ns GROUP BY doc_id, run),
+      phf AS (SELECT * FROM ph WHERE plen <= $MaxPhraseLen),
+      ws AS (SELECT wd, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS wd, plen FROM phf) w GROUP BY wd),
+      pd AS (SELECT phrase, count(*) AS n FROM phf GROUP BY phrase),
+      pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS wd FROM pd),
+      sc AS (SELECT pw.phrase, sum(CAST(round(CAST(ws.deg AS DOUBLE) / ws.freq, 12) AS DECIMAL(28,12))) AS s
+        FROM pw JOIN ws ON pw.wd = ws.wd GROUP BY pw.phrase),
+      r AS (SELECT pd.phrase, pd.n, sc.s,
+          row_number() OVER (ORDER BY sc.s DESC, pd.phrase) AS rk
+        FROM pd JOIN sc ON pd.phrase = sc.phrase)
+      SELECT rk, phrase, n, CAST(s AS DOUBLE) AS score FROM r WHERE rk <= $KeyphraseTopK ORDER BY rk""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      val pos = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val ns = pos
+        .filter(!col("tok").isInCollection(Stopwords) && col("tok") =!= "")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .withColumn("run", col("i") - col("rn"))
+      val phf = ns.groupBy(col("doc_id"), col("run"))
+        .agg(array_sort(collect_list(struct(col("i"), col("tok")))).as("st"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', transform(st, x -> x.tok))").as("phrase"),
+          size(col("st")).cast(LongType).as("plen"))
+        .filter(col("plen") <= MaxPhraseLen)
+      val ws = phf.select(explode(split(col("phrase"), " ")).as("wd"), col("plen"))
+        .groupBy(col("wd"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).cast(LongType).as("deg"))
+      val pd = phf.groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      val pw = pd.select(col("phrase"), explode(split(col("phrase"), " ")).as("wd"))
+      val sc = pw.join(ws, Seq("wd"))
+        .groupBy(col("phrase"))
+        .agg(sum(round(col("deg").cast(DoubleType) / col("freq"), 12)
+          .cast(DecimalType(28, 12))).as("s"))
+      val top = pd.join(sc, Seq("phrase"))
+        .orderBy(col("s").desc, col("phrase")).limit(KeyphraseTopK)
+      top.withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("phrase"))))
+        .select(col("rk"), col("phrase"), col("n"), col("s").cast(DoubleType).as("score"))
+        .orderBy(col("rk"))
+    })
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
-    entropy)
+    entropy, keyphrases)
 }

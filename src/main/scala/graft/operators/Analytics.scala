@@ -256,6 +256,98 @@ object Analytics {
         round(lit(1d) - col("sse") / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
     })
 
+  // ------------------------------------------------- ml_ridge_path
+  /** Ridge λ grid (as multiples of n — penalizing the MEAN loss form
+    * `‖y−Xw‖²/n + λ‖w‖²`, so shrinkage is visible at any corpus
+    * size); λ = 0 reproduces the OLS probe exactly. */
+  val RidgeLambdas = Seq(0.0, 0.1, 1.0, 10.0)
+
+  /** Ridge Cramer fragments: A = X'X + λn·diag(0, 1, 1) — the
+    * intercept is UNPENALIZED (standard). Same det3 machinery as
+    * [[linearProbe]], with the penalized diagonal spliced in; `lam`
+    * is a literal like `(0.1 * n)` so the expression tree stays
+    * shared token-for-token with the oracle. */
+  private def rdetA(lam: String)  = det3("n", "s1", "s2", "s1", s"(s11 + $lam)", "s12", "s2", "s12", s"(s22 + $lam)")
+  private def rdetA0(lam: String) = det3("sy", "s1", "s2", "s1y", s"(s11 + $lam)", "s12", "s2y", "s12", s"(s22 + $lam)")
+  private def rdetA1(lam: String) = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", s"(s22 + $lam)")
+  private def rdetA2(lam: String) = det3("n", "s1", "sy", "s1", s"(s11 + $lam)", "s1y", "s2", "s12", "s2y")
+
+  /** ml_ridge_path: the ridge regularization path for
+    * `l_extendedprice ~ 1 + l_quantity + l_discount` over the
+    * [[RidgeLambdas]] grid — the bias/variance knob every tabular
+    * baseline sweeps before anything fancier. Same published scale
+    * recipe as [[linearProbe]]: the 9 Gram moments come from ONE
+    * map-combinable DECIMAL aggregate (shared with the λ grid — the
+    * moments do not depend on λ), each λ's 3×3 Cramer solve is a
+    * fixed-order IEEE expression on that one row (the penalized
+    * diagonal `s11 + λ·n`), and ALL λ rows' residual audits ride ONE
+    * extra corpus scan (grid broadcast, per-row 4× fan-out, 10-dp
+    * DECIMAL residual sums grouped by λ). Corpus never shuffled;
+    * 2 scans + metadata-scale rows at any corpus size. λ = 0 equals
+    * the OLS probe bit-for-bit (spec-pinned). */
+  val mlRidgePath = QueryDef(
+    "ml_ridge_path", {
+      val wRows = RidgeLambdas.map { l =>
+        val lam = s"($l * n)"
+        s"SELECT CAST($l AS DOUBLE) AS lambda, n, ${rdetA0(lam)} / ${rdetA(lam)} AS w0, " +
+          s"${rdetA1(lam)} / ${rdetA(lam)} AS w1, ${rdetA2(lam)} / ${rdetA(lam)} AS w2 FROM m"
+      }.mkString(" UNION ALL ")
+      Some(s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+        CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+        CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+        CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s2y
+        FROM lineitem),
+      w AS ($wRows),
+      r AS (SELECT w.lambda, CAST(sum(CAST(round(
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)) *
+            (l_extendedprice - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)), 10)
+          AS DECIMAL(38,10))) AS DOUBLE) AS sse FROM lineitem, w GROUP BY w.lambda)
+      SELECT w.lambda, round(w.w0, 6) AS w0, round(w.w1, 6) AS w1, round(w.w2, 6) AS w2,
+        round(sqrt(r.sse / w.n), 6) AS rmse
+      FROM w JOIN r ON w.lambda = r.lambda ORDER BY w.lambda""")
+    },
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val m = li.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType).as("s2"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).cast(DoubleType).as("s11"),
+        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s12"),
+        sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s22"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s2y"))
+        .localCheckpoint(true)
+      // |λ| rows of weights — one Cramer select per λ on the SAME
+      // moment row, unioned (metadata scale)
+      val w = RidgeLambdas.map { l =>
+        val lam = s"($l * n)"
+        m.selectExpr(s"CAST($l AS DOUBLE) AS lambda", "n",
+          s"${rdetA0(lam)} / ${rdetA(lam)} AS w0",
+          s"${rdetA1(lam)} / ${rdetA(lam)} AS w1",
+          s"${rdetA2(lam)} / ${rdetA(lam)} AS w2")
+      }.reduce(_ unionAll _).localCheckpoint(true)
+      val r = li.crossJoin(broadcast(w))
+        .select(col("lambda"), (col("l_extendedprice") -
+          (col("w0") + col("w1") * col("l_quantity") + col("w2") * col("l_discount"))).as("resid"))
+        .groupBy(col("lambda"))
+        .agg(sum(round(col("resid") * col("resid"), 10).cast(DecimalType(38, 10)))
+          .cast(DoubleType).as("sse"))
+      w.join(broadcast(r), Seq("lambda"))
+        .select(col("lambda"),
+          round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+          round(col("w2"), 6).as("w2"),
+          round(sqrt(col("sse") / col("n")), 6).as("rmse"))
+        .orderBy(col("lambda"))
+    })
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1276,5 +1368,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
-    mlLiftDeciles, q68, q69, q70)
+    mlLiftDeciles, q68, q69, q70, mlRidgePath)
 }

@@ -487,6 +487,85 @@ object Graph {
       hist.unionAll(unreached).orderBy(col("dist"))
     })
 
+  // --------------------------------------------------- closeness
+  /** Seed predicate for [[closenessQuery]]: every 500th customer
+    * node — sampled-source closeness (Eppstein–Wang 2004: a sampled
+    * seed set estimates the centrality distribution; exact all-pairs
+    * closeness is Θ(V·E) and never runs at scale). */
+  val ClosenessSeedModulus = 500L
+
+  /** Harmonic closeness per seed over a bounded-radius BFS: the
+    * labeled multi-source relaxation (state = one (seed, node, dist)
+    * row per reached pair, key = (seed, node) — the same `min(d,
+    * d⋈e + 1)` rounds as [[bfs]] carrying the seed identity), then
+    * harmonic centrality Σ_{v≠s} 1/d(s,v) — the standard
+    * disconnected-safe closeness (Boldi–Vigna 2014).
+    *
+    * Determinism: distances are exact integers; the harmonic sum is
+    * computed from the per-distance COUNTS (≤ `rounds` values), so it
+    * is one fixed-order IEEE expression `c1 + c2/2 + … + c_r/r` over
+    * exact integers shared with the oracle — never a float sum whose
+    * order depends on row order. State volume is |seeds|·|reached| —
+    * bounded by the sampled seed count, the published scale knob. */
+  def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val e = edges0.localCheckpoint(true)
+    var st = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = e.join(st.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      st = st.unionAll(expanded)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    val cs = (1 to rounds).map(k =>
+      sum(when(col("dist") === k, 1L).otherwise(0L)).as(s"c$k"))
+    val counts = st.filter(col("dist") > 0)
+      .groupBy(col("seed")).agg(cs.head, cs.tail: _*)
+    counts.selectExpr(Seq("seed", closenessReachedSql(rounds),
+      closenessHarmonicSql(rounds)): _*)
+      .orderBy(col("seed"))
+  }
+
+  /** `reached` / `closeness` output fragments shared with the oracle
+    * (identical fixed-order IEEE sum over the exact distance counts). */
+  private[graft] def closenessReachedSql(rounds: Int): String =
+    (1 to rounds).map(k => s"c$k").mkString("", " + ", " AS reached")
+  private[graft] def closenessHarmonicSql(rounds: Int): String =
+    (1 to rounds).map(k => s"CAST(c$k AS DOUBLE) / $k").mkString("", " + ", " AS closeness")
+
+  val closenessQuery = QueryDef(
+    "graph_closeness",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        d0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+          FROM e WHERE src < $SuppOffset AND src % $ClosenessSeedModulus = 0)""")
+      for (it <- 1 to BfsRounds) {
+        sb.append(s""",
+        d$it AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+          SELECT seed, node, dist FROM d${it - 1}
+          UNION ALL
+          SELECT d.seed, e.dst, d.dist + 1 FROM d${it - 1} d JOIN e ON d.node = e.src) GROUP BY seed, node)""")
+      }
+      val cs = (1 to BfsRounds)
+        .map(k => s"CAST(sum(CASE WHEN dist = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+        .mkString(", ")
+      sb.append(s""",
+        counts AS (SELECT seed, $cs FROM d$BfsRounds WHERE dist > 0 GROUP BY seed)
+        SELECT seed, ${closenessReachedSql(BfsRounds)}, ${closenessHarmonicSql(BfsRounds)}
+        FROM counts ORDER BY seed""")
+      sb.toString
+    },
+    (s, d) => {
+      val e = edges(s, d)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < SuppOffset && col("node") % ClosenessSeedModulus === 0)
+      closeness(e, seeds)
+    })
+
   // ------------------------------------------- label propagation
   /** Fixed synchronous LPA schedule — both engines unroll the same
     * rounds, so oscillation (inherent to synchronous LPA on bipartite
@@ -683,5 +762,5 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
-    modularityQuery, assortativity)
+    modularityQuery, assortativity, closenessQuery)
 }

@@ -264,5 +264,59 @@ object Insights {
       .orderBy(col("cohort"), col("age"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74)
+  // ----------------------------------------------------------- q75
+  /** q75: repeat-purchase cadence — the inter-order gap distribution
+    * per order priority (the lifecycle-marketing readout: "how long
+    * until customers come back?", the input to churn windows and
+    * reorder nudges).
+    *
+    * 100 TB shape: ONE customer-keyed window (lag over the
+    * (date, orderkey) total order — orderkey breaks same-day ties
+    * identically in both engines) produces exact integer day gaps;
+    * p50/p90 ride the exact distributed selection machinery
+    * ([[graft.operators.ExactPercentiles]] — bounded histogram
+    * passes, never a sort shuffle; thresholds match the oracle's
+    * `percentile_cont` bit-for-bit, the q69 contract); the mean is
+    * [[Portable.round6RatioSql]] exact-integer rounding. */
+  val q75 = QueryDef(
+    "q75_purchase_intervals",
+    Some(s"""WITH g AS (SELECT o_orderpriority AS prio,
+        CAST(date_diff('day', CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        FROM orders),
+      gg AS (SELECT prio, gap, CAST(gap AS DOUBLE) AS gapd FROM g WHERE gap IS NOT NULL)
+      SELECT prio, count(*) AS n_gaps,
+        ${Portable.round6RatioDuck("CAST(sum(gap) AS BIGINT)", "count(*)")} AS mean_days,
+        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gapd), 6) AS p50_days,
+        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gapd), 6) AS p90_days,
+        max(gap) AS max_days
+      FROM gg GROUP BY prio ORDER BY prio"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gg = scope.persist(Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority").as("prio"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prio"),
+          datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
+            .cast(LongType).as("gap"))
+        .withColumn("gapd", col("gap").cast(DoubleType)))
+      val pct = ExactPercentiles.percentiles(gg, "prio", "gapd", Seq(0.5, 0.9))
+        .groupBy(col("g").as("prio"))
+        .agg(min(when(col("p") === 0.5, col("value"))).as("p50"),
+          min(when(col("p") === 0.9, col("value"))).as("p90"))
+      val agg = gg.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).cast(LongType).as("sg"),
+          max(col("gap")).as("max_days"))
+      agg.join(broadcast(pct), Seq("prio"))
+        .selectExpr("prio", "n_gaps",
+          s"${Portable.round6RatioSpark("sg", "n_gaps")} AS mean_days",
+          "round(p50, 6) AS p50_days", "round(p90, 6) AS p90_days", "max_days")
+        .orderBy(col("prio"))
+        .localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q75)
 }

@@ -46,6 +46,22 @@ object AnnApi {
     rerank(probes.as("a").join(n.as("b"), col(s"a.$id") =!= col(s"b.$id")), id, k)
   }
 
+  /** Hard-negative mining (r7): per probe, the top-k most-similar
+    * candidates carrying a DIFFERENT label — the contrastive-training
+    * staple (metric learning / embedding fine-tuning mines exactly
+    * these "similar but wrong" examples; easy negatives teach
+    * nothing). Same shape as [[bruteTopK]] with the label-mismatch
+    * predicate in the join; swap the brute pair source for
+    * lshTopK/ivf candidates on a larger corpus — the mining predicate
+    * composes with any candidate generator. */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String, label: String,
+      probeIds: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(corpus, id, vec, passthrough = Seq(label))
+    val probes = n.join(probeIds, Seq(id), "left_semi")
+    rerank(probes.as("a").join(n.as("b"),
+      col(s"a.$id") =!= col(s"b.$id") && col(s"a.$label") =!= col(s"b.$label")), id, k)
+  }
+
   /** Maximal-Marginal-Relevance top-k (Carbonell & Goldstein,
     * SIGIR'98) — diversity-aware reranking: after the exact top-
     * `poolSize` pool per probe, picks are greedy by

@@ -67,6 +67,26 @@ object Similarity {
     (s, d) => AnnApi.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
+  // --------------------------------------------------- hard negatives
+  /** vec_hard_negatives: contrastive hard-negative mining — per probe
+    * the top-5 most-similar vectors with a DIFFERENT label (the
+    * "similar but wrong" examples metric-learning / embedding
+    * fine-tuning trains against; see [[AnnApi.hardNegatives]]).
+    * Identical determinism contract as `ann_brute_topk` (shared
+    * left-to-right cosine folds, id tiebreak); the oracle adds only
+    * the label-mismatch predicate, so a hash-green row pins the
+    * mining semantics exactly. */
+  val hardNegatives = QueryDef(
+    "vec_hard_negatives",
+    Some(s"""WITH $normSqlCte
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label <> b.label) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => AnnApi.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
+
   // ------------------------------------------------------------- lsh
   /** Random-hyperplane LSH ANN: per table, a 4-bit sign-code bucket;
     * candidates are the union of same-bucket matches over the 4
@@ -911,5 +931,5 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives)
 }

@@ -132,6 +132,45 @@ object Streams {
       }
   }
 
+  final case class MgOut(shard: Int, item: String, cnt: Long)
+  final case class MgState(counts: Map[String, Long])
+
+  /** Streaming heavy hitters via per-shard Misra–Gries summaries —
+    * the BOUNDED-STATE twin of the batch `approx_heavy_hitters` CMS
+    * gate: state per shard is at most `k` (item, count) pairs
+    * regardless of stream length or item cardinality (a groupBy count
+    * would grow state with distinct items — the thing a 100 TB stream
+    * cannot do). Classic Misra–Gries (1982) update: increment a
+    * tracked item, admit while under capacity, otherwise decrement
+    * ALL counters and drop zeros. Guarantee: any item with true
+    * shard-frequency > N_shard/(k+1) is guaranteed tracked, and every
+    * reported count underestimates the true count by ≤ N_shard/(k+1)
+    * (spec-pinned on a planted skewed stream). Sharding by user hash
+    * keeps update parallelism; shard summaries merge downstream by
+    * count addition (the standard mergeable-summary property).
+    * Update-mode output re-emits each touched shard's summary per
+    * microbatch. */
+  def heavyHittersStream(events: Dataset[Event], k: Int = 8,
+      shards: Int = 16): Dataset[MgOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id % shards).toInt)
+      .flatMapGroupsWithState[MgState, MgOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[Event], state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          it.foreach { e =>
+            val key = e.event_type
+            if (m.contains(key)) m = m.updated(key, m(key) + 1L)
+            else if (m.size < k) m = m.updated(key, 1L)
+            else m = m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+          }
+          state.update(MgState(m))
+          m.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => MgOut(shard, i, c) }.iterator
+      }
+  }
+
   final case class TransitionOut(user_id: Long, cur: String, nxt: String)
   final case class LastEvt(ts: Long, id: Long, tpe: String)
 

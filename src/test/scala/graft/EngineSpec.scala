@@ -144,6 +144,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.exists(_._5), "a tight corpus has at least one mutual pair")
   }
 
+  test("hard negatives: every mined pair crosses labels and is a suffix-filter of brute ranking") {
+    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val hn = similarity.Similarity.hardNegatives.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (p, _, c) =>
+      assert(labels(p) != labels(c), s"negative $c shares probe $p's label") }
+    // consistency with brute ranking: each probe's hard negatives are
+    // exactly the first k cross-label entries of the unfiltered ranking
+    val brute = similarity.AnnApi.bruteTopK(Tables.embeddings(spark, d), "vec_id", "embedding",
+        Tables.embeddings(spark, d).filter(col("vec_id") < 10).select(col("vec_id")), k = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byProbe = hn.groupBy(_._1)
+    byProbe.foreach { case (p, es) =>
+      val want = brute.filter(_._1 == p).sortBy(_._2).map(_._3)
+        .filter(c => labels(c) != labels(p)).take(es.length)
+      assert(es.sortBy(_._2).map(_._3).toSeq == want.toSeq,
+        s"probe $p: mining must equal the cross-label prefix of brute order")
+    }
+  }
+
   test("knnGraph: the bucket cap suppresses a planted megabucket; planesFor scales with n") {
     import spark.implicits._
     val dim = similarity.Similarity.Dim

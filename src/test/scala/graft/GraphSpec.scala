@@ -225,4 +225,34 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(run(2) == run(7), "the (count DESC, label ASC) total order must make sync LPA deterministic")
   }
+
+  test("closeness: planted path hits the harmonic closed form, disconnected node excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5 (undirected) + isolated pair 100-101; seed at 1:
+    // dists 1,2,3,4 → harmonic = 1 + 1/2 + 1/3 + 1/4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+    val e = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = operators.Graph.closeness(e, seeds).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == 4L, "reached must exclude self and the disconnected pair")
+    assert(row.getDouble(2) == 1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4)
+    // partition invariance: exact integer counts → identical doubles
+    val r7 = operators.Graph.closeness(e.repartition(7), seeds).collect().head
+    assert(r7.getDouble(2) == row.getDouble(2))
+  }
+
+  test("closeness: star center beats leaves on the gated seed semantics") {
+    import spark.implicits._
+    // star: center 0, leaves 1..6; seeds at center and one leaf
+    val es = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val e = es.toDF("src", "dst")
+    val r = operators.Graph.closeness(e, Seq(0L, 1L).toDF("node"))
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(r(0L) == 6.0, "center reaches all 6 leaves at distance 1")
+    assert(r(1L) == 1.0 + 5.0 / 2, "leaf: center at 1, five siblings at 2")
+  }
 }

@@ -68,6 +68,41 @@ class InsightsSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0), "the +1 idf variant is always positive")
   }
 
+  // ----------------------------------------------------- ml_ridge_path
+  test("ridge path: lambda=0 equals the OLS probe; shrinkage is monotone in lambda") {
+    val ridge = operators.Analytics.mlRidgePath.build(spark, d).collect()
+    assert(ridge.length == operators.Analytics.RidgeLambdas.length)
+    val ols = operators.Analytics.linearProbe.build(spark, d).collect().head
+    val r0 = ridge.find(_.getDouble(0) == 0.0).get
+    assert((r0.getDouble(1), r0.getDouble(2), r0.getDouble(3)) ==
+      ((ols.getDouble(1), ols.getDouble(2), ols.getDouble(3))),
+      "the unpenalized row must reproduce OLS bit-for-bit")
+    // slope norm shrinks toward 0 as lambda grows (intercept unpenalized)
+    val norms = ridge.sortBy(_.getDouble(0)).map(r =>
+      r.getDouble(2) * r.getDouble(2) + r.getDouble(3) * r.getDouble(3))
+    assert(norms.zip(norms.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"slope norm must be non-increasing in lambda: ${norms.mkString(",")}")
+    // training rmse can only get worse as the fit is constrained
+    val rmses = ridge.sortBy(_.getDouble(0)).map(_.getDouble(4))
+    assert(rmses.zip(rmses.tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
+  // -------------------------------------------------- text_keyphrases
+  test("keyphrases: ranked by score, phrases are stopword-free and bounded") {
+    val rows = functions.TextAnalysis.keyphrases.build(spark, d).collect()
+    assert(rows.length == functions.TextAnalysis.KeyphraseTopK)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val words = r.getString(1).split(" ")
+      assert(words.length <= functions.TextAnalysis.MaxPhraseLen)
+      assert(!words.exists(Seq("the", "a", "of", "and", "to").contains(_)),
+        s"phrase contains a stopword: ${r.getString(1)}")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   // ------------------------------------------------------------- q74
   test("cohort matrix: planted two-cohort fixture hits the closed form") {
     import spark.implicits._

@@ -312,4 +312,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(
       1L -> ts("2024-01-01 00:01:00"), 2L -> ts("2024-01-02 00:02:00")), s"got $got")
   }
+
+  test("heavy-hitter stream: bounded Misra-Gries state keeps the planted hitter with MG error bound") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-hh-in").toString
+    // one shard (all users ≡ 0 mod 16): 60 'hot' + 30 'warm' spread
+    // over many cold types, capacity k = 4 << 12 distinct types —
+    // state CANNOT hold exact counts, the MG guarantee must carry it
+    val hot = (1 to 60).map(i => Streams.Event(i.toLong, ts("2024-01-01 00:00:01"), 16L, "hot", 0.0))
+    val warm = (1 to 30).map(i => Streams.Event(100L + i, ts("2024-01-01 00:00:02"), 32L, "warm", 0.0))
+    val cold = (1 to 30).map(i => Streams.Event(200L + i, ts("2024-01-01 00:00:03"), 48L, s"cold_${i % 10}", 0.0))
+    val all = new scala.util.Random(7).shuffle(hot ++ warm ++ cold)
+    writeBatches(in, Seq(all.take(60), all.drop(60)))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.heavyHittersStream(stream, k = 4, shards = 16)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last batch's summary for shard 0
+    val rows = spark.table("hh_out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._1 == 0), "single planted shard")
+    // final state: group by item, keep the LAST emitted count (update
+    // mode re-emits per batch; max is the final since counts only grow
+    // for survivors within this fixture's two batches)
+    val fin = rows.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(fin.size <= 4, s"state must stay within capacity: $fin")
+    val n = 120L
+    val bound = n / (4L + 1L) // MG: undercount ≤ N/(k+1)
+    assert(fin.contains("hot"), s"true majority item must survive: $fin")
+    assert(fin("hot") >= 60L - bound && fin("hot") <= 60L, s"MG bound violated: $fin")
+  }
 }

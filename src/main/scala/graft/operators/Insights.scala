@@ -318,5 +318,115 @@ object Insights {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q75)
+  // ----------------------------------------------------------- q76
+  /** Shared per-group OLS fragments over the moment columns
+    * (n, sx, sy, sxx, sxy, syy — all doubles cast from exact DECIMAL
+    * sums): slope/intercept in closed form, r² the squared Pearson
+    * correlation. One fixed-order IEEE tree each, shared
+    * token-for-token with the oracle — bit-identical, surfaced
+    * UNROUNDED (the q71 lift contract; round() is the portability
+    * hazard, not doubles). */
+  private val regSlope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+  private val regIntercept = s"(sy - $regSlope * sx) / n"
+  private val regR2 =
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+
+  /** q76: grouped simple regression — per return flag, the OLS line
+    * `l_extendedprice ~ l_quantity` with r² (the per-segment trend
+    * fit every BI tool computes; [[graft.operators.Analytics]]'s
+    * probe is ONE global 3-feature fit, this is the GROUPED 1-feature
+    * family). ONE map-combinable DECIMAL moment aggregate per group
+    * (the q43/ml_linear_probe discipline — merge-order-free at any
+    * partitioning), then groups-scale closed-form algebra. The
+    * corpus is scanned once and never shuffled beyond the tiny group
+    * key. */
+  val q76 = QueryDef(
+    "q76_grouped_regression",
+    Some(s"""WITH m AS (SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT grp, CAST(n AS BIGINT) AS n_rows,
+        $regSlope AS slope, $regIntercept AS intercept, $regR2 AS r2
+      FROM m ORDER BY grp"""),
+    (s, d) => groupedRegression(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))))
+
+  /** Per-group OLS over (grp, x, y) rows — see [[q76]]. */
+  def groupedRegression(rows: DataFrame): DataFrame = {
+    val m = rows
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+        sum(col("y").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(28, 8))).cast(DoubleType).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(28, 8))).cast(DoubleType).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(28, 8))).cast(DoubleType).as("syy"))
+    m.selectExpr("grp", "CAST(n AS BIGINT) AS n_rows",
+        s"$regSlope AS slope", s"$regIntercept AS intercept", s"$regR2 AS r2")
+      .orderBy(col("grp"))
+  }
+
+  // ----------------------------------------------------------- q77
+  /** q77: ABC classification — parts ranked by revenue, classed by
+    * cumulative revenue share (A up to 80%, B to 95%, C the tail):
+    * the inventory-management staple, and the same "global ordered
+    * cumulative" shape as exact selection.
+    *
+    * 100 TB shape: part revenues are ONE catalog-grain DECIMAL-cents
+    * aggregate; the global DESC cumulative runs as the gini/
+    * budget_select two-level scan (range partition on (rev DESC,
+    * part), task-local exclusive running sums, per-partition totals'
+    * exclusive scan broadcast back) — NO task holds the catalog,
+    * partition-count invariant. Class boundaries are EXACT integer
+    * cross-multiplications on cents (`cum·5 < tot·4` ⇔ share < 0.8 —
+    * no float thresholds to disagree on); the surfaced share is two
+    * correctly-rounded casts and one IEEE division, unrounded. */
+  val q77 = QueryDef(
+    "q77_abc_classification",
+    Some("""WITH pr AS (SELECT l_partkey AS pk,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rc
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT CAST(sum(rc) AS BIGINT) AS tc FROM pr),
+      r AS (SELECT pk, rc, CAST(COALESCE(sum(rc) OVER (ORDER BY rc DESC, pk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cume FROM pr),
+      cl AS (SELECT CASE WHEN cume * 5 < tc * 4 THEN 'A'
+          WHEN cume * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls, rc, tc FROM r, tot)
+      SELECT cls, count(*) AS n_parts,
+        CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+        CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / CAST(tc AS DOUBLE) AS share
+      FROM cl GROUP BY cls, tc ORDER BY cls"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("rc"))
+      val ranked = scope.persist(pr
+        .repartitionByRange(col("rc").desc, col("pk"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lcum", coalesce(sum(col("rc")).over(
+          Window.partitionBy(col("pid")).orderBy(col("rc").desc, col("pk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+      val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ranked.groupBy(col("pid")).agg(sum(col("rc")).as("ps"))
+        .select(col("pid"), coalesce(sum(col("ps")).over(wo), lit(0L)).as("base"))
+      val tot = pr.agg(sum(col("rc")).cast(LongType).as("tc"))
+      val cl = ranked.join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("CASE WHEN (base + lcum) * 5 < tc * 4 THEN 'A' " +
+          "WHEN (base + lcum) * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls", "rc", "tc")
+      cl.groupBy(col("cls"), col("tc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rc")).cast(LongType).as("sumc"))
+        .selectExpr("cls", "n_parts",
+          "CAST(sumc AS DOUBLE) / 100.0 AS revenue",
+          "CAST(sumc AS DOUBLE) / CAST(tc AS DOUBLE) AS share")
+        .orderBy(col("cls"))
+        .localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q75, q76, q77)
 }

@@ -238,6 +238,33 @@ object Sources {
         .orderBy(col("fname"))
     })
 
+  /** Line-text round-trip: documents.text → `text` sink (one line per
+    * row — the raw-corpus interchange format every crawl pipeline
+    * ingests) → `spark.read.text` → order-free checksum aggregate.
+    * Line identity is proven by an order-INDEPENDENT md5-sum (the
+    * portable h60 hash summed as BIGINT — the sink does not preserve
+    * row order, and text carries no id column by design); the oracle
+    * computes the same checksum over the original table, so a green
+    * row proves the text path is byte-lossless for the corpus (the
+    * driver corpus is newline-free — a real crawl would escape or
+    * length-prefix, which is the json/parquet path's job). */
+  val textRoundtrip = QueryDef(
+    "src_text_roundtrip",
+    Some(s"""SELECT count(*) AS n_lines,
+      CAST(sum(${graft.Portable.h60Sql("text")} % 1000000007) AS BIGINT) AS line_hash_sum,
+      CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM documents"""),
+    (s, d) => {
+      val tmp = s"/root/repo/target/graft_tmp/text_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = Tables.documents(s, d).select(col("text"))
+      write(src, "text", tmp, repartition = Some(2))
+      read(s, "text", tmp)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(graft.Portable.h60(col("value")) % 1000000007L).cast("long").as("line_hash_sum"),
+          sum(length(col("value"))).cast("long").as("total_chars"))
+    })
+
   val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    zorderKeys, binaryFileRoundtrip, partitionedPrune, mergeSchemaRead)
+    zorderKeys, binaryFileRoundtrip, partitionedPrune, mergeSchemaRead,
+    textRoundtrip)
 }

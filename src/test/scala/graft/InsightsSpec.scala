@@ -103,6 +103,51 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- q76
+  test("grouped regression: exact line recovered per group, r2 bounded on real data") {
+    import spark.implicits._
+    // group a: y = 3x + 2 exactly (r2 = 1); group b: y = -x + 10
+    val planted = Seq(
+      ("a", 1.0, 5.0), ("a", 2.0, 8.0), ("a", 3.0, 11.0), ("a", 4.0, 14.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 8.0), ("b", 5.0, 5.0)).toDF("grp", "x", "y")
+    val got = operators.Insights.groupedRegression(planted).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (sa, ia, ra) = got("a")
+    assert(math.abs(sa - 3.0) < 1e-9 && math.abs(ia - 2.0) < 1e-9 && math.abs(ra - 1.0) < 1e-9,
+      s"group a: $sa $ia $ra")
+    val (sb, ib, rb) = got("b")
+    assert(math.abs(sb + 1.0) < 1e-9 && math.abs(ib - 10.0) < 1e-9 && math.abs(rb - 1.0) < 1e-9,
+      s"group b: $sb $ib $rb")
+    // real data: groups populated, r2 in range
+    val rows = operators.Insights.q76.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val r2 = r.getDouble(4)
+      assert(r2 >= -1e-9 && r2 <= 1 + 1e-9, s"r2 out of range: $r2")
+    }
+  }
+
+  // ------------------------------------------------------------- q77
+  test("abc classification: classes partition the catalog, shares ordered and sum to 1") {
+    val rows = operators.Insights.q77.build(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val shares = rows.map(_._4)
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares must sum to 1: ${shares.toSeq}")
+    // A carries at least 80% by construction (the boundary part is in A)
+    assert(shares(0) >= 0.80 - 1e-9, s"A share ${shares(0)}")
+    assert(shares(1) >= shares(2) || rows(1)._2 <= rows(2)._2,
+      "B parts are each bigger than C parts by rank order")
+    // partition invariance of the two-level scan: a different shuffle
+    // width must not move any class boundary
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val rows7 = operators.Insights.q77.build(sp2, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows7.toSeq == rows.toSeq, "class census must be partition-count invariant")
+  }
+
   // ------------------------------------------------------------- q74
   test("cohort matrix: planted two-cohort fixture hits the closed form") {
     import spark.implicits._

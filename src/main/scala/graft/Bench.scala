@@ -79,7 +79,8 @@ object Bench {
     "q71_basket_lift", "q72_stickiness", "q73_bm25", "q74_cohort_matrix",
     "ml_ridge_path", "graph_closeness", "text_keyphrases",
     "vec_hard_negatives", "q75_purchase_intervals",
-    "q76_grouped_regression", "q77_abc_classification", "src_text_roundtrip")
+    "q76_grouped_regression", "q77_abc_classification", "src_text_roundtrip",
+    "ann_recall_audit")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -152,6 +152,60 @@ object Similarity {
     (s, d) => AnnApi.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
+  // ----------------------------------------------------- recall audit
+  /** ann_recall_audit: per-probe recall@5 of the LSH index against
+    * the exact brute-force ranking — the index-quality readout every
+    * ANN deployment monitors (recall is THE accept/reject metric for
+    * an approximate index; EngineSpec asserts a floor, this gate pins
+    * the exact per-probe VALUES). Composes the `ann_brute_topk` and
+    * `ann_lsh` plans on the same probe sample and counts overlaps —
+    * the audit is probe-sample-sized by construction (the published
+    * recipe: recall is estimated on a query sample, never the full
+    * corpus), so the only corpus-scale work is the two candidate
+    * scans the audited operators already define. Recall surfaces as
+    * one exact IEEE division (n_hits/5.0). */
+  val recallAudit = QueryDef(
+    "ann_recall_audit",
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS id_p, cb.vec_id AS id_c
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk
+          AND ca.vec_id < 10 AND ca.vec_id <> cb.vec_id),
+      lshk AS (SELECT id_p, id_c FROM (
+        SELECT cd.id_p, cd.id_c,
+          row_number() OVER (PARTITION BY cd.id_p ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.id_c) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+        WHERE rk <= 5),
+      bru AS (SELECT id_p, id_c FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 5)
+      SELECT bru.id_p, CAST(5 AS BIGINT) AS k, CAST(count(lshk.id_c) AS BIGINT) AS n_hits,
+        CAST(count(lshk.id_c) AS DOUBLE) / 5.0 AS recall
+      FROM bru LEFT JOIN lshk ON lshk.id_p = bru.id_p AND lshk.id_c = bru.id_c
+      GROUP BY bru.id_p ORDER BY bru.id_p"""
+    },
+    (s, d) => {
+      val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))
+      val brute = AnnApi.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding", probes)
+        .select(col("id_p"), col("id_c"))
+      val l = AnnApi.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", probes)
+        .select(col("id_p").as("lp"), col("id_c").as("lc"))
+      brute.join(l, col("id_p") === col("lp") && col("id_c") === col("lc"), "left")
+        .groupBy(col("id_p"))
+        .agg(count(col("lc")).as("nh"))
+        .selectExpr("id_p", "CAST(5 AS BIGINT) AS k", "CAST(nh AS BIGINT) AS n_hits",
+          "CAST(nh AS DOUBLE) / 5.0 AS recall")
+        .orderBy(col("id_p"))
+    })
+
   // ------------------------------------------------------------- ivf
   /** IVF-style ANN: coarse quantizer = per-label centroids (the
     * inverted-file cells), probes search only their 2 nearest cells,
@@ -931,5 +985,5 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit)
 }

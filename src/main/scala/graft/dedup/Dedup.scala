@@ -239,10 +239,13 @@ object Dedup {
 
   /** Sub-quadratic cosine near-dup: hyperplane-LSH blocked candidates
     * + exact re-verify (see [[DedupApi.cosinePairsLsh]]). The oracle
-    * mirrors the identical deterministic blocking — LSH recall is
-    * probabilistic, so the contract is the blocked construction, not
-    * the all-pairs scan ([[embedCosine]] stays as the exact
-    * baseline). */
+    * mirrors the identical deterministic blocking — INCLUDING the
+    * per-(table, bucket) population cap (r7: the fixed 16-bucket
+    * geometry makes the uncapped self-join Σ\|bucket\|² ≈ n²/16;
+    * the cap is part of the gated semantics, generous at gate scale)
+    * — LSH recall is probabilistic, so the contract is the blocked
+    * construction, not the all-pairs scan ([[embedCosine]] stays as
+    * the exact baseline; `dedup_semantic` is the production path). */
   val embedCosineLsh = QueryDef(
     "dedup_embed_cosine_lsh",
     Some {
@@ -255,7 +258,10 @@ object Dedup {
       s"""WITH vx AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       nx AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx),
       bk AS (SELECT vec_id, $bkCols FROM (SELECT vec_id, v FROM nx) t0),
-      tb AS ($tb),
+      tb0 AS ($tb),
+      bsz AS (SELECT t, bk, count(*) AS bn FROM tb0 GROUP BY t, bk),
+      tb AS (SELECT tb0.* FROM tb0 JOIN bsz ON tb0.t = bsz.t AND tb0.bk = bsz.bk
+        WHERE bsz.bn <= ${Similarity.KnnGraphMaxBucket}),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM tb a JOIN tb b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
       SELECT id_a, id_b, round(c, 6) AS cos FROM (
@@ -265,7 +271,8 @@ object Dedup {
         FROM cand cd JOIN nx a ON a.vec_id = cd.id_a JOIN nx b ON b.vec_id = cd.id_b) t
       WHERE c >= 0.4 ORDER BY id_a, id_b"""
     },
-    (s, d) => DedupApi.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+    (s, d) => DedupApi.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
+        maxBucketSize = graft.similarity.Similarity.KnnGraphMaxBucket)
       .orderBy(col("id_a"), col("id_b")))
 
   // ------------------------------------------------ semantic dedup

@@ -642,13 +642,34 @@ object DedupApi {
       .select(col("cell"), col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }
 
-  def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+  /** `maxBucketSize > 0` drops (table, bucket) groups above the cap
+    * before the self-join (r7, the knnGraph/minhashPairs guard,
+    * fourth repetition): the hyperplane tables have a FIXED 2^planes
+    * bucket count, so without the cap the candidate volume is
+    * Σ|bucket|² ≈ n²/2^planes — quadratic in disguise once the corpus
+    * outgrows the geometry. A pair in a dropped bucket survives iff
+    * another of its `NumTables` tables keeps it under cap; the
+    * documented production path for embedding dedup remains
+    * [[semanticPairs]] (cell-local, data-scaled geometry). */
+  def cosinePairsLsh(df: DataFrame, id: String, vec: String, threshold: Double,
+      maxBucketSize: Int = 0)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     val n = normVecs(df, id, vec)
       .transform(scope.persist)
-    val tb = n.select(col(id), explode(array((0 until Similarity.NumTables).map(t =>
+    val tbAll = n.select(col(id), explode(array((0 until Similarity.NumTables).map(t =>
         struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
       .select(col(id), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val tb =
+      if (maxBucketSize <= 0) tbAll
+      else {
+        val tbp = tbAll.transform(scope.persist)
+        val oversized = tbp.groupBy(col("t"), col("bk"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("t").as("f_t"), col("bk").as("f_bk"))
+        tbp.join(broadcast(oversized),
+          col("t") === col("f_t") && col("bk") === col("f_bk"), "left_anti")
+      }
     val cand = tb.as("a").join(tb.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))

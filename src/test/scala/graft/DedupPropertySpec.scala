@@ -371,4 +371,28 @@ class DedupPropertySpec extends AnyFunSuite {
         s"cell blocking lost most near-identical pairs: ${kept.size}/${tight.size}")
     }
   }
+
+  test("cosinePairsLsh bucket cap suppresses a planted identical-vector megabucket") {
+    import spark.implicits._
+    val dim = graft.similarity.Similarity.Dim
+    val rng = new scala.util.Random(11)
+    val shared = Array.fill(dim)(rng.nextDouble() - 0.5)
+    // 30 identical vectors → one bucket per table holds them all
+    val mega = (1000L until 1030L).map(i => (i, shared.toSeq))
+    val normal = (1L to 8L).map(i => (i, Array.fill(dim)(rng.nextDouble() - 0.5).toSeq))
+    val corpus = (mega ++ normal).toDF("vec_id", "embedding")
+    val capped = graft.CacheScope.withScope { implicit s =>
+      dedup.DedupApi.cosinePairsLsh(corpus, "vec_id", "embedding",
+          threshold = 0.4, maxBucketSize = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      s"megabucket pairs must be dropped: ${capped.filter(_._1 >= 1000L).take(5)}")
+    val uncapped = graft.CacheScope.withScope { implicit s =>
+      dedup.DedupApi.cosinePairsLsh(corpus, "vec_id", "embedding", threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(uncapped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "uncapped control: the identical cluster floods the pair scan")
+  }
 }

@@ -428,5 +428,81 @@ object Insights {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q75, q76, q77)
+  // ----------------------------------------------------------- q78
+  /** q78: daily new-vs-returning active users — the growth
+    * dashboard's second line (q63 counts cumulative reach; this
+    * splits each day's actives by whether the day IS their first).
+    *
+    * 100 TB shape: distinct (user, day) once, first-day per user a
+    * user-grain aggregate, then ONE user-keyed join and a day-grain
+    * conditional count — exact integers end to end; the share is
+    * [[Portable.round6RatioSql]]. */
+  val q78 = QueryDef(
+    "q78_new_vs_returning",
+    Some(s"""WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      fd AS (SELECT user_id, min(d) AS fday FROM ud GROUP BY user_id),
+      c AS (SELECT ud.d,
+          CAST(sum(CASE WHEN ud.d = fd.fday THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+          CAST(sum(CASE WHEN ud.d <> fd.fday THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        FROM ud JOIN fd ON ud.user_id = fd.user_id GROUP BY ud.d)
+      SELECT d, new_users, returning_users,
+        ${Portable.round6RatioDuck("new_users", "(new_users + returning_users)")} AS new_share
+      FROM c ORDER BY d"""),
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+        .distinct()
+      val fd = ud.groupBy(col("user_id")).agg(min(col("d")).as("fday"))
+      ud.join(fd, Seq("user_id"))
+        .groupBy(col("d"))
+        .agg(sum(when(col("d") === col("fday"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("d") =!= col("fday"), 1L).otherwise(0L)).as("returning_users"))
+        .selectExpr("d", "new_users", "returning_users",
+          s"${Portable.round6RatioSpark("new_users", "(new_users + returning_users)")} AS new_share")
+        .orderBy(col("d"))
+    })
+
+  // ----------------------------------------------------------- q79
+  /** Centered moving-average half-window (±3 days = the 7-day trend
+    * every ops dashboard uses). */
+  val TrendHalfWindow = 3
+
+  /** q79: time-series trend decomposition of daily event volume —
+    * the 7-day centered moving-average trend and the residual (the
+    * classical decomposition's first step; residual spikes are what
+    * alerting fires on, q47's z-score twin at series grain).
+    *
+    * 100 TB shape: the corpus collapses to ONE day-grain count
+    * immediately; the MA window, residuals, and output all run at
+    * days-scale (metadata). Determinism: the trend over a ±3 frame of
+    * exact BIGINT counts is [[Portable.round6RatioSql]] on
+    * (window-sum, window-count) — both exact integers from the SAME
+    * frame in both engines (edge days use the truncated frame,
+    * identically); the residual is `n − trend`, one IEEE subtraction
+    * of exacts. */
+  val q79 = QueryDef(
+    "q79_trend_decompose",
+    Some(s"""WITH dd AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1),
+      w AS (SELECT d, n,
+          CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN $TrendHalfWindow PRECEDING AND $TrendHalfWindow FOLLOWING) AS BIGINT) AS ws,
+          CAST(count(*) OVER (ORDER BY d ROWS BETWEEN $TrendHalfWindow PRECEDING AND $TrendHalfWindow FOLLOWING) AS BIGINT) AS wc
+        FROM dd)
+      SELECT d, n, ${Portable.round6RatioDuck("ws", "wc")} AS trend,
+        CAST(n AS DOUBLE) - ${Portable.round6RatioDuck("ws", "wc")} AS residual
+      FROM w ORDER BY d"""),
+    (s, d) => {
+      val dd = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d")).rowsBetween(-TrendHalfWindow, TrendHalfWindow)
+      dd.withColumn("ws", sum(col("n")).over(w).cast(LongType))
+        .withColumn("wc", count(lit(1)).over(w).cast(LongType))
+        .selectExpr("d", "n",
+          s"${Portable.round6RatioSpark("ws", "wc")} AS trend",
+          s"CAST(n AS DOUBLE) - ${Portable.round6RatioSpark("ws", "wc")} AS residual")
+        .orderBy(col("d"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

@@ -148,6 +148,48 @@ class InsightsSpec extends AnyFunSuite {
     assert(rows7.toSeq == rows.toSeq, "class census must be partition-count invariant")
   }
 
+  // ------------------------------------------------------------- q78
+  test("new vs returning: day-level split conserves DAU and flags first days exactly") {
+    val rows = operators.Insights.q78.build(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // day 1 of the corpus: every active user is new by definition
+    assert(rows.head._3 == 0L && rows.head._4 == 1.0, s"first day must be all-new: ${rows.head}")
+    // conservation vs the stickiness DAU
+    val dau = operators.Insights.q72.build(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    rows.foreach { case (day, nu, ru, _) =>
+      assert(nu + ru == dau(day), s"$day: new+returning must equal DAU") }
+    // new users across all days = distinct users (each is new exactly once)
+    val distinctUsers = Tables.events(spark, d).select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == distinctUsers)
+  }
+
+  // ------------------------------------------------------------- q79
+  test("trend decompose: flat planted series has zero residual; edges use truncated frames") {
+    import spark.implicits._
+    // 10 days x 4 events/day — trend = 4 everywhere, residual 0
+    val ev = (0 until 10).flatMap(day => (0 until 4).map(i =>
+      (day * 4L + i, f"2024-02-${day + 1}%02d 0$i:00:00")))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    // reuse the q79 day-grain plan inline on the fixture
+    val dd = ev.groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(-operators.Insights.TrendHalfWindow, operators.Insights.TrendHalfWindow)
+    val out = dd.withColumn("ws", sum(col("n")).over(w).cast("long"))
+      .withColumn("wc", count(lit(1)).over(w).cast("long"))
+      .selectExpr("d", "n", s"${graft.Portable.round6RatioSpark("ws", "wc")} AS trend")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    out.foreach { case (n, t) => assert(n == 4L && t == 4.0, s"flat series: $n $t") }
+    // real data: every residual equals n - trend
+    val real = operators.Insights.q79.build(spark, d).collect()
+    real.foreach { r =>
+      assert(math.abs(r.getLong(1).toDouble - r.getDouble(2) - r.getDouble(3)) < 1e-9) }
+  }
+
   // ------------------------------------------------------------- q74
   test("cohort matrix: planted two-cohort fixture hits the closed form") {
     import spark.implicits._

@@ -348,6 +348,71 @@ object Analytics {
         .orderBy(col("lambda"))
     })
 
+  // ------------------------------------------------- ml_calibration
+  /** σ(z) bin edges mapped into z space: p ∈ [k/10, (k+1)/10) ⇔
+    * z ∈ [logit(k/10), logit((k+1)/10)). Computed ONCE driver-side
+    * and interpolated as double literals into BOTH engines, so bin
+    * assignment compares the exp-FREE margin z (identical IEEE bits
+    * in both engines — the ml_threshold_sweep discipline) against
+    * shared constants; binning on σ(z) directly would put a libm
+    * `exp` ulp on every bin boundary. */
+  private val calibEdges: Seq[Double] =
+    (1 to 9).map(k => math.log((k / 10.0) / (1.0 - k / 10.0)))
+
+  /** ml_calibration: the reliability diagram for the GD classifier —
+    * predicted-probability deciles vs empirical positive rate, the
+    * readout that decides whether scores can be USED as
+    * probabilities (miscalibrated models need Platt/isotonic before
+    * thresholding on business costs). Trains with the SAME shared
+    * machinery as ml_logreg_gd (the oracle composes the identical
+    * unrolled-training block, so both gates verify the same
+    * weights); binning is exact (z vs shared literals), per-bin mean
+    * prediction is the 12-dp DECIMAL `exp` discipline, the empirical
+    * rate is exact integers via [[graft.Portable.round6RatioSql]].
+    * ONE corpus scan past training. (lazy: GdRounds/GdLr are declared
+    * later in this object — an eager val here would capture their
+    * uninitialized 0 and silently train zero rounds, which is exactly
+    * what the first gate run caught.) */
+  lazy val mlCalibration: QueryDef = QueryDef(
+    "ml_calibration",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      sb.append(s""",
+        bz AS (SELECT $binExpr AS bin,
+            CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) AS p, y
+          FROM b, w$GdRounds),
+        c AS (SELECT bin, count(*) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS sp
+          FROM bz GROUP BY bin)
+        SELECT bin, n, pos, CAST(sp AS DOUBLE) / n AS avg_pred,
+          ${graft.Portable.round6RatioDuck("pos", "n")} AS emp_rate
+        FROM c ORDER BY bin""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = Tables.lineitem(s, d).selectExpr(
+        "l_quantity AS x1", "l_discount AS x2",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
+      val w = logregWeights(b)
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      b.crossJoin(broadcast(w))
+        .selectExpr(s"$binExpr AS bin",
+          "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) AS p", "y")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("pos"),
+          sum(round(col("p"), 12).cast(DecimalType(28, 12))).as("sp"))
+        .selectExpr("bin", "n", "pos", "CAST(sp AS DOUBLE) / n AS avg_pred",
+          s"${graft.Portable.round6RatioSpark("pos", "n")} AS emp_rate")
+        .orderBy(col("bin"))
+    })
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1368,5 +1433,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
-    mlLiftDeciles, q68, q69, q70, mlRidgePath)
+    mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration)
 }

@@ -370,6 +370,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r2 >= 0 && r2 <= 1)
   }
 
+  // --------------------------------------------------- ml_calibration
+  test("calibration: bins conserve the corpus, rates in range, empirical rate tracks bin order") {
+    val rows = operators.Analytics.mlCalibration.build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, TestSpark.sfDir).count()
+    assert(rows.map(_._2).sum == total, "bins must conserve the corpus")
+    rows.foreach { case (bin, n, pos, avgp, rate) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(pos <= n)
+      assert(avgp > 0 && avgp < 1)
+      assert(rate >= 0 && rate <= 1)
+      // avg predicted probability must fall inside its own decile band
+      assert(avgp >= bin / 10.0 - 1e-9 && avgp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin avg_pred $avgp outside its band")
+    }
+    // bins come out sorted and average predictions are increasing
+    val preds = rows.sortBy(_._1).map(_._4)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a < b })
+  }
+
   // ------------------------------------------- portable 6-dp rounding
   test("round6Ratio: pure-integer half-away rounding equals BigDecimal HALF_UP at 6 dp") {
     import spark.implicits._

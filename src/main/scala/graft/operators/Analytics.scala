@@ -381,9 +381,10 @@ object Analytics {
         s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       sb.append(s""",
+        ${w6Cte(GdRounds)},
         bz AS (SELECT $binExpr AS bin,
             CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) AS p, y
-          FROM b, w$GdRounds),
+          FROM b, w6),
         c AS (SELECT bin, count(*) AS n,
             CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
             sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS sp
@@ -397,7 +398,7 @@ object Analytics {
       val b = Tables.lineitem(s, d).selectExpr(
         "l_quantity AS x1", "l_discount AS x2",
         "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
-      val w = logregWeights(b)
+      val w = logregWeights6(b)
       val binExpr = calibEdges.map(e =>
         s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString(" + ")
@@ -582,6 +583,28 @@ object Analytics {
     }
     w
   }
+
+  /** The PUBLISHED weights: training weights rounded to the 6-dp
+    * precision the ml_logreg_gd gate pins. Scoring queries (threshold
+    * sweep, lift deciles, calibration) must score with THESE, not the
+    * raw training doubles: the raw weights differ across engines at
+    * the last ulp (each 12-dp gradient-term rounding has small odds
+    * of a shortest-repr vs exact-binary boundary hit — near-certain
+    * somewhere at 600k-term scale), and an ulp in w shifts every tied
+    * z group together, so any threshold sitting in the dense z region
+    * moves whole groups — the sf0.1 gate caught ml_lift_deciles
+    * moving ~600 rows across one decile edge exactly this way. The
+    * 6-dp rounding is the one the ml_logreg_gd gate already proves
+    * identical in both engines on this corpus. */
+  def logregWeights6(b: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame =
+    logregWeights(b, lr, rounds).selectExpr(
+      "round(wa, 6) AS wa", "round(wb, 6) AS wb", "round(wc, 6) AS wc")
+      .localCheckpoint(true)
+
+  /** Oracle twin of [[logregWeights6]] — appended after
+    * `logregCtes(rounds)`. */
+  private def w6Cte(rounds: Int): String =
+    s"w6 AS (SELECT round(wa, 6) AS wa, round(wb, 6) AS wb, round(wc, 6) AS wc FROM w$rounds)"
 
   def logregGd(b0: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
     val b = b0 // (x1, x2, y) rows
@@ -1024,13 +1047,19 @@ object Analytics {
     "ml_threshold_sweep",
     Some {
       val sb = new StringBuilder(logregCtes(GdRounds))
+      // logit edges as driver-computed literals (NOT per-engine ln():
+      // libm ln can differ in the last ulp) — same list the
+      // calibration bins use; decisions score the PUBLISHED w6
+      // weights (see logregWeights6)
+      val edges = calibEdges.map(e => s"CAST($e AS DOUBLE)").mkString("[", ", ", "]")
       sb.append(s""",
-        th AS (SELECT CAST(i AS DOUBLE) / 10 AS t FROM (SELECT unnest(range(1, 10)) AS i)),
+        ${w6Cte(GdRounds)},
+        th AS (SELECT CAST(i AS DOUBLE) / 10 AS t, $edges[i] AS e FROM (SELECT unnest(range(1, 10)) AS i)),
         sc AS (SELECT th.t,
-            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t)) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t)) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-            CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > ln(th.t / (1 - th.t))) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-          FROM b, w$GdRounds, th GROUP BY th.t)
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > th.e AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > th.e AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > th.e) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM b, w6, th GROUP BY th.t)
         SELECT t, tp, fp, fn,
           CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
           CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec
@@ -1041,14 +1070,16 @@ object Analytics {
       val b = Tables.lineitem(s, d).selectExpr(
         "l_quantity AS x1", "l_discount AS x2",
         "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
-      val w = logregWeights(b)
+      val w = logregWeights6(b)
+      val edges = calibEdges.map(e => s"CAST($e AS DOUBLE)").mkString("array(", ", ", ")")
       val th = b.sparkSession.range(1, 10)
-        .select((col("id").cast(DoubleType) / 10).as("t"))
+        .selectExpr("CAST(id AS DOUBLE) / 10 AS t",
+          s"element_at($edges, CAST(id AS INT)) AS e")
       b.crossJoin(broadcast(w)).crossJoin(broadcast(th))
         .groupBy(col("t")).agg(
-          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(t / (1 - t)) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("tp"),
-          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > ln(t / (1 - t)) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fp"),
-          expr("CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > ln(t / (1 - t))) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fn"))
+          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > e AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("tp"),
+          expr("CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > e AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fp"),
+          expr("CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > e) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fn"))
         .selectExpr("t", "tp", "fp", "fn",
           "CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec",
           "CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec")
@@ -1227,8 +1258,13 @@ object Analytics {
       val ths = (1 to 9).map(i =>
         s"percentile_cont(0.${i}) WITHIN GROUP (ORDER BY z) AS t$i").mkString(", ")
       val binSum = (1 to 9).map(i => s"(CASE WHEN z > t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // z from the PUBLISHED w6 weights (logregWeights6): decile
+      // thresholds sit in the densest z region by construction, so
+      // the raw weights' cross-engine ulp noise moves whole tied
+      // groups — the sf0.1 gate caught exactly that
       sb.append(s""",
-        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w$GdRounds),
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
         th AS (SELECT $ths FROM zz),
         binned AS (SELECT 1 + $binSum AS decile, y FROM zz, th),
         dd AS (SELECT decile, count(*) AS n,
@@ -1249,7 +1285,7 @@ object Analytics {
       val b = Tables.lineitem(s, d).selectExpr(
         "l_quantity AS x1", "l_discount AS x2",
         "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
-      val w = logregWeights(b)
+      val w = logregWeights6(b)
       val zz = scope.persist(b.crossJoin(broadcast(w))
         .select(expr("wa + wb * x1 + wc * x2").as("z"), col("y"), lit(0).as("grp")))
       val th = ExactPercentiles.percentiles(zz, "grp", "z",

@@ -81,7 +81,7 @@ object Bench {
     "vec_hard_negatives", "q75_purchase_intervals",
     "q76_grouped_regression", "q77_abc_classification", "src_text_roundtrip",
     "ann_recall_audit", "q78_new_vs_returning", "q79_trend_decompose",
-    "ml_calibration")
+    "ml_calibration", "text_inverted_index")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

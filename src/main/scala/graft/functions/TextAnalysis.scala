@@ -503,7 +503,60 @@ object TextAnalysis {
         .orderBy(col("rk"))
     })
 
+  // --------------------------------------------------- inverted index
+  val IndexTopTokens = 20
+  val PostingsPerToken = 10
+
+  /** text_inverted_index: inverted-index construction — the IR
+    * structure under every keyword search and the decontamination
+    * fast path: for the [[IndexTopTokens]] highest-df tokens, the
+    * document-frequency and the first [[PostingsPerToken]] posting
+    * entries (doc ids ascending, comma-joined for the gate).
+    *
+    * 100 TB shape: distinct (token, doc) once; df is a vocab-grain
+    * aggregate; postings are TRUNCATED BEFORE collection — a per-token
+    * `row_number() ≤ 10` window (frame bounded by the token's doc
+    * count on the shuffled key, state ≤ 10 rows retained per token)
+    * so no task ever materializes a hot token's full posting list (a
+    * stopword's list IS the corpus; production shards postings by
+    * (token, range) — the truncation here is the gate-sized stand-in
+    * with the same bounded-state shape). Top-20 tokens by (df DESC,
+    * token) via TakeOrderedAndProject. Everything is exact integers
+    * and lexicographic strings — no float anywhere. */
+  val invertedIndex = QueryDef(
+    "text_inverted_index",
+    Some(s"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+      top AS (SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rk FROM f),
+      sel AS (SELECT tok, df, rk FROM top WHERE rk <= $IndexTopTokens),
+      p AS (SELECT t.tok, t.doc_id,
+          row_number() OVER (PARTITION BY t.tok ORDER BY t.doc_id) AS pn
+        FROM t JOIN sel ON t.tok = sel.tok),
+      pl AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM p WHERE pn <= $PostingsPerToken GROUP BY tok)
+      SELECT sel.rk, sel.tok, sel.df, pl.postings
+      FROM sel JOIN pl ON sel.tok = pl.tok ORDER BY sel.rk"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+        .distinct()
+      val f = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val sel = f.orderBy(col("df").desc, col("tok")).limit(IndexTopTokens)
+        .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+      val p = t.join(sel.select(col("tok")), Seq("tok"))
+        .withColumn("pn", row_number().over(
+          Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+        .filter(col("pn") <= PostingsPerToken)
+      val pl = p.groupBy(col("tok"))
+        .agg(concat_ws(",", transform(array_sort(collect_list(
+          struct(col("doc_id")))), x => x.getField("doc_id").cast("string"))).as("postings"))
+      sel.join(pl, Seq("tok"))
+        .select(col("rk"), col("tok"), col("df"), col("postings"))
+        .orderBy(col("rk"))
+    })
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
-    entropy, keyphrases)
+    entropy, keyphrases, invertedIndex)
 }

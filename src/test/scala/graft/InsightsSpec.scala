@@ -190,6 +190,22 @@ class InsightsSpec extends AnyFunSuite {
       assert(math.abs(r.getLong(1).toDouble - r.getDouble(2) - r.getDouble(3)) < 1e-9) }
   }
 
+  // ------------------------------------------------- inverted index
+  test("inverted index: df descending, postings sorted, truncated, and consistent with df") {
+    val rows = functions.TextAnalysis.invertedIndex.build(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == functions.TextAnalysis.IndexTopTokens)
+    val dfs = rows.map(_._3)
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "df must be non-increasing in rank")
+    rows.foreach { case (_, tok, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == math.min(df, functions.TextAnalysis.PostingsPerToken.toLong),
+        s"$tok: postings truncated to min(df, cap)")
+      assert(ids.sorted.sameElements(ids), s"$tok: postings must be ascending")
+      assert(ids.distinct.length == ids.length, s"$tok: postings must be distinct docs")
+    }
+  }
+
   // ------------------------------------------------------------- q74
   test("cohort matrix: planted two-cohort fixture hits the closed form") {
     import spark.implicits._

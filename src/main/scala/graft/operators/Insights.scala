@@ -401,32 +401,40 @@ object Insights {
         CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / CAST(tc AS DOUBLE) AS share
       FROM cl GROUP BY cls, tc ORDER BY cls"""),
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val pr = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey").as("pk"))
-        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .cast(LongType).as("rc"))
-      val ranked = scope.persist(pr
-        .repartitionByRange(col("rc").desc, col("pk"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lcum", coalesce(sum(col("rc")).over(
-          Window.partitionBy(col("pid")).orderBy(col("rc").desc, col("pk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
-      val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-      val offs = ranked.groupBy(col("pid")).agg(sum(col("rc")).as("ps"))
-        .select(col("pid"), coalesce(sum(col("ps")).over(wo), lit(0L)).as("base"))
-      val tot = pr.agg(sum(col("rc")).cast(LongType).as("tc"))
-      val cl = ranked.join(broadcast(offs), Seq("pid"))
-        .crossJoin(broadcast(tot))
-        .selectExpr("CASE WHEN (base + lcum) * 5 < tc * 4 THEN 'A' " +
-          "WHEN (base + lcum) * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls", "rc", "tc")
-      cl.groupBy(col("cls"), col("tc"))
-        .agg(count(lit(1)).as("n_parts"), sum(col("rc")).cast(LongType).as("sumc"))
-        .selectExpr("cls", "n_parts",
-          "CAST(sumc AS DOUBLE) / 100.0 AS revenue",
-          "CAST(sumc AS DOUBLE) / CAST(tc AS DOUBLE) AS share")
-        .orderBy(col("cls"))
+      abcClassification(Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_extendedprice").as("price")))
         .localCheckpoint(true)
     })
+
+  /** ABC classes over (pk = item, price) rows — see [[q77]]. Exposed
+    * un-checkpointed so plan guards can inspect the two-level scan. */
+  def abcClassification(rows: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val pr = rows
+      .groupBy(col("pk"))
+      .agg(sum(expr("CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast(LongType).as("rc"))
+    val ranked = scope.persist(pr
+      .repartitionByRange(col("rc").desc, col("pk"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lcum", coalesce(sum(col("rc")).over(
+        Window.partitionBy(col("pid")).orderBy(col("rc").desc, col("pk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("pid")).agg(sum(col("rc")).as("ps"))
+      .select(col("pid"), coalesce(sum(col("ps")).over(wo), lit(0L)).as("base"))
+    val tot = pr.agg(sum(col("rc")).cast(LongType).as("tc"))
+    val cl = ranked.join(broadcast(offs), Seq("pid"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("CASE WHEN (base + lcum) * 5 < tc * 4 THEN 'A' " +
+        "WHEN (base + lcum) * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls", "rc", "tc")
+    cl.groupBy(col("cls"), col("tc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rc")).cast(LongType).as("sumc"))
+      .selectExpr("cls", "n_parts",
+        "CAST(sumc AS DOUBLE) / 100.0 AS revenue",
+        "CAST(sumc AS DOUBLE) / CAST(tc AS DOUBLE) AS share")
+      .orderBy(col("cls"))
+  }
 
   // ----------------------------------------------------------- q78
   /** q78: daily new-vs-returning active users — the growth

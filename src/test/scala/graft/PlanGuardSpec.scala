@@ -478,4 +478,37 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-15 must be TakeOrdered:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-grain sort-merge join:\n$p")
   }
+
+  test("q77 abc classification never sorts the catalog globally") {
+    // the two-level scan replaces the global cumulative sort: range
+    // partition + pid-local windows + broadcast offsets; inspect the
+    // UN-checkpointed API plan (the QueryDef checkpoints 3 rows)
+    val p = operators.Insights.abcClassification(
+        Tables.lineitem(spark, TestSpark.sfDir)
+          .select(org.apache.spark.sql.functions.col("l_partkey").as("pk"),
+            org.apache.spark.sql.functions.col("l_extendedprice").as("price")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("rangepartitioning"), s"expected the range-partitioned first level:\n$p")
+  }
+
+  test("top-k outputs of keyphrases and inverted index are TakeOrdered, not global sorts") {
+    for (q <- Seq("text_keyphrases", "text_inverted_index")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q must plan sort-free top-k:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must stay keyed:\n$p")
+    }
+  }
+
+  test("ml scoring queries keep the corpus unshuffled past training") {
+    // threshold sweep / calibration: the corpus-side plan is scan →
+    // broadcast-joined weights/thresholds → aggregate; any
+    // hashpartitioning over 60k corpus rows would mean a scoring
+    // shuffle crept in (the aggregates shuffle only tiny key grids)
+    for (q <- Seq("ml_threshold_sweep", "ml_calibration")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q must broadcast, not sort-merge:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
 }

@@ -81,7 +81,7 @@ object Bench {
     "vec_hard_negatives", "q75_purchase_intervals",
     "q76_grouped_regression", "q77_abc_classification", "src_text_roundtrip",
     "ann_recall_audit", "q78_new_vs_returning", "q79_trend_decompose",
-    "ml_calibration", "text_inverted_index")
+    "ml_calibration", "text_inverted_index", "pipeline_ml_readouts")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
@@ -145,10 +145,11 @@ object Bench {
     // ContextCleaner otherwise and pile up block-manager memory across
     // the 115-query session (the r5/r6 verdicts' ngram_jaccard rep
     // variance billed 35–41 s/rep to GC). Unpersist them DETERMINISTICALLY
-    // between queries instead of hoping System.gc() gets there in time.
+    // between queries instead of hoping System.gc() gets there in time —
+    // blocking = true, so no block removal bleeds into the next timed rep.
     def dropAllBlocks(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
       for (name <- names) {

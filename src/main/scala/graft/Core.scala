@@ -89,6 +89,17 @@ object Sessions {
   * always fits a signed 64-bit long.
   */
 object Portable {
+  /** Large positive micros offset, an exact multiple of a WEEK
+    * (86400e6 · 7 · 400000 ≈ 7670 years), added to `epoch_us` before
+    * any integer day/bin division: BIGINT `//` (DuckDB) and `div`
+    * (Spark) both truncate toward ZERO, and `%` follows the dividend
+    * sign in both — identical across engines, but ≠ floor/floor-mod
+    * on pre-1970 (negative) epochs, so unshifted day binning would
+    * label e.g. 1969-12-31T12:00 as Thursday. Shifting into the
+    * positive range makes truncation == floor; the week multiple
+    * preserves day-of-week. Covers timestamps back to ~5600 BCE. */
+  val EpochWeekOffsetUs: Long = 86400000000L * 7L * 400000L
+
   /** Mersenne prime 2^31-1; minhash arithmetic stays under 2^62. */
   val P: Long = 2147483647L
   val NumHashes = 16

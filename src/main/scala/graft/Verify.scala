@@ -25,7 +25,7 @@ object Verify {
       finally { // drop per-query persists AND localCheckpoint blocks
         // (clearCache misses the latter) before the next dump
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -488,11 +488,20 @@ object Graph {
     })
 
   // --------------------------------------------------- closeness
-  /** Seed predicate for [[closenessQuery]]: every 500th customer
-    * node — sampled-source closeness (Eppstein–Wang 2004: a sampled
-    * seed set estimates the centrality distribution; exact all-pairs
-    * closeness is Θ(V·E) and never runs at scale). */
-  val ClosenessSeedModulus = 500L
+  /** Target seed-set SIZE for [[closenessQuery]] — sampled-source
+    * closeness (Eppstein–Wang 2004: estimator error depends on the
+    * seed COUNT O(log n/ε²), not a sampling RATE; exact all-pairs
+    * closeness is Θ(V·E) and never runs at scale). The modulus is
+    * DERIVED from one corpus count (`n_customers div target`, the
+    * [[graft.similarity.AnnApi.planesFor]] discipline), so BFS state
+    * (seed, node, dist) stays Θ(target · V) at any corpus size —
+    * a fixed rate would grow it ~V²/rate. */
+  val ClosenessSeedTarget = 64L
+
+  /** `max(1, n div target)` — identical BIGINT truncating division in
+    * Spark (`div`) and DuckDB (`//`) on the non-negative count. */
+  def closenessSeedModulus(nCustomers: Long): Long =
+    math.max(1L, nCustomers / ClosenessSeedTarget)
 
   /** Harmonic closeness per seed over a bounded-radius BFS: the
     * labeled multi-source relaxation (state = one (seed, node, dist)
@@ -541,8 +550,10 @@ object Graph {
         s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
-        d0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
-          FROM e WHERE src < $SuppOffset AND src % $ClosenessSeedModulus = 0)""")
+        cust AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src < $SuppOffset),
+        m AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $ClosenessSeedTarget) AS mm FROM cust),
+        d0 AS MATERIALIZED (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          FROM cust WHERE node % (SELECT mm FROM m) = 0)""")
       for (it <- 1 to BfsRounds) {
         sb.append(s""",
         d$it AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
@@ -561,10 +572,21 @@ object Graph {
     },
     (s, d) => {
       val e = edges(s, d)
-      val seeds = e.select(col("src").as("node")).distinct()
-        .filter(col("node") < SuppOffset && col("node") % ClosenessSeedModulus === 0)
-      closeness(e, seeds)
+      val cust = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < SuppOffset)
+      closeness(e, closenessSeeds(cust))
     })
+
+  /** Size-derived seed selection over a `node` column: ONE one-row
+    * count broadcast into the modulus filter, so the seed count stays
+    * ≈ [[ClosenessSeedTarget]] at ANY corpus size (a fixed RATE would
+    * grow BFS state ~V²/rate — the r7 verdict's scale-killer). */
+  def closenessSeeds(cust: DataFrame): DataFrame = {
+    val m = cust.agg(greatest(lit(1L),
+      (count(lit(1)) / lit(ClosenessSeedTarget)).cast("long")).as("mm"))
+    cust.crossJoin(broadcast(m))
+      .filter(col("node") % col("mm") === 0).select(col("node"))
+  }
 
   // ------------------------------------------- label propagation
   /** Fixed synchronous LPA schedule — both engines unroll the same

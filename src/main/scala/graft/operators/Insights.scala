@@ -287,8 +287,8 @@ object Insights {
       gg AS (SELECT prio, gap, CAST(gap AS DOUBLE) AS gapd FROM g WHERE gap IS NOT NULL)
       SELECT prio, count(*) AS n_gaps,
         ${Portable.round6RatioDuck("CAST(sum(gap) AS BIGINT)", "count(*)")} AS mean_days,
-        round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gapd), 6) AS p50_days,
-        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gapd), 6) AS p90_days,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY gapd) AS p50_days,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY gapd) AS p90_days,
         max(gap) AS max_days
       FROM gg GROUP BY prio ORDER BY prio"""),
     (s, d) => graft.CacheScope.withScope { implicit scope =>
@@ -313,7 +313,7 @@ object Insights {
       agg.join(broadcast(pct), Seq("prio"))
         .selectExpr("prio", "n_gaps",
           s"${Portable.round6RatioSpark("sg", "n_gaps")} AS mean_days",
-          "round(p50, 6) AS p50_days", "round(p90, 6) AS p90_days", "max_days")
+          "p50 AS p50_days", "p90 AS p90_days", "max_days")
         .orderBy(col("prio"))
         .localCheckpoint(true)
     })
@@ -326,10 +326,17 @@ object Insights {
     * token-for-token with the oracle — bit-identical, surfaced
     * UNROUNDED (the q71 lift contract; round() is the portability
     * hazard, not doubles). */
-  private val regSlope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
-  private val regIntercept = s"(sy - $regSlope * sx) / n"
+  // det guards: a group with CONSTANT x (or y, for r²) has det = 0 —
+  // unguarded, Spark NULLs a double 0-division while DuckDB yields
+  // ±Inf/NaN (the q59 hazard class); CASE→NULL is identical in both
+  private val regDetX = "(n * sxx - sx * sx)"
+  private val regDetY = "(n * syy - sy * sy)"
+  private val regSlopeRaw = s"((n * sxy - sx * sy) / $regDetX)"
+  private val regSlope = s"CASE WHEN $regDetX <> 0 THEN $regSlopeRaw END"
+  private val regIntercept =
+    s"CASE WHEN $regDetX <> 0 THEN (sy - $regSlopeRaw * sx) / n END"
   private val regR2 =
-    "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+    s"CASE WHEN $regDetX <> 0 AND $regDetY <> 0 THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ($regDetX * $regDetY) END"
 
   /** q76: grouped simple regression — per return flag, the OLS line
     * `l_extendedprice ~ l_quantity` with r² (the per-segment trend
@@ -382,10 +389,13 @@ object Insights {
     * budget_select two-level scan (range partition on (rev DESC,
     * part), task-local exclusive running sums, per-partition totals'
     * exclusive scan broadcast back) — NO task holds the catalog,
-    * partition-count invariant. Class boundaries are EXACT integer
-    * cross-multiplications on cents (`cum·5 < tot·4` ⇔ share < 0.8 —
-    * no float thresholds to disagree on); the surfaced share is two
-    * correctly-rounded casts and one IEEE division, unrounded. */
+    * partition-count invariant. Class boundaries are EXACT
+    * cross-multiplications on cents in DECIMAL(38,0) (`cum·5 < tot·4`
+    * ⇔ share < 0.8 — no float thresholds to disagree on; decimal, not
+    * BIGINT, because `cume·20` would wrap int64 once total revenue
+    * cents pass ~4.6e17 — Spark wraps silently where DuckDB raises);
+    * the surfaced share is two correctly-rounded casts and one IEEE
+    * division, unrounded. */
   val q77 = QueryDef(
     "q77_abc_classification",
     Some("""WITH pr AS (SELECT l_partkey AS pk,
@@ -394,8 +404,8 @@ object Insights {
       tot AS (SELECT CAST(sum(rc) AS BIGINT) AS tc FROM pr),
       r AS (SELECT pk, rc, CAST(COALESCE(sum(rc) OVER (ORDER BY rc DESC, pk
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cume FROM pr),
-      cl AS (SELECT CASE WHEN cume * 5 < tc * 4 THEN 'A'
-          WHEN cume * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls, rc, tc FROM r, tot)
+      cl AS (SELECT CASE WHEN CAST(cume AS DECIMAL(38,0)) * 5 < CAST(tc AS DECIMAL(38,0)) * 4 THEN 'A'
+          WHEN CAST(cume AS DECIMAL(38,0)) * 20 < CAST(tc AS DECIMAL(38,0)) * 19 THEN 'B' ELSE 'C' END AS cls, rc, tc FROM r, tot)
       SELECT cls, count(*) AS n_parts,
         CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
         CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / CAST(tc AS DOUBLE) AS share
@@ -426,8 +436,8 @@ object Insights {
     val tot = pr.agg(sum(col("rc")).cast(LongType).as("tc"))
     val cl = ranked.join(broadcast(offs), Seq("pid"))
       .crossJoin(broadcast(tot))
-      .selectExpr("CASE WHEN (base + lcum) * 5 < tc * 4 THEN 'A' " +
-        "WHEN (base + lcum) * 20 < tc * 19 THEN 'B' ELSE 'C' END AS cls", "rc", "tc")
+      .selectExpr("CASE WHEN CAST(base + lcum AS DECIMAL(38,0)) * 5 < CAST(tc AS DECIMAL(38,0)) * 4 THEN 'A' " +
+        "WHEN CAST(base + lcum AS DECIMAL(38,0)) * 20 < CAST(tc AS DECIMAL(38,0)) * 19 THEN 'B' ELSE 'C' END AS cls", "rc", "tc")
     cl.groupBy(col("cls"), col("tc"))
       .agg(count(lit(1)).as("n_parts"), sum(col("rc")).cast(LongType).as("sumc"))
       .selectExpr("cls", "n_parts",

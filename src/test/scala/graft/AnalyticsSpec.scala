@@ -441,4 +441,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) == 25.0)
     assert(out(2).getDouble(2) == -30.0)
   }
+
+  test("weekday binning: pre-1970 timestamps get the correct floor-mod day (r8 epoch-offset fix)") {
+    import spark.implicits._
+    // 1969-12-31 = Wednesday(3), 1969-12-28 = Sunday(0), 1970-01-01 =
+    // Thursday(4), 2024-06-05 = Wednesday(3). The mid-day pre-1970 row
+    // is the one unshifted truncating division mislabels (Thursday).
+    val df = Seq("1969-12-31 12:00:00", "1969-12-28 00:00:01",
+        "1970-01-01 00:00:00", "2024-06-05 09:30:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val dows = df.select(expr(operators.Analytics.DowSpark).as("dow"))
+      .as[Long].collect().toSeq
+    assert(dows == Seq(3L, 0L, 4L, 3L), s"got $dows")
+  }
+
+  test("scoreWith + weightsOf: readouts run off published constants, no training (r8)") {
+    import spark.implicits._
+    val b = Seq((1.0, 0.0, 1.0), (2.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (-2.0, 0.0, 0.0))
+      .toDF("x1", "x2", "y")
+    val w = operators.Analytics.weightsOf(spark, 0.0, 1.0, 0.0) // z = x1
+    val sweep = operators.Analytics.sweepOfScores(
+      operators.Analytics.scoreWith(b, w)).collect()
+    assert(sweep.length == 9)
+    // at t = 0.5 the z edge is logit(0.5) = 0: a perfect separation
+    val mid = sweep.find(r => r.getDouble(0) == 0.5).get
+    assert(mid.getLong(1) == 2 && mid.getLong(2) == 0 && mid.getLong(3) == 0)
+    assert(mid.getDouble(4) == 1.0 && mid.getDouble(5) == 1.0)
+  }
+
+  test("pipeline_ml_readouts: composed rows EQUAL the standalone readouts' rows (r8)") {
+    val composed = operators.Analytics.pipelineMlReadouts
+      .build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sweep = operators.Analytics.mlThresholdSweep
+      .build(spark, TestSpark.sfDir).collect()
+    sweep.foreach { r =>
+      assert(composed(("sweep", r.getDouble(0))) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"sweep t=${r.getDouble(0)} diverged from the composed readout")
+    }
+    val calib = operators.Analytics.mlCalibration
+      .build(spark, TestSpark.sfDir).collect()
+    calib.foreach { r =>
+      assert(composed(("calib", r.getInt(0).toDouble))._1 == r.getLong(1),
+        s"calib bin=${r.getInt(0)} diverged from the composed readout")
+    }
+  }
 }

@@ -255,4 +255,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) == 6.0, "center reaches all 6 leaves at distance 1")
     assert(r(1L) == 1.0 + 5.0 / 2, "leaf: center at 1, five siblings at 2")
   }
+
+  test("closenessSeeds: seed count tracks the TARGET, not a rate, across corpus sizes (r8)") {
+    import spark.implicits._
+    val t = operators.Graph.ClosenessSeedTarget
+    for (n <- Seq(300L, 3000L)) {
+      // node ids with gaps (every 3rd id), like custkeys with orders
+      val cust = spark.range(0, n).select((col("id") * 3).as("node"))
+      val seeds = operators.Graph.closenessSeeds(cust).count()
+      // modulus = n div target, so count is within a 2x band of target
+      // at ANY n >= target (a fixed rate would scale count with n)
+      assert(seeds >= t / 2 && seeds <= t * 2,
+        s"n=$n: got $seeds seeds for target $t")
+    }
+    // tiny corpus: modulus floors at 1 -> every node seeds
+    val tiny = spark.range(0, 10).select(col("id").as("node"))
+    assert(operators.Graph.closenessSeeds(tiny).count() == 10L)
+  }
 }

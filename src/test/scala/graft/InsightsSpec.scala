@@ -223,4 +223,22 @@ class InsightsSpec extends AnyFunSuite {
       ("2024-01-01", 1L, 1L, 2L, 0.5),
       ("2024-01-08", 0L, 1L, 1L, 1.0)))
   }
+
+  test("grouped regression: degenerate groups (constant x or y) yield NULL, not Inf/NaN (r8)") {
+    import spark.implicits._
+    val planted = Seq(
+      ("cx", 2.0, 1.0), ("cx", 2.0, 5.0), ("cx", 2.0, 9.0),   // constant x: no fit
+      ("cy", 1.0, 7.0), ("cy", 2.0, 7.0), ("cy", 3.0, 7.0),   // constant y: slope 0, r2 NULL
+      ("ok", 1.0, 3.0), ("ok", 2.0, 5.0)).toDF("grp", "x", "y")
+    val got = operators.Insights.groupedRegression(planted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cx = got("cx")
+    assert(cx.isNullAt(2) && cx.isNullAt(3) && cx.isNullAt(4),
+      "constant-x group must NULL all three outputs (detX = 0)")
+    val cy = got("cy")
+    assert(cy.getDouble(2) == 0.0 && cy.getDouble(3) == 7.0 && cy.isNullAt(4),
+      "constant-y group fits the flat line but r2 is undefined (detY = 0)")
+    val ok = got("ok")
+    assert(math.abs(ok.getDouble(2) - 2.0) < 1e-9 && math.abs(ok.getDouble(3) - 1.0) < 1e-9)
+  }
 }

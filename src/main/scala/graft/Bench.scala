@@ -81,7 +81,10 @@ object Bench {
     "vec_hard_negatives", "q75_purchase_intervals",
     "q76_grouped_regression", "q77_abc_classification", "src_text_roundtrip",
     "ann_recall_audit", "q78_new_vs_returning", "q79_trend_decompose",
-    "ml_calibration", "text_inverted_index", "pipeline_ml_readouts")
+    "ml_calibration", "text_inverted_index", "pipeline_ml_readouts",
+    "q80_cusum_changepoint", "q81_hhi_concentration", "q82_price_elasticity",
+    "q83_cohort_ltv", "q84_survival_retention", "ann_mips", "ann_dim_audit",
+    "pipeline_data_card")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

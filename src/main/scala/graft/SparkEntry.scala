@@ -15,6 +15,7 @@ object SparkEntry {
         operators.Extra.defs ++
         operators.Analytics.defs ++
         operators.Insights.defs ++
+        operators.Insights2.defs ++
         functions.TextAnalysis.defs ++
         functions.Corpus.defs ++
         functions.Pipeline.defs ++

@@ -922,8 +922,78 @@ object Pipeline {
       }
     })
 
+  // ------------------------------------------------ pipeline_data_card
+  /** pipeline_data_card: the one-report corpus "data card" (r8) — the
+    * release-note table every dataset ship requires (what's in it,
+    * from where, in what language, how redundant): per-source and
+    * per-language doc/token counts, the exact-dup rate, and corpus
+    * totals, all united into one (section, k)-keyed report (the
+    * `pipeline_ml_readouts` composition shape).
+    *
+    * 100 TB shape: ONE persisted corpus scan computes the per-doc
+    * facts (source, lang, token count, content md5) and every section
+    * is a map-combinable aggregate off it — the corpus is scanned
+    * once and shuffled only at (source)/(lang)/(hash) grain; totals
+    * ride one-row broadcasts. Metrics are single fixed-order IEEE
+    * divisions over exact counts, unrounded. */
+  val dataCard = QueryDef(
+    "pipeline_data_card",
+    Some(s"""WITH base AS (SELECT source, lang,
+        len(string_split(${normTextSql("text")}, ' ')) AS toks,
+        md5(${normTextSql("text")}) AS h
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(toks) AS BIGINT) AS t FROM base),
+      tt AS (SELECT 'total' AS section, 'all' AS k, tot.n AS n_a, tot.t AS n_b,
+          CAST(tot.t AS DOUBLE) / tot.n AS metric FROM tot),
+      src AS (SELECT 'source' AS section, source AS k, CAST(count(*) AS BIGINT) AS n_a,
+          CAST(sum(toks) AS BIGINT) AS n_b,
+          CAST(sum(toks) AS DOUBLE) / count(*) AS metric
+        FROM base GROUP BY source),
+      lng AS (SELECT 'lang' AS section, lang AS k, CAST(count(*) AS BIGINT) AS n_a,
+          CAST(sum(toks) AS BIGINT) AS n_b,
+          CAST(count(*) AS DOUBLE) / tot.n AS metric
+        FROM base, tot GROUP BY lang, tot.n),
+      hp AS (SELECT h, count(*) AS cnt FROM base GROUP BY h),
+      dup AS (SELECT 'dup' AS section, 'exact' AS k,
+          CAST(sum(cnt) - count(*) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS metric
+        FROM hp)
+      SELECT * FROM tt UNION ALL SELECT * FROM src
+      UNION ALL SELECT * FROM lng UNION ALL SELECT * FROM dup
+      ORDER BY section, k"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val base = scope.persist(Tables.documents(s, d).select(
+        col("source"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("toks"),
+        md5(normText(col("text"))).as("h")))
+      val tot = broadcast(base.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("toks")).cast("long").as("t")))
+      val tt = tot.selectExpr("'total' AS section", "'all' AS k", "n AS n_a", "t AS n_b",
+        "CAST(t AS DOUBLE) / n AS metric")
+      val src = base.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("nd"), sum(col("toks")).cast("long").as("st"))
+        .selectExpr("'source' AS section", "source AS k", "nd AS n_a", "st AS n_b",
+          "CAST(st AS DOUBLE) / nd AS metric")
+      val lng = base.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("nd"), sum(col("toks")).cast("long").as("st"))
+        .crossJoin(tot)
+        .selectExpr("'lang' AS section", "lang AS k", "nd AS n_a", "st AS n_b",
+          "CAST(nd AS DOUBLE) / n AS metric")
+      val hp = base.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val dup = hp.agg(
+          (sum(col("cnt")) - count(lit(1))).cast("long").as("dd"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long").as("cl"),
+          sum(col("cnt")).cast("long").as("nn"))
+        .selectExpr("'dup' AS section", "'exact' AS k", "dd AS n_a", "cl AS n_b",
+          "CAST(dd AS DOUBLE) / CAST(nn AS DOUBLE) AS metric")
+      tt.unionAll(src).unionAll(lng).unionAll(dup)
+        .orderBy(col("section"), col("k"))
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
-    splitLeakage, qualityGate, epochMix, dsirSelect)
+    splitLeakage, qualityGate, epochMix, dsirSelect, dataCard)
 }

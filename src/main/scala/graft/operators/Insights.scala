@@ -329,13 +329,13 @@ object Insights {
   // det guards: a group with CONSTANT x (or y, for r²) has det = 0 —
   // unguarded, Spark NULLs a double 0-division while DuckDB yields
   // ±Inf/NaN (the q59 hazard class); CASE→NULL is identical in both
-  private val regDetX = "(n * sxx - sx * sx)"
-  private val regDetY = "(n * syy - sy * sy)"
-  private val regSlopeRaw = s"((n * sxy - sx * sy) / $regDetX)"
-  private val regSlope = s"CASE WHEN $regDetX <> 0 THEN $regSlopeRaw END"
-  private val regIntercept =
+  private[operators] val regDetX = "(n * sxx - sx * sx)"
+  private[operators] val regDetY = "(n * syy - sy * sy)"
+  private[operators] val regSlopeRaw = s"((n * sxy - sx * sy) / $regDetX)"
+  private[operators] val regSlope = s"CASE WHEN $regDetX <> 0 THEN $regSlopeRaw END"
+  private[operators] val regIntercept =
     s"CASE WHEN $regDetX <> 0 THEN (sy - $regSlopeRaw * sx) / n END"
-  private val regR2 =
+  private[operators] val regR2 =
     s"CASE WHEN $regDetX <> 0 AND $regDetY <> 0 THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ($regDetX * $regDetY) END"
 
   /** q76: grouped simple regression — per return flag, the OLS line

@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 analytics tier (SURVEY.md §2.2 cont.): CUSUM changepoint
+  * detection, market concentration (HHI), log-log price elasticity,
+  * cohort lifetime value, and Kaplan–Meier retention survival — the
+  * time-series / econometrics readouts the q1–q79 ladder doesn't
+  * cover.
+  *
+  * House determinism rules (the q65/q77 lessons): cross-engine
+  * comparisons run on EXACT integers or DECIMAL(38,0) products
+  * (never a float threshold, never a BIGINT product that can wrap);
+  * `ln` terms are 12-dp-rounded into DECIMAL(28,12) merge-order-free
+  * sums (the `corpus_ngram_lm` discipline); surfaced doubles are
+  * fixed-order IEEE trees over exacts shared token-for-token with
+  * the oracle, unrounded.
+  */
+object Insights2 {
+
+  // ----------------------------------------------------------- q80
+  /** q80: CUSUM changepoint detection on the daily event volume per
+    * type — "did the level shift, and when?" (Page 1954's cumulative
+    * sum; the at-most-one-changepoint scan every pipeline monitor
+    * runs before alerting on drift). The statistic is the max over k
+    * of |S_k − k·S_T/T| where S_k is the day-count prefix sum —
+    * evaluated EXACTLY as |T·S_k − k·S_T| in DECIMAL(38,0) (the
+    * scaled form never divides, and decimal, not BIGINT, so
+    * day-count·total products cannot wrap int64 — the q77 lesson);
+    * the argmax day breaks ties on the earlier day in both engines.
+    *
+    * 100 TB shape: the corpus collapses to ONE (type, day) count
+    * aggregate (map-combinable); prefix sums, the max pick, and the
+    * surfaced relative deviation all run at days-scale. */
+  val q80 = QueryDef(
+    "q80_cusum_changepoint",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, d, c,
+          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS k,
+          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        FROM dd),
+      dev AS (SELECT event_type, d, k, t, st,
+          abs(CAST(t AS DECIMAL(19,0)) * sk - CAST(k AS DECIMAL(19,0)) * st) AS dk
+        FROM w),
+      mx AS (SELECT event_type, d AS cp_day, dk, t, st,
+          row_number() OVER (PARTITION BY event_type ORDER BY dk DESC, d) AS rk
+        FROM dev)
+      SELECT event_type, cp_day, t AS n_days, st AS n_events,
+        CAST(dk AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(st AS DOUBLE)) AS rel_dev
+      FROM mx WHERE rk = 1 ORDER BY event_type"""),
+    (s, d) => cusumChangepoint(Tables.events(s, d)
+      .select(col("event_type"), col("ts"))))
+
+  /** CUSUM argmax over (event_type, ts) rows — see [[q80]]. */
+  def cusumChangepoint(ev: DataFrame): DataFrame = {
+    val dd = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val dev = dd
+      .withColumn("sk", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+      .withColumn("k", row_number().over(wOrd).cast(LongType))
+      .withColumn("st", sum(col("c")).over(wAll).cast(LongType))
+      .withColumn("t", count(lit(1)).over(wAll).cast(LongType))
+      .selectExpr("event_type", "d", "k", "t", "st",
+        "abs(CAST(t AS DECIMAL(19,0)) * sk - CAST(k AS DECIMAL(19,0)) * st) AS dk")
+    dev.withColumn("rk",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("dk").desc, col("d"))))
+      .filter(col("rk") === 1)
+      .selectExpr("event_type", "d AS cp_day", "t AS n_days", "st AS n_events",
+        "CAST(dk AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(st AS DOUBLE)) AS rel_dev")
+      .orderBy(col("event_type"))
+  }
+
+  // ----------------------------------------------------------- q81
+  /** q81: market concentration per region — supplier revenue shares,
+    * Herfindahl–Hirschman index (Σ 10000·sᵢ², the antitrust/catalog-
+    * concentration staple) and the top-firm share.
+    *
+    * Determinism: revenues are exact BIGINT cents; Σ rcᵢ² is a
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) product sum (exact
+    * at any corpus size — BIGINT rc² would wrap past ~3e9 cents per
+    * firm); HHI and top-share are single fixed-order IEEE trees over
+    * the exact aggregates, shared token-for-token, unrounded.
+    *
+    * 100 TB shape: lineitem collapses to ONE (nation, supplier)
+    * cents aggregate keyed by suppkey (map-combinable); the
+    * nation→region dims ride broadcasts; everything after is
+    * firm-grain then region-grain. */
+  val q81 = QueryDef(
+    "q81_hhi_concentration",
+    Some("""WITH rev AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+        CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rc
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      rr AS (SELECT r.r_name AS region, rev.sk, rev.rc
+        FROM rev JOIN nation n ON rev.nk = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey),
+      agg AS (SELECT region, CAST(count(*) AS BIGINT) AS n_firms,
+          CAST(sum(rc) AS BIGINT) AS tc, CAST(max(rc) AS BIGINT) AS mx,
+          sum(CAST(rc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0))) AS ssq
+        FROM rr GROUP BY region)
+      SELECT region, n_firms, CAST(tc AS DOUBLE) / 100.0 AS revenue,
+        10000.0 * (CAST(ssq AS DOUBLE) / (CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE))) AS hhi,
+        CAST(mx AS DOUBLE) / CAST(tc AS DOUBLE) AS top_share
+      FROM agg ORDER BY region"""),
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("rc"))
+      val dims = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nk"), col("r_name").as("region")))
+      rev.join(dims, Seq("nk"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).cast(LongType).as("n_firms"),
+          sum(col("rc")).cast(LongType).as("tc"),
+          max(col("rc")).cast(LongType).as("mx"),
+          sum(expr("CAST(rc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0))")).as("ssq"))
+        .selectExpr("region", "n_firms", "CAST(tc AS DOUBLE) / 100.0 AS revenue",
+          "10000.0 * (CAST(ssq AS DOUBLE) / (CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE))) AS hhi",
+          "CAST(mx AS DOUBLE) / CAST(tc AS DOUBLE) AS top_share")
+        .orderBy(col("region"))
+    })
+
+  // ----------------------------------------------------------- q82
+  /** Shared 12-dp ln-feature moment fragments for [[q82]] — the
+    * [[Insights.q76]] closed forms over moments built from
+    * `round(ln(·), 12)` features summed as DECIMAL(28,12) (the
+    * `corpus_ngram_lm` ln discipline: q76's DECIMAL(18,6) feature
+    * casts are exact only for ≤2-dp decimal-origin inputs; ln outputs
+    * need the 12-dp rounding + wide-decimal path to stay
+    * merge-order-free AND cross-engine identical). */
+  private def lnMomentsSql(src: String): String =
+    s"""SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+       CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+       CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+       CAST(sum(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+       FROM $src GROUP BY grp"""
+
+  /** q82: price elasticity of demand per part brand — the log-log
+    * regression `ln(qty) ~ ln(unit price)` whose slope IS the
+    * elasticity (the pricing-analytics staple; elastic products have
+    * slope < −1). Features are `round(ln(·), 12)` doubles (identical
+    * in both engines by the ngram-LM discipline), moments are
+    * DECIMAL(28,12) merge-order-free sums, the closed forms are
+    * [[Insights]]'s det-guarded OLS fragments, surfaced unrounded.
+    *
+    * 100 TB shape: lineitem joins the part dim on partkey for the
+    * brand key (at catalog scale this is the one corpus shuffle —
+    * or zero with both sides bucketed by partkey), then ONE
+    * map-combinable moment aggregate per brand and brand-grain
+    * algebra. */
+  val q82 = QueryDef(
+    "q82_price_elasticity",
+    Some(s"""WITH f AS (SELECT p.p_brand AS grp,
+        round(ln(CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE)), 12) AS x,
+        round(ln(CAST(l.l_quantity AS DOUBLE)), 12) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      m AS (${lnMomentsSql("f")})
+      SELECT grp AS brand, CAST(n AS BIGINT) AS n_rows,
+        ${Insights.regSlope} AS elasticity,
+        ${Insights.regIntercept} AS intercept,
+        ${Insights.regR2} AS r2
+      FROM m ORDER BY brand"""),
+    (s, d) => {
+      val f = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .selectExpr("p_brand AS grp",
+          "round(ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 12) AS x",
+          "round(ln(CAST(l_quantity AS DOUBLE)), 12) AS y")
+      val m = f.groupBy(col("grp"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType).as("sx"),
+          sum(col("y").cast(DecimalType(28, 12))).cast(DoubleType).as("sy"),
+          sum(expr("CAST(round(x * x, 12) AS DECIMAL(28,12))")).cast(DoubleType).as("sxx"),
+          sum(expr("CAST(round(x * y, 12) AS DECIMAL(28,12))")).cast(DoubleType).as("sxy"),
+          sum(expr("CAST(round(y * y, 12) AS DECIMAL(28,12))")).cast(DoubleType).as("syy"))
+      m.selectExpr("grp AS brand", "CAST(n AS BIGINT) AS n_rows",
+          s"${Insights.regSlope} AS elasticity",
+          s"${Insights.regIntercept} AS intercept",
+          s"${Insights.regR2} AS r2")
+        .orderBy(col("brand"))
+    })
+
+  // ----------------------------------------------------------- q83
+  /** q83: cohort lifetime value — customers grouped by first-order
+    * month, cumulative revenue per cohort by months-since-first (the
+    * LTV curve finance models payback periods on; q74 is the
+    * retention COUNT matrix, this is the REVENUE matrix). Exact
+    * BIGINT cents end to end; month index is `year·12 + month`
+    * (exact integers, identical in both engines); LTV is one
+    * fixed-order IEEE tree over exacts, unrounded.
+    *
+    * 100 TB shape: orders pre-collapse to (customer, month) cents
+    * BEFORE the cohort join (one customer-keyed shuffle joins the
+    * customer-grain first-month aggregate), then everything is
+    * (cohort, age)-grain; the running sum is a cohort-keyed window
+    * over months-scale rows. */
+  val q83 = QueryDef(
+    "q83_cohort_ltv",
+    Some(s"""WITH om AS (SELECT o_custkey AS c,
+        year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS ym,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      fc AS (SELECT c, min(ym) AS cohort FROM om GROUP BY c),
+      sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n FROM fc GROUP BY cohort),
+      rev AS (SELECT f.cohort, om.ym - f.cohort AS age, CAST(sum(om.cents) AS BIGINT) AS rc
+        FROM om JOIN fc f ON om.c = f.c GROUP BY 1, 2),
+      cum AS (SELECT cohort, age, rc,
+          CAST(sum(rc) OVER (PARTITION BY cohort ORDER BY age ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crc
+        FROM rev)
+      SELECT c.cohort, c.age, s.cohort_n,
+        CAST(c.rc AS DOUBLE) / 100.0 AS revenue,
+        CAST(c.crc AS DOUBLE) / 100.0 AS cum_revenue,
+        CAST(c.crc AS DOUBLE) / (100.0 * s.cohort_n) AS ltv
+      FROM cum c JOIN sz s ON c.cohort = s.cohort ORDER BY c.cohort, c.age"""),
+    (s, d) => {
+      val om = Tables.orders(s, d)
+        .selectExpr("o_custkey AS c",
+          "year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS ym",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents0")
+        .groupBy(col("c"), col("ym"))
+        .agg(sum(col("cents0")).cast(LongType).as("cents"))
+      val fc = om.groupBy(col("c")).agg(min(col("ym")).as("cohort"))
+      val sz = fc.groupBy(col("cohort")).agg(count(lit(1)).cast(LongType).as("cohort_n"))
+      val rev = om.join(fc, Seq("c"))
+        .groupBy(col("cohort"), (col("ym") - col("cohort")).as("age"))
+        .agg(sum(col("cents")).cast(LongType).as("rc"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("crc", sum(col("rc")).over(w).cast(LongType))
+        .join(broadcast(sz), Seq("cohort"))
+        .selectExpr("cohort", "age", "cohort_n",
+          "CAST(rc AS DOUBLE) / 100.0 AS revenue",
+          "CAST(crc AS DOUBLE) / 100.0 AS cum_revenue",
+          "CAST(crc AS DOUBLE) / (100.0 * cohort_n) AS ltv")
+        .orderBy(col("cohort"), col("age"))
+    })
+
+  // ----------------------------------------------------------- q84
+  /** q84: Kaplan–Meier retention survival over user activity spans —
+    * lifetime = whole weeks between a user's first and last event;
+    * users still active in the corpus's final week are CENSORED
+    * (they inform the at-risk sets but never count as churn — the
+    * standard right-censoring the naive "lifetime histogram" gets
+    * wrong). Survival is surfaced in LOG space: ln S(t) =
+    * Σ_{u≤t} ln((n_u − d_u)/n_u) with each term 12-dp-rounded into a
+    * DECIMAL(28,12) running sum (the ngram-LM discipline — exact,
+    * merge-order-free, engine-identical; surfacing exp of it would
+    * put a libm ulp on every row). The hazard is the shared IEEE
+    * division, unrounded. Rows where d = n (everyone at risk churns;
+    * S hits 0, ln S undefined) surface NULL identically.
+    *
+    * 100 TB shape: events → distinct (user, week) → ONE user-grain
+    * (first, last) aggregate → a lifetimes histogram; at-risk counts
+    * are a reverse prefix sum and the KM product a forward prefix
+    * sum, both over weeks-scale rows. */
+  val q84 = QueryDef(
+    "q84_survival_retention",
+    Some(s"""WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      ul AS (SELECT user_id, min(wk) AS fw, max(wk) AS lw FROM uw GROUP BY user_id),
+      mw AS (SELECT max(wk) AS mw FROM uw),
+      lt AS (SELECT CAST((ul.lw - ul.fw) // 7 AS BIGINT) AS life,
+          CASE WHEN ul.lw = mw.mw THEN 1 ELSE 0 END AS cens
+        FROM ul, mw),
+      h AS (SELECT life, CAST(count(*) AS BIGINT) AS tot,
+          CAST(sum(1 - cens) AS BIGINT) AS d
+        FROM lt GROUP BY life),
+      rs AS (SELECT life, d,
+          CAST(sum(tot) OVER (ORDER BY life DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        FROM h),
+      km AS (SELECT life, d, n,
+          sum(CASE WHEN d < n THEN CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12)) END)
+            OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS lns
+        FROM rs)
+      SELECT life AS life_weeks, n AS n_at_risk, d AS n_churned,
+        CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS hazard,
+        CASE WHEN d < n THEN CAST(lns AS DOUBLE) END AS ln_survival
+      FROM km ORDER BY life"""),
+    (s, d) => survivalRetention(Tables.events(s, d)
+      .select(col("user_id"), col("ts"))))
+
+  /** KM survival over (user_id, ts) rows — see [[q84]]. */
+  def survivalRetention(ev: DataFrame): DataFrame = {
+    val uw = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val ul = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"), max(col("wk")).as("lw"))
+    val mw = uw.agg(max(col("wk")).as("mw"))
+    val lt = ul.crossJoin(broadcast(mw))
+      .selectExpr("CAST(datediff(lw, fw) div 7 AS BIGINT) AS life",
+        "CASE WHEN lw = mw THEN 1 ELSE 0 END AS cens")
+    val h = lt.groupBy(col("life"))
+      .agg(count(lit(1)).cast(LongType).as("tot"),
+        sum(lit(1) - col("cens")).cast(LongType).as("d"))
+    val wDesc = Window.orderBy(col("life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("life"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("n", sum(col("tot")).over(wDesc).cast(LongType))
+      .withColumn("lns", sum(expr(
+        "CASE WHEN d < n THEN CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12)) END"))
+        .over(wAsc))
+      .selectExpr("life AS life_weeks", "n AS n_at_risk", "d AS n_churned",
+        "CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS hazard",
+        "CASE WHEN d < n THEN CAST(lns AS DOUBLE) END AS ln_survival")
+      .orderBy(col("life_weeks"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84)
+}

@@ -38,6 +38,30 @@ object AnnApi {
       .select(col("id_p"), col("rk"), col("id_c"), round(col("c"), 6).as("cos"))
       .orderBy(col("id_p"), col("rk"))
 
+  /** Maximum-inner-product top-k (r8): rank candidates by the RAW
+    * dot product, not cosine — the recsys retrieval objective
+    * (user·item affinity scores are trained unnormalized; cosine
+    * ranking silently discards the magnitude signal, which for MIPS
+    * IS the popularity/quality prior). Same shape and determinism
+    * contract as [[bruteTopK]] (shared left-to-right `graft_dot`
+    * folds, id tiebreak); the score surfaces UNROUNDED. For a larger
+    * corpus, compose with any candidate generator plus the published
+    * MIPS→cosine reduction (append `sqrt(M² − ‖v‖²)` as an extra
+    * coordinate — Bachrach et al. 2014). */
+  def mipsTopK(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(corpus, id, vec)
+    val probes = n.join(probeIds, Seq(id), "left_semi")
+    probes.as("a").join(n.as("b"), col(s"a.$id") =!= col(s"b.$id"))
+      .select(col(s"a.$id").as("id_p"), col(s"b.$id").as("id_c"),
+        expr(dot).as("ip"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("ip").desc, col("id_c"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("id_c"), col("ip"))
+      .orderBy(col("id_p"), col("rk"))
+  }
+
   /** Exact top-k neighbors for every probe id. */
   def bruteTopK(corpus: DataFrame, id: String, vec: String,
       probeIds: DataFrame, k: Int = 5): DataFrame = {

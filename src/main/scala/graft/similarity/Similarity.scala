@@ -87,6 +87,87 @@ object Similarity {
     (s, d) => AnnApi.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
+  // ------------------------------------------------------------ mips
+  /** ann_mips: maximum-inner-product top-5 (see [[AnnApi.mipsTopK]])
+    * — the recsys retrieval objective, distinct from cosine: the raw
+    * dot keeps the magnitude signal. Scores surface UNROUNDED (the
+    * q71 contract); ranking compares the identical left-to-right
+    * fold in both engines. */
+  val mips = QueryDef(
+    "ann_mips",
+    Some(s"""WITH $normSqlCte
+      SELECT id_p, rk, id_c, ip FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql AS ip,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => AnnApi.mipsTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
+
+  // -------------------------------------------------- dim-trunc audit
+  /** Prefix width for the truncation audit — half the embedding. */
+  val DimAuditPrefix = 32
+
+  /** ann_dim_audit: recall@5 of cosine ranking on the FIRST
+    * [[DimAuditPrefix]] dims against the full-width exact ranking —
+    * the "can we store half the vector?" readout (Matryoshka/MRL
+    * embeddings ship exactly this trade; at 100 TB of vectors a
+    * 2× dim cut halves index memory AND scan cost, so this audit
+    * gates the decision). Same audit shape as `ann_recall_audit`
+    * (probe-sample-sized by construction); the truncated ranking
+    * recomputes norms over the slice — left-to-right folds over the
+    * same 32 doubles in both engines. */
+  val dimAudit = QueryDef(
+    "ann_dim_audit",
+    Some {
+      val dot32 =
+        "list_reduce(list_transform(range(1, 33), i -> a.vt[i] * b.vt[i]), (x, y) -> x + y)"
+      s"""WITH $normSqlCte,
+      tx AS (SELECT vec_id, v[1:$DimAuditPrefix] AS vt FROM nx),
+      tn AS (SELECT vec_id, vt,
+          sqrt(list_reduce(list_transform(vt, x -> x * x), (a, b) -> a + b)) AS nrm FROM tx),
+      tr AS (SELECT id_p, id_c FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot32 / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM tn a JOIN tn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 5),
+      bru AS (SELECT id_p, id_c FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 5)
+      SELECT bru.id_p, CAST($DimAuditPrefix AS BIGINT) AS dims,
+        CAST(count(tr.id_c) AS BIGINT) AS n_hits,
+        CAST(count(tr.id_c) AS DOUBLE) / 5.0 AS recall
+      FROM bru LEFT JOIN tr ON tr.id_p = bru.id_p AND tr.id_c = bru.id_c
+      GROUP BY bru.id_p ORDER BY bru.id_p"""
+    },
+    (s, d) => {
+      graft.functions.Dot.ensure(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+      val full = AnnApi.bruteTopK(emb, "vec_id", "embedding", probes)
+        .select(col("id_p"), col("id_c"))
+      val tn = emb.select(col("vec_id"),
+          expr(s"transform(slice(embedding, 1, $DimAuditPrefix), x -> CAST(x AS DOUBLE))").as("vt"))
+        .withColumn("nrm", expr("sqrt(graft_dot(vt, vt))"))
+      val tp = tn.join(probes, Seq("vec_id"), "left_semi")
+      val tr = tp.as("a").join(tn.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("tp_"), col("b.vec_id").as("tc_"),
+          expr("graft_dot(a.vt, b.vt) / (a.nrm * b.nrm)").as("c"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("tp_"))
+            .orderBy(col("c").desc, col("tc_"))))
+        .filter(col("rk") <= 5)
+        .select(col("tp_"), col("tc_"))
+      full.join(tr, col("id_p") === col("tp_") && col("id_c") === col("tc_"), "left")
+        .groupBy(col("id_p"))
+        .agg(count(col("tc_")).as("nh"))
+        .selectExpr("id_p", s"CAST($DimAuditPrefix AS BIGINT) AS dims",
+          "CAST(nh AS BIGINT) AS n_hits", "CAST(nh AS DOUBLE) / 5.0 AS recall")
+        .orderBy(col("id_p"))
+    })
+
   // ------------------------------------------------------------- lsh
   /** Random-hyperplane LSH ANN: per table, a 4-bit sign-code bucket;
     * candidates are the union of same-bucket matches over the 4
@@ -985,5 +1066,5 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit)
 }

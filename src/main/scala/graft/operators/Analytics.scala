@@ -580,6 +580,80 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // ---------------------------------------------------------- pr-auc
+  /** Shared PR-point fragments: recall over exact counts; precision
+    * defaults to 1 where no positives are predicted (the standard
+    * PR-curve anchor at recall → 0). */
+  private val recExpr = "CAST(tp AS DOUBLE) / (tp + fn)"
+  private val precExpr =
+    "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE CAST(1 AS DOUBLE) END"
+
+  /** ml_pr_auc: area under the precision-recall curve by trapezoid
+    * over the threshold sweep's exact counts plus the t=0 anchor
+    * (everything positive: recall 1, precision = base rate) — the
+    * single-number ranking-quality readout for IMBALANCED classes,
+    * where ROC-AUC flatters (Davis–Goadrich 2006). Points are the
+    * 10-row sweep grid; each trapezoid term is 12-dp-rounded into a
+    * DECIMAL(28,12) sum (merge-order-free; a raw double sum of terms
+    * would depend on aggregation order), surfaced as one cast.
+    * Composes the shared scoring surface — ONE training pass + ONE
+    * corpus scan past it. (lazy — see [[mlCalibration]].) */
+  lazy val mlPrAuc: QueryDef = QueryDef(
+    "ml_pr_auc",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val edges = calibEdges.map(e => s"CAST($e AS DOUBLE)").mkString("[", ", ", "]")
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        th AS (SELECT CAST(i AS DOUBLE) / 10 AS t, $edges[i] AS e FROM (SELECT unnest(range(1, 10)) AS i)),
+        sw AS (SELECT th.t AS t,
+            CAST(sum(CASE WHEN z > th.e AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN z > th.e AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT (z > th.e) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM zz, th GROUP BY th.t),
+        ep AS (SELECT CAST(0 AS DOUBLE) AS t,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(0 AS BIGINT) AS fn
+          FROM zz),
+        pts AS (SELECT t, tp, fp, fn, $recExpr AS rec, $precExpr AS prec
+          FROM (SELECT * FROM ep UNION ALL SELECT * FROM sw)),
+        lg AS (SELECT t, rec, prec,
+            lag(rec) OVER (ORDER BY t) AS lrec, lag(prec) OVER (ORDER BY t) AS lprec
+          FROM pts),
+        su AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+            CAST(sum(CASE WHEN lrec IS NOT NULL
+              THEN CAST(round((lrec - rec) * (lprec + prec) / 2, 12) AS DECIMAL(28,12)) END) AS DOUBLE) AS auc_pr
+          FROM lg)
+        SELECT su.n_points, CAST(ep.tp AS DOUBLE) / (ep.tp + ep.fp) AS base_rate, su.auc_pr
+        FROM su, ep""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = mlFeatures(s, d)
+      val zz = scope.persist(scoreWith(b, logregWeights6(b)))
+      val sw = sweepOfScores(zz).select(col("t"), col("tp"), col("fp"), col("fn"))
+      val ep = zz.agg(
+          sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("tp"),
+          sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast(LongType).as("fp"))
+        .selectExpr("CAST(0 AS DOUBLE) AS t", "tp", "fp", "CAST(0 AS BIGINT) AS fn")
+        .localCheckpoint(true) // one row, reused for the base rate
+      val pts = ep.unionAll(sw)
+        .selectExpr("t", "tp", "fp", "fn", s"$recExpr AS rec", s"$precExpr AS prec")
+      val w = Window.orderBy(col("t"))
+      val su = pts
+        .withColumn("lrec", lag(col("rec"), 1).over(w))
+        .withColumn("lprec", lag(col("prec"), 1).over(w))
+        .agg(count(lit(1)).cast(LongType).as("n_points"),
+          sum(expr("CASE WHEN lrec IS NOT NULL THEN CAST(round((lrec - rec) * (lprec + prec) / 2, 12) AS DECIMAL(28,12)) END"))
+            .cast(DoubleType).as("auc_pr"))
+      su.crossJoin(broadcast(ep.selectExpr(
+          "CAST(tp AS DOUBLE) / (tp + fp) AS base_rate")))
+        .select(col("n_points"), col("base_rate"), col("auc_pr"))
+        .localCheckpoint(true)
+    })
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1600,5 +1674,5 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
-    pipelineMlReadouts)
+    pipelineMlReadouts, mlPrAuc)
 }

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Iterative graph analytics (SURVEY.md §2.2 extension): PageRank
   * over the customer–supplier co-purchase graph derived from
@@ -588,6 +590,95 @@ object Graph {
       .filter(col("node") % col("mm") === 0).select(col("node"))
   }
 
+  // ------------------------------------------------------------ hits
+  /** Fixed HITS round count — both engines unroll the same rounds. */
+  val HitsIters = 3
+  /** Integer scale the per-side score mass is renormalized to. */
+  val HitsTotalUnits = 1000000000000L
+
+  /** HITS (Kleinberg, JACM 1999) on the DIRECTED customer→supplier
+    * purchase graph — customers are HUBS, suppliers AUTHORITIES:
+    * a(p) = Σ_{c→p} h(c), h(c) = Σ_{c→p} a(p), each side renormalized
+    * per round. The renormalization is the pure-BIGINT DIVISOR trick
+    * `x div max(1, Σx div `[[HitsTotalUnits]]`)` — no product that
+    * can wrap, `//` ≡ `div` on non-negatives, and the sums are exact
+    * integers (merge-order-free), so the whole iteration is
+    * bit-reproducible under any partitioning (the pagerank
+    * discipline; a float-normalized HITS differs across shuffle merge
+    * orders). Overflow bound: between renormalizations a sum grows at
+    * most max-degree × total ≈ maxdeg·1e12 — BIGINT-safe for
+    * maxdeg < 9·10⁶ (drop the unit a decade per decade beyond).
+    *
+    * 100 TB shape: per round two edge-scale equi-joins + map-
+    * combinable sums; the renormalization totals ride one-row
+    * broadcasts; top-k per side is TakeOrderedAndProject. */
+  def hits(co0: DataFrame, iters: Int = HitsIters)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): (DataFrame, DataFrame) = {
+    val co = co0.select(col("c"), col("p")).distinct().transform(scope.persist)
+    def rescale(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(sum(col("s0")).cast(LongType).as("tt"))))
+        .selectExpr("node",
+          s"s0 div greatest(CAST(1 AS BIGINT), tt div $HitsTotalUnits) AS score")
+    var h = co.select(col("c").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("score"))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      a = rescale(co.join(h.withColumnRenamed("node", "c"), Seq("c"))
+        .groupBy(col("p").as("node")).agg(sum(col("score")).cast(LongType).as("s0")))
+        .localCheckpoint(true)
+      h = rescale(co.join(a.withColumnRenamed("node", "p"), Seq("p"))
+        .groupBy(col("c").as("node")).agg(sum(col("score")).cast(LongType).as("s0")))
+        .localCheckpoint(true)
+    }
+    (h, a)
+  }
+
+  val hitsQuery = QueryDef(
+    "graph_hits",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        h0 AS (SELECT DISTINCT c AS node, CAST(1000000 AS BIGINT) AS score FROM co)""")
+      for (it <- 1 to HitsIters) {
+        sb.append(s""",
+        ar$it AS (SELECT co.p AS node, CAST(sum(h.score) AS BIGINT) AS s0
+          FROM co JOIN h${it - 1} h ON h.node = co.c GROUP BY co.p),
+        at$it AS (SELECT CAST(sum(s0) AS BIGINT) AS tt FROM ar$it),
+        a$it AS (SELECT node, s0 // greatest(CAST(1 AS BIGINT), tt // $HitsTotalUnits) AS score
+          FROM ar$it, at$it),
+        hr$it AS (SELECT co.c AS node, CAST(sum(a.score) AS BIGINT) AS s0
+          FROM co JOIN a$it a ON a.node = co.p GROUP BY co.c),
+        ht$it AS (SELECT CAST(sum(s0) AS BIGINT) AS tt FROM hr$it),
+        h$it AS (SELECT node, s0 // greatest(CAST(1 AS BIGINT), tt // $HitsTotalUnits) AS score
+          FROM hr$it, ht$it)""")
+      }
+      sb.append(s"""
+        SELECT side, rk, node, score FROM (
+          SELECT 'auth' AS side, node, score,
+            row_number() OVER (ORDER BY score DESC, node) AS rk FROM a$HitsIters
+          UNION ALL
+          SELECT 'hub' AS side, node, score,
+            row_number() OVER (ORDER BY score DESC, node) AS rk FROM h$HitsIters) t
+        WHERE rk <= 10 ORDER BY side, rk""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val co = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("p"))
+      val (h, a) = hits(co)
+      val top = (df: DataFrame, side: String) => df
+        .orderBy(col("score").desc, col("node")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("node"))))
+        .selectExpr(s"'$side' AS side", "rk", "node", "score")
+      top(a, "auth").unionAll(top(h, "hub"))
+        .orderBy(col("side"), col("rk"))
+        .localCheckpoint(true)
+    })
+
   // ------------------------------------------- label propagation
   /** Fixed synchronous LPA schedule — both engines unroll the same
     * rounds, so oscillation (inherent to synchronous LPA on bipartite
@@ -784,5 +875,5 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
-    modularityQuery, assortativity, closenessQuery)
+    modularityQuery, assortativity, closenessQuery, hitsQuery)
 }

@@ -325,5 +325,77 @@ object Insights2 {
       .orderBy(col("life_weeks"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84)
+  // ----------------------------------------------------------- q85
+  /** First-digit extraction as a fixed CASE ladder of integer
+    * divisions — pure BIGINT, rung by rung from 10^14 down (covers
+    * amounts to 10^13 cents = $100B per line), identical truncating
+    * division in both engines; no log10/float boundary (`floor(
+    * log10(10^k))` can land at k−ε in libm, misclassifying exact
+    * powers of ten). `idiv` is `//` (DuckDB) or `div` (Spark). */
+  private def firstDigitSql(c: String, idiv: String): String = {
+    val rungs = (14 to 1 by -1).map { k =>
+      val p = "1" + "0" * k
+      s"WHEN $c >= $p THEN $c $idiv $p"
+    }
+    s"CASE ${rungs.mkString(" ")} ELSE $c END"
+  }
+
+  /** Benford's-law expected first-digit probabilities log₁₀(1+1/d),
+    * computed ONCE driver-side and interpolated as double literals
+    * into both engines (per-engine log10 would put a libm ulp on
+    * every expectation). */
+  private val benfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** q85: Benford first-digit audit over lineitem amounts — the
+    * fraud/anomaly screen auditors run on any money column (Nigrini's
+    * digit analysis): observed first-digit shares vs Benford's
+    * log₁₀(1+1/d), with the per-digit χ² contribution
+    * (o − N·p)²/(N·p). All 9 digits are enumerated (an absent digit
+    * owes its full expectation term — the q66 grid discipline);
+    * digits come from the integer CASE ladder, shares and χ² terms
+    * are fixed-order IEEE trees over exact counts and the shared
+    * driver literals, unrounded.
+    *
+    * 100 TB shape: ONE 9-ary count aggregate over the corpus
+    * (map-combinable), then 9-row algebra. */
+  val q85 = QueryDef(
+    "q85_benford_audit",
+    Some {
+      val pArr = benfordP.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM lineitem WHERE l_extendedprice > 0),
+        fd AS (SELECT ${firstDigitSql("v", "//")} AS d FROM c),
+        o AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY d),
+        nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM o),
+        grid AS (SELECT i AS d, $pArr[i] AS p FROM (SELECT unnest(range(1, 10)) AS i)),
+        g AS (SELECT grid.d, grid.p, COALESCE(o.n, 0) AS n, nn.nt
+          FROM grid LEFT JOIN o ON o.d = grid.d, nn)
+        SELECT d AS digit, n, CAST(n AS DOUBLE) / nt AS obs_share, p AS benford_p,
+          (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * p) * (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * p) / (CAST(nt AS DOUBLE) * p) AS chi2_term
+        FROM g ORDER BY d"""
+    },
+    (s, d) => benfordAudit(Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0)
+      .selectExpr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v")))
+
+  /** Benford audit over one positive-BIGINT `v` column — see [[q85]]. */
+  def benfordAudit(amounts: DataFrame): DataFrame = {
+    val pArr = benfordP.map(p => s"CAST($p AS DOUBLE)").mkString("array(", ", ", ")")
+    val o = amounts
+      .selectExpr(s"${firstDigitSql("v", "div")} AS d")
+      .groupBy(col("d")).agg(count(lit(1)).cast(LongType).as("n"))
+      .localCheckpoint(true) // ≤9 rows feed the total AND the grid join
+    val nn = o.agg(sum(col("n")).cast(LongType).as("nt"))
+    val grid = amounts.sparkSession.range(1, 10)
+      .selectExpr("id AS d", s"element_at($pArr, CAST(id AS INT)) AS p")
+    grid.join(o, Seq("d"), "left")
+      .crossJoin(broadcast(nn))
+      .selectExpr("d AS digit", "COALESCE(n, 0) AS n", "p", "nt")
+      .selectExpr("digit", "n", "CAST(n AS DOUBLE) / nt AS obs_share", "p AS benford_p",
+        "(CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * p) * (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * p) / (CAST(nt AS DOUBLE) * p) AS chi2_term")
+      .orderBy(col("digit"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85)
 }

@@ -171,6 +171,42 @@ object Streams {
       }
   }
 
+  final case class CusumOut(event_type: String, batch_n: Long, g: Long, alarm: Boolean)
+  final case class CusumState(mu0: Long, g: Long)
+
+  /** Streaming level-shift monitor — Page's CUSUM test (Page 1954),
+    * the ONLINE twin of the retrospective `q80_cusum_changepoint`:
+    * per event type, each micro-batch's count x is one observation;
+    * state is two longs (reference level μ₀ = the first batch's
+    * count, and the one-sided cumulative excess
+    * g ← max(0, g + x − μ₀ − μ₀/4)); the alarm fires when g > μ₀ —
+    * i.e. sustained volume beyond 1.25× the reference has accumulated
+    * a full reference-batch worth of excess. All integer arithmetic
+    * (no float state to drift across restarts), O(1) state per type —
+    * the bounded-state contract every plane in this file keeps.
+    * Update-mode output: one (type, x, g, alarm) row per type per
+    * batch. In production μ₀ comes from a warmup window or config;
+    * first-batch self-reference keeps the plane self-contained. */
+  def cusumStream(events: Dataset[Event]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[Event], state: GroupState[CusumState]) =>
+          val x = it.size.toLong
+          state.getOption match {
+            case None =>
+              state.update(CusumState(x, 0L))
+              Iterator.single(CusumOut(tpe, x, 0L, alarm = false))
+            case Some(CusumState(mu0, g0)) =>
+              val g = math.max(0L, g0 + x - mu0 - mu0 / 4)
+              state.update(CusumState(mu0, g))
+              Iterator.single(CusumOut(tpe, x, g, alarm = g > mu0))
+          }
+      }
+  }
+
   final case class TransitionOut(user_id: Long, cur: String, nxt: String)
   final case class LastEvt(ts: Long, id: Long, tpe: String)
 

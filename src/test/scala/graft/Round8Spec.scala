@@ -132,4 +132,45 @@ class Round8Spec extends AnyFunSuite {
     val dup = rows.find(_.getString(0) == "dup").get
     assert(dup.getLong(2) >= 0 && dup.getLong(2) < n)
   }
+
+  test("hits: dominant supplier tops authorities; integer scores partition-invariant") {
+    import spark.implicits._
+    // suppliers 100..104; supplier 100 bought by ALL 8 customers,
+    // others by one each
+    val co = ((1L to 8L).map(c => (c, 100L)) ++
+      (1L to 4L).map(c => (c, 100L + c))).toDF("c", "p")
+    def run(parts: Int) = CacheScope.withScope { implicit sc =>
+      val (h, a) = operators.Graph.hits(co.repartition(parts))
+      a.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val a2 = run(2); val a13 = run(13)
+    assert(a2 == a13, "integer HITS must not depend on partitioning")
+    val top = a2.maxBy(_._2)._1
+    assert(top == 100L, s"the universally-bought supplier must top authority: $a2")
+  }
+
+  test("pr auc: bounded, 10 points, base rate consistent with the corpus") {
+    val r = operators.Analytics.mlPrAuc.build(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 10L)
+    val br = row.getDouble(1); val auc = row.getDouble(2)
+    assert(br > 0 && br < 1)
+    // PR-AUC of any ranker is within [~0, 1]; random ≈ base rate
+    assert(auc > 0 && auc <= 1.0 + 1e-9, s"auc $auc")
+  }
+
+  test("benford: planted amounts land in the exact digit bins, terms cover all 9 digits") {
+    import spark.implicits._
+    val amounts = Seq(1L, 25L, 3100L, 99L, 987654321L, 12L).toDF("v")
+    val r = operators.Insights2.benfordAudit(amounts).collect()
+    assert(r.length == 9)
+    val counts = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 2L), s"got $counts")
+    // empty digits still owe their full expectation term N·p
+    val d4 = r.find(_.getLong(0) == 4L).get
+    assert(d4.getDouble(4) > 0, "absent digit owes its chi2 term")
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-12, "benford p sums to 1")
+  }
 }

@@ -346,4 +346,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.contains("hot"), s"true majority item must survive: $fin")
     assert(fin("hot") >= 60L - bound && fin("hot") <= 60L, s"MG bound violated: $fin")
   }
+
+  test("cusum stream: planted level shift raises the alarm, flat traffic never does (r8)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-cusum-in").toString
+    def batch(tag: Int, n: Int) = (1 to n).map(i =>
+      Streams.Event(tag * 1000L + i, ts("2024-01-01 00:00:01"), 1L, "a", 0.0))
+    // batches: 10 (sets mu0), 10, 10 (flat), then 30 (shift)
+    writeBatches(in, Seq(batch(0, 10), batch(1, 10), batch(2, 10), batch(3, 30)))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.cusumStream(stream)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("cusum_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 4, s"one row per micro-batch: ${rows.toSeq}")
+    // mu0 = 10, slack 2: flat batches keep g = 0, never alarm;
+    // the 30-batch accumulates g = 18 > 10 and fires immediately
+    val flat = rows.filter(_._1 == 10L)
+    assert(flat.forall(r => r._2 == 0L && !r._3), s"flat must stay silent: ${rows.toSeq}")
+    val shifted = rows.find(_._1 == 30L).get
+    assert(shifted._2 == 18L && shifted._3, s"shift must alarm: $shifted")
+  }
 }

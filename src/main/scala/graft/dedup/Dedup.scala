@@ -88,6 +88,40 @@ object Dedup {
         threshold = 0.6, maxBucketSize = LshBucketCap)
       .orderBy(col("doc_a"), col("doc_b")))
 
+  // ------------------------------------------------ minhash fidelity
+  /** dedup_minhash_fidelity (r8): per banded candidate pair, the
+    * signature-estimated Jaccard next to the exact one — see
+    * [[DedupApi.minhashFidelity]]. Shares the capped band CTEs with
+    * the lsh gate, so the audited candidate universe is exactly the
+    * dedup's. est_j = matches/16 is exact binary; the exact Jaccard
+    * is the lsh gate's identical round6 form. */
+  val minhashFidelityQ = QueryDef(
+    "dedup_minhash_fidelity",
+    Some {
+      val matchSum = (0 until Portable.NumHashes)
+        .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $bandsSqlCte,
+      $cappedBandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b,
+          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS inter,
+          len(s1.sh) AS la, len(s2.sh) AS lb
+        FROM cand c JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b),
+      mm AS (SELECT p.doc_a, p.doc_b, CAST($matchSum AS BIGINT) AS n_match, inter, la, lb
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b)
+      SELECT doc_a, doc_b, n_match,
+        CAST(n_match AS DOUBLE) / ${Portable.NumHashes} AS est_j,
+        round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      FROM mm ORDER BY doc_a, doc_b"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      DedupApi.minhashFidelity(Tables.documents(s, d), "doc_id", "text",
+          maxBucketSize = LshBucketCap)
+        .localCheckpoint(true)
+    })
+
   // --------------------------------------------------------- simhash
   private[graft] def simhashSqlCteOver(src: String): String =
     s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM $src),
@@ -475,5 +509,5 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
     embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
-    keepBest, nearDedupPipeline)
+    keepBest, nearDedupPipeline, minhashFidelityQ)
 }

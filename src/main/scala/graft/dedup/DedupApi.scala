@@ -51,18 +51,18 @@ object DedupApi {
       .filter(size(col("sh")) > 0)
   }
 
-  /** Exploded LSH band keys: numHashes minhash signatures split into
-    * `bands` bands. One row per (id, band). */
-  def minhashBands(sh: DataFrame, id: String,
-      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
-    val rows = numHashes / bands
-    // native one-pass signature build when the standard hash family is
-    // requested (16 running minima in one array walk instead of 16
-    // array_min(transform(...)) scans); non-default families keep the
-    // composed form. The two-step select stops CollapseProject from
-    // inlining the sigs call 16 times. Accepts BOTH shingle
-    // representations: raw strings ([[shingles]] — hash here) or h60
-    // longs ([[shingleHashes60]] — only the mod-P remains).
+  /** MinHash signature COLUMNS (id, m0..m{n−1}) — the shared build
+    * behind [[minhashBands]], exposed (r8) so audits like
+    * [[minhashFidelity]] can read the raw coordinates. Native
+    * one-pass signature build when the standard hash family is
+    * requested (16 running minima in one array walk instead of 16
+    * array_min(transform(...)) scans); non-default families keep the
+    * composed form. The two-step select stops CollapseProject from
+    * inlining the sigs call 16 times. Accepts BOTH shingle
+    * representations: raw strings ([[shingles]] — hash here) or h60
+    * longs ([[shingleHashes60]] — only the mod-P remains). */
+  def signatureCols(sh: DataFrame, id: String,
+      numHashes: Int = NumHashes): DataFrame = {
     val hashed = sh.schema("sh").dataType match {
       case ArrayType(LongType, _) => true
       case _ => false
@@ -70,15 +70,22 @@ object DedupApi {
     val hs =
       if (hashed) sh.select(col(id), expr(s"transform(sh, h -> h % ${Portable.P}L)").as("hs"))
       else sh.select(col(id), shingleHashes(col("sh")).as("hs"))
-    val sig =
-      if (numHashes == NumHashes) {
-        graft.functions.MinhashSigs.ensure(sh.sparkSession)
-        hs.select(col(id), graft.functions.MinhashSigs.sigs(col("hs")).as("ms"))
-          .select(col(id) +: (0 until numHashes).map(j =>
-            element_at(col("ms"), j + 1).as(s"m$j")): _*)
-      } else
-        hs.select(col(id) +: (0 until numHashes).map(j =>
-          minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
+    if (numHashes == NumHashes) {
+      graft.functions.MinhashSigs.ensure(sh.sparkSession)
+      hs.select(col(id), graft.functions.MinhashSigs.sigs(col("hs")).as("ms"))
+        .select(col(id) +: (0 until numHashes).map(j =>
+          element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    } else
+      hs.select(col(id) +: (0 until numHashes).map(j =>
+        minhashOfHashes(col("hs"), j).as(s"m$j")): _*)
+  }
+
+  /** Exploded LSH band keys: numHashes minhash signatures split into
+    * `bands` bands. One row per (id, band). */
+  def minhashBands(sh: DataFrame, id: String,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    val rows = numHashes / bands
+    val sig = signatureCols(sh, id, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
@@ -141,6 +148,34 @@ object DedupApi {
       .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** MinHash fidelity audit (r8): per banded candidate pair, the
+    * SIGNATURE-estimated Jaccard (matching coordinates / numHashes)
+    * next to the EXACT shingle Jaccard — the calibration readout that
+    * justifies the (bands, rows) choice: the S-curve collision model
+    * assumes E[matches]/n = J, and this measures the realized error
+    * on the corpus's own candidate population. Audit-sized by
+    * construction (banded candidates only, same capped universe as
+    * the LSH dedup — in production run it on a candidate sample). */
+  def minhashFidelity(df: DataFrame, id: String, text: String,
+      maxBucketSize: Int = 0)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val pairs = minhashPairs(df, id, text, threshold = 0.0,
+      maxBucketSize = maxBucketSize)
+    val sig = signatureCols(shingleHashes60(df, id, text), id)
+      .transform(scope.persist)
+    val sa = sig.select(col(id).as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"a_m$j")): _*)
+    val sb = sig.select(col(id).as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"b_m$j")): _*)
+    val matchSum = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a_m$j = b_m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        s"CAST($matchSum AS BIGINT) AS n_match",
+        s"CAST($matchSum AS DOUBLE) / $NumHashes AS est_j", "jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Character-n-gram Jaccard near-dup pairs via prefix filtering

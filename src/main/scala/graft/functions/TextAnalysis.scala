@@ -556,7 +556,40 @@ object TextAnalysis {
         .orderBy(col("rk"))
     })
 
+  // ------------------------------------------------ tokenizer fertility
+  /** corpus_tokenizer_fertility (r8): per language, the ratio of
+    * BPE-ish regex tokens to whitespace words — "fertility", the
+    * tokenizer-efficiency readout every multilingual training run
+    * budgets by (a language at fertility 2 pays twice the context
+    * window per word; fertility skew IS the under-served-language
+    * signal, Rust et al. 2021). Reuses the exact [[tokens]] token
+    * expressions, so the per-doc counts are the already-gated ones;
+    * ONE lang-grain aggregate of exact integers; the ratio is a
+    * single IEEE division (not round6Ratio — corpus-scale token sums
+    * exceed its 4.6e12 headroom), unrounded. */
+  val tokenizerFertility = QueryDef(
+    "corpus_tokenizer_fertility",
+    Some(s"""WITH t AS (SELECT lang,
+        len(string_split(${normTextSql("text")}, ' ')) AS ws,
+        len(regexp_extract_all(lower(text), '$TokRe')) AS re
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(ws) AS BIGINT) AS n_words, CAST(sum(re) AS BIGINT) AS n_tokens,
+        CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+      FROM t GROUP BY lang ORDER BY lang"""),
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(normText(col("text")), " ")).as("ws"),
+        size(regexp_extract_all(lower(col("text")), lit(TokRe), lit(0))).as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ws")).cast("long").as("n_words"),
+        sum(col("re")).cast("long").as("n_tokens"))
+      .selectExpr("lang", "n_docs", "n_words", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility")
+      .orderBy(col("lang")))
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
-    entropy, keyphrases, invertedIndex)
+    entropy, keyphrases, invertedIndex, tokenizerFertility)
 }

@@ -397,5 +397,60 @@ object Insights2 {
       .orderBy(col("digit"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85)
+  // ----------------------------------------------------------- q86
+  /** q86: χ² test of independence for order priority × customer
+    * market segment — the contingency-table readout behind every
+    * "does X depend on Y?" dashboard claim (Pearson 1900). The full
+    * i×j grid is enumerated from the marginals (an absent cell owes
+    * its full expectation term — the q66/q85 grid discipline);
+    * expectations e = rᵢ·cⱼ/N and the per-cell term (o − e)²/e are
+    * fixed-order IEEE trees over exact BIGINT counts, shared
+    * token-for-token with the oracle, unrounded (the all-integer
+    * scaled form (N·o − r·c)² overflows DECIMAL(38,0) once N passes
+    * ~1e9 rows — the double tree has no such cliff and is
+    * engine-identical on exact inputs).
+    *
+    * 100 TB shape: ONE (priority, segment) count aggregate after the
+    * customer join (customer-keyed shuffle — or zero with both sides
+    * bucketed on custkey), then cells-scale algebra; marginals and N
+    * ride broadcasts. */
+  val q86 = QueryDef(
+    "q86_chi2_independence",
+    Some("""WITH cell AS (SELECT o.o_orderpriority AS pr, c.c_mktsegment AS seg, count(*) AS o
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+      rr AS (SELECT pr, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY pr),
+      cc AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY seg),
+      nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+      grid AS (SELECT rr.pr, rr.r, cc.seg, cc.c FROM rr, cc),
+      g AS (SELECT grid.pr, grid.seg, COALESCE(cell.o, 0) AS o, grid.r, grid.c, nn.n
+        FROM grid LEFT JOIN cell ON cell.pr = grid.pr AND cell.seg = grid.seg, nn)
+      SELECT pr AS priority, seg AS segment, CAST(o AS BIGINT) AS n_orders,
+        CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term
+      FROM g ORDER BY priority, segment"""),
+    (s, d) => chi2Independence(Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("pr"), col("c_mktsegment").as("seg"))))
+
+  /** χ² independence cells over (pr, seg) rows — see [[q86]]. */
+  def chi2Independence(rows: DataFrame): DataFrame = {
+    val cell = rows.groupBy(col("pr"), col("seg")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // cells-scale; feeds marginals AND the grid
+    val rr = cell.groupBy(col("pr")).agg(sum(col("o")).cast(LongType).as("r"))
+    val cc = cell.groupBy(col("seg")).agg(sum(col("o")).cast(LongType).as("c"))
+    val nn = cell.agg(sum(col("o")).cast(LongType).as("n"))
+    val eTree = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+    rr.crossJoin(broadcast(cc))
+      .join(cell, Seq("pr", "seg"), "left")
+      .crossJoin(broadcast(nn))
+      .selectExpr("pr", "seg", "COALESCE(o, 0) AS o", "r", "c", "n")
+      .selectExpr("pr AS priority", "seg AS segment", "CAST(o AS BIGINT) AS n_orders",
+        s"$eTree AS expected",
+        s"(CAST(o AS DOUBLE) - $eTree) * (CAST(o AS DOUBLE) - $eTree) / ($eTree) AS chi2_term")
+      .orderBy(col("priority"), col("segment"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86)
 }

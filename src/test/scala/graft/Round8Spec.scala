@@ -173,4 +173,47 @@ class Round8Spec extends AnyFunSuite {
     assert(d4.getDouble(4) > 0, "absent digit owes its chi2 term")
     assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-12, "benford p sums to 1")
   }
+
+  test("minhash fidelity: exact-dup pairs estimate J=1; estimates bounded and consistent") {
+    val r = dedup.Dedup.minhashFidelityQ.build(spark, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val m = x.getLong(2)
+      assert(m >= 0 && m <= 16)
+      assert(x.getDouble(3) == m.toDouble / 16)
+    }
+    // every exact-Jaccard-1 pair must have all 16 coordinates matching
+    r.filter(_.getDouble(4) == 1.0).foreach { x =>
+      assert(x.getLong(2) == 16L, s"J=1 pair with n_match=${x.getLong(2)}")
+    }
+  }
+
+  test("chi2 independence: planted independent table has zero terms, dependent does not") {
+    import spark.implicits._
+    // independent: o(pr, seg) = rowTotal*colTotal/N exactly
+    val ind = (Seq.fill(20)(("p1", "s1")) ++ Seq.fill(20)(("p1", "s2")) ++
+      Seq.fill(10)(("p2", "s1")) ++ Seq.fill(10)(("p2", "s2"))).toDF("pr", "seg")
+    val ri = operators.Insights2.chi2Independence(ind).collect()
+    assert(ri.length == 4)
+    ri.foreach(x => assert(math.abs(x.getDouble(4)) < 1e-12,
+      s"independent cell must have zero chi2 term: $x"))
+    // dependent: diagonal concentration
+    val dep = (Seq.fill(30)(("p1", "s1")) ++ Seq.fill(30)(("p2", "s2"))).toDF("pr", "seg")
+    val rd = operators.Insights2.chi2Independence(dep).collect()
+    assert(rd.length == 4, "absent cells must still be enumerated")
+    assert(rd.map(_.getDouble(4)).sum > 10.0, "dependence must show in the terms")
+    val absent = rd.find(x => x.getString(0) == "p1" && x.getString(1) == "s2").get
+    assert(absent.getLong(2) == 0L && absent.getDouble(4) > 0,
+      "absent cell owes its full expectation term")
+  }
+
+  test("tokenizer fertility: fertility >= 1 on alnum text, counts populated per lang") {
+    val rows = functions.TextAnalysis.tokenizerFertility.build(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getLong(1) > 0 && x.getLong(2) > 0)
+      assert(x.getDouble(4) >= 1.0 - 1e-9,
+        "regex tokens can never be fewer than whitespace words on alnum text")
+    }
+  }
 }

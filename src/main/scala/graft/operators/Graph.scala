@@ -612,7 +612,7 @@ object Graph {
     * 100 TB shape: per round two edge-scale equi-joins + map-
     * combinable sums; the renormalization totals ride one-row
     * broadcasts; top-k per side is TakeOrderedAndProject. */
-  def hits(co0: DataFrame, iters: Int = HitsIters)(
+  def hits(co0: DataFrame, iters: Int = HitsIters, truncate: Boolean = true)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): (DataFrame, DataFrame) = {
     val co = co0.select(col("c"), col("p")).distinct().transform(scope.persist)
     def rescale(raw: DataFrame): DataFrame =
@@ -623,12 +623,13 @@ object Graph {
       .select(col("node"), lit(1000000L).as("score"))
     var a: DataFrame = null
     for (i <- 1 to iters) {
-      a = rescale(co.join(h.withColumnRenamed("node", "c"), Seq("c"))
-        .groupBy(col("p").as("node")).agg(sum(col("score")).cast(LongType).as("s0")))
-        .localCheckpoint(true)
-      h = rescale(co.join(a.withColumnRenamed("node", "p"), Seq("p"))
-        .groupBy(col("c").as("node")).agg(sum(col("score")).cast(LongType).as("s0")))
-        .localCheckpoint(true)
+      // truncate = false keeps the full linear DAG (plan guards
+      // inspect it); production keeps per-round truncation
+      def cut(df: DataFrame) = if (truncate) df.localCheckpoint(true) else df
+      a = cut(rescale(co.join(h.withColumnRenamed("node", "c"), Seq("c"))
+        .groupBy(col("p").as("node")).agg(sum(col("score")).cast(LongType).as("s0"))))
+      h = cut(rescale(co.join(a.withColumnRenamed("node", "p"), Seq("p"))
+        .groupBy(col("c").as("node")).agg(sum(col("score")).cast(LongType).as("s0"))))
     }
     (h, a)
   }

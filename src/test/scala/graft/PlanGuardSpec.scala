@@ -511,4 +511,57 @@ class PlanGuardSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
     }
   }
+
+  test("r8 analytics queries broadcast their dims and plan no quadratic joins") {
+    // q81: nation/region dims broadcast; q82: part-brand dim broadcast;
+    // q83: the one shuffle is the customer-keyed cohort join; q86: the
+    // customer dim broadcast — none may fall back to cartesian/BNLJ
+    for (q <- Seq("q81_hhi_concentration", "q82_price_elasticity",
+        "q83_cohort_ltv", "q86_chi2_independence")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q lost its broadcast dims:\n$p")
+    }
+  }
+
+  test("q80 cusum and q84 survival collapse the corpus before any window") {
+    // both must aggregate to day/user grain FIRST: a window over raw
+    // events would sort the corpus (the q79/q63 discipline)
+    for (q <- Seq("q80_cusum_changepoint", "q84_survival_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") ||
+        q == "q84_survival_retention", s"$q plan shape:\n$p")
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+        s"$q must reduce before windowing")
+    }
+  }
+
+  test("graph_hits joins are equi-joins; renormalization totals ride broadcasts") {
+    // the gated builder checkpoints per round, so inspect the
+    // un-truncated DAG of one full run instead
+    import spark.implicits._
+    val co = ((1L to 8L).map(c => (c, 100L)) ++
+      (1L to 4L).map(c => (c, 100L + c))).toDF("c", "p")
+    val (h, _) = CacheScope.withScope { implicit sc =>
+      operators.Graph.hits(co, truncate = false)
+    }
+    val p = h.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"graph_hits cartesian:\n$p")
+    // the only nested-loop joins allowed are the broadcast CROSS joins
+    // carrying the ONE-ROW rescale totals — a conditioned BNLJ would
+    // mean an edge-scale join fell off its equi-keys
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"conditioned nested-loop join crept in: $l")
+    }
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "rescale totals must broadcast")
+  }
+
+  test("ann_mips keeps the probe side semi-joined and plans no cartesian") {
+    val p = plan("ann_mips")
+    assert(!p.contains("CartesianProduct"), s"ann_mips cartesian:\n$p")
+  }
 }

@@ -443,7 +443,9 @@ object Insights2 {
     val nn = cell.agg(sum(col("o")).cast(LongType).as("n"))
     val eTree = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
     rr.crossJoin(broadcast(cc))
-      .join(cell, Seq("pr", "seg"), "left")
+      // cell is checkpointed (no stats) — hint the broadcast, or the
+      // 25-row left join falls to a sort-merge
+      .join(broadcast(cell), Seq("pr", "seg"), "left")
       .crossJoin(broadcast(nn))
       .selectExpr("pr", "seg", "COALESCE(o, 0) AS o", "r", "c", "n")
       .selectExpr("pr AS priority", "seg AS segment", "CAST(o AS BIGINT) AS n_orders",

@@ -160,7 +160,7 @@ object Similarity {
             .orderBy(col("c").desc, col("tc_"))))
         .filter(col("rk") <= 5)
         .select(col("tp_"), col("tc_"))
-      full.join(tr, col("id_p") === col("tp_") && col("id_c") === col("tc_"), "left")
+      full.join(broadcast(tr), col("id_p") === col("tp_") && col("id_c") === col("tc_"), "left")
         .groupBy(col("id_p"))
         .agg(count(col("tc_")).as("nh"))
         .selectExpr("id_p", s"CAST($DimAuditPrefix AS BIGINT) AS dims",
@@ -279,7 +279,9 @@ object Similarity {
         .select(col("id_p"), col("id_c"))
       val l = AnnApi.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", probes)
         .select(col("id_p").as("lp"), col("id_c").as("lc"))
-      brute.join(l, col("id_p") === col("lp") && col("id_c") === col("lc"), "left")
+      // probe-sample-sized sides — hint the broadcast (r8: this and
+      // the dim audit's twin fell to a 50-row sort-merge otherwise)
+      brute.join(broadcast(l), col("id_p") === col("lp") && col("id_c") === col("lc"), "left")
         .groupBy(col("id_p"))
         .agg(count(col("lc")).as("nh"))
         .selectExpr("id_p", "CAST(5 AS BIGINT) AS k", "CAST(nh AS BIGINT) AS n_hits",

@@ -85,7 +85,8 @@ object Bench {
     "q80_cusum_changepoint", "q81_hhi_concentration", "q82_price_elasticity",
     "q83_cohort_ltv", "q84_survival_retention", "ann_mips", "ann_dim_audit",
     "pipeline_data_card", "graph_hits", "ml_pr_auc", "q85_benford_audit",
-    "dedup_minhash_fidelity", "q86_chi2_independence", "corpus_tokenizer_fertility")
+    "dedup_minhash_fidelity", "q86_chi2_independence", "corpus_tokenizer_fertility",
+    "dedup_threshold_sweep", "q87_seasonal_naive_backtest")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -122,6 +122,50 @@ object Dedup {
         .localCheckpoint(true)
     })
 
+  // ------------------------------------------------ threshold sweep
+  /** dedup_threshold_sweep (r8): candidate-pair survival across the
+    * Jaccard threshold grid {0.5 … 0.9} off ONE capped banded pair
+    * scan — the dedup-TUNING readout (every near-dup deployment picks
+    * its threshold from exactly this curve: too low merges distinct
+    * docs, too high leaks near-dups; the curve shows the knee). The
+    * pair population and its exact Jaccards are the lsh gate's; the
+    * sweep is one conditional aggregate over the 5-row grid — the
+    * corpus is never rescanned per threshold. Shares are single IEEE
+    * divisions over exact counts, unrounded. */
+  val thresholdSweep = QueryDef(
+    "dedup_threshold_sweep",
+    Some(s"""WITH $bandsSqlCte,
+      $cappedBandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT round(CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))), 6) AS j
+        FROM cand c JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pairs),
+      grid AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold FROM (SELECT unnest(range(5, 10)) AS i)),
+      sw AS (SELECT g.threshold, CAST(sum(CASE WHEN p.j >= g.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        FROM grid g, pairs p GROUP BY g.threshold)
+      SELECT sw.threshold, sw.n_pairs, tot.n_cand,
+        CAST(sw.n_pairs AS DOUBLE) / tot.n_cand AS survival
+      FROM sw, tot ORDER BY sw.threshold"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val pairs = scope.persist(DedupApi.minhashPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.0, maxBucketSize = LshBucketCap)
+        .select(col("jaccard").as("j")))
+      val tot = pairs.agg(count(lit(1)).cast(LongType).as("n_cand"))
+      val grid = s.range(5, 10).selectExpr("CAST(id AS DOUBLE) / 10 AS threshold")
+      val sw = pairs.crossJoin(broadcast(grid))
+        .groupBy(col("threshold"))
+        .agg(sum(when(col("j") >= col("threshold"), 1L).otherwise(0L))
+          .cast(LongType).as("n_pairs"))
+      sw.crossJoin(broadcast(tot))
+        .selectExpr("threshold", "n_pairs", "n_cand",
+          "CAST(n_pairs AS DOUBLE) / n_cand AS survival")
+        .orderBy(col("threshold"))
+        .localCheckpoint(true)
+    })
+
   // --------------------------------------------------------- simhash
   private[graft] def simhashSqlCteOver(src: String): String =
     s"""tok AS (SELECT doc_id, list_distinct(string_split(${normTextSql("text")}, ' ')) AS t FROM $src),
@@ -509,5 +553,5 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
     embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
-    keepBest, nearDedupPipeline, minhashFidelityQ)
+    keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep)
 }

@@ -454,5 +454,55 @@ object Insights2 {
       .orderBy(col("priority"), col("segment"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86)
+  // ----------------------------------------------------------- q87
+  /** q87: seasonal-naïve forecast backtest per event type — forecast
+    * each day's volume with the same weekday LAST week (the baseline
+    * every real forecaster must beat; Hyndman's M-competition
+    * protocol) and score it on the corpus itself. Errors:
+    * WAPE = Σ|actual − forecast| / Σactual over exact BIGINT counts
+    * (one IEEE division — the integer-exact headline number) and
+    * MAPE via the 12-dp DECIMAL term discipline (a raw double mean
+    * would depend on aggregation order).
+    *
+    * 100 TB shape: ONE (type, day) count aggregate, then a
+    * type-keyed lag-7 window and type-grain sums — days-scale past
+    * the first aggregate. */
+  val q87 = QueryDef(
+    "q87_seasonal_naive_backtest",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      f AS (SELECT event_type, d, n,
+          lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
+        FROM dd),
+      sc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(abs(n - fc)) AS BIGINT) AS sae, CAST(sum(n) AS BIGINT) AS sa,
+          CAST(sum(CAST(round(CAST(abs(n - fc) AS DOUBLE) / n, 12) AS DECIMAL(28,12))) AS DOUBLE) AS mape_sum
+        FROM f WHERE fc IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n_days,
+        CAST(sae AS DOUBLE) / sa AS wape,
+        mape_sum / n_days AS mape
+      FROM sc ORDER BY event_type"""),
+    (s, d) => seasonalNaiveBacktest(Tables.events(s, d)
+      .select(col("event_type"), col("ts"))))
+
+  /** Seasonal-naïve WAPE/MAPE over (event_type, ts) rows — [[q87]]. */
+  def seasonalNaiveBacktest(ev: DataFrame): DataFrame = {
+    val dd = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    dd.withColumn("fc", lag(col("n"), 7).over(w))
+      .filter(col("fc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_days"),
+        sum(abs(col("n") - col("fc"))).cast(LongType).as("sae"),
+        sum(col("n")).cast(LongType).as("sa"),
+        sum(expr("CAST(round(CAST(abs(n - fc) AS DOUBLE) / n, 12) AS DECIMAL(28,12))"))
+          .cast(DoubleType).as("mape_sum"))
+      .selectExpr("event_type", "n_days",
+        "CAST(sae AS DOUBLE) / sa AS wape", "mape_sum / n_days AS mape")
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -216,4 +216,37 @@ class Round8Spec extends AnyFunSuite {
         "regex tokens can never be fewer than whitespace words on alnum text")
     }
   }
+
+  test("threshold sweep: survival is monotone non-increasing and bounded") {
+    val rows = dedup.Dedup.thresholdSweep.build(spark, d).collect()
+    assert(rows.length == 5)
+    val th = rows.map(_.getDouble(0)).toSeq
+    assert(th == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    val nc = rows.head.getLong(2)
+    rows.foreach { r =>
+      assert(r.getLong(2) == nc, "one shared candidate denominator")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= nc)
+      assert(r.getDouble(3) == r.getLong(1).toDouble / nc)
+    }
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "raising the threshold cannot admit pairs")
+      case _ =>
+    }
+  }
+
+  test("seasonal naive backtest: exactly weekly-periodic series scores zero error") {
+    import spark.implicits._
+    // 21 days, volume depends only on day-of-week -> lag-7 forecast exact
+    val rows = (0 until 21).flatMap { day =>
+      val n = 5 + (day % 7)
+      Seq.fill(n)(("a", f"2024-01-${day + 1}%02d 09:00:00"))
+    }
+    val ev = rows.toDF("event_type", "tss")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    val r = operators.Insights2.seasonalNaiveBacktest(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 14L, "21 days minus the 7-day warmup")
+    assert(r.head.getDouble(2) == 0.0 && r.head.getDouble(3) == 0.0,
+      s"periodic series must backtest perfectly: ${r.head}")
+  }
 }

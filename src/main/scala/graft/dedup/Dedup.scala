@@ -463,6 +463,62 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
+  // ------------------------------------------------- cluster stats
+  /** dedup_cluster_stats (r8): the near-dup cluster SIZE distribution
+    * — the "what does near-dedup actually save" readout a data team
+    * reads before running the expensive keep pass (dup mass =
+    * Σ (size−1) over clusters; a heavy tail here means boilerplate,
+    * a flat one means organic duplication). Composes the gated
+    * `dedup_clusters` assignment unchanged (banded LSH +
+    * large/small-star, bucket-capped), then two cluster-grain
+    * aggregates: per-cluster sizes → per-size histogram with doc
+    * mass and the removable-duplicate count. Shares are single IEEE
+    * divisions over exact counts. */
+  val clusterStats = QueryDef(
+    "dedup_cluster_stats",
+    Some(s"""WITH $bandsSqlCte,
+      $cappedBandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      asg AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+      cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY cluster),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM asg)
+      SELECT cs.sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(cs.sz) AS BIGINT) AS n_docs,
+        CAST(sum(cs.sz - 1) AS BIGINT) AS n_removable,
+        CAST(sum(cs.sz) AS DOUBLE) / nn.n_docs AS doc_share
+      FROM cs, nn GROUP BY cs.sz, nn.n_docs ORDER BY cluster_size"""
+      .replaceFirst("WITH ", "WITH RECURSIVE ")),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val pairs = DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, maxBucketSize = LshBucketCap)
+      val asg = DedupApi.nearDupClusters(Tables.documents(s, d), "doc_id", pairs)
+        .select(col("node"), col("cluster"))
+      val cs = asg.groupBy(col("cluster")).agg(count(lit(1)).cast(LongType).as("sz"))
+        .localCheckpoint(true) // cluster-grain; feeds histogram AND total
+      val nn = cs.agg(sum(col("sz")).cast(LongType).as("n_docs"))
+      cs.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+          sum(col("sz")).cast(LongType).as("n_docs"),
+          sum(col("sz") - 1).cast(LongType).as("n_removable"))
+        .crossJoin(broadcast(nn.select(col("n_docs").as("nt"))))
+        .selectExpr("cluster_size", "n_clusters", "n_docs", "n_removable",
+          "CAST(n_docs AS DOUBLE) / nt AS doc_share")
+        .orderBy(col("cluster_size"))
+        .localCheckpoint(true)
+    })
+
   // ----------------------------------------- keep-best cluster policy
   /** Near-dup clusters resolved by the PRODUCTION keep policy: each
     * cluster retains its highest-QUALITY member, not its min id — the
@@ -553,5 +609,5 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
     embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
-    keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep)
+    keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep, clusterStats)
 }

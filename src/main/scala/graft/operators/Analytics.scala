@@ -654,6 +654,60 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // ------------------------------------------------- confusion / MCC
+  /** Confusion counts at the z > 0 operating point (σ(z) > ½) over a
+    * scored (z, y) frame — ONE map-combinable aggregate. */
+  def confusionOfScores(zz: DataFrame): DataFrame =
+    zz.agg(
+      expr("CAST(sum(CASE WHEN z > 0 AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("tp"),
+      expr("CAST(sum(CASE WHEN z > 0 AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fp"),
+      expr("CAST(sum(CASE WHEN NOT (z > 0) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("fn"),
+      expr("CAST(sum(CASE WHEN NOT (z > 0) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT)").as("tn"))
+
+  /** The F1/MCC readout fragments over (tp, fp, fn, tn) — shared
+    * token-for-token with the oracle. MCC's numerator runs in
+    * DECIMAL(19,0)×BIGINT products (tp·tn wraps int64 past ~3e9×3e9
+    * — the q77 lesson); the denominator's 4-way product can reach
+    * ~1e48, past ANY decimal, so it stays a DOUBLE tree (exact
+    * inputs, correctly-rounded ops — engine-identical). Degenerate
+    * marginals (a column or row of zeros) surface NULL via CASE in
+    * both engines. */
+  private val f1Expr =
+    "CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END"
+  private val mccExpr =
+    """CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 AND (tn + fp) > 0 AND (tn + fn) > 0
+       THEN CAST(CAST(tp AS DECIMAL(19,0)) * tn - CAST(fp AS DECIMAL(19,0)) * fn AS DOUBLE)
+         / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END"""
+
+  /** ml_confusion_mcc: the confusion matrix at the natural operating
+    * point (σ(z) > ½ ⇔ z > 0) with F1 and Matthews correlation — the
+    * single-threshold companion to the sweep (MCC is the one scalar
+    * that stays honest under class imbalance; Chicco–Jurman 2020).
+    * Composes the shared scoring surface: ONE training pass, ONE
+    * corpus scan, exact-integer counts, readout algebra at one-row
+    * grain. (lazy — see [[mlCalibration]].) */
+  lazy val mlConfusionMcc: QueryDef = QueryDef(
+    "ml_confusion_mcc",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        cm AS (SELECT
+            CAST(sum(CASE WHEN z > 0 AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN z > 0 AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT (z > 0) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN NOT (z > 0) AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM zz)
+        SELECT tp, fp, fn, tn, $f1Expr AS f1, $mccExpr AS mcc FROM cm""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = mlFeatures(s, d)
+      confusionOfScores(scoreWith(b, logregWeights6(b)))
+        .selectExpr("tp", "fp", "fn", "tn", s"$f1Expr AS f1", s"$mccExpr AS mcc")
+    })
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1674,5 +1728,5 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
-    pipelineMlReadouts, mlPrAuc)
+    pipelineMlReadouts, mlPrAuc, mlConfusionMcc)
 }

@@ -86,7 +86,10 @@ object Bench {
     "q83_cohort_ltv", "q84_survival_retention", "ann_mips", "ann_dim_audit",
     "pipeline_data_card", "graph_hits", "ml_pr_auc", "q85_benford_audit",
     "dedup_minhash_fidelity", "q86_chi2_independence", "corpus_tokenizer_fertility",
-    "dedup_threshold_sweep", "q87_seasonal_naive_backtest")
+    "dedup_threshold_sweep", "q87_seasonal_naive_backtest",
+    // round-8 snapshot pair (benched since r9 — the r8 verdict's
+    // doc-parity item) and the round-9 operators
+    "dedup_cluster_stats", "ml_confusion_mcc")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
@@ -113,19 +116,29 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // ambient-load gate (the r5 artifact was recorded at load 13.6/32
-    // and its numbers defamed unchanged code by up to 9x): if the
-    // 1-min load is already above the threshold, wait up to
-    // SPARK_GRAFT_LOAD_WAIT seconds for it to drain; if it never
-    // does, proceed but stamp `load_warn` so downstream tooling knows
-    // the mins are suspect before comparing rounds
+    // and its numbers defamed unchanged code by up to 9x; the r8
+    // round-stamp started at load 5.2 because the wait defaulted OFF
+    // and showed 2x phantom regressions): if the 1-min load is above
+    // the threshold, wait up to SPARK_GRAFT_LOAD_WAIT seconds
+    // (default 15 min — waiting is always cheaper than a defamatory
+    // artifact) for it to drain. If it never does: with
+    // SPARK_GRAFT_REQUIRE_QUIET=1 REFUSE to run (exit 2, no artifact
+    // — a noisy run can never become the artifact of record);
+    // otherwise proceed but stamp `load_warn` so downstream tooling
+    // knows the medians are suspect before comparing rounds.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
-    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "0").toInt
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt
     val deadline = System.nanoTime() + loadWaitSec * 1000L * 1000 * 1000
     while (loadAvg() > maxLoad && System.nanoTime() < deadline) {
       System.err.println(f"[bench] 1-min load ${loadAvg()}%.1f > $maxLoad%.1f, waiting...")
       Thread.sleep(15000)
     }
     val loadWarn = loadAvg() > maxLoad
+    if (loadWarn && sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1")) {
+      System.err.println(f"[bench] REFUSING to run at 1-min load ${loadAvg()}%.1f > " +
+        f"$maxLoad%.1f (SPARK_GRAFT_REQUIRE_QUIET=1) — no artifact written")
+      sys.exit(2)
+    }
     if (loadWarn) System.err.println(
       f"[bench] WARNING: starting at 1-min load ${loadAvg()}%.1f > $maxLoad%.1f — timings will be polluted")
     val spark = Sessions.local(cpus)

@@ -131,7 +131,12 @@ object Dedup {
     * pair population and its exact Jaccards are the lsh gate's; the
     * sweep is one conditional aggregate over the 5-row grid — the
     * corpus is never rescanned per threshold. Shares are single IEEE
-    * divisions over exact counts, unrounded. */
+    * divisions over exact counts, unrounded. Survival compares the
+    * RAW verification Jaccard (`roundJaccard = false`) against the
+    * grid — the exact value the production `>= threshold` filter
+    * uses, so the tuning curve matches the dedup's own semantics
+    * (6-dp display rounding would count a 0.5999996 pair as
+    * surviving t = 0.6 that the dedup drops; r8 ADVICE). */
   val thresholdSweep = QueryDef(
     "dedup_threshold_sweep",
     Some(s"""WITH $bandsSqlCte,
@@ -139,8 +144,8 @@ object Dedup {
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      pairs AS (SELECT round(CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
-          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))), 6) AS j
+      pairs AS (SELECT CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))) AS j
         FROM cand c JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pairs),
       grid AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold FROM (SELECT unnest(range(5, 10)) AS i)),
@@ -151,7 +156,8 @@ object Dedup {
       FROM sw, tot ORDER BY sw.threshold"""),
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val pairs = scope.persist(DedupApi.minhashPairs(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.0, maxBucketSize = LshBucketCap)
+        "doc_id", "text", threshold = 0.0, maxBucketSize = LshBucketCap,
+        roundJaccard = false)
         .select(col("jaccard").as("j")))
       val tot = pairs.agg(count(lit(1)).cast(LongType).as("n_cand"))
       val grid = s.range(5, 10).selectExpr("CAST(id AS DOUBLE) / 10 AS threshold")
@@ -505,18 +511,7 @@ object Dedup {
         threshold = 0.6, maxBucketSize = LshBucketCap)
       val asg = DedupApi.nearDupClusters(Tables.documents(s, d), "doc_id", pairs)
         .select(col("node"), col("cluster"))
-      val cs = asg.groupBy(col("cluster")).agg(count(lit(1)).cast(LongType).as("sz"))
-        .localCheckpoint(true) // cluster-grain; feeds histogram AND total
-      val nn = cs.agg(sum(col("sz")).cast(LongType).as("n_docs"))
-      cs.groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).cast(LongType).as("n_clusters"),
-          sum(col("sz")).cast(LongType).as("n_docs"),
-          sum(col("sz") - 1).cast(LongType).as("n_removable"))
-        .crossJoin(broadcast(nn.select(col("n_docs").as("nt"))))
-        .selectExpr("cluster_size", "n_clusters", "n_docs", "n_removable",
-          "CAST(n_docs AS DOUBLE) / nt AS doc_share")
-        .orderBy(col("cluster_size"))
-        .localCheckpoint(true)
+      DedupApi.clusterSizeStats(asg).localCheckpoint(true)
     })
 
   // ----------------------------------------- keep-best cluster policy

@@ -112,11 +112,18 @@ object DedupApi {
     * pair also co-occurs in a surviving bucket of one of the other
     * `bands-1` bands — likely for ordinary near-dups, not guaranteed
     * for pairs whose shared boilerplate lands them in oversized
-    * buckets in every band. */
+    * buckets in every band.
+    *
+    * `roundJaccard = false` surfaces the RAW verification Jaccard
+    * instead of the 6-dp display rounding — callers that COMPARE the
+    * value against further thresholds (the sweep) must see the exact
+    * number the `>= threshold` filter itself used, or pairs at e.g.
+    * 0.5999996 count as surviving 0.6 in the readout while the dedup
+    * drops them (r8 ADVICE). */
   def minhashPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.6, k: Int = 3,
       numHashes: Int = NumHashes, bands: Int = Bands,
-      maxBucketSize: Int = 0)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+      maxBucketSize: Int = 0, roundJaccard: Boolean = true)(implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val sh = shingleHashes60(df, id, text, k).transform(scope.persist)
     val bndAll = minhashBands(sh, id, numHashes, bands).transform(scope.persist)
     val bnd =
@@ -147,7 +154,8 @@ object DedupApi {
         size(col("s1.sh")).as("la"), size(col("s2.sh")).as("lb"))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("la") + col("lb") - col("inter")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        (if (roundJaccard) round(col("jac"), 6) else col("jac")).as("jaccard"))
   }
 
   /** MinHash fidelity audit (r8): per banded candidate pair, the
@@ -465,6 +473,28 @@ object DedupApi {
     allIds.select(col(id).as("node"))
       .join(labeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
+  /** Cluster-size histogram over a (node, cluster) assignment (the
+    * [[nearDupClusters]] output shape): per distinct cluster size,
+    * the cluster count, total doc mass, removable-duplicate count
+    * Σ (size − 1), and the doc share — the "what does near-dedup
+    * actually save" readout. Two shrinking-key aggregates
+    * (cluster-grain, then size-grain); the share is one IEEE division
+    * over exact counts. Exposed for `dedup_cluster_stats` and its
+    * planted fixture in `Round9Spec`. */
+  def clusterSizeStats(asg: DataFrame): DataFrame = {
+    val cs = asg.groupBy(col("cluster")).agg(count(lit(1)).cast(LongType).as("sz"))
+      .localCheckpoint(true) // cluster-grain; feeds histogram AND total
+    val nn = cs.agg(sum(col("sz")).cast(LongType).as("n_docs"))
+    cs.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+        sum(col("sz")).cast(LongType).as("n_docs"),
+        sum(col("sz") - 1).cast(LongType).as("n_removable"))
+      .crossJoin(broadcast(nn.select(col("n_docs").as("nt"))))
+      .selectExpr("cluster_size", "n_clusters", "n_docs", "n_removable",
+        "CAST(n_docs AS DOUBLE) / nt AS doc_share")
+      .orderBy(col("cluster_size"))
   }
 
   /** Append a 60-bit SimHash signature column (per-bit majority of

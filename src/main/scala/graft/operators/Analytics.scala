@@ -583,8 +583,12 @@ object Analytics {
   // ---------------------------------------------------------- pr-auc
   /** Shared PR-point fragments: recall over exact counts; precision
     * defaults to 1 where no positives are predicted (the standard
-    * PR-curve anchor at recall → 0). */
-  private val recExpr = "CAST(tp AS DOUBLE) / (tp + fn)"
+    * PR-curve anchor at recall → 0). Recall is CASE-guarded like
+    * precision: on a zero-positive corpus tp + fn = 0 at every point
+    * and an unguarded 0/0 NULLs in Spark but NaNs in DuckDB (r8
+    * ADVICE — the same divergence class the OLS det fragments guard). */
+  private val recExpr =
+    "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END"
   private val precExpr =
     "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE CAST(1 AS DOUBLE) END"
 
@@ -679,6 +683,12 @@ object Analytics {
        THEN CAST(CAST(tp AS DECIMAL(19,0)) * tn - CAST(fp AS DECIMAL(19,0)) * fn AS DOUBLE)
          / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END"""
 
+  /** The F1/MCC readout over a (tp, fp, fn, tn) counts frame — the
+    * gated fragments applied as one one-row projection (exposed for
+    * the closed-form fixture in `Round9Spec`). */
+  def confusionReadout(cm: DataFrame): DataFrame =
+    cm.selectExpr("tp", "fp", "fn", "tn", s"$f1Expr AS f1", s"$mccExpr AS mcc")
+
   /** ml_confusion_mcc: the confusion matrix at the natural operating
     * point (σ(z) > ½ ⇔ z > 0) with F1 and Matthews correlation — the
     * single-threshold companion to the sweep (MCC is the one scalar
@@ -704,8 +714,7 @@ object Analytics {
     },
     (s, d) => {
       val b = mlFeatures(s, d)
-      confusionOfScores(scoreWith(b, logregWeights6(b)))
-        .selectExpr("tp", "fp", "fn", "tn", s"$f1Expr AS f1", s"$mccExpr AS mcc")
+      confusionReadout(confusionOfScores(scoreWith(b, logregWeights6(b))))
     })
 
   // ----------------------------------------------------------- q58

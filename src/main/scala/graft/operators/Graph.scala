@@ -433,16 +433,29 @@ object Graph {
     * node, lineage truncated per round. Distances are exact integers,
     * so no merge-order hazard exists at any partitioning. Unreached
     * nodes are reported as one `dist = -1` bucket (count derived from
-    * the node table, never a per-node anti-join output). */
+    * the node table, never a per-node anti-join output).
+    *
+    * r9: level-synchronous FRONTIER expansion — round r joins edges
+    * against only the rows first reached in round r−1 (`dist = r−1`,
+    * a filter over the checkpointed state, no extra pass), not the
+    * full settled state. Identical fixpoint: a node settled at dist k
+    * was expanded once at round k+1 and every later re-expansion
+    * could only mint dist k+1 candidates the min-merge already holds
+    * (unit edges ⇒ dist = first-reach round). The per-round edge-join
+    * input drops from |reached so far| to |level r| — on the dense
+    * co-purchase graph that is rounds× less join work (the r8
+    * verdict's delta-BFS item). */
   def bfs(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
     val e = edges0.localCheckpoint(true)
     var d = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val expanded = e.join(d.withColumnRenamed("node", "src"), Seq("src"))
+    var frontier = d
+    for (r <- 1 to rounds) {
+      val expanded = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       d = d.unionAll(expanded)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      frontier = d.filter(col("dist") === r)
     }
     d
   }
@@ -516,25 +529,74 @@ object Graph {
     * computed from the per-distance COUNTS (≤ `rounds` values), so it
     * is one fixed-order IEEE expression `c1 + c2/2 + … + c_r/r` over
     * exact integers shared with the oracle — never a float sum whose
-    * order depends on row order. State volume is |seeds|·|reached| —
-    * bounded by the sampled seed count, the published scale knob. */
+    * order depends on row order.
+    *
+    * r9 engine: SEED-BITMASK multi-source BFS (the HyperBall/
+    * Boldi–Vigna frame, exact here because the sampled seed count is
+    * pinned ≈ [[ClosenessSeedTarget]] ≤ a few machine words). The r8
+    * labeled relaxation carried one (seed, node, dist) row per pair —
+    * |seeds|·|V| state re-shuffled every round (~68M expanded rows in
+    * the worst sf0.1 round); this engine carries one 63-bit word per
+    * (node, word) — |V|·⌈seeds/63⌉ rows — and each round is one
+    * edge-scale join + `bit_or` merge (~2M rows), a ~30× shuffle cut
+    * that GROWS with seed count. Per round only the NEWLY-set bits
+    * propagate (the delta-BFS argument per bit: a bit first set on a
+    * node at round r was offered to all neighbors at round r+1;
+    * re-sending it can only re-mint held bits), and `newbits = cand &
+    * ~mask` recovers first-reach rounds exactly — dist(seed, node) =
+    * the round its bit appears, identical to the labeled fixpoint, so
+    * the oracle (which unrolls the labeled form) and every fixture
+    * are untouched. All ops are exact integer bit-algebra
+    * (merge-order-free ⇒ partition-invariant); the final per-seed
+    * distance counts explode only the news rows (≤ |seeds|·|V| bits
+    * ONCE, keyed-aggregated). The seed list itself is collected to
+    * the driver — metadata-scale BY DESIGN (Eppstein–Wang: the seed
+    * COUNT is the pinned estimator knob), the centroid-collect
+    * discipline. */
   def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("seed", "reached", "closeness")
+    val W = 63 // bits per word; the sign bit stays clear
     val e = edges0.localCheckpoint(true)
-    var st = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val expanded = e.join(st.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      st = st.unionAll(expanded)
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+    var st = seedIds.zipWithIndex.toSeq
+      .map { case (id, i) => (id, i / W, 1L << (i % W)) }
+      .toDF("node", "w", "mask").localCheckpoint(true)
+    var delta = st
+    val news = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val cand = e.join(delta.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("w"))
+        .agg(expr("bit_or(mask)").as("cand"))
+      val merged = st.join(cand, Seq("node", "w"), "full_outer")
+        .select(col("node"), col("w"),
+          expr("coalesce(mask, CAST(0 AS BIGINT)) | coalesce(cand, CAST(0 AS BIGINT))").as("mask"),
+          expr("coalesce(cand, CAST(0 AS BIGINT)) & ~coalesce(mask, CAST(0 AS BIGINT))").as("newbits"))
         .localCheckpoint(true)
+      delta = merged.filter(col("newbits") =!= 0L)
+        .select(col("node"), col("w"), col("newbits").as("mask"))
+      news += merged.filter(col("newbits") =!= 0L)
+        .select(col("w"), col("newbits"), lit(r).as("r"))
+      st = merged.select(col("node"), col("w"), col("mask"))
     }
+    // every (seed-bit, node) pair appears in exactly one round's news
+    // rows — its first-reach round; popcounts per (bit, round) are the
+    // labeled engine's per-distance counts (dist 0 never enters: a
+    // seed's own bit is set before round 1)
+    val bitsOf = s"filter(transform(sequence(0, ${W - 1}), b -> " +
+      s"CASE WHEN (shiftright(newbits, b) & 1) = 1 THEN w * $W + b END), x -> x IS NOT NULL)"
+    val bits = news.reduce(_ unionAll _).select(col("r"), explode(expr(bitsOf)).as("sb"))
     val cs = (1 to rounds).map(k =>
-      sum(when(col("dist") === k, 1L).otherwise(0L)).as(s"c$k"))
-    val counts = st.filter(col("dist") > 0)
-      .groupBy(col("seed")).agg(cs.head, cs.tail: _*)
-    counts.selectExpr(Seq("seed", closenessReachedSql(rounds),
-      closenessHarmonicSql(rounds)): _*)
+      sum(when(col("r") === k, 1L).otherwise(0L)).as(s"c$k"))
+    val counts = bits.groupBy(col("sb")).agg(cs.head, cs.tail: _*)
+    val mapDf = seedIds.zipWithIndex.toSeq.map { case (id, i) => (i, id) }
+      .toDF("sb", "seed")
+    counts.join(broadcast(mapDf), Seq("sb"))
+      .selectExpr(Seq("seed", closenessReachedSql(rounds),
+        closenessHarmonicSql(rounds)): _*)
       .orderBy(col("seed"))
   }
 
@@ -624,11 +686,17 @@ object Graph {
     var a: DataFrame = null
     for (i <- 1 to iters) {
       // truncate = false keeps the full linear DAG (plan guards
-      // inspect it); production keeps per-round truncation
+      // inspect it); production keeps per-round truncation. The CUT
+      // sits on the grouped PRE-rescale frame (r9, the r8 ADVICE
+      // item): rescale references its input twice (base + the one-row
+      // total), so checkpointing after it re-ran each half-round's
+      // edge-scale join+groupBy twice — checkpointed before, the
+      // rescale is a node-scale map over the checkpoint and the
+      // edge-scale work runs once per half-round.
       def cut(df: DataFrame) = if (truncate) df.localCheckpoint(true) else df
-      a = cut(rescale(co.join(h.withColumnRenamed("node", "c"), Seq("c"))
+      a = rescale(cut(co.join(h.withColumnRenamed("node", "c"), Seq("c"))
         .groupBy(col("p").as("node")).agg(sum(col("score")).cast(LongType).as("s0"))))
-      h = cut(rescale(co.join(a.withColumnRenamed("node", "p"), Seq("p"))
+      h = rescale(cut(co.join(a.withColumnRenamed("node", "p"), Seq("p"))
         .groupBy(col("c").as("node")).agg(sum(col("score")).cast(LongType).as("s0"))))
     }
     (h, a)

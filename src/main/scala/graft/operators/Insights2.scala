@@ -458,26 +458,31 @@ object Insights2 {
   /** q87: seasonal-naïve forecast backtest per event type — forecast
     * each day's volume with the same weekday LAST week (the baseline
     * every real forecaster must beat; Hyndman's M-competition
-    * protocol) and score it on the corpus itself. Errors:
-    * WAPE = Σ|actual − forecast| / Σactual over exact BIGINT counts
-    * (one IEEE division — the integer-exact headline number) and
-    * MAPE via the 12-dp DECIMAL term discipline (a raw double mean
-    * would depend on aggregation order).
+    * protocol) and score it on the corpus itself. The forecast is a
+    * CALENDAR join on `d − 7 days` (r9 fix of the r8 ADVICE item:
+    * `lag(n, 7)` over ROWS is 7 rows back, which on a series with
+    * missing days is NOT the same weekday last week — sparse types
+    * got a wrong-day forecast); days with no activity exactly a week
+    * earlier are unscoreable and drop, identically in both engines.
+    * Errors: WAPE = Σ|actual − forecast| / Σactual over exact BIGINT
+    * counts (one IEEE division — the integer-exact headline number)
+    * and MAPE via the 12-dp DECIMAL term discipline (a raw double
+    * mean would depend on aggregation order).
     *
     * 100 TB shape: ONE (type, day) count aggregate, then a
-    * type-keyed lag-7 window and type-grain sums — days-scale past
-    * the first aggregate. */
+    * days-scale (type, day)-keyed self-join (forecast side broadcast
+    * — days-grain stays KB-size at any corpus size) and type-grain
+    * sums — days-scale past the first aggregate. */
   val q87 = QueryDef(
     "q87_seasonal_naive_backtest",
     Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
         FROM events GROUP BY 1, 2),
-      f AS (SELECT event_type, d, n,
-          lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
-        FROM dd),
+      f AS (SELECT a.event_type, a.d, a.n, b.n AS fc
+        FROM dd a JOIN dd b ON b.event_type = a.event_type AND b.d = a.d - 7),
       sc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
           CAST(sum(abs(n - fc)) AS BIGINT) AS sae, CAST(sum(n) AS BIGINT) AS sa,
           CAST(sum(CAST(round(CAST(abs(n - fc) AS DOUBLE) / n, 12) AS DECIMAL(28,12))) AS DOUBLE) AS mape_sum
-        FROM f WHERE fc IS NOT NULL GROUP BY event_type)
+        FROM f GROUP BY event_type)
       SELECT event_type, n_days,
         CAST(sae AS DOUBLE) / sa AS wape,
         mape_sum / n_days AS mape
@@ -490,9 +495,10 @@ object Insights2 {
     val dd = ev
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
-    dd.withColumn("fc", lag(col("n"), 7).over(w))
-      .filter(col("fc").isNotNull)
+      .localCheckpoint(true) // days-grain; feeds actuals AND forecasts
+    val fc = dd.select(col("event_type"), date_add(col("d"), 7).as("d"),
+      col("n").as("fc"))
+    dd.join(broadcast(fc), Seq("event_type", "d"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast(LongType).as("n_days"),
         sum(abs(col("n") - col("fc"))).cast(LongType).as("sae"),

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted fixtures for the round-9 items: the r8 snapshot pair's
+  * closed forms (cluster-size histogram, confusion/MCC incl. the
+  * zero-denominator NULL arms), the q87 calendar-lag semantics, the
+  * sweep's unrounded-Jaccard contract, and the frontier-only BFS
+  * rewrite's fixpoint equality. */
+class Round9Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cluster stats: planted two-cluster assignment hits the closed-form histogram") {
+    import spark.implicits._
+    // clusters: {1,2,3}, {4,5}, {6} — sizes 3, 2, 1 over 6 docs
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("node", "cluster")
+    val r = dedup.DedupApi.clusterSizeStats(asg).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(1.0 / 6, 2.0 / 6, 3.0 / 6))
+    // removable mass = docs - clusters
+    assert(r.map(_.getLong(3)).sum == 6L - 3L)
+  }
+
+  test("confusion/MCC: planted matrix hits the closed form") {
+    import spark.implicits._
+    val cm = Seq((2L, 1L, 1L, 3L)).toDF("tp", "fp", "fn", "tn")
+    val r = operators.Analytics.confusionReadout(cm).collect().head
+    assert(r.getDouble(4) == 4.0 / 6, s"f1 = ${r.getDouble(4)}")
+    // mcc = (2*3 - 1*1) / sqrt(3*3*4*4) = 5/12
+    assert(math.abs(r.getDouble(5) - 5.0 / 12) < 1e-15, s"mcc = ${r.getDouble(5)}")
+  }
+
+  test("confusion/MCC: degenerate marginals surface NULL, not NaN/Inf") {
+    import spark.implicits._
+    // all predicted negative: tp + fp = 0 -> mcc NULL; f1 defined (0)
+    val r1 = operators.Analytics.confusionReadout(
+      Seq((0L, 0L, 2L, 3L)).toDF("tp", "fp", "fn", "tn")).collect().head
+    assert(r1.getDouble(4) == 0.0 && r1.isNullAt(5))
+    // no positives anywhere: 2tp + fp + fn = 0 -> f1 NULL too
+    val r2 = operators.Analytics.confusionReadout(
+      Seq((0L, 0L, 0L, 3L)).toDF("tp", "fp", "fn", "tn")).collect().head
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
+  test("confusion counts: z > 0 operating point over planted scores") {
+    import spark.implicits._
+    val zz = Seq((1.0, 1.0), (-1.0, 1.0), (1.0, 0.0), (-1.0, 0.0), (-1.0, 0.0))
+      .toDF("z", "y")
+    val r = operators.Analytics.confusionOfScores(zz).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 2L)))
+  }
+
+  test("q87: forecast is the same CALENDAR weekday last week, not 7 rows back") {
+    import spark.implicits._
+    // sparse series: days 1, 8, 15 only (each a Monday-step apart).
+    // Row-lag(7) would find NO forecastable day (only 3 rows); the
+    // calendar join scores day 8 (fc = day 1) and day 15 (fc = day 8).
+    val rows =
+      Seq.fill(10)("2024-01-01 12:00:00") ++
+      Seq.fill(10)("2024-01-08 12:00:00") ++
+      Seq.fill(12)("2024-01-15 12:00:00")
+    val ev = rows.map(("a", _)).toDF("event_type", "tss")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    val r = operators.Insights2.seasonalNaiveBacktest(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L, s"n_days = ${r.head.getLong(1)}")
+    // wape = (|10-10| + |12-10|) / (10 + 12) = 2/22
+    assert(r.head.getDouble(2) == 2.0 / 22, s"wape = ${r.head.getDouble(2)}")
+    // mape = (0/10 + 2/12)/2 with the 12-dp term rounding
+    val mape = r.head.getDouble(3)
+    assert(math.abs(mape - (math.rint(2.0 / 12 * 1e12) / 1e12) / 2) < 1e-12)
+  }
+
+  test("q87: a day with no activity exactly a week earlier is unscoreable and drops") {
+    import spark.implicits._
+    // days 1 and 9: 9 - 7 = day 2 (absent) -> nothing scoreable
+    val ev = Seq(("a", "2024-01-01 12:00:00"), ("a", "2024-01-09 12:00:00"))
+      .toDF("event_type", "tss")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    assert(operators.Insights2.seasonalNaiveBacktest(ev).count() == 0)
+  }
+
+  test("minhashPairs roundJaccard=false surfaces the raw verification value") {
+    import spark.implicits._
+    // identical docs share every shingle (j = 1.0 both ways); a pair
+    // with a non-terminating jaccard must come back UNROUNDED
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val raw = dedup.DedupApi.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.0, roundJaccard = false).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(raw(((1L, 2L))) == 1.0)
+    // 3-shingles of 5 words: 3 each; docs 1 and 3 share 2 of them
+    // -> j = 2 / (3 + 3 - 2) = 0.5 exactly; the raw/rounded split is
+    // pinned by VALUE equality with the exact rational
+    raw.get((1L, 3L)).foreach(j => assert(j == 2.0 / 4))
+    // and the rounded default still rounds (contract unchanged)
+    val rounded = dedup.DedupApi.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.0).collect().map(_.getDouble(2))
+    assert(rounded.forall(j => j == math.rint(j * 1e6) / 1e6))
+  }
+
+  test("frontier-only bfs: fixpoint equals brute shortest paths on a planted graph") {
+    import spark.implicits._
+    // 0-1-2-3-4 path + chord 0-3: dist(3) = 1 via the chord even
+    // though the path route reaches it later; plus a diamond 1-5, 5-3
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (1L, 5L), (5L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = operators.Graph.bfs(e, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("frontier-only closeness: partition count cannot change the result") {
+    import spark.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 5L), (5L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 2L).toDF("node")
+    val a = operators.Graph.closeness(e, seeds).collect().toSeq
+    val b = operators.Graph.closeness(e.repartition(7), seeds).collect().toSeq
+    assert(a == b)
+    // seed 0 reaches 1,3 at d=1 and 2,5 at d=2: closeness = 2 + 2/2 = 3
+    val s0 = a.find(_.getLong(0) == 0L).get
+    assert(s0.getLong(1) == 4L && s0.getDouble(2) == 3.0)
+  }
+}

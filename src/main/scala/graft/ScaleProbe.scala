@@ -160,7 +160,15 @@ object ScaleProbe {
       ("corpus_topic_clusters", d => functions.Corpus.topicClusters.build(spark, d)),
       ("q64_rfm", d => operators.Analytics.q64.build(spark, d)),
       ("q67_gini", d => operators.Analytics.q67.build(spark, d)),
-      ("text_entropy", d => functions.TextAnalysis.entropy.build(spark, d)))
+      ("text_entropy", d => functions.TextAnalysis.entropy.build(spark, d)),
+      // the round-8 tier (probed r9): customer-keyed shuffles,
+      // edge-scale iteration, user-grain spans, capped pair scans
+      ("q83_cohort_ltv", d => operators.Insights2.q83.build(spark, d)),
+      ("q84_survival_retention", d => operators.Insights2.q84.build(spark, d)),
+      ("graph_hits", d => operators.Graph.hitsQuery.build(spark, d)),
+      ("dedup_threshold_sweep", d => dedup.Dedup.thresholdSweep.build(spark, d)),
+      ("q87_seasonal_naive_backtest", d => operators.Insights2.q87.build(spark, d)),
+      ("graph_closeness", d => operators.Graph.closenessQuery.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

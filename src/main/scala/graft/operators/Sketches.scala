@@ -178,6 +178,52 @@ object Sketches {
             <= greatest(col("exact_distinct") * 0.05, lit(16))).as("union_within_bound"))
     })
 
+  /** t-digest quantiles (r9; Dunning & Ertl 2019) next to the exact
+    * values — the PRODUCTION percentile-at-scale sketch beside
+    * `approx_quantiles`' built-in GK summary: rank error ≈ q(1−q)/δ
+    * CONCENTRATES accuracy at the tails (p99/p999 — the latency and
+    * quality-cutoff percentiles GK treats no better than the median),
+    * and shard digests merge by concatenation + one compress (the
+    * mergeable-summaries property `TDigestSpec` pins directly). The
+    * oracle-checkable surface is the §2.8 discipline: exact
+    * `percentile_cont` twin + a within-bound boolean per (group, q)
+    * against the exact q±1% rank envelope — 10×+ slack over the
+    * δ=200 design error, so the boolean is stable under ANY
+    * partition/merge order even though centroid layouts differ. */
+  val approxTdigestQuantiles = QueryDef(
+    "approx_tdigest_quantiles",
+    Some("""WITH a AS (
+        SELECT l_returnflag,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q50,
+          round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q90,
+          round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS q99
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, q, exact_p, TRUE AS within_bound FROM (
+        SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, q50 AS exact_p FROM a
+        UNION ALL SELECT l_returnflag, CAST(0.9 AS DOUBLE), q90 FROM a
+        UNION ALL SELECT l_returnflag, CAST(0.99 AS DOUBLE), q99 FROM a)
+      ORDER BY l_returnflag, q"""),
+    (s, d) => {
+      graft.functions.TDigest.ensure(s)
+      val qs = Seq(0.5, 0.9, 0.99)
+      val eps = 0.01
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("graft_tdigest(CAST(l_extendedprice AS DOUBLE), 200)").as("dig"),
+          expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("exact_arr"),
+          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.max(0.0, q - eps)).mkString(", ")}))").as("lo_arr"),
+          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.min(1.0, q + eps)).mkString(", ")}))").as("hi_arr"))
+        .select(col("l_returnflag"), col("dig"),
+          posexplode(expr("arrays_zip(exact_arr, lo_arr, hi_arr)")).as(Seq("i", "z")))
+        .select(col("l_returnflag"),
+          element_at(lit(qs.toArray), col("i") + 1).as("q"),
+          round(col("z.exact_arr"), 4).as("exact_p"),
+          expr("graft_tdigest_quantile(dig, element_at(array(0.5D, 0.9D, 0.99D), i + 1))")
+            .between(col("z.lo_arr"), col("z.hi_arr")).as("within_bound"))
+        .orderBy(col("l_returnflag"), col("q"))
+    })
+
   val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles, approxTopK,
-    approxHeavyHitters, approxHllUnion)
+    approxHeavyHitters, approxHllUnion, approxTdigestQuantiles)
 }

@@ -39,5 +39,6 @@ object GraftExtensions {
     graft.functions.ZOrder.ensure(spark)
     graft.functions.TokenStats.ensure(spark)
     graft.functions.OuterSumDec.ensure(spark)
+    graft.functions.TDigest.ensure(spark)
   }
 }

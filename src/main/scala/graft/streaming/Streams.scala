@@ -266,6 +266,55 @@ object Streams {
       }
   }
 
+  final case class SpanState(firstWk: Long, lastWk: Long)
+  final case class SpanOut(user_id: Long, first_week_day: Long,
+    last_week_day: Long, life_weeks: Long)
+
+  /** Streaming activity-span plane — the incremental feed for
+    * `q84_survival_retention`'s censoring logic (r9): per user the
+    * state is the (first, last) activity WEEK — two longs, the
+    * firstTouchStream discipline extended to a span — and each
+    * microbatch emits the user's updated span (update mode, one row
+    * per touched user per batch). Weeks are Monday-truncated
+    * epoch-day starts computed in local time — the same day
+    * `date_trunc('week', ts)` yields in the batch engine. The KM fold
+    * itself (lifetimes histogram, reverse-prefix at-risk counts,
+    * censoring against the CORPUS max week) is weeks-scale downstream
+    * algebra over the LATEST row per user — censoring needs the
+    * global max week, which only the reader of the full state can
+    * know, exactly like the batch gate derives it from the corpus;
+    * `StreamingSpec` replays events and pins the folded KM curve
+    * EQUAL to [[graft.operators.Insights2.survivalRetention]] on the
+    * same rows. O(users) fixed-size state — the bounded-state
+    * contract every plane in this file keeps. */
+  def survivalSpanStream(events: Dataset[Event]): Dataset[SpanOut] = {
+    import events.sparkSession.implicits._
+    def weekStart(ts: java.sql.Timestamp): Long = {
+      val d = ts.toLocalDateTime.toLocalDate.toEpochDay
+      d - java.lang.Math.floorMod(d - 4L, 7L) // 1970-01-05 (epoch day 4) is a Monday
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpanState, SpanOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SpanState]) =>
+          var fw = Long.MaxValue
+          var lw = Long.MinValue
+          it.foreach { e =>
+            val w = weekStart(e.ts)
+            if (w < fw) fw = w
+            if (w > lw) lw = w
+          }
+          val s0 = state.getOption
+          val merged = SpanState(
+            math.min(fw, s0.map(_.firstWk).getOrElse(Long.MaxValue)),
+            math.max(lw, s0.map(_.lastWk).getOrElse(Long.MinValue)))
+          state.update(merged)
+          Iterator.single(SpanOut(user, merged.firstWk, merged.lastWk,
+            (merged.lastWk - merged.firstWk) / 7L))
+      }
+  }
+
   /** Streaming drift plane — the incremental twin of `q60_psi_drift`:
     * incoming events are bin-assigned against a STATIC per-type
     * reference range ([[graft.operators.Analytics.psiReferenceRange]],

@@ -372,4 +372,89 @@ class StreamingSpec extends AnyFunSuite {
     val shifted = rows.find(_._1 == 30L).get
     assert(shifted._2 == 18L && shifted._3, s"shift must alarm: $shifted")
   }
+
+  test("cusum stream: gradual shift accumulates ACROSS microbatch boundaries; dips clamp at zero (r9)") {
+    import spark.implicits._
+    // the r8 fixture alarms within ONE shifted batch; this pins the
+    // cross-batch arm: a shift starting exactly at a microbatch edge
+    // whose per-batch excess is small must carry g across boundaries
+    // and fire only once the accumulated excess crosses mu0 — and a
+    // below-reference batch must clamp at g = 0, never negative
+    val in = Files.createTempDirectory("graft-cusum2-in").toString
+    def batch(tag: Int, n: Int) = (1 to n).map(i =>
+      Streams.Event(tag * 1000L + i, ts("2024-01-01 00:00:01"), 1L, "a", 0.0))
+    // mu0 = 10 (slack mu0/4 = 2); dip to 8 (clamp), then six batches
+    // of 14: g = 2, 4, 6, 8, 10, 12 — alarm STRICTLY after g > 10
+    val counts = Seq(10, 8, 14, 14, 14, 14, 14, 14)
+    writeBatches(in, counts.zipWithIndex.map { case (n, i) => batch(i, n) })
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.cusumStream(stream)
+      .writeStream.format("memory").queryName("cusum2_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("cusum2_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == counts.length, s"one row per micro-batch: ${rows.toSeq}")
+    val dip = rows.find(_._1 == 8L).get
+    assert(dip._2 == 0L && !dip._3, s"dip must clamp at zero: $dip")
+    val gs = rows.filter(_._1 == 14L).map(_._2).sorted
+    assert(gs.toSeq == Seq(2L, 4L, 6L, 8L, 10L, 12L),
+      s"excess must accumulate across batch boundaries: ${gs.toSeq}")
+    val alarms = rows.filter(_._1 == 14L).map(r => (r._2, r._3)).toMap
+    assert(!alarms(10L), "g == mu0 must NOT alarm (strict threshold)")
+    assert(alarms(12L), "g > mu0 must alarm")
+    assert(Seq(2L, 4L, 6L, 8L).forall(g => !alarms(g)),
+      s"no premature alarm while excess accumulates: $alarms")
+  }
+
+  test("survival span stream: spans match the batch KM inputs across batch boundaries (r9)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-surv-in").toString
+    // the Round8Spec KM corpus split across TWO microbatches: u1 week0
+    // only; u2 weeks 0..1 (SPLIT across the boundary); u3 weeks 0..2
+    // with IN-BATCH disorder (late week first)
+    val b1 = Seq(
+      Streams.Event(1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      Streams.Event(2L, ts("2024-01-01 10:00:00"), 2L, "a", 0.0),
+      Streams.Event(3L, ts("2024-01-15 10:00:00"), 3L, "a", 0.0))
+    val b2 = Seq(
+      Streams.Event(4L, ts("2024-01-08 10:00:00"), 2L, "a", 0.0),
+      Streams.Event(5L, ts("2024-01-01 10:00:00"), 3L, "a", 0.0))
+    writeBatches(in, Seq(b1, b2))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.survivalSpanStream(stream)
+      .writeStream.format("memory").queryName("surv_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("surv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // LATEST span per user = the widest (spans only grow)
+    val fin = rows.groupBy(_._1).view.mapValues(rs =>
+      rs.maxBy(r => r._3 - r._2)).toMap
+    // 2024-01-01 is a Monday = epoch day 19723
+    val w0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(fin(1L) == ((1L, w0, w0, 0L)), s"u1: ${fin(1L)}")
+    assert(fin(2L) == ((2L, w0, w0 + 7, 1L)), s"u2 span must straddle the batch edge: ${fin(2L)}")
+    assert(fin(3L) == ((3L, w0, w0 + 14, 2L)), s"u3 in-batch disorder: ${fin(3L)}")
+    // the folded KM readout off the final spans equals the batch gate
+    // on the same events: mw = max last week; censored iff lw = mw
+    val mw = fin.values.map(_._3).max
+    val lt = fin.values.toSeq.map(r => (r._4, if (r._3 == mw) 1 else 0))
+    val h = lt.groupBy(_._1).view.mapValues(xs => (xs.size.toLong,
+      xs.count(_._2 == 0).toLong)).toMap
+    val batch = operators.Insights2.survivalRetention(
+      (b1 ++ b2).map(e => (e.user_id, e.ts)).toDF("user_id", "ts")).collect()
+    batch.foreach { r =>
+      val d = h(r.getLong(0))._2
+      assert(r.getLong(2) == d, s"life ${r.getLong(0)}: churn $d vs batch ${r.getLong(2)}")
+      val n = h.collect { case (life, (tot, _)) if life >= r.getLong(0) => tot }.sum
+      assert(r.getLong(1) == n, s"life ${r.getLong(0)}: at-risk $n vs batch ${r.getLong(1)}")
+    }
+  }
 }

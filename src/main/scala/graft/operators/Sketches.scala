@@ -224,6 +224,71 @@ object Sketches {
         .orderBy(col("l_returnflag"), col("q"))
     })
 
+  /** KMV/theta set-overlap sketch (r9; Beyer et al. SIGMOD'07,
+    * Dasgupta et al.'s Theta framework) — the AUDIENCE-OVERLAP
+    * readout HLL cannot give: distinct parts purchased under two
+    * order priorities, with the intersection/union estimated from two
+    * KB-size sketches by SET ALGEBRA on the sketches themselves
+    * (union = k smallest of the merged value sets; intersection =
+    * theta intersection, survivors below min(θ_a, θ_b)) — at 100 TB
+    * the segments exchange k longs, never re-shuffle rows. The
+    * k-smallest-DISTINCT-value set is unique, so unlike t-digest the
+    * whole sketch is bit-identical under any partitioning; the gate
+    * surface is still the §2.8 discipline (exact twins + envelope
+    * booleans) because DuckDB cannot reproduce xxhash64. Estimator
+    * error ~1/√k ≈ 3% at k = 1024; bounds at 5σ. */
+  val approxSetOverlap = QueryDef(
+    "approx_set_overlap",
+    Some("""WITH lp AS (SELECT DISTINCT o.o_orderpriority AS pr, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lp WHERE pr = '1-URGENT'),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lp WHERE pr = '2-HIGH'),
+      i AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        (SELECT p FROM lp GROUP BY p HAVING count(DISTINCT pr) = 2)),
+      u AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS n FROM lp)
+      SELECT a.n AS exact_a, b.n AS exact_b, i.n AS exact_inter, u.n AS exact_union,
+        TRUE AS a_within, TRUE AS b_within, TRUE AS union_within, TRUE AS inter_within
+      FROM a, b, i, u"""),
+    (s, d) => {
+      graft.functions.KMinValues.ensure(s)
+      val k = 1024
+      val lp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderpriority").as("pr"), col("l_partkey"),
+          expr("xxhash64(l_partkey) & 9223372036854775807").as("h"))
+        .localCheckpoint(true) // feeds the sketches AND the exact twins
+      val per = lp.groupBy(col("pr")).agg(
+        expr(s"graft_kmv(h, $k)").as("sk"),
+        countDistinct(col("l_partkey")).as("n"))
+      val a = per.filter(col("pr") === "1-URGENT")
+        .select(col("sk").as("ska"), col("n").as("exact_a"))
+      val b = per.filter(col("pr") === "2-HIGH")
+        .select(col("sk").as("skb"), col("n").as("exact_b"))
+      val iu = lp.select(col("pr"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey")).agg(countDistinct(col("pr")).as("np"))
+        .agg(sum(when(col("np") === 2, 1L).otherwise(0L)).cast("long").as("exact_inter"),
+          count(lit(1)).cast("long").as("exact_union"))
+      val hs = graft.functions.KMinValues.HashSpace
+      val estA = graft.functions.KMinValues.estimateSql("ska", k)
+      val estB = graft.functions.KMinValues.estimateSql("skb", k)
+      val mergedU = s"slice(array_sort(array_union(ska, skb)), 1, $k)"
+      val estU = graft.functions.KMinValues.estimateSql(mergedU, k)
+      val thetaA = s"CASE WHEN size(ska) < $k THEN 1.0D ELSE CAST(element_at(ska, $k) AS DOUBLE) / ${hs}D END"
+      val thetaB = s"CASE WHEN size(skb) < $k THEN 1.0D ELSE CAST(element_at(skb, $k) AS DOUBLE) / ${hs}D END"
+      val estI = s"""CAST(size(filter(array_intersect(ska, skb),
+          x -> CAST(x AS DOUBLE) / ${hs}D < least($thetaA, $thetaB))) AS DOUBLE)
+        / least($thetaA, $thetaB)"""
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(iu))
+        .selectExpr("exact_a", "exact_b", "exact_inter", "exact_union",
+          s"abs($estA - exact_a) <= greatest(0.15 * exact_a, 64) AS a_within",
+          s"abs($estB - exact_b) <= greatest(0.15 * exact_b, 64) AS b_within",
+          s"abs($estU - exact_union) <= greatest(0.15 * exact_union, 64) AS union_within",
+          s"abs($estI - exact_inter) <= greatest(0.20 * exact_inter, 0.05 * exact_union, 64) AS inter_within")
+    })
+
   val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantiles, approxTopK,
-    approxHeavyHitters, approxHllUnion, approxTdigestQuantiles)
+    approxHeavyHitters, approxHllUnion, approxTdigestQuantiles, approxSetOverlap)
 }

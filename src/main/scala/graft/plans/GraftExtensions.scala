@@ -40,5 +40,6 @@ object GraftExtensions {
     graft.functions.TokenStats.ensure(spark)
     graft.functions.OuterSumDec.ensure(spark)
     graft.functions.TDigest.ensure(spark)
+    graft.functions.KMinValues.ensure(spark)
   }
 }

@@ -37,6 +37,28 @@ object Streams {
         graft.Portable.decSum2(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming windowed quantiles via the t-digest (r9) — the
+    * latency/SLO percentile monitor: per (1-hour window, type) the
+    * value column folds into ONE mergeable `graft_tdigest` summary
+    * (KB per open window — the bounded-state contract; a windowed
+    * `percentile` would buffer every raw value) and the closed window
+    * emits p50/p95/p99 read-offs. Same watermark/append discipline as
+    * [[windowedCounts]]; the digest aggregate is the BATCH-gated
+    * `approx_tdigest_quantiles` machinery unchanged, so stream/batch
+    * estimates share one implementation (envelope-vs-exact parity
+    * pinned in `StreamingSpec`). */
+  def quantileStream(events: DataFrame): DataFrame = {
+    events.sparkSession match { case s => graft.functions.TDigest.ensure(s) }
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), expr("graft_tdigest(value, 100)").as("dig"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        expr("graft_tdigest_quantile(dig, 0.5)").as("p50"),
+        expr("graft_tdigest_quantile(dig, 0.95)").as("p95"),
+        expr("graft_tdigest_quantile(dig, 0.99)").as("p99"))
+  }
+
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState
     * — streaming twin of q17. Emits a session when the gap timeout
     * expires. State per user is one open session: O(users) state. */

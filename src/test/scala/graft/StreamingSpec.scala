@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)), rows.toString)
   }
 
+  test("quantile stream: closed windows emit t-digest percentiles matching the exact batch values (r9)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-qtile-in").toString
+    // window 00:00: values 1..100 split ACROSS two microbatches (the
+    // digest must merge partial window state); a later event closes it
+    val b1 = (1 to 60).map(i =>
+      Streams.Event(i.toLong, ts("2024-01-01 00:05:00"), 1L, "lat", i.toDouble))
+    val b2 = (61 to 100).map(i =>
+      Streams.Event(i.toLong, ts("2024-01-01 00:40:00"), 1L, "lat", i.toDouble))
+    val b3 = Seq(Streams.Event(999L, ts("2024-01-01 06:00:00"), 1L, "lat", 1.0))
+    writeBatches(in, Seq(b1, b2, b3))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+    val q = Streams.quantileStream(stream)
+      .writeStream.format("memory").queryName("qtile_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val r = spark.table("qtile_out")
+      .filter(col("hour_start").cast("string") === "2024-01-01 00:00:00")
+      .collect()
+    assert(r.length == 1, s"exactly the closed 00:00 window: ${r.toSeq}")
+    assert(r.head.getLong(2) == 100L)
+    // 100 points at delta=100: every point its own near-centroid — the
+    // read-offs sit within one unit of the exact percentiles
+    assert(math.abs(r.head.getDouble(3) - 50.5) <= 1.0, s"p50 = ${r.head.getDouble(3)}")
+    assert(math.abs(r.head.getDouble(4) - 95.05) <= 1.5, s"p95 = ${r.head.getDouble(4)}")
+    assert(math.abs(r.head.getDouble(5) - 99.01) <= 1.5, s"p99 = ${r.head.getDouble(5)}")
+  }
+
   test("mapGroupsWithState accumulates running per-user totals across batches") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-totals-in").toString

@@ -553,17 +553,23 @@ object Graph {
     * the driver — metadata-scale BY DESIGN (Eppstein–Wang: the seed
     * COUNT is the pinned estimator knob), the centroid-collect
     * discipline. */
-  def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+  /** Bits per bitmask word; the sign bit stays clear. */
+  private val BitW = 63
+
+  /** The bitmask BFS core shared by [[closeness]] and [[anf]]: runs
+    * the per-round `bit_or` relaxation from the given (sorted) seed
+    * ids and returns the unioned NEWS rows (w, newbits, r) — every
+    * (seed-bit, node) pair appears in exactly one round's rows, its
+    * first-reach round (dist 0 never enters: a seed's own bit is set
+    * before round 1). See the [[closeness]] scaladoc for the design
+    * argument. */
+  private def bitmaskBfsNews(edges0: DataFrame, seedIds: Array[Long],
+      rounds: Int): DataFrame = {
     val sp = edges0.sparkSession
     import sp.implicits._
-    val seedIds = seeds.select(col("node")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (seedIds.isEmpty)
-      return Seq.empty[(Long, Long, Double)].toDF("seed", "reached", "closeness")
-    val W = 63 // bits per word; the sign bit stays clear
     val e = edges0.localCheckpoint(true)
     var st = seedIds.zipWithIndex.toSeq
-      .map { case (id, i) => (id, i / W, 1L << (i % W)) }
+      .map { case (id, i) => (id, i / BitW, 1L << (i % BitW)) }
       .toDF("node", "w", "mask").localCheckpoint(true)
     var delta = st
     val news = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -582,13 +588,22 @@ object Graph {
         .select(col("w"), col("newbits"), lit(r).as("r"))
       st = merged.select(col("node"), col("w"), col("mask"))
     }
-    // every (seed-bit, node) pair appears in exactly one round's news
-    // rows — its first-reach round; popcounts per (bit, round) are the
-    // labeled engine's per-distance counts (dist 0 never enters: a
-    // seed's own bit is set before round 1)
-    val bitsOf = s"filter(transform(sequence(0, ${W - 1}), b -> " +
-      s"CASE WHEN (shiftright(newbits, b) & 1) = 1 THEN w * $W + b END), x -> x IS NOT NULL)"
-    val bits = news.reduce(_ unionAll _).select(col("r"), explode(expr(bitsOf)).as("sb"))
+    news.reduce(_ unionAll _)
+  }
+
+  def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("seed", "reached", "closeness")
+    val news = bitmaskBfsNews(edges0, seedIds, rounds)
+    // popcounts per (bit, round) are the labeled engine's
+    // per-distance counts
+    val bitsOf = s"filter(transform(sequence(0, ${BitW - 1}), b -> " +
+      s"CASE WHEN (shiftright(newbits, b) & 1) = 1 THEN w * $BitW + b END), x -> x IS NOT NULL)"
+    val bits = news.select(col("r"), explode(expr(bitsOf)).as("sb"))
     val cs = (1 to rounds).map(k =>
       sum(when(col("r") === k, 1L).otherwise(0L)).as(s"c$k"))
     val counts = bits.groupBy(col("sb")).agg(cs.head, cs.tail: _*)
@@ -598,6 +613,44 @@ object Graph {
       .selectExpr(Seq("seed", closenessReachedSql(rounds),
         closenessHarmonicSql(rounds)): _*)
       .orderBy(col("seed"))
+  }
+
+  /** Neighborhood function / effective-radius readout over the
+    * sampled seeds (the ANF of Palmer et al. KDD'02 and HyperANF of
+    * Boldi–Vigna WWW'11 — here EXACT over the pinned ≈64-seed sample
+    * rather than probabilistic over all nodes, the same
+    * Eppstein–Wang sampling contract as [[closeness]]):
+    * N(r) = #(seed, node) pairs with dist ≤ r, the per-radius
+    * coverage fraction, and the 90%-coverage flag whose first TRUE
+    * radius IS the sampled effective diameter — the "how many hops
+    * until everything is reachable" readout capacity planning and
+    * partition-strategy choices read. One `bit_count` popcount per
+    * news row (never a per-bit explode — counts don't need seed
+    * identity), radius-scale algebra after; the 90% test is the exact
+    * integer cross-multiplication `n·10 ≥ tot·9` (no float
+    * threshold). Shares [[bitmaskBfsNews]] with [[closeness]]. */
+  def anf(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF("radius", "n_pairs", "frac", "reaches_90pct")
+    val news = bitmaskBfsNews(edges0, seedIds, rounds)
+    val perRound = news
+      .select(col("r"), expr("bit_count(newbits)").as("c"))
+      .groupBy(col("r")).agg(sum(col("c")).cast(LongType).as("c"))
+      .unionAll(Seq((0, seedIds.length.toLong)).toDF("r", "c"))
+    val wAsc = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perRound
+      .withColumn("n_pairs", sum(col("c")).over(wAsc).cast(LongType))
+      .crossJoin(broadcast(perRound.agg(sum(col("c")).cast(LongType).as("tot"))))
+      .selectExpr("CAST(r AS BIGINT) AS radius", "n_pairs",
+        "CAST(n_pairs AS DOUBLE) / tot AS frac",
+        "n_pairs * 10 >= tot * 9 AS reaches_90pct")
+      .orderBy(col("radius"))
   }
 
   /** `reached` / `closeness` output fragments shared with the oracle
@@ -639,6 +692,44 @@ object Graph {
       val cust = e.select(col("src").as("node")).distinct()
         .filter(col("node") < SuppOffset)
       closeness(e, closenessSeeds(cust))
+    })
+
+  val anfQuery = QueryDef(
+    "graph_anf",
+    Some {
+      // the identical labeled-BFS CTE block as graph_closeness (the
+      // bitmask engine's fixpoint is the same (seed, node, dist)
+      // relation), then radius-cumulative pair counts
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        cust AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src < $SuppOffset),
+        m AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $ClosenessSeedTarget) AS mm FROM cust),
+        d0 AS MATERIALIZED (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          FROM cust WHERE node % (SELECT mm FROM m) = 0)""")
+      for (it <- 1 to BfsRounds) {
+        sb.append(s""",
+        d$it AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+          SELECT seed, node, dist FROM d${it - 1}
+          UNION ALL
+          SELECT d.seed, e.dst, d.dist + 1 FROM d${it - 1} d JOIN e ON d.node = e.src) GROUP BY seed, node)""")
+      }
+      sb.append(s""",
+        cnts AS (SELECT dist AS r, CAST(count(*) AS BIGINT) AS c FROM d$BfsRounds GROUP BY dist),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnts),
+        anf AS (SELECT r, CAST(sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs FROM cnts)
+        SELECT anf.r AS radius, anf.n_pairs,
+          CAST(anf.n_pairs AS DOUBLE) / tot.t AS frac,
+          anf.n_pairs * 10 >= tot.t * 9 AS reaches_90pct
+        FROM anf, tot ORDER BY radius""")
+      sb.toString
+    },
+    (s, d) => {
+      val e = edges(s, d)
+      val cust = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < SuppOffset)
+      anf(e, closenessSeeds(cust))
     })
 
   /** Size-derived seed selection over a `node` column: ONE one-row
@@ -944,5 +1035,5 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
-    modularityQuery, assortativity, closenessQuery, hitsQuery)
+    modularityQuery, assortativity, closenessQuery, hitsQuery, anfQuery)
 }

@@ -118,6 +118,26 @@ class Round9Spec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("anf: path-graph closed form, exact 90%-boundary, partition invariance") {
+    import spark.implicits._
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (path ++ path.map(_.swap)).toDF("src", "dst")
+    // one seed at 0: N(r) = r+1, tot 5; 90% first reached at radius 4
+    val r1 = operators.Graph.anf(e, Seq(0L).toDF("node")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r1.toSeq == Seq((0L, 1L, false), (1L, 2L, false), (2L, 3L, false),
+      (3L, 4L, false), (4L, 5L, true)))
+    // seeds {0, 2}: N = 2,5,8,9,10 — the radius-3 row sits EXACTLY on
+    // the 90% boundary (9*10 >= 10*9), pinning the integer comparison
+    val r2 = operators.Graph.anf(e, Seq(0L, 2L).toDF("node")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r2.toSeq == Seq((0L, 2L, false), (1L, 5L, false), (2L, 8L, false),
+      (3L, 9L, true), (4L, 10L, true)))
+    val r2p = operators.Graph.anf(e.repartition(7), Seq(0L, 2L).toDF("node"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r2p.toSeq == r2.toSeq)
+  }
+
   test("frontier-only closeness: partition count cannot change the result") {
     import spark.implicits._
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 5L), (5L, 3L))

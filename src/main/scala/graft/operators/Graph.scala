@@ -591,14 +591,13 @@ object Graph {
     news.reduce(_ unionAll _)
   }
 
-  def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
-    val sp = edges0.sparkSession
+  /** Per-seed closeness readout off a [[bitmaskBfsNews]] frame —
+    * split out so [[pipelineGraphCentrality]] can feed BOTH readouts
+    * from ONE BFS run. */
+  private def closenessFromNews(news: DataFrame, seedIds: Array[Long],
+      rounds: Int): DataFrame = {
+    val sp = news.sparkSession
     import sp.implicits._
-    val seedIds = seeds.select(col("node")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (seedIds.isEmpty)
-      return Seq.empty[(Long, Long, Double)].toDF("seed", "reached", "closeness")
-    val news = bitmaskBfsNews(edges0, seedIds, rounds)
     // popcounts per (bit, round) are the labeled engine's
     // per-distance counts
     val bitsOf = s"filter(transform(sequence(0, ${BitW - 1}), b -> " +
@@ -615,6 +614,16 @@ object Graph {
       .orderBy(col("seed"))
   }
 
+  def closeness(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("seed", "reached", "closeness")
+    closenessFromNews(bitmaskBfsNews(edges0, seedIds, rounds), seedIds, rounds)
+  }
+
   /** Neighborhood function / effective-radius readout over the
     * sampled seeds (the ANF of Palmer et al. KDD'02 and HyperANF of
     * Boldi–Vigna WWW'11 — here EXACT over the pinned ≈64-seed sample
@@ -629,19 +638,15 @@ object Graph {
     * identity), radius-scale algebra after; the 90% test is the exact
     * integer cross-multiplication `n·10 ≥ tot·9` (no float
     * threshold). Shares [[bitmaskBfsNews]] with [[closeness]]. */
-  def anf(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
-    val sp = edges0.sparkSession
+  /** Radius-cumulative pair counts off a [[bitmaskBfsNews]] frame —
+    * see [[closenessFromNews]]. */
+  private def anfFromNews(news: DataFrame, nSeeds: Long): DataFrame = {
+    val sp = news.sparkSession
     import sp.implicits._
-    val seedIds = seeds.select(col("node")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (seedIds.isEmpty)
-      return Seq.empty[(Long, Long, Double, Boolean)]
-        .toDF("radius", "n_pairs", "frac", "reaches_90pct")
-    val news = bitmaskBfsNews(edges0, seedIds, rounds)
     val perRound = news
       .select(col("r"), expr("bit_count(newbits)").as("c"))
       .groupBy(col("r")).agg(sum(col("c")).cast(LongType).as("c"))
-      .unionAll(Seq((0, seedIds.length.toLong)).toDF("r", "c"))
+      .unionAll(Seq((0, nSeeds)).toDF("r", "c"))
     val wAsc = Window.orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perRound
@@ -651,6 +656,47 @@ object Graph {
         "CAST(n_pairs AS DOUBLE) / tot AS frac",
         "n_pairs * 10 >= tot * 9 AS reaches_90pct")
       .orderBy(col("radius"))
+  }
+
+  def anf(edges0: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF("radius", "n_pairs", "frac", "reaches_90pct")
+    anfFromNews(bitmaskBfsNews(edges0, seedIds, rounds), seedIds.length.toLong)
+  }
+
+  /** pipeline_graph_centrality (r9): BOTH bitmask-BFS readouts —
+    * per-seed harmonic closeness and the radius neighborhood
+    * function — off ONE BFS run, united into a (readout, k)-keyed
+    * report: the `pipeline_ml_readouts` train-once/read-many pattern
+    * applied to the graph tier (the BFS rounds are ~all the cost;
+    * both readouts are cheap algebra over the same news rows — the
+    * composed gate's bench target is ≈ one single's cost, not two).
+    * The standalone `graph_closeness`/`graph_anf` gates rerun the BFS
+    * by gate-isolation design; this is the production shape. Oracle =
+    * the shared labeled-BFS CTE block + both readout blocks. */
+  def pipelineGraphCentrality(edges0: DataFrame, seeds: DataFrame,
+      rounds: Int = BfsRounds): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    val seedIds = seeds.select(col("node")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (seedIds.isEmpty)
+      return Seq.empty[(String, Double, Long, Double)]
+        .toDF("readout", "k", "n", "v")
+    val news = bitmaskBfsNews(edges0, seedIds, rounds)
+      .localCheckpoint(true) // ONE BFS feeds both readouts
+    val cl = closenessFromNews(news, seedIds, rounds)
+      .selectExpr("'closeness' AS readout", "CAST(seed AS DOUBLE) AS k",
+        "CAST(reached AS BIGINT) AS n", "closeness AS v")
+    val an = anfFromNews(news, seedIds.length.toLong)
+      .selectExpr("'anf' AS readout", "CAST(radius AS DOUBLE) AS k",
+        "n_pairs AS n", "frac AS v")
+    an.unionAll(cl).orderBy(col("readout"), col("k"))
   }
 
   /** `reached` / `closeness` output fragments shared with the oracle
@@ -730,6 +776,48 @@ object Graph {
       val cust = e.select(col("src").as("node")).distinct()
         .filter(col("node") < SuppOffset)
       anf(e, closenessSeeds(cust))
+    })
+
+  val pipelineGraphCentralityQuery = QueryDef(
+    "pipeline_graph_centrality",
+    Some {
+      val sb = new StringBuilder(
+        s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + $SuppOffset AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        e AS MATERIALIZED (SELECT c AS src, p AS dst FROM co UNION ALL SELECT p, c FROM co),
+        cust AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src < $SuppOffset),
+        m AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $ClosenessSeedTarget) AS mm FROM cust),
+        d0 AS MATERIALIZED (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          FROM cust WHERE node % (SELECT mm FROM m) = 0)""")
+      for (it <- 1 to BfsRounds) {
+        sb.append(s""",
+        d$it AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+          SELECT seed, node, dist FROM d${it - 1}
+          UNION ALL
+          SELECT d.seed, e.dst, d.dist + 1 FROM d${it - 1} d JOIN e ON d.node = e.src) GROUP BY seed, node)""")
+      }
+      val cexprs = (1 to BfsRounds)
+        .map(k => s"CAST(sum(CASE WHEN dist = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+        .mkString(", ")
+      val reached = (1 to BfsRounds).map(k => s"c$k").mkString(" + ")
+      val harmonic = (1 to BfsRounds).map(k => s"CAST(c$k AS DOUBLE) / $k").mkString(" + ")
+      sb.append(s""",
+        counts AS (SELECT seed, $cexprs FROM d$BfsRounds WHERE dist > 0 GROUP BY seed),
+        cl AS (SELECT 'closeness' AS readout, CAST(seed AS DOUBLE) AS k,
+          CAST($reached AS BIGINT) AS n, $harmonic AS v FROM counts),
+        cnts AS (SELECT dist AS r, CAST(count(*) AS BIGINT) AS c FROM d$BfsRounds GROUP BY dist),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnts),
+        anf AS (SELECT r, CAST(sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs FROM cnts),
+        an AS (SELECT 'anf' AS readout, CAST(anf.r AS DOUBLE) AS k,
+          anf.n_pairs AS n, CAST(anf.n_pairs AS DOUBLE) / tot.t AS v FROM anf, tot)
+        SELECT * FROM an UNION ALL SELECT * FROM cl ORDER BY readout, k""")
+      sb.toString
+    },
+    (s, d) => {
+      val e = edges(s, d)
+      val cust = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < SuppOffset)
+      pipelineGraphCentrality(e, closenessSeeds(cust))
     })
 
   /** Size-derived seed selection over a `node` column: ONE one-row
@@ -1035,5 +1123,6 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
-    modularityQuery, assortativity, closenessQuery, hitsQuery, anfQuery)
+    modularityQuery, assortativity, closenessQuery, hitsQuery, anfQuery,
+    pipelineGraphCentralityQuery)
 }

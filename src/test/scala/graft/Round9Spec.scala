@@ -138,6 +138,21 @@ class Round9Spec extends AnyFunSuite {
     assert(r2p.toSeq == r2.toSeq)
   }
 
+  test("pipeline_graph_centrality: the composed report equals both singles off one BFS") {
+    import spark.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 5L), (5L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 2L).toDF("node")
+    val composed = operators.Graph.pipelineGraphCentrality(e, seeds).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    val cl = operators.Graph.closeness(e, seeds).collect()
+      .map(r => ("closeness", r.getLong(0).toDouble, r.getLong(1), r.getDouble(2)))
+    val an = operators.Graph.anf(e, seeds).collect()
+      .map(r => ("anf", r.getLong(0).toDouble, r.getLong(1), r.getDouble(2)))
+    assert(composed.toSeq == (an ++ cl).toSeq,
+      s"composed must equal the singles:\n${composed.toSeq}\nvs\n${(an ++ cl).toSeq}")
+  }
+
   test("frontier-only closeness: partition count cannot change the result") {
     import spark.implicits._
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 5L), (5L, 3L))

@@ -155,8 +155,12 @@ object ExactPercentiles {
     val out = targets
       .withColumn("kf", floor(col("r")).cast("long"))
       .withColumn("kc", ceil(col("r")).cast("long"))
-      .join(resolved.toDF("g", "kf", "xlo"), Seq("g", "kf"))
-      .join(resolved.toDF("g", "kc", "xhi"), Seq("g", "kc"))
+      // resolved is (groups × ranks)-scale but assembled from
+      // checkpointed stats-free frames — without the hint the
+      // interpolation join can fall to a sort-merge (r9: q88 planned
+      // one; the r8 checkpoint-blinds-stats lesson)
+      .join(broadcast(resolved.toDF("g", "kf", "xlo")), Seq("g", "kf"))
+      .join(broadcast(resolved.toDF("g", "kc", "xhi")), Seq("g", "kc"))
       // integral rank returns the order statistic ITSELF (as Spark's
       // Percentile does) — interpolating would turn −0.0 into +0.0
       .select(col("g"), col("p"),

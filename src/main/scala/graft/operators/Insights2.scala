@@ -510,5 +510,82 @@ object Insights2 {
       .orderBy(col("event_type"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
+  // ----------------------------------------------------------- q88
+  /** Shared report fragments over (n_keys, n_rows, max_freq) — the
+    * skew ratio `max / (rows/keys)` and the salting factor that
+    * targets max-bucket ≈ 4× average, both fixed-order IEEE trees
+    * over exact BIGINTs shared token-for-token with the oracle
+    * (identical division + ceil in both engines). */
+  private val skewRatioExpr =
+    "CAST(max_freq AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)"
+  private val saltExpr =
+    """greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(max_freq AS DOUBLE)
+       / (4.0 * (CAST(n_rows AS DOUBLE) / n_keys))) AS BIGINT))"""
+
+  /** q88: join-key SKEW report — the diagnostic a pipeline runs
+    * BEFORE choosing a join strategy (broadcast vs shuffle vs the
+    * q41 salted join; AQE's skew-join split helps single stages, but
+    * the salting factor for iterative or bucketed layouts is a
+    * design-time number this report supplies). Per candidate fact
+    * join key: distinct-key count, row count, the hottest key's
+    * frequency and exact p50/p99 frequency (the head/tail shape —
+    * a high p99/p50 gap with moderate max means broad heat, one
+    * mega-key means one salt target), the skew ratio max/avg, and
+    * the suggested salting factor targeting max-bucket ≈ 4× average.
+    *
+    * 100 TB shape: per key ONE shrinking row→key-grain count
+    * aggregate, the report algebra at key grain (percentiles via the
+    * exact distributed-selection machinery — never a sort shuffle),
+    * 2 output rows. */
+  val q88 = QueryDef(
+    "q88_join_skew_report",
+    Some(s"""WITH ck AS (SELECT CAST(count(*) AS BIGINT) AS f FROM orders GROUP BY o_custkey),
+      sk AS (SELECT CAST(count(*) AS BIGINT) AS f FROM lineitem GROUP BY l_suppkey),
+      rep AS (
+        SELECT 'orders.o_custkey' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(f) AS BIGINT) AS n_rows, CAST(max(f) AS BIGINT) AS max_freq,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(f AS DOUBLE)), 6) AS p50_freq,
+          round(percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(f AS DOUBLE)), 6) AS p99_freq
+        FROM ck
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', CAST(count(*) AS BIGINT),
+          CAST(sum(f) AS BIGINT), CAST(max(f) AS BIGINT),
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(f AS DOUBLE)), 6),
+          round(percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(f AS DOUBLE)), 6)
+        FROM sk)
+      SELECT key_col, n_keys, n_rows, max_freq, p50_freq, p99_freq,
+        $skewRatioExpr AS skew_ratio,
+        $saltExpr AS suggested_salt
+      FROM rep ORDER BY key_col"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val ck = Tables.orders(s, d).select(col("o_custkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).cast(LongType).as("f"))
+        .select(lit("orders.o_custkey").as("kc"), col("f"))
+      val sk = Tables.lineitem(s, d).select(col("l_suppkey"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).cast(LongType).as("f"))
+        .select(lit("lineitem.l_suppkey").as("kc"), col("f"))
+      val freq = scope.persist(ck.unionAll(sk))
+      joinSkewReport(freq)
+    })
+
+  /** Skew report over a (kc, f) key-frequency frame — see [[q88]]. */
+  def joinSkewReport(freq: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val agg = freq.groupBy(col("kc"))
+      .agg(count(lit(1)).cast(LongType).as("n_keys"),
+        sum(col("f")).cast(LongType).as("n_rows"),
+        max(col("f")).cast(LongType).as("max_freq"))
+    val pct = ExactPercentiles.percentiles(freq, "kc", "f", Seq(0.5, 0.99))
+      .groupBy(col("g").as("kc"))
+      .agg(min(when(col("p") === 0.5, col("value"))).as("p50"),
+        min(when(col("p") === 0.99, col("value"))).as("p99"))
+    agg.join(broadcast(pct), Seq("kc"))
+      .select(col("kc").as("key_col"), col("n_keys"), col("n_rows"), col("max_freq"),
+        round(col("p50"), 6).as("p50_freq"), round(col("p99"), 6).as("p99_freq"))
+      .selectExpr("key_col", "n_keys", "n_rows", "max_freq", "p50_freq", "p99_freq",
+        s"$skewRatioExpr AS skew_ratio", s"$saltExpr AS suggested_salt")
+      .orderBy(col("key_col"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

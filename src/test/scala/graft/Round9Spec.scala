@@ -138,6 +138,27 @@ class Round9Spec extends AnyFunSuite {
     assert(r2p.toSeq == r2.toSeq)
   }
 
+  test("join skew report: planted frequency histograms hit the closed form") {
+    import spark.implicits._
+    // key A: freqs {1,1,1,1,16} -> avg 4, skew 4, salt ceil(16/16)=1
+    // key B: freqs {1,1,1,1,96} -> avg 20, skew 4.8, salt ceil(96/80)=2
+    val f = (Seq.fill(4)(("A", 1L)) ++ Seq(("A", 16L)) ++
+      Seq.fill(4)(("B", 1L)) ++ Seq(("B", 96L))).toDF("kc", "f")
+    val r = operators.Insights2.joinSkewReport(f).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6), x.getLong(7))).toList
+    assert(r.map(_._1) == List("A", "B"))
+    val a = r.head
+    assert((a._2, a._3, a._4) == ((5L, 20L, 16L)))
+    assert(a._5 == 1.0, s"p50 = ${a._5}")
+    // percentile_cont(0.99) over 5 values: 1 + 0.96 * 15 = 15.4
+    assert(math.abs(a._6 - 15.4) < 1e-9, s"p99 = ${a._6}")
+    assert(a._7 == 4.0 && a._8 == 1L, s"skew/salt = ${(a._7, a._8)}")
+    val b = r(1)
+    assert((b._2, b._3, b._4) == ((5L, 100L, 96L)))
+    assert(b._7 == 96.0 / 20.0 && b._8 == 2L, s"skew/salt = ${(b._7, b._8)}")
+  }
+
   test("pipeline_graph_centrality: the composed report equals both singles off one BFS") {
     import spark.implicits._
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 5L), (5L, 3L))

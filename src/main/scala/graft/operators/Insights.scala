@@ -176,7 +176,7 @@ object Insights {
     * degrade to DOUBLE division in DuckDB — the engines' decimal
     * division semantics NEVER agree, so the fragment keeps the whole
     * tree in IEEE doubles where both are correctly rounded. */
-  private val bm25Frag =
+  private[graft] val bm25Frag =
     s"round(ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
       s" * (CAST(tf AS DOUBLE) * ${1 + Bm25K1})" +
       s" / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)), 12)"

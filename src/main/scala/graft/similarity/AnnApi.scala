@@ -875,4 +875,94 @@ object AnnApi {
       .select(col(id),
         call_function("graft_dot", zip_with(col("vv"), meanA, (x, m) => x - m), eA).as("proj"))
   }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Büttcher SIGIR 2009) of
+    * a lexical and a vector ranked list — the hybrid-retrieval
+    * combiner every production search stack ships (Elasticsearch 8 /
+    * OpenSearch / Vespa hybrid mode): fused(d) = Σ over the lists
+    * containing d of 1/(kRrf + rank_d), kRrf = 60 per the paper.
+    * Rank-based fusion needs no score calibration between the two
+    * retrievers — exactly why it won over weighted-score mixes.
+    *
+    * Inputs are `(id_p, doc_id, rk)` ranked lists. Shape: the fusion
+    * is a UNION + one shrinking (probe, doc)-grain aggregate —
+    * map-combinable, never a join, and generalizes to N lists at the
+    * same one-aggregate cost. Each 1/(kRrf+rk) is one correctly-
+    * rounded IEEE division of exact integers and the two-term sum is
+    * commutative, so the fused score is bit-identical under any
+    * partitioning/merge order. Ties broken by doc_id. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kRrf: Int = 60,
+      k: Int = 10): DataFrame = {
+    val u = lex.selectExpr("id_p", "doc_id",
+        s"CAST(1 AS DOUBLE) / ($kRrf + rk) AS term",
+        "CAST(rk AS BIGINT) AS lex_rk", "CAST(NULL AS BIGINT) AS vec_rk")
+      .unionAll(vec.selectExpr("id_p", "doc_id",
+        s"CAST(1 AS DOUBLE) / ($kRrf + rk) AS term",
+        "CAST(NULL AS BIGINT) AS lex_rk", "CAST(rk AS BIGINT) AS vec_rk"))
+    u.groupBy(col("id_p"), col("doc_id"))
+      .agg(sum(col("term")).as("rrf"), min(col("lex_rk")).as("lex_rk"),
+        min(col("vec_rk")).as("vec_rk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("id_p"), col("rk"), col("doc_id"), col("rrf"),
+        col("lex_rk"), col("vec_rk"))
+      .orderBy(col("id_p"), col("rk"))
+  }
+
+  /** 12-dp position discounts 1/log₂(i+1), i = 1..k — surfaced as
+    * LITERALS in both engines (the libm log never runs inside a
+    * gated plan), so the discount table IS the metric's definition,
+    * the standard practice for a pinned offline-eval harness. */
+  def ndcgDiscounts(k: Int): IndexedSeq[java.math.BigDecimal] =
+    (1 to k).map { i =>
+      java.math.BigDecimal.valueOf(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Shared CASE fragment mapping a rank column to its literal
+    * discount — identical text in the Spark plan and the oracle. */
+  def ndcgCaseSql(rkCol: String, k: Int): String =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) =>
+      s"WHEN ${i + 1} THEN CAST(${d.toPlainString} AS DECIMAL(14,12))"
+    }.mkString(s"CASE $rkCol ", " ", " ELSE CAST(0 AS DECIMAL(14,12)) END")
+
+  /** Ideal DCG@k for graded gains k, k−1, …, 1 — exact decimal sum
+    * of the literal discounts, so a perfect ranking's nDCG is
+    * EXACTLY 1.0 in both engines. */
+  def ndcgIdcg(k: Int): java.math.BigDecimal =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) =>
+      d.multiply(java.math.BigDecimal.valueOf((k - i).toLong))
+    }.reduce(_.add(_))
+
+  /** nDCG@k of an approximate ranked list against the exact ranking
+    * (graded relevance: the exact top-k at rank r carries gain
+    * k+1−r, everything else 0) — the ranking-quality readout that
+    * complements recall@k: recall says WHETHER the true neighbors
+    * surfaced, nDCG says whether they surfaced in the right ORDER
+    * (Järvelin–Kekäläinen 2002). Inputs `(id_p, rk, id_c)`.
+    *
+    * Determinism: gains are exact integers, discounts 12-dp decimal
+    * literals, so each DCG term and the per-probe sum are EXACT
+    * decimal arithmetic — the only IEEE op is the final division by
+    * the ideal-DCG literal. Shape: one probe-sample-sized broadcast
+    * left join + one probe-grain aggregate; corpus-scale cost lives
+    * entirely in the two ranked lists being audited. */
+  def ndcgReadout(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    val idcg = ndcgIdcg(k).toPlainString
+    val ex = exact.select(col("id_p").as("ep"), col("id_c").as("ec"),
+      col("rk").as("brk"))
+    approx.join(broadcast(ex),
+        col("id_p") === col("ep") && col("id_c") === col("ec"), "left")
+      .selectExpr("id_p", "rk",
+        s"CAST(coalesce(${k + 1} - brk, 0) AS BIGINT) AS rel")
+      .selectExpr("id_p", "rel",
+        s"CAST(rel * ${ndcgCaseSql("rk", k)} AS DECIMAL(28,12)) AS term")
+      .groupBy(col("id_p"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long").as("n_hits"),
+        sum(col("term")).as("dcg"))
+      .selectExpr("id_p", "n_hits", "CAST(dcg AS DOUBLE) AS dcg",
+        s"CAST(dcg AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg")
+      .orderBy(col("id_p"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.similarity
 
-import graft.{QueryDef, Tables}
+import graft.{Portable, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1068,5 +1069,148 @@ object Similarity {
         .localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit)
+  // ------------------------------------------------- hybrid RRF
+  /** Retrieval depth of each list feeding the fusion, the RRF
+    * constant (Cormack et al. 2009's k = 60), and the fused cut. */
+  val HybridDepth = 20
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** ann_hybrid_rrf: hybrid lexical+vector retrieval fused by
+    * reciprocal rank (r9) — the RAG-stack retrieval shape: per probe
+    * document, (a) a BM25 ranking of the corpus against the probe's
+    * own token set (the query-by-document form; scoring is q73's
+    * exact [[graft.operators.Insights.bm25Frag]] discipline — 12-dp
+    * terms summed as DECIMAL, ranked on the exact sum), (b) the
+    * exact cosine ranking of its embedding (the baseline generator —
+    * swap [[AnnApi.lshTopK]]/ivf in at corpus scale, the tier's
+    * documented composition point), then [[AnnApi.rrfFuse]] unites
+    * them at 1/(60+rank), no score calibration across modalities.
+    *
+    * 100 TB shape: the probe vocabulary is broadcast (a query set is
+    * small by definition) and the lexical candidate volume is the
+    * postings mass Σ_t df(t)·qf(t) — the inverted-index query bound,
+    * never corpus×corpus; one corpus tokenize scan feeds tf/df/stats
+    * as shrinking aggregates; the fusion itself is a UNION + one
+    * (probe, doc)-grain map-combinable aggregate, never a join. */
+  val hybridRrf = QueryDef(
+    "ann_hybrid_rrf",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(${Portable.normTextSql("text")}, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(CAST(len(toks) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM t),
+      qv AS (SELECT DISTINCT doc_id AS id_p, tok FROM tok WHERE doc_id < 10),
+      tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE tok IN (SELECT tok FROM qv) GROUP BY doc_id, dl, tok),
+      dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      term AS (SELECT qv.id_p, tf.doc_id, CAST(${graft.operators.Insights.bm25Frag} AS DECIMAL(28,12)) AS ts
+        FROM qv JOIN tf ON qv.tok = tf.tok JOIN dft ON tf.tok = dft.tok, st
+        WHERE tf.doc_id <> qv.id_p),
+      lexsc AS (SELECT id_p, doc_id, sum(ts) AS s FROM term GROUP BY id_p, doc_id),
+      lex AS (SELECT id_p, doc_id, rk FROM (SELECT id_p, doc_id,
+          row_number() OVER (PARTITION BY id_p ORDER BY s DESC, doc_id) AS rk FROM lexsc) z
+        WHERE rk <= $HybridDepth),
+      $normSqlCte,
+      vec AS (SELECT id_p, doc_id, rk FROM (
+          SELECT a.vec_id AS id_p, b.vec_id AS doc_id,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+          FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) z
+        WHERE rk <= $HybridDepth),
+      u AS (SELECT id_p, doc_id, CAST(1 AS DOUBLE) / ($RrfK + rk) AS term,
+          CAST(rk AS BIGINT) AS lex_rk, CAST(NULL AS BIGINT) AS vec_rk FROM lex
+        UNION ALL SELECT id_p, doc_id, CAST(1 AS DOUBLE) / ($RrfK + rk),
+          CAST(NULL AS BIGINT), CAST(rk AS BIGINT) FROM vec),
+      f AS (SELECT id_p, doc_id, sum(term) AS rrf, min(lex_rk) AS lex_rk,
+        min(vec_rk) AS vec_rk FROM u GROUP BY id_p, doc_id)
+      SELECT id_p, rk, doc_id, rrf, lex_rk, vec_rk FROM (
+        SELECT id_p, doc_id, rrf, lex_rk, vec_rk,
+          row_number() OVER (PARTITION BY id_p ORDER BY rrf DESC, doc_id) AS rk FROM f) z
+      WHERE rk <= $HybridTopK ORDER BY id_p, rk"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(Portable.normText(col("text")), " ").as("toks"))
+      val tokd = scope.persist(t.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("dl"), explode(col("toks")).as("tok")))
+      val st = t.select(size(col("toks")).cast(LongType).as("dl"))
+        .agg(count(lit(1)).cast(LongType).as("nd"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val qv = tokd.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("id_p"), col("tok")).distinct()
+      val qtoks = qv.select(col("tok")).distinct()
+      val tf = tokd.join(broadcast(qtoks), Seq("tok"), "left_semi")
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).cast(LongType).as("tf"))
+      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
+      val term = tf.join(broadcast(qv), Seq("tok"))
+        .filter(col("doc_id") =!= col("id_p"))
+        .join(broadcast(dft), Seq("tok"))
+        .crossJoin(broadcast(st))
+        .selectExpr("id_p", "doc_id",
+          s"CAST(${graft.operators.Insights.bm25Frag} AS DECIMAL(28,12)) AS ts")
+      val lex = term.groupBy(col("id_p"), col("doc_id")).agg(sum(col("ts")).as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id_p")).orderBy(col("s").desc, col("doc_id"))))
+        .filter(col("rk") <= HybridDepth)
+        .select(col("id_p"), col("doc_id"), col("rk"))
+      val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))
+      val vec = AnnApi.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          probes, HybridDepth)
+        .select(col("id_p"), col("id_c").as("doc_id"), col("rk"))
+      AnnApi.rrfFuse(lex, vec, RrfK, HybridTopK)
+    })
+
+  // ---------------------------------------------------- nDCG audit
+  /** ann_ndcg: nDCG@10 of the LSH index's ranking against the exact
+    * cosine ranking (r9) — the ORDER-quality companion to
+    * `ann_recall_audit`'s set-quality readout (Järvelin–Kekäläinen
+    * 2002): the exact top-10 neighbor at rank r carries graded gain
+    * 11−r, the approximate list's DCG divides by the ideal. Recall
+    * can stay flat while the index scrambles the head — this is the
+    * metric that catches it. Discounts 1/log₂(i+1) are pinned 12-dp
+    * literals and the DCG is exact decimal algebra; the only IEEE op
+    * is the final division by the ideal-DCG literal, so a perfect
+    * list scores exactly 1.0 in both engines ([[AnnApi.ndcgReadout]]).
+    * Probe-sample-sized by construction — corpus-scale cost is the
+    * two audited rankings themselves. */
+  val ndcgAudit = QueryDef(
+    "ann_ndcg",
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      val caseSql = AnnApi.ndcgCaseSql("l.rk", 10)
+      val idcg = AnnApi.ndcgIdcg(10).toPlainString
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS id_p, cb.vec_id AS id_c
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk
+          AND ca.vec_id < 10 AND ca.vec_id <> cb.vec_id),
+      lshk AS (SELECT id_p, id_c, rk FROM (
+        SELECT cd.id_p, cd.id_c,
+          row_number() OVER (PARTITION BY cd.id_p ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.id_c) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+        WHERE rk <= 10),
+      bru AS (SELECT id_p, id_c, rk AS brk FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 10),
+      tm AS (SELECT l.id_p, CAST(coalesce(11 - b.brk, 0) AS BIGINT) AS rel,
+          CAST(CAST(coalesce(11 - b.brk, 0) AS BIGINT) * $caseSql AS DECIMAL(28,12)) AS term
+        FROM lshk l LEFT JOIN bru b ON b.id_p = l.id_p AND b.id_c = l.id_c)
+      SELECT id_p, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        CAST(sum(term) AS DOUBLE) AS dcg,
+        CAST(sum(term) AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg
+      FROM tm GROUP BY id_p ORDER BY id_p"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+      val brute = AnnApi.bruteTopK(emb, "vec_id", "embedding", probes, 10)
+      val l = AnnApi.lshTopK(emb, "vec_id", "embedding", probes, 10)
+      AnnApi.ndcgReadout(l, brute, 10)
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit)
 }

@@ -186,4 +186,47 @@ class Round9Spec extends AnyFunSuite {
     val s0 = a.find(_.getLong(0) == 0L).get
     assert(s0.getLong(1) == 4L && s0.getDouble(2) == 3.0)
   }
+
+  test("rrf fusion: planted disagreeing lists hit the closed form") {
+    import spark.implicits._
+    // lexical says A then B; vector says B then C — fused order is
+    // B (both lists), A (lex only, rank 1), C (vec only, rank 2)
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("id_p", "doc_id", "rk")
+    val vec = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("id_p", "doc_id", "rk")
+    val r = similarity.AnnApi.rrfFuse(lex, vec, 60, 10).collect()
+      .map(x => (x.getInt(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4),
+        if (x.isNullAt(5)) -1L else x.getLong(5))).toList
+    assert(r == List(
+      (1, 11L, 1.0 / 62 + 1.0 / 61, 2L, 1L),
+      (2, 10L, 1.0 / 61, 1L, -1L),
+      (3, 12L, 1.0 / 62, -1L, 2L)))
+  }
+
+  test("ndcg: perfect list scores exactly 1.0, a head swap and a miss score the closed form") {
+    import spark.implicits._
+    val exact = (1 to 10).map(i => (0L, i, 100L + i)).toDF("id_p", "rk", "id_c")
+    val perfect = similarity.AnnApi.ndcgReadout(exact, exact, 10).collect().head
+    assert(perfect.getLong(1) == 10L && perfect.getDouble(3) == 1.0,
+      s"perfect ndcg = ${perfect.getDouble(3)}")
+    val disc = similarity.AnnApi.ndcgDiscounts(10)
+    val idcg = similarity.AnnApi.ndcgIdcg(10)
+    // swap the top two: gains 9,10 at positions 1,2 instead of 10,9
+    val swapped = ((Seq((0L, 1, 102L), (0L, 2, 101L)) ++
+      (3 to 10).map(i => (0L, i, 100L + i)))).toDF("id_p", "rk", "id_c")
+    val sw = similarity.AnnApi.ndcgReadout(swapped, exact, 10).collect().head
+    val expSwap = (idcg
+      .subtract(disc(0).multiply(java.math.BigDecimal.ONE))
+      .add(disc(1).multiply(java.math.BigDecimal.ONE))).doubleValue() / idcg.doubleValue()
+    assert(math.abs(sw.getDouble(3) - expSwap) < 1e-15,
+      s"swapped ndcg = ${sw.getDouble(3)} vs $expSwap")
+    assert(sw.getDouble(3) < 1.0)
+    // last slot replaced by a non-neighbor: rel 0 at position 10
+    val missed = ((1 to 9).map(i => (0L, i, 100L + i)) :+ (0L, 10, 999L))
+      .toDF("id_p", "rk", "id_c")
+    val ms = similarity.AnnApi.ndcgReadout(missed, exact, 10).collect().head
+    val expMiss = idcg.subtract(disc(9)).doubleValue() / idcg.doubleValue()
+    assert(ms.getLong(1) == 9L && math.abs(ms.getDouble(3) - expMiss) < 1e-15,
+      s"missed ndcg = ${ms.getDouble(3)} vs $expMiss")
+  }
 }

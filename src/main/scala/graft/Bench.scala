@@ -91,7 +91,8 @@ object Bench {
     // doc-parity item) and the round-9 operators
     "dedup_cluster_stats", "ml_confusion_mcc", "approx_tdigest_quantiles",
     "approx_set_overlap", "graph_anf", "pipeline_graph_centrality",
-    "q88_join_skew_report", "ann_hybrid_rrf", "ann_ndcg")
+    "q88_join_skew_report", "ann_hybrid_rrf", "ann_ndcg",
+    "pipeline_retrieval_eval")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -948,6 +948,34 @@ object AnnApi {
     * the ideal-DCG literal. Shape: one probe-sample-sized broadcast
     * left join + one probe-grain aggregate; corpus-scale cost lives
     * entirely in the two ranked lists being audited. */
+  /** Composed retrieval-quality report: recall@5 AND nDCG@10 of the
+    * LSH index against the exact ranking, both read off ONE persisted
+    * pair of depth-10 rankings — the train-once/read-many
+    * composition (`pipeline_ml_readouts` / `pipeline_graph_centrality`
+    * pattern): the two corpus-scale candidate scans run once, the
+    * recall@5 frames are FILTERS of the depth-10 lists (a prefix of
+    * a deterministic ranking is the shallower ranking), and each
+    * readout is probe-sample-sized algebra. Output keyed
+    * `(readout, id_p, n_hits, value)`. */
+  def retrievalEval(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val brute = scope.persist(bruteTopK(corpus, id, vec, probeIds, 10))
+    val approx = scope.persist(lshTopK(corpus, id, vec, probeIds, 10))
+    val l5 = approx.filter(col("rk") <= 5)
+      .select(col("id_p").as("lp"), col("id_c").as("lc"))
+    val rec = brute.filter(col("rk") <= 5)
+      .join(broadcast(l5), col("id_p") === col("lp") && col("id_c") === col("lc"), "left")
+      .groupBy(col("id_p")).agg(count(col("lc")).cast("long").as("n_hits"))
+      .selectExpr("id_p", "n_hits", "CAST(n_hits AS DOUBLE) / 5.0 AS value")
+    val nd = ndcgReadout(approx, brute, 10)
+      .select(col("id_p"), col("n_hits"), col("ndcg").as("value"))
+    nd.select(lit("ndcg10").as("readout"), col("id_p"), col("n_hits"), col("value"))
+      .unionAll(rec.select(lit("recall5").as("readout"), col("id_p"),
+        col("n_hits"), col("value")))
+      .orderBy(col("readout"), col("id_p"))
+  }
+
   def ndcgReadout(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
     val idcg = ndcgIdcg(k).toPlainString
     val ex = exact.select(col("id_p").as("ep"), col("id_c").as("ec"),

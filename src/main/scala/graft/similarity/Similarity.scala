@@ -1212,5 +1212,59 @@ object Similarity {
       AnnApi.ndcgReadout(l, brute, 10)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit)
+  /** pipeline_retrieval_eval: the composed index-quality report —
+    * recall@5 + nDCG@10 off ONE persisted pair of depth-10 rankings
+    * (r9; [[AnnApi.retrievalEval]]): the standalone `ann_recall_audit`
+    * and `ann_ndcg` gates each rebuild the brute and LSH rankings by
+    * gate-isolation design, so the composed gate costs ≈ one single,
+    * not two — the `pipeline_ml_readouts` pattern on the ANN tier.
+    * recall@5 sides are prefix FILTERS of the shared depth-10 lists. */
+  val retrievalEval = QueryDef(
+    "pipeline_retrieval_eval",
+    Some {
+      val bkCols = (0 until NumTables).map(t => s"${bucketExprSql(t)} AS bk_$t").mkString(", ")
+      val tb = (0 until NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, bk_$t AS bk FROM bk")
+        .mkString(" UNION ALL ")
+      val caseSql = AnnApi.ndcgCaseSql("l.rk", 10)
+      val idcg = AnnApi.ndcgIdcg(10).toPlainString
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, $bkCols FROM nx),
+      tb AS ($tb),
+      cand AS (SELECT DISTINCT ca.vec_id AS id_p, cb.vec_id AS id_c
+        FROM tb ca JOIN tb cb ON ca.t = cb.t AND ca.bk = cb.bk
+          AND ca.vec_id < 10 AND ca.vec_id <> cb.vec_id),
+      lshk AS (SELECT id_p, id_c, rk FROM (
+        SELECT cd.id_p, cd.id_c,
+          row_number() OVER (PARTITION BY cd.id_p ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.id_c) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+        WHERE rk <= 10),
+      bru AS (SELECT id_p, id_c, rk AS brk FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 10),
+      rec AS (SELECT b.id_p, CAST(count(l.id_c) AS BIGINT) AS n_hits,
+          CAST(count(l.id_c) AS DOUBLE) / 5.0 AS value
+        FROM (SELECT id_p, id_c FROM bru WHERE brk <= 5) b
+        LEFT JOIN (SELECT id_p, id_c FROM lshk WHERE rk <= 5) l
+          ON l.id_p = b.id_p AND l.id_c = b.id_c
+        GROUP BY b.id_p),
+      tm AS (SELECT l.id_p, CAST(coalesce(11 - b.brk, 0) AS BIGINT) AS rel,
+          CAST(CAST(coalesce(11 - b.brk, 0) AS BIGINT) * $caseSql AS DECIMAL(28,12)) AS term
+        FROM lshk l LEFT JOIN bru b ON b.id_p = l.id_p AND b.id_c = l.id_c),
+      nd AS (SELECT id_p, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          CAST(sum(term) AS DOUBLE) / CAST($idcg AS DOUBLE) AS value
+        FROM tm GROUP BY id_p)
+      SELECT 'ndcg10' AS readout, id_p, n_hits, value FROM nd
+      UNION ALL SELECT 'recall5', id_p, n_hits, value FROM rec
+      ORDER BY readout, id_p"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+      AnnApi.retrievalEval(emb, "vec_id", "embedding", probes)
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval)
 }

@@ -229,4 +229,27 @@ class Round9Spec extends AnyFunSuite {
     assert(ms.getLong(1) == 9L && math.abs(ms.getDouble(3) - expMiss) < 1e-15,
       s"missed ndcg = ${ms.getDouble(3)} vs $expMiss")
   }
+
+  test("pipeline_retrieval_eval: the composed report equals both singles off one ranking pair") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 4).select(col("vec_id"))
+    val composed = CacheScope.withScope { implicit sc =>
+      similarity.AnnApi.retrievalEval(emb, "vec_id", "embedding", probes).collect()
+    }.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b10 = similarity.AnnApi.bruteTopK(emb, "vec_id", "embedding", probes, 10)
+    val l10 = similarity.AnnApi.lshTopK(emb, "vec_id", "embedding", probes, 10)
+    val nd = similarity.AnnApi.ndcgReadout(l10, b10, 10).collect()
+      .map(r => ("ndcg10", r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val l5 = l10.filter(col("rk") <= 5).select(col("id_p").as("lp"), col("id_c").as("lc"))
+    val rec = b10.filter(col("rk") <= 5)
+      .join(broadcast(l5), col("id_p") === col("lp") && col("id_c") === col("lc"), "left")
+      .groupBy(col("id_p")).agg(count(col("lc")).cast("long").as("nh"))
+      .orderBy(col("id_p")).collect()
+      .map(r => ("recall5", r.getLong(0), r.getLong(1), r.getLong(1).toDouble / 5.0))
+    assert(composed.toSeq == (nd ++ rec).toSeq,
+      s"composed:\n${composed.toSeq}\nvs singles:\n${(nd ++ rec).toSeq}")
+  }
 }

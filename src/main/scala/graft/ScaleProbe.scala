@@ -168,7 +168,16 @@ object ScaleProbe {
       ("graph_hits", d => operators.Graph.hitsQuery.build(spark, d)),
       ("dedup_threshold_sweep", d => dedup.Dedup.thresholdSweep.build(spark, d)),
       ("q87_seasonal_naive_backtest", d => operators.Insights2.q87.build(spark, d)),
-      ("graph_closeness", d => operators.Graph.closenessQuery.build(spark, d)))
+      ("graph_closeness", d => operators.Graph.closenessQuery.build(spark, d)),
+      // the round-9 tier: key-grain skew report + selection machinery,
+      // postings-bound hybrid retrieval, bitmask-BFS radius readout,
+      // mergeable sketches, the composed LSH-audit pair
+      ("q88_join_skew_report", d => operators.Insights2.q88.build(spark, d)),
+      ("ann_hybrid_rrf", d => similarity.Similarity.hybridRrf.build(spark, d)),
+      ("graph_anf", d => operators.Graph.anfQuery.build(spark, d)),
+      ("approx_tdigest_quantiles", d => operators.Sketches.approxTdigestQuantiles.build(spark, d)),
+      ("approx_set_overlap", d => operators.Sketches.approxSetOverlap.build(spark, d)),
+      ("pipeline_retrieval_eval", d => similarity.Similarity.retrievalEval.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

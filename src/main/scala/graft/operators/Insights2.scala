@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Portable, QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -587,5 +587,177 @@ object Insights2 {
       .orderBy(col("key_col"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
+  // ----------------------------------------------------------- q89
+  /** q89: data-quality AUDIT report — the expectation suite a
+    * pipeline runs before trusting a new snapshot (the Deequ/
+    * Great-Expectations check classes, re-expressed as one
+    * long-format Spark report): per-column completeness (null
+    * counts), domain membership (values outside the allowed set),
+    * range validity (sign/interval violations), primary-key
+    * uniqueness (rows minus distinct keys), referential integrity
+    * (child keys with no parent), and bounded-domain cardinality.
+    * Every row carries the exact violation count, the table total,
+    * the 6-dp violation rate, and the pass verdict.
+    *
+    * Determinism: every metric is an exact BIGINT conditional count;
+    * the rate is the pure-BIGINT half-up ratio
+    * ([[graft.Portable.round6RatioSql]]); `ok` compares exact
+    * integers — no float ever crosses the engine boundary.
+    *
+    * 100 TB shape: the scan-local check classes (completeness /
+    * domain / range / uniqueness / cardinality) fold into ONE
+    * column-pruned aggregate per table — conditional sums are
+    * map-combinable, the count-distincts ride Spark's two-phase
+    * partial-distinct expand, no row ever leaves its scan until the
+    * final 1-row combine. The two FK checks are single keyed
+    * shuffle joins on the pruned key columns (both sides data-scale
+    * at 100 TB, so a hash-partitioned join IS the right shape; AQE
+    * broadcasts the parent at small SF). Output is checks-grain
+    * (~17 rows). */
+  val q89 = QueryDef(
+    "q89_dq_audit",
+    Some(s"""WITH o AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_prio,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk
+      FROM orders),
+      l AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship,
+        CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+        CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        CAST(sum(CASE WHEN l_discount < 0 OR l_discount >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+        CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax
+      FROM lineitem),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_bal,
+        CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS dup_pk,
+        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS card_seg
+      FROM customer),
+      dc AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+        CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_pk,
+        CAST(count(DISTINCT lang) AS BIGINT) AS card_lang
+      FROM documents),
+      flo AS (SELECT CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric,
+        CAST(count(*) AS BIGINT) AS total
+        FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON li.l_orderkey = o.o_orderkey),
+      foc AS (SELECT CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric,
+        CAST(count(*) AS BIGINT) AS total
+        FROM orders od LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON od.o_custkey = c.c_custkey),
+      rows_ AS (
+        SELECT 'completeness' AS check_name, 'orders' AS tbl, 'o_totalprice' AS col_name, null_price AS metric, total FROM o
+        UNION ALL SELECT 'completeness', 'orders', 'o_orderdate', null_date, total FROM o
+        UNION ALL SELECT 'completeness', 'lineitem', 'l_shipdate', null_ship, total FROM l
+        UNION ALL SELECT 'completeness', 'customer', 'c_acctbal', null_bal, total FROM c
+        UNION ALL SELECT 'completeness', 'documents', 'text', null_text, total FROM dc
+        UNION ALL SELECT 'completeness', 'documents', 'lang', null_lang, total FROM dc
+        UNION ALL SELECT 'domain', 'orders', 'o_orderstatus', bad_status, total FROM o
+        UNION ALL SELECT 'domain', 'orders', 'o_orderpriority', bad_prio, total FROM o
+        UNION ALL SELECT 'domain', 'lineitem', 'l_returnflag', bad_flag, total FROM l
+        UNION ALL SELECT 'range', 'orders', 'o_totalprice', neg_price, total FROM o
+        UNION ALL SELECT 'range', 'lineitem', 'l_quantity', bad_qty, total FROM l
+        UNION ALL SELECT 'range', 'lineitem', 'l_discount', bad_disc, total FROM l
+        UNION ALL SELECT 'range', 'lineitem', 'l_tax', bad_tax, total FROM l
+        UNION ALL SELECT 'uniqueness', 'orders', 'o_orderkey', dup_pk, total FROM o
+        UNION ALL SELECT 'uniqueness', 'customer', 'c_custkey', dup_pk, total FROM c
+        UNION ALL SELECT 'uniqueness', 'documents', 'doc_id', dup_pk, total FROM dc
+        UNION ALL SELECT 'fk_orphans', 'lineitem', 'l_orderkey', metric, total FROM flo
+        UNION ALL SELECT 'fk_orphans', 'orders', 'o_custkey', metric, total FROM foc
+        UNION ALL SELECT 'cardinality', 'customer', 'c_mktsegment', card_seg, total FROM c
+        UNION ALL SELECT 'cardinality', 'documents', 'lang', card_lang, total FROM dc)
+      SELECT check_name, tbl, col_name, metric, total,
+        ${Portable.round6RatioDuck("metric", "total")} AS rate,
+        CASE WHEN check_name = 'cardinality' THEN metric <= 64 ELSE metric = 0 END AS ok
+      FROM rows_ ORDER BY check_name, tbl, col_name"""),
+    (s, d) => dqAudit(Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d), Tables.documents(s, d)))
+
+  /** Long-format DQ report over the four audited frames — see [[q89]]. */
+  def dqAudit(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, documents: DataFrame): DataFrame = {
+    def cnt(cond: String): Column =
+      sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).cast(LongType)
+    def row3(check: String, tbl: String, col: String): Seq[String] =
+      Seq(s"'$check'", s"'$tbl'", s"'$col'")
+
+    val o = orders.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      cnt("o_totalprice IS NULL").as("null_price"),
+      cnt("o_orderdate IS NULL").as("null_date"),
+      cnt("o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL").as("bad_status"),
+      cnt("o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') OR o_orderpriority IS NULL").as("bad_prio"),
+      cnt("o_totalprice <= 0").as("neg_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).cast(LongType).as("dup_pk"))
+    val l = lineitem.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      cnt("l_shipdate IS NULL").as("null_ship"),
+      cnt("l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL").as("bad_flag"),
+      cnt("l_quantity <= 0").as("bad_qty"),
+      cnt("l_discount < 0 OR l_discount >= 1").as("bad_disc"),
+      cnt("l_tax < 0").as("bad_tax"))
+    val c = customer.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      cnt("c_acctbal IS NULL").as("null_bal"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).cast(LongType).as("dup_pk"),
+      countDistinct(col("c_mktsegment")).cast(LongType).as("card_seg"))
+    val dc = documents.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      cnt("text IS NULL").as("null_text"),
+      cnt("lang IS NULL").as("null_lang"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast(LongType).as("dup_pk"),
+      countDistinct(col("lang")).cast(LongType).as("card_lang"))
+    // parent keys DISTINCT'd (map-combinable partial distinct) so a
+    // duplicated parent PK cannot fan out the child rows being counted
+    val flo = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(cnt("o_orderkey IS NULL").as("metric"), count(lit(1)).cast(LongType).as("total"))
+    val foc = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .agg(cnt("c_custkey IS NULL").as("metric"), count(lit(1)).cast(LongType).as("total"))
+
+    def unpivot(src: DataFrame, rows: Seq[(Seq[String], String)]): DataFrame = {
+      val cells = rows.map { case (tag, m) => (tag :+ m :+ "total").mkString(", ") }
+      src.selectExpr(s"stack(${rows.size}, ${cells.mkString(", ")}) AS (check_name, tbl, col_name, metric, total)")
+    }
+    val long = unpivot(o, Seq(
+        row3("completeness", "orders", "o_totalprice") -> "null_price",
+        row3("completeness", "orders", "o_orderdate") -> "null_date",
+        row3("domain", "orders", "o_orderstatus") -> "bad_status",
+        row3("domain", "orders", "o_orderpriority") -> "bad_prio",
+        row3("range", "orders", "o_totalprice") -> "neg_price",
+        row3("uniqueness", "orders", "o_orderkey") -> "dup_pk"))
+      .unionAll(unpivot(l, Seq(
+        row3("completeness", "lineitem", "l_shipdate") -> "null_ship",
+        row3("domain", "lineitem", "l_returnflag") -> "bad_flag",
+        row3("range", "lineitem", "l_quantity") -> "bad_qty",
+        row3("range", "lineitem", "l_discount") -> "bad_disc",
+        row3("range", "lineitem", "l_tax") -> "bad_tax")))
+      .unionAll(unpivot(c, Seq(
+        row3("completeness", "customer", "c_acctbal") -> "null_bal",
+        row3("uniqueness", "customer", "c_custkey") -> "dup_pk",
+        row3("cardinality", "customer", "c_mktsegment") -> "card_seg")))
+      .unionAll(unpivot(dc, Seq(
+        row3("completeness", "documents", "text") -> "null_text",
+        row3("completeness", "documents", "lang") -> "null_lang",
+        row3("uniqueness", "documents", "doc_id") -> "dup_pk",
+        row3("cardinality", "documents", "lang") -> "card_lang")))
+      .unionAll(flo.selectExpr("'fk_orphans' AS check_name", "'lineitem' AS tbl",
+        "'l_orderkey' AS col_name", "metric", "total"))
+      .unionAll(foc.selectExpr("'fk_orphans' AS check_name", "'orders' AS tbl",
+        "'o_custkey' AS col_name", "metric", "total"))
+    long.selectExpr("check_name", "tbl", "col_name", "metric", "total",
+        s"${Portable.round6RatioSpark("metric", "total")} AS rate",
+        "CASE WHEN check_name = 'cardinality' THEN metric <= 64 ELSE metric = 0 END AS ok")
+      .orderBy(col("check_name"), col("tbl"), col("col_name"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -252,4 +252,60 @@ class Round9Spec extends AnyFunSuite {
     assert(composed.toSeq == (nd ++ rec).toSeq,
       s"composed:\n${composed.toSeq}\nvs singles:\n${(nd ++ rec).toSeq}")
   }
+
+  test("dq audit: planted violations hit exact counts per check class") {
+    import spark.implicits._
+    // orders: 4 rows — one dup pk (1), one NULL price, one bad status,
+    // one negative price, one orphan custkey (90 has no customer)
+    val orders = Seq(
+      (1L, 10L, "F", Some(10.0), Some("2024-01-01"), "1-URGENT"),
+      (1L, 10L, "O", Some(20.0), Some("2024-01-02"), "5-LOW"),
+      (2L, 20L, "X", None, Some("2024-01-03"), "2-HIGH"),
+      (3L, 90L, "P", Some(-5.0), None, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od", "o_orderpriority")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    // lineitem: 3 rows — one orphan orderkey (99), one bad discount,
+    // one bad qty + bad tax
+    val lineitem = Seq(
+      (1L, 1.0, 0.05, 0.02, "A", Some("2024-01-05")),
+      (99L, 5.0, 1.5, 0.0, "N", None),
+      (2L, -1.0, 0.0, -0.1, "Z", Some("2024-01-06")))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_returnflag", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val customer = Seq((10L, Some(5.0), "AUTO"), (20L, None, "AUTO"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val documents = Seq((1L, Some("a"), Some("en")), (1L, None, None))
+      .toDF("doc_id", "text", "lang")
+
+    val r = operators.Insights2.dqAudit(orders, lineitem, customer, documents)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)) ->
+        (x.getLong(3), x.getLong(4), x.getBoolean(6))).toMap
+    assert(r(("completeness", "orders", "o_totalprice")) == ((1L, 4L, false)))
+    assert(r(("completeness", "orders", "o_orderdate")) == ((1L, 4L, false)))
+    assert(r(("completeness", "lineitem", "l_shipdate")) == ((1L, 3L, false)))
+    assert(r(("completeness", "customer", "c_acctbal")) == ((1L, 2L, false)))
+    assert(r(("completeness", "documents", "text")) == ((1L, 2L, false)))
+    assert(r(("completeness", "documents", "lang")) == ((1L, 2L, false)))
+    assert(r(("domain", "orders", "o_orderstatus")) == ((1L, 4L, false)))
+    assert(r(("domain", "orders", "o_orderpriority")) == ((0L, 4L, true)))
+    assert(r(("domain", "lineitem", "l_returnflag")) == ((1L, 3L, false)))
+    assert(r(("range", "orders", "o_totalprice")) == ((1L, 4L, false)))
+    assert(r(("range", "lineitem", "l_quantity")) == ((1L, 3L, false)))
+    assert(r(("range", "lineitem", "l_discount")) == ((1L, 3L, false)))
+    assert(r(("range", "lineitem", "l_tax")) == ((1L, 3L, false)))
+    assert(r(("uniqueness", "orders", "o_orderkey")) == ((1L, 4L, false)))
+    assert(r(("uniqueness", "customer", "c_custkey")) == ((0L, 2L, true)))
+    assert(r(("uniqueness", "documents", "doc_id")) == ((1L, 2L, false)))
+    assert(r(("fk_orphans", "lineitem", "l_orderkey")) == ((1L, 3L, false)))
+    assert(r(("fk_orphans", "orders", "o_custkey")) == ((1L, 4L, false)))
+    assert(r(("cardinality", "customer", "c_mktsegment")) == ((1L, 2L, true)))
+    assert(r(("cardinality", "documents", "lang")) == ((1L, 2L, true)))
+    // 6-dp half-up rate on the planted 1/3 ratio
+    assert(r.size == 20)
+    val rate = operators.Insights2.dqAudit(orders, lineitem, customer, documents)
+      .filter(col("tbl") === "lineitem" && col("check_name") === "fk_orphans")
+      .collect().head.getDouble(5)
+    assert(rate == 0.333333, s"rate = $rate")
+  }
 }

@@ -717,6 +717,112 @@ object Analytics {
       confusionReadout(confusionOfScores(scoreWith(b, logregWeights6(b))))
     })
 
+  // ------------------------------------------- ml_conformal_interval
+  /** ml_conformal_interval: SPLIT-CONFORMAL prediction interval for
+    * the linear probe (Vovk's inductive conformal; Lei et al. 2018,
+    * "Distribution-Free Predictive Inference for Regression") — the
+    * finite-sample-guaranteed error bar a pipeline publishes next to
+    * a point forecast. `l_orderkey % 4` splits the corpus: folds
+    * {0,1} train the [[linearProbe]] OLS, fold 2 calibrates, fold 3
+    * is the held-out audit. The calibration radius is the
+    * ⌈(1−α)(n_cal+1)⌉-th SMALLEST absolute residual (α = 0.1) —
+    * the rank computed in PURE BIGINT, ⌈9(n+1)/10⌉ = (9(n+1)+9) div
+    * 10, never a float that could land ±1 off the guarantee — and
+    * the held-out coverage must then be ≥ 90% in expectation; `ok`
+    * pins ≥ 0.88 (finite-sample slack).
+    *
+    * Determinism: train weights are the Cramer fixed-order IEEE tree
+    * over DECIMAL moments (bit-equal in both engines), residuals the
+    * shared scoring tree, so the calibration order statistic — an
+    * ACTUAL residual value — and every coverage comparison are
+    * bit-identical; the surfaced coverage is the pure-BIGINT 6-dp
+    * ratio.
+    *
+    * 100 TB shape: ONE map-combinable moment aggregate over the train
+    * folds (the corpus never shuffles to train), residuals a map-only
+    * pass with the weights broadcast, and the calibration quantile
+    * the multi-pass narrowing SELECTION ([[ExactPercentiles
+    * .orderStatistics]]) — never a sort shuffle, no executor holds
+    * more than a 2^16 histogram; the oracle takes the independent
+    * row_number route (oracle-only sort). */
+  val mlConformal = QueryDef(
+    "ml_conformal_interval",
+    Some(s"""WITH li AS (SELECT l_orderkey % 4 AS s, l_quantity, l_discount, l_extendedprice FROM lineitem),
+      m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+        CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+        CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+        CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s2y
+        FROM li WHERE s <= 1),
+      w AS (SELECT CAST(n AS BIGINT) AS n_train,
+        $detA0 / $detA AS w0, $detA1 / $detA AS w1, $detA2 / $detA AS w2 FROM m),
+      ar AS (SELECT li.s,
+          abs(li.l_extendedprice - (w.w0 + w.w1 * li.l_quantity + w.w2 * li.l_discount)) AS ar
+        FROM li, w WHERE li.s >= 2),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+          CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k_cal
+        FROM ar WHERE s = 2),
+      q AS (SELECT kk.n_cal, kk.k_cal, c.ar AS qhat
+        FROM kk, (SELECT ar, row_number() OVER (ORDER BY ar) AS rk FROM ar WHERE s = 2) c
+        WHERE c.rk = kk.k_cal),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN ar.ar <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM ar, q WHERE ar.s = 3)
+      SELECT w.n_train, q.n_cal, t.n_test, q.k_cal, q.qhat,
+        2 * q.qhat AS width,
+        ${graft.Portable.round6RatioDuck("t.covered", "t.n_test")} AS coverage,
+        (${graft.Portable.round6RatioDuck("t.covered", "t.n_test")} >= 0.88) AS ok
+      FROM w, q, t"""),
+    (s, d) => conformalInterval(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_extendedprice"))))
+
+  /** Split-conformal readout over a lineitem-shaped frame — see
+    * [[mlConformal]]. Splits on `l_orderkey % 4`: {0,1} train, 2
+    * calibration, 3 held-out. */
+  def conformalInterval(raw: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val li = raw.select(expr("l_orderkey % 4").as("s"),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val m = li.filter(col("s") <= 1).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType).as("s2"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).cast(DoubleType).as("s11"),
+        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s12"),
+        sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s22"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s2y"))
+      val w = m.selectExpr("CAST(n AS BIGINT) AS n_train",
+        s"$detA0 / $detA AS w0", s"$detA1 / $detA AS w1", s"$detA2 / $detA AS w2")
+        .localCheckpoint(true)
+      val ar = scope.persist(li.filter(col("s") >= 2).crossJoin(broadcast(w.drop("n_train")))
+        .select(col("s"),
+          expr("abs(l_extendedprice - (w0 + w1 * l_quantity + w2 * l_discount))").as("ar")))
+      val kk = ar.filter(col("s") === 2)
+        .agg(count(lit(1)).cast(LongType).as("n_cal"))
+        .selectExpr("n_cal", "(9 * (n_cal + 1) + 9) div 10 AS k_cal")
+        .localCheckpoint(true)
+      val ranks = kk.select(lit("cal").as("g"), (col("k_cal") - 1).as("k"))
+      val qv = ExactPercentiles.orderStatistics(
+        ar.filter(col("s") === 2).withColumn("g", lit("cal")), "g", "ar", ranks)
+        .select(col("value").as("qhat"))
+      val q = kk.crossJoin(broadcast(qv)).localCheckpoint(true)
+      val t = ar.filter(col("s") === 3).crossJoin(broadcast(q.select(col("qhat"))))
+        .agg(count(lit(1)).cast(LongType).as("n_test"),
+          sum(when(col("ar") <= col("qhat"), 1L).otherwise(0L)).cast(LongType).as("covered"))
+        .localCheckpoint(true)
+      w.select(col("n_train")).crossJoin(broadcast(q)).crossJoin(broadcast(t))
+        .selectExpr("n_train", "n_cal", "n_test", "k_cal", "qhat",
+          "2 * qhat AS width",
+          s"${graft.Portable.round6RatioSpark("covered", "n_test")} AS coverage",
+          s"(${graft.Portable.round6RatioSpark("covered", "n_test")} >= 0.88) AS ok")
+    }
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1737,5 +1843,5 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
-    pipelineMlReadouts, mlPrAuc, mlConfusionMcc)
+    pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal)
 }

@@ -64,12 +64,7 @@ object ExactPercentiles {
       implicit scope: CacheScope = CacheScope.untracked): (DataFrame, Int) = {
     val ps = rawPs.distinct
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
-    graft.functions.DBits.ensure(df.sparkSession)
-    val data = df
-      .select(col(group).as("g"), col(value).cast("double").as("x"))
-      .filter(col("x").isNotNull)
-      .withColumn("s", graft.functions.DBits.ordered(col("x")))
-      .transform(scope.persist)
+    val data = prepare(df, group, value)
 
     // per-group counts → the 0-based order-statistic ranks every p needs:
     // r = p·(n−1), order stats at ⌊r⌋ and ⌈r⌉ (deduped when integral)
@@ -83,6 +78,61 @@ object ExactPercentiles {
       .select(col("g"), col("kd").cast("long").as("k"))
       .distinct()
 
+    val (resolved, pass) = selectRanks(data, ranks)
+
+    // interpolate with Spark Percentile's EXACT expression
+    // `(⌈r⌉ − r)·xlo + (r − ⌊r⌋)·xhi` — the algebraically-equal
+    // `xlo + (xhi − xlo)·frac` rounds differently when xlo/xhi are
+    // ulps apart (e.g. {−0.30000000000000004, −0.3} at p=0.9)
+    val out = targets
+      .withColumn("kf", floor(col("r")).cast("long"))
+      .withColumn("kc", ceil(col("r")).cast("long"))
+      // resolved is (groups × ranks)-scale but assembled from
+      // checkpointed stats-free frames — without the hint the
+      // interpolation join can fall to a sort-merge (r9: q88 planned
+      // one; the r8 checkpoint-blinds-stats lesson)
+      .join(broadcast(resolved.toDF("g", "kf", "xlo")), Seq("g", "kf"))
+      .join(broadcast(resolved.toDF("g", "kc", "xhi")), Seq("g", "kc"))
+      // integral rank returns the order statistic ITSELF (as Spark's
+      // Percentile does) — interpolating would turn −0.0 into +0.0
+      .select(col("g"), col("p"),
+        when(col("kf") === col("kc"), col("xlo"))
+          .otherwise((col("kc") - col("r")) * col("xlo") + (col("r") - col("kf")) * col("xhi"))
+          .as("value"))
+    (out, pass)
+  }
+
+  /** Exact 0-BASED order statistics per group: `ranks` is a tiny
+    * (g, k) frame naming, for each group, the ascending-order index
+    * (0 = smallest non-null value) to select; returns (g, k, value).
+    * The same narrowing selection as [[percentiles]] — never a sort
+    * shuffle, selection state is (groups × ranks) rows — for callers
+    * whose rank is an exact integer (conformal calibration's
+    * ⌈(1−α)(n+1)⌉-th residual) rather than an interpolated p. A rank
+    * outside [0, n) simply never resolves inside a real bucket and
+    * yields no row — callers derive k from the group's own count. */
+  def orderStatistics(df: DataFrame, group: String, value: String, ranks: DataFrame)(
+      implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
+    val data = prepare(df, group, value)
+    selectRanks(data, ranks.select(col("g"), col("k").cast("long").as("k")))._1
+      .select(col("g"), col("k"), col("v").as("value"))
+  }
+
+  /** (g, x DOUBLE non-null, s order-isomorphic LONG), persisted. */
+  private def prepare(df: DataFrame, group: String, value: String)(
+      implicit scope: CacheScope): DataFrame = {
+    graft.functions.DBits.ensure(df.sparkSession)
+    df.select(col(group).as("g"), col(value).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .withColumn("s", graft.functions.DBits.ordered(col("x")))
+      .transform(scope.persist)
+  }
+
+  /** Core multi-pass selection: resolves every (g, k) target in
+    * `ranks` to its value over the prepared `data`; returns the
+    * (g, k, v) frame and the pass count. */
+  private def selectRanks(data: DataFrame, ranks: DataFrame)(
+      implicit scope: CacheScope): (DataFrame, Int) = {
     // selection state per (g, k): s-range [lo, hi] (inclusive) still in
     // play and the rank offset `rem` inside it. Initial range = the
     // group's actual s min/max (also resolves single-value groups on
@@ -147,26 +197,6 @@ object ExactPercentiles {
     // here means the invariant broke — fail loudly, never silently
     if (live) throw new IllegalStateException(
       s"ExactPercentiles did not resolve within $MaxPasses passes")
-
-    // interpolate with Spark Percentile's EXACT expression
-    // `(⌈r⌉ − r)·xlo + (r − ⌊r⌋)·xhi` — the algebraically-equal
-    // `xlo + (xhi − xlo)·frac` rounds differently when xlo/xhi are
-    // ulps apart (e.g. {−0.30000000000000004, −0.3} at p=0.9)
-    val out = targets
-      .withColumn("kf", floor(col("r")).cast("long"))
-      .withColumn("kc", ceil(col("r")).cast("long"))
-      // resolved is (groups × ranks)-scale but assembled from
-      // checkpointed stats-free frames — without the hint the
-      // interpolation join can fall to a sort-merge (r9: q88 planned
-      // one; the r8 checkpoint-blinds-stats lesson)
-      .join(broadcast(resolved.toDF("g", "kf", "xlo")), Seq("g", "kf"))
-      .join(broadcast(resolved.toDF("g", "kc", "xhi")), Seq("g", "kc"))
-      // integral rank returns the order statistic ITSELF (as Spark's
-      // Percentile does) — interpolating would turn −0.0 into +0.0
-      .select(col("g"), col("p"),
-        when(col("kf") === col("kc"), col("xlo"))
-          .otherwise((col("kc") - col("r")) * col("xlo") + (col("r") - col("kf")) * col("xhi"))
-          .as("value"))
-    (out, pass)
+    (resolved, pass)
   }
 }

@@ -308,4 +308,36 @@ class Round9Spec extends AnyFunSuite {
       .collect().head.getDouble(5)
     assert(rate == 0.333333, s"rate = $rate")
   }
+
+  test("order statistics: exact 0-based selection on a planted shuffle") {
+    import spark.implicits._
+    val df = (1 to 10).reverse.map(i => ("g", i.toDouble)).toDF("g", "x")
+    val ranks = Seq(("g", 0L), ("g", 4L), ("g", 9L)).toDF("g", "k")
+    val r = operators.ExactPercentiles.orderStatistics(df.repartition(5), "g", "x", ranks)
+      .orderBy(col("k")).collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((0L, 1.0), (4L, 5.0), (9L, 10.0)))
+  }
+
+  test("conformal interval: planted exact plane hits the closed form") {
+    import spark.implicits._
+    // train folds {0,1}: y sits EXACTLY on y = 10 + 2*q + 0*disc, so
+    // the Cramer solve is exact and every residual is the planted
+    // offset. cal fold 2: residuals 1..9 -> k = ceil(0.9*10) = 9,
+    // qhat = 9. test fold 3: |resid| {0.5, 9.0, 9.5, 10} -> 2/4 covered.
+    def plane(q: Double, disc: Double): Double = 10.0 + 2.0 * q
+    val train = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 1.0), (1.0, 1.0), (2.0, 1.0), (4.0, 0.0))
+      .zipWithIndex.map { case ((q, ds), i) =>
+        (i.toLong * 4 + (i % 2), q, ds, plane(q, ds)) }
+    val cal = (1 to 9).map(j => (j.toLong * 4 + 2, 1.0 + j, 0.0, plane(1.0 + j, 0.0) + j))
+    val test = Seq(0.5, -9.0, 9.5, -10.0).zipWithIndex.map { case (off, j) =>
+      (j.toLong * 4 + 3, 2.0 + j, 1.0, plane(2.0 + j, 1.0) + off) }
+    val li = (train ++ cal ++ test)
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val r = operators.Analytics.conformalInterval(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 9L, 4L, 9L)),
+      s"counts/k = $r")
+    assert(r.getDouble(4) == 9.0, s"qhat = ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 18.0)
+    assert(r.getDouble(6) == 0.5 && !r.getBoolean(7), s"coverage = ${r.getDouble(6)}")
+  }
 }

@@ -759,5 +759,95 @@ object Insights2 {
       .orderBy(col("check_name"), col("tbl"), col("col_name"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+  // ----------------------------------------------------------- q90
+  /** Power-iteration round count: 5 states mix in a handful of
+    * rounds; 20 is convergence headroom. Both engines run the
+    * IDENTICAL unrolled recurrence, so the gate is exact at any
+    * round count. */
+  val MarkovIters = 20
+
+  /** q90: stationary distribution of the user-journey Markov chain —
+    * where does a random surfer of the q56 transition matrix spend
+    * its time? (the steady-state readout behind "expected long-run
+    * share of sessions in state X"; PageRank without teleport, on the
+    * event-type chain). Transitions are the q56 consecutive-pair
+    * counts; the chain is RESTRICTED to states with outgoing
+    * transitions (a sink state would silently drain mass — rows into
+    * non-`cur` states are dropped and the row renormalization uses
+    * the kept mass). Power iteration runs in the pagerank/HITS
+    * integer-unit discipline: transition probabilities become exact
+    * parts-per-million (`(n·10⁶) div nᵢ`), the mass vector starts at
+    * `10¹² div m` units per state, and each round is
+    * π′(j) = (Σᵢ πᵢ·p6ᵢⱼ) div 10⁶ — pure BIGINT, merge-order-free,
+    * bit-identical under any partitioning. Bounds: per-term
+    * πᵢ·p6ᵢⱼ ≤ 10¹²·10⁶ = 10¹⁸ and the sum is ≤ (Σπ)·10⁶ = 10¹⁸
+    * < 2⁶³ at ANY corpus size (mass is conserved-or-shrinking);
+    * the one place a raw count meets 10⁶ — building p6 — holds while
+    * per-cell transition counts stay < 9.2·10¹² (the HITS-style
+    * documented headroom; lift the factor into DECIMAL past that).
+    *
+    * 100 TB shape: ONE user-keyed window shuffle collapses the corpus
+    * to the ≤ types² transition-count cells; all 20 rounds run on
+    * broadcast-size frames. */
+  val q90 = QueryDef(
+    "q90_markov_stationary",
+    Some {
+      val sb = new StringBuilder(
+        """WITH t AS (SELECT event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM t WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        st AS (SELECT DISTINCT cur FROM c),
+        k AS (SELECT c.cur, c.nxt, c.n FROM c JOIN st ON c.nxt = st.cur),
+        ni AS (SELECT cur, CAST(sum(n) AS BIGINT) AS ni FROM k GROUP BY cur),
+        p AS (SELECT k.cur, k.nxt, CAST((k.n * 1000000) // ni.ni AS BIGINT) AS p6
+          FROM k JOIN ni ON k.cur = ni.cur),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS m FROM st),
+        r0 AS (SELECT cur AS state, CAST(1000000000000 // m AS BIGINT) AS pi FROM st, ns)""")
+      for (it <- 1 to MarkovIters) {
+        sb.append(s""",
+        r$it AS (SELECT p.nxt AS state, CAST(sum(r.pi * p.p6) // 1000000 AS BIGINT) AS pi
+          FROM p JOIN r${it - 1} r ON r.state = p.cur GROUP BY p.nxt)""")
+      }
+      sb.append(s"""
+        SELECT state, pi AS pi_units, CAST(pi AS DOUBLE) / 1000000000000 AS pi
+        FROM r$MarkovIters ORDER BY state""")
+      sb.toString
+    },
+    (s, d) => markovStationary(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))))
+
+  /** Integer-unit stationary distribution — see [[q90]]. */
+  def markovStationary(ev: DataFrame, iters: Int = MarkovIters): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // types² cells — eager checkpoint: the corpus window+shuffle runs
+    // once, and every tiny frame below is broadcast-HINTED (a
+    // checkpointed frame has no stats; the r8 silent-SMJ lesson)
+    val c = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .localCheckpoint(true)
+    val st = c.select(col("cur")).distinct()
+    val kept = c.join(broadcast(st.select(col("cur").as("nxt2"))),
+      col("nxt") === col("nxt2")).drop("nxt2")
+    val ni = kept.groupBy(col("cur")).agg(sum(col("n")).cast(LongType).as("ni"))
+    val p = kept.join(broadcast(ni), Seq("cur"))
+      .selectExpr("cur", "nxt", "CAST((n * 1000000) div ni AS BIGINT) AS p6")
+      .localCheckpoint(true)
+    val m = st.agg(count(lit(1)).cast(LongType).as("m"))
+    var pi = st.crossJoin(broadcast(m))
+      .selectExpr("cur AS state", "CAST(1000000000000 div m AS BIGINT) AS pi")
+    for (i <- 1 to iters) {
+      pi = p.join(broadcast(pi), col("state") === col("cur"))
+        .groupBy(col("nxt"))
+        .agg(sum(col("pi") * col("p6")).as("s"))
+        .selectExpr("nxt AS state", "CAST(s div 1000000 AS BIGINT) AS pi")
+      if (i % 8 == 0 && i < iters) pi = pi.localCheckpoint(true)
+    }
+    pi.selectExpr("state", "pi AS pi_units", "CAST(pi AS DOUBLE) / 1000000000000 AS pi")
+      .orderBy(col("state"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -340,4 +340,26 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getDouble(5) == 18.0)
     assert(r.getDouble(6) == 0.5 && !r.getBoolean(7), s"coverage = ${r.getDouble(6)}")
   }
+
+  test("markov stationary: planted 2-state chain converges to 1/3, 2/3; sink dropped; partition-invariant") {
+    import spark.implicits._
+    // one user's journey A,B,B,A,B,C: transitions A->B x2, B->B, B->A,
+    // B->C. C never occurs as `cur` (sink) -> the B->C row is dropped
+    // and B renormalizes over {A: 1, B: 1}. Chain: p(A->B)=1,
+    // p(B->A)=p(B->B)=1/2 -> stationary (1/3, 2/3); the +-1/2-factor
+    // deviation decay leaves < 2e5 units of error after 20 rounds.
+    val ev = Seq("A", "B", "B", "A", "B", "C").zipWithIndex.map { case (t, i) =>
+      (1L, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i"), i.toLong, t)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val r = operators.Insights2.markovStationary(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq("A", "B"), s"states = ${r.toSeq}")
+    assert(math.abs(r(0)._3 - 1.0 / 3) < 1e-5 && math.abs(r(1)._3 - 2.0 / 3) < 1e-5,
+      s"pi = ${r.toSeq}")
+    // floor-only leakage: total units never exceed the initial mass
+    assert(r.map(_._2).sum <= 1000000000000L)
+    val rp = operators.Insights2.markovStationary(ev.repartition(7)).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(rp.toSeq == r.map(x => (x._1, x._2)).toSeq, "pi_units must be partition-invariant")
+  }
 }

@@ -849,5 +849,87 @@ object Insights2 {
       .orderBy(col("state"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+  // ----------------------------------------------------------- q91
+  /** q91: Theil–Sen robust trend per event type — the slope a daily
+    * volume series is "really" moving at when spikes and outages
+    * would wreck the OLS line (median of all pairwise slopes; Sen
+    * 1968, the standard robust trend in monitoring/environmetrics —
+    * 29.3% breakdown point vs OLS's zero).
+    *
+    * Determinism: day indices and counts are exact integers; each
+    * pairwise slope is ONE IEEE division of exacts (identical in
+    * both engines); the median is the exact distributed selection
+    * ([[ExactPercentiles]], interpolation expression shared with
+    * Spark `percentile`) surfaced at 6 dp (the q88 percentile
+    * discipline), and the intercept pass scores with the PUBLISHED
+    * 6-dp slope so its residual trees are also shared exactly.
+    *
+    * 100 TB shape: the corpus collapses to ONE (type, day) count
+    * aggregate; the all-pairs scan runs at DAYS grain — ≤ days²/2
+    * pairs per type regardless of corpus size (the calendar, not the
+    * data, bounds it) — and the two medians ride the narrowing
+    * selection, never a sort shuffle. */
+  val q91 = QueryDef(
+    "q91_theil_sen",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      dx AS (SELECT event_type,
+        CAST(d - min(d) OVER (PARTITION BY event_type) AS BIGINT) AS x, c FROM dd),
+      pr AS (SELECT a.event_type, (CAST(b.c AS DOUBLE) - a.c) / (b.x - a.x) AS slope
+        FROM dx a JOIN dx b ON a.event_type = b.event_type AND b.x > a.x),
+      sl AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 6) AS ts_slope
+        FROM pr GROUP BY 1),
+      rs AS (SELECT dx.event_type, CAST(dx.c AS DOUBLE) - sl.ts_slope * dx.x AS resid
+        FROM dx JOIN sl ON dx.event_type = sl.event_type),
+      ic AS (SELECT event_type, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY resid), 6) AS ts_intercept
+        FROM rs GROUP BY 1),
+      nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM dx GROUP BY 1)
+      SELECT nd.event_type, nd.n_days, sl.n_pairs, sl.ts_slope, ic.ts_intercept
+      FROM nd JOIN sl ON nd.event_type = sl.event_type
+        JOIN ic ON nd.event_type = ic.event_type
+      ORDER BY nd.event_type"""),
+    (s, d) => theilSen(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
+  /** Theil–Sen trend over (event_type, ts) rows — see [[q91]]. */
+  def theilSen(ev: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val dx = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        // x = days since the type's FIRST day (so the intercept reads
+        // as the trend's level at series start, not at the epoch)
+        .withColumn("x", datediff(col("d"),
+          min(col("d")).over(Window.partitionBy(col("event_type")))).cast(LongType))
+        .select(col("event_type"), col("x"), col("c"))
+        .localCheckpoint(true) // days-grain; stats-free → hint joins below
+      val pairs = dx.select(col("event_type"), col("x").as("ax"), col("c").as("ac"))
+        .join(broadcast(dx.select(col("event_type").as("et2"), col("x").as("bx"), col("c").as("bc"))),
+          col("event_type") === col("et2") && col("bx") > col("ax"))
+        // try_divide, not `/`: Catalyst infers isnotnull(slope) from the
+        // percentile pass's null filter and can evaluate the division
+        // inside the join before the bx > ax condition — under ANSI
+        // mode a bx = ax probe row then throws. The joined rows all
+        // have bx > ax, so try_divide's values equal plain division's.
+        .select(col("event_type"),
+          expr("try_divide(CAST(bc AS DOUBLE) - ac, bx - ax)").as("slope"))
+      val sl = ExactPercentiles.percentiles(pairs, "event_type", "slope", Seq(0.5))
+        .select(col("g").as("event_type"), round(col("value"), 6).as("ts_slope"))
+      val np = pairs.groupBy(col("event_type")).agg(count(lit(1)).cast(LongType).as("n_pairs"))
+      val rs = dx.join(broadcast(sl), Seq("event_type"))
+        .select(col("event_type"),
+          (col("c").cast(DoubleType) - col("ts_slope") * col("x")).as("resid"))
+      val ic = ExactPercentiles.percentiles(rs, "event_type", "resid", Seq(0.5))
+        .select(col("g").as("event_type"), round(col("value"), 6).as("ts_intercept"))
+      val nd = dx.groupBy(col("event_type")).agg(count(lit(1)).cast(LongType).as("n_days"))
+      nd.join(broadcast(np), Seq("event_type"))
+        .join(broadcast(sl), Seq("event_type"))
+        .join(broadcast(ic), Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("ts_slope"), col("ts_intercept"))
+        .orderBy(col("event_type"))
+    }
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q90, q91)
 }

@@ -362,4 +362,21 @@ class Round9Spec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getLong(1)))
     assert(rp.toSeq == r.map(x => (x._1, x._2)).toSeq, "pi_units must be partition-invariant")
   }
+
+  test("theil-sen: planted outlier day leaves the median slope at the clean trend") {
+    import spark.implicits._
+    // daily counts 1,2,3,4,100 on days 0..4: the six outlier-free
+    // pairwise slopes are all 1, the four outlier pairs are 24.75..96
+    // -> median of 10 = 1 (OLS would report ~19). residuals under
+    // slope 1 are [1,1,1,1,96] -> intercept median 1.
+    val ev = (0 to 4).flatMap { day =>
+      val n = if (day == 4) 100 else day + 1
+      (1 to n).map(j =>
+        ("up", java.sql.Timestamp.valueOf(f"2024-01-0${day + 1}%d 00:00:${j % 60}%02d.${j}%03d")))
+    }.toDF("event_type", "ts")
+    val r = operators.Insights2.theilSen(ev).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((5L, 10L)), s"counts = $r")
+    assert(r.getDouble(3) == 1.0, s"ts_slope = ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"ts_intercept = ${r.getDouble(4)}")
+  }
 }

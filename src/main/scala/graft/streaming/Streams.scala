@@ -348,6 +348,38 @@ object Streams {
     * rows, done downstream/foreachBatch exactly like the batch
     * smoothing). State is bounded by the watermark; the reference
     * never re-shuffles. */
+  /** Streaming data-quality monitor (r9) — the incremental twin of
+    * the batch `q89_dq_audit` check classes, on the event firehose:
+    * per closed 1-hour window one long-format row per check
+    * (completeness: NULL value/user, domain: event_type outside the
+    * allowed set, range: negative value) with the exact violation
+    * count, window total, and pass verdict. The whole monitor is ONE
+    * windowed conditional-count aggregate (map-combinable, bounded
+    * state: a handful of BIGINTs per open window) unpivoted after the
+    * window closes — the shape that holds at any firehose rate. Same
+    * watermark/append discipline as [[windowedCounts]]. */
+  def dqStream(events: DataFrame,
+      allowedTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error")): DataFrame = {
+    val inList = allowedTypes.map(t => s"'$t'").mkString(", ")
+    def cnt(cond: String) = sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).cast("long")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("total"),
+        cnt("value IS NULL").as("null_value"),
+        cnt("user_id IS NULL").as("null_user"),
+        cnt(s"event_type NOT IN ($inList) OR event_type IS NULL").as("bad_type"),
+        cnt("value < 0").as("neg_value"))
+      .select(col("w.start").as("window_start"), expr(
+        """stack(4,
+          'completeness', 'value',      null_value, total,
+          'completeness', 'user_id',    null_user,  total,
+          'domain',       'event_type', bad_type,   total,
+          'range',        'value',      neg_value,  total)
+          AS (check_name, col_name, metric, total)"""))
+      .withColumn("ok", col("metric") === 0L)
+  }
+
   def binnedDriftStream(events: DataFrame, refRange: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -488,4 +488,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getLong(1) == n, s"life ${r.getLong(0)}: at-risk $n vs batch ${r.getLong(1)}")
     }
   }
+
+  test("dq stream: planted violations split across microbatches hit exact window counts (r9)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-dq-in").toString
+    // window 00:00, violations SPLIT across two batches (the windowed
+    // counters must merge): one NULL value + one bad type in b1, one
+    // NULL user + one negative value in b2; a 06:00 event closes it
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:05:00"), Some(1L), "click", Some(1.0)),
+      (2L, ts("2024-01-01 00:10:00"), Some(1L), "click", None: Option[Double]),
+      (3L, ts("2024-01-01 00:15:00"), Some(2L), "bogus", Some(2.0)))
+    val b2 = Seq(
+      (4L, ts("2024-01-01 00:20:00"), None: Option[Long], "view", Some(3.0)),
+      (5L, ts("2024-01-01 00:25:00"), Some(3L), "view", Some(-4.0)))
+    val b3 = Seq((9L, ts("2024-01-01 06:00:00"), Some(9L), "view", Some(1.0)))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b000").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+    val q = Streams.dqStream(stream)
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val r = spark.table("dq_out")
+      .filter(col("window_start").cast("string") === "2024-01-01 00:00:00")
+      .collect()
+      .map(x => (x.getString(1), x.getString(2)) ->
+        (x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    assert(r.size == 4, s"four check rows: $r")
+    assert(r(("completeness", "value")) == ((1L, 5L, false)))
+    assert(r(("completeness", "user_id")) == ((1L, 5L, false)))
+    assert(r(("domain", "event_type")) == ((1L, 5L, false)))
+    assert(r(("range", "value")) == ((1L, 5L, false)))
+  }
 }

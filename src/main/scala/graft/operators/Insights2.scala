@@ -59,10 +59,14 @@ object Insights2 {
       .select(col("event_type"), col("ts"))))
 
   /** CUSUM argmax over (event_type, ts) rows — see [[q80]]. */
-  def cusumChangepoint(ev: DataFrame): DataFrame = {
-    val dd = ev
+  def cusumChangepoint(ev: DataFrame): DataFrame =
+    cusumFromDaily(ev
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** [[cusumChangepoint]] off a prebuilt (event_type, d, c) day-grain
+    * frame — the `pipeline_trend_panel` reuse point. */
+  def cusumFromDaily(dd: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
     val wAll = Window.partitionBy(col("event_type"))
     val dev = dd
@@ -491,11 +495,15 @@ object Insights2 {
       .select(col("event_type"), col("ts"))))
 
   /** Seasonal-naïve WAPE/MAPE over (event_type, ts) rows — [[q87]]. */
-  def seasonalNaiveBacktest(ev: DataFrame): DataFrame = {
-    val dd = ev
+  def seasonalNaiveBacktest(ev: DataFrame): DataFrame =
+    snaiveFromDaily(ev
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // days-grain; feeds actuals AND forecasts
+      .localCheckpoint(true)) // days-grain; feeds actuals AND forecasts
+
+  /** [[seasonalNaiveBacktest]] off a prebuilt (event_type, d, n)
+    * day-grain frame — the `pipeline_trend_panel` reuse point. */
+  def snaiveFromDaily(dd: DataFrame): DataFrame = {
     val fc = dd.select(col("event_type"), date_add(col("d"), 7).as("d"),
       col("n").as("fc"))
     dd.join(broadcast(fc), Seq("event_type", "d"))
@@ -893,10 +901,15 @@ object Insights2 {
 
   /** Theil–Sen trend over (event_type, ts) rows — see [[q91]]. */
   def theilSen(ev: DataFrame): DataFrame =
+    theilSenFromDaily(ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).cast(LongType).as("c")))
+
+  /** [[theilSen]] off a prebuilt (event_type, d, c) day-grain frame —
+    * the `pipeline_trend_panel` reuse point. */
+  def theilSenFromDaily(dd: DataFrame): DataFrame =
     graft.CacheScope.withScope { implicit scope =>
-      val dx = ev
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
-        .agg(count(lit(1)).cast(LongType).as("c"))
+      val dx = dd
         // x = days since the type's FIRST day (so the intercept reads
         // as the trend's level at series start, not at the epoch)
         .withColumn("x", datediff(col("d"),
@@ -930,6 +943,89 @@ object Insights2 {
         .orderBy(col("event_type"))
     }
 
+  // ------------------------------------------- pipeline_trend_panel
+  /** pipeline_trend_panel: the time-series PANEL a monitoring
+    * pipeline publishes per series — CUSUM changepoint ([[q80]]),
+    * seasonal-naïve backtest error ([[q87]]), and Theil–Sen robust
+    * trend ([[q91]]) — computed the way production would: the corpus
+    * collapses to ONE shared (type, day) count aggregate (ONE scan,
+    * ONE shuffle), checkpointed, and all three readouts run at
+    * days-grain off that frame (the `pipeline_ml_readouts`
+    * train-once/read-many discipline; the three singles each rescan
+    * the corpus by gate-isolation design, so the composed panel costs
+    * roughly one scan + days-grain algebra). Every surfaced value is
+    * the SAME expression tree as its single — the composition spec
+    * pins panel == singles field-for-field.
+    *
+    * 100 TB shape: inherited from the three gated singles — the only
+    * data-scale work is the shared day-grain aggregate
+    * (map-combinable); everything after is ≤ days²-grain. */
+  val pipelineTrendPanel = QueryDef(
+    "pipeline_trend_panel",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, d, c,
+          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS k,
+          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        FROM dd),
+      dev AS (SELECT event_type, d, k, t, st,
+          abs(CAST(t AS DECIMAL(19,0)) * sk - CAST(k AS DECIMAL(19,0)) * st) AS dk
+        FROM w),
+      cus AS (SELECT event_type, d AS cp_day, t AS n_days, st AS n_events,
+          CAST(dk AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(st AS DOUBLE)) AS rel_dev
+        FROM (SELECT event_type, d, k, t, st, dk,
+            row_number() OVER (PARTITION BY event_type ORDER BY dk DESC, d) AS rk
+          FROM dev) mx WHERE rk = 1),
+      f AS (SELECT a.event_type, a.c AS n, b.c AS fc
+        FROM dd a JOIN dd b ON b.event_type = a.event_type AND b.d = a.d - 7),
+      sn AS (SELECT event_type,
+          CAST(sum(abs(n - fc)) AS BIGINT) AS sae, CAST(sum(n) AS BIGINT) AS sa,
+          CAST(sum(CAST(round(CAST(abs(n - fc) AS DOUBLE) / n, 12) AS DECIMAL(28,12))) AS DOUBLE) AS mape_sum,
+          CAST(count(*) AS BIGINT) AS n_scored
+        FROM f GROUP BY event_type),
+      dx AS (SELECT event_type,
+          CAST(d - min(d) OVER (PARTITION BY event_type) AS BIGINT) AS x, c FROM dd),
+      pr AS (SELECT a.event_type, (CAST(b.c AS DOUBLE) - a.c) / (b.x - a.x) AS slope
+        FROM dx a JOIN dx b ON a.event_type = b.event_type AND b.x > a.x),
+      sl AS (SELECT event_type,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 6) AS ts_slope
+        FROM pr GROUP BY 1),
+      rs AS (SELECT dx.event_type, CAST(dx.c AS DOUBLE) - sl.ts_slope * dx.x AS resid
+        FROM dx JOIN sl ON dx.event_type = sl.event_type),
+      ic AS (SELECT event_type, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY resid), 6) AS ts_intercept
+        FROM rs GROUP BY 1)
+      SELECT cus.event_type, cus.n_days, cus.n_events, cus.cp_day, cus.rel_dev,
+        CAST(sn.sae AS DOUBLE) / sn.sa AS wape,
+        sn.mape_sum / sn.n_scored AS mape,
+        sl.ts_slope, ic.ts_intercept
+      FROM cus JOIN sn ON cus.event_type = sn.event_type
+        JOIN sl ON cus.event_type = sl.event_type
+        JOIN ic ON cus.event_type = ic.event_type
+      ORDER BY cus.event_type"""),
+    (s, d) => trendPanel(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
+  /** Composed trend panel off one shared day-grain aggregate —
+    * see [[pipelineTrendPanel]]. */
+  def trendPanel(ev: DataFrame): DataFrame = {
+    // the ONE corpus scan+shuffle — every readout below is days-grain
+    val dd = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+      .localCheckpoint(true)
+    val cus = cusumFromDaily(dd)
+    val sn = snaiveFromDaily(dd.withColumnRenamed("c", "n"))
+      .selectExpr("event_type", "wape", "mape")
+    val ts = theilSenFromDaily(dd)
+      .select(col("event_type"), col("ts_slope"), col("ts_intercept"))
+    cus.join(broadcast(sn), Seq("event_type"))
+      .join(broadcast(ts), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_events"), col("cp_day"),
+        col("rel_dev"), col("wape"), col("mape"), col("ts_slope"), col("ts_intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91)
+    q90, q91, pipelineTrendPanel)
 }

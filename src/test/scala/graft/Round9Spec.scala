@@ -379,4 +379,27 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0, s"ts_slope = ${r.getDouble(3)}")
     assert(r.getDouble(4) == 1.0, s"ts_intercept = ${r.getDouble(4)}")
   }
+
+  test("trend panel: composed rows equal the three singles field-for-field") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts"))
+    val panel = operators.Insights2.trendPanel(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cus = operators.Insights2.cusumChangepoint(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sn = operators.Insights2.seasonalNaiveBacktest(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ts = operators.Insights2.theilSen(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(panel.keySet == cus.keySet && panel.keySet == ts.keySet, "type sets")
+    panel.foreach { case (t, p) =>
+      assert(p.getLong(1) == cus(t).getLong(2) && p.getLong(2) == cus(t).getLong(3)
+        && p.getDate(3) == cus(t).getDate(1) && p.getDouble(4) == cus(t).getDouble(4),
+        s"$t cusum fields: $p vs ${cus(t)}")
+      assert(p.getDouble(5) == sn(t).getDouble(2) && p.getDouble(6) == sn(t).getDouble(3),
+        s"$t snaive fields: $p vs ${sn(t)}")
+      assert(p.getDouble(7) == ts(t).getDouble(3) && p.getDouble(8) == ts(t).getDouble(4),
+        s"$t theil-sen fields: $p vs ${ts(t)}")
+    }
+  }
 }

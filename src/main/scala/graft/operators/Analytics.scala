@@ -823,6 +823,95 @@ object Analytics {
           s"(${graft.Portable.round6RatioSpark("covered", "n_test")} >= 0.88) AS ok")
     }
 
+  // ------------------------------------------ ml_feature_importance
+  /** Leave-one-out sub-model fragments over the 10 Gram moments —
+    * normal-equations identities, so NO residual pass is ever needed:
+    * for any OLS fit, SSE = syy − Σ wᵢ·(X'y)ᵢ. Every fragment is a
+    * fixed-order IEEE tree shared token-for-token with the oracle. */
+  private val fiDet2 = "(n * s22 - s2 * s2)" // drop l_quantity: keep (1, discount)
+  private val fiSse2 = s"(syy - ((sy * s22 - s2 * s2y) / $fiDet2) * sy" +
+    s" - ((n * s2y - s2 * sy) / $fiDet2) * s2y)"
+  private val fiDet1 = "(n * s11 - s1 * s1)" // drop l_discount: keep (1, quantity)
+  private val fiSse1 = s"(syy - ((sy * s11 - s1 * s1y) / $fiDet1) * sy" +
+    s" - ((n * s1y - s1 * sy) / $fiDet1) * s1y)"
+  private val fiSseF =
+    s"(syy - ($detA0 / $detA) * sy - ($detA1 / $detA) * s1y - ($detA2 / $detA) * s2y)"
+  private val fiSst = "(syy - sy * sy / n)"
+  private val fiR2Full = s"(1 - $fiSseF / $fiSst)"
+  private val fiR2DropQty = s"(1 - $fiSse2 / $fiSst)"
+  private val fiR2DropDisc = s"(1 - $fiSse1 / $fiSst)"
+  private val fiDQty = s"($fiR2Full - $fiR2DropQty)"
+  private val fiDDisc = s"($fiR2Full - $fiR2DropDisc)"
+
+  /** The 10-moment CTE body shared by the oracle (DuckDB dialect ==
+    * Spark dialect for these tokens). */
+  private val fiMomentsSql = """SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+      CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+      CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+      CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy"""
+
+  /** ml_feature_importance: leave-one-out ΔR² per feature of the
+    * [[linearProbe]] OLS — "how much fit does each signal actually
+    * buy" (the ablation readout a feature pipeline runs before paying
+    * a feature's storage/compute at scale; LOO refit is the linear
+    * form of permutation importance without the permutation RNG).
+    * For each feature: the full-model weight, full R², the R² of the
+    * model REFIT without it, ΔR², and its share of total ΔR².
+    *
+    * The whole readout is ONE map-combinable DECIMAL moment aggregate
+    * + 1-row algebra: every sub-model refit is a 2×2 Cramer solve on
+    * the SAME moment row, and every SSE uses the normal-equations
+    * identity SSE = syy − w·X'y — no residual pass, no second scan,
+    * nothing but the one aggregate at ANY corpus size (the k-fold
+    * moment-arithmetic trick taken to its logical end). */
+  val mlFeatureImportance = QueryDef(
+    "ml_feature_importance",
+    Some(s"""WITH m AS ($fiMomentsSql FROM lineitem)
+      SELECT * FROM (
+        SELECT 'l_discount' AS feature, round($detA2 / $detA, 6) AS w_full,
+          round($fiR2Full, 6) AS r2_full, round($fiR2DropDisc, 6) AS r2_drop,
+          round($fiDDisc, 6) AS delta_r2,
+          round($fiDDisc / ($fiDQty + $fiDDisc), 6) AS share
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', round($detA1 / $detA, 6),
+          round($fiR2Full, 6), round($fiR2DropQty, 6), round($fiDQty, 6),
+          round($fiDQty / ($fiDQty + $fiDDisc), 6)
+        FROM m) r ORDER BY feature"""),
+    (s, d) => featureImportance(Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))))
+
+  /** LOO ΔR² readout over a (l_quantity, l_discount, l_extendedprice)
+    * frame — see [[mlFeatureImportance]]. */
+  def featureImportance(li: DataFrame): DataFrame = {
+    val m = li.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
+      sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType).as("s2"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+      sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).cast(DoubleType).as("s11"),
+      sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s12"),
+      sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).cast(DoubleType).as("s22"),
+      sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s1y"),
+      sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("s2y"),
+      sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 8))).cast(DoubleType).as("syy"))
+    m.selectExpr(s"""stack(2,
+        'l_discount', round($detA2 / $detA, 6), round($fiR2Full, 6),
+          round($fiR2DropDisc, 6), round($fiDDisc, 6),
+          round($fiDDisc / ($fiDQty + $fiDDisc), 6),
+        'l_quantity', round($detA1 / $detA, 6), round($fiR2Full, 6),
+          round($fiR2DropQty, 6), round($fiDQty, 6),
+          round($fiDQty / ($fiDQty + $fiDDisc), 6))
+        AS (feature, w_full, r2_full, r2_drop, delta_r2, share)""")
+      .orderBy(col("feature"))
+  }
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1843,5 +1932,5 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
-    pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal)
+    pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance)
 }

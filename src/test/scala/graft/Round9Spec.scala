@@ -380,6 +380,24 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0, s"ts_intercept = ${r.getDouble(4)}")
   }
 
+  test("feature importance: planted exact plane puts all importance on quantity") {
+    import spark.implicits._
+    // y = 10 + 2*q exactly, discount uncorrelated: full fit R^2 = 1,
+    // dropping discount refits perfectly (delta 0), dropping quantity
+    // loses fit entirely -> share(quantity) = 1, share(discount) = 0
+    val li = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 1.0), (1.0, 1.0), (2.0, 1.0), (4.0, 0.0))
+      .map { case (q, ds) => (q, ds, 10.0 + 2.0 * q) }
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = operators.Analytics.featureImportance(li).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5))).toMap
+    assert(r("l_quantity") == ((2.0, 1.0, r("l_quantity")._3, r("l_quantity")._4, 1.0)))
+    assert(r("l_quantity")._4 > 0.5, s"quantity delta = ${r("l_quantity")}")
+    assert(r("l_discount")._1 == 0.0 && r("l_discount")._3 == 1.0
+      && r("l_discount")._4 == 0.0 && r("l_discount")._5 == 0.0,
+      s"discount = ${r("l_discount")}")
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

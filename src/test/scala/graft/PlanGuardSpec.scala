@@ -564,4 +564,38 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = plan("ann_mips")
     assert(!p.contains("CartesianProduct"), s"ann_mips cartesian:\n$p")
   }
+
+  test("ml_feature_importance is one aggregate: no join operator at all") {
+    // the whole LOO ablation must be moment algebra on a single
+    // aggregate row — any Join means a residual pass crept back in
+    val p = plan("ml_feature_importance")
+    assert(!p.contains("Join"), s"ml_feature_importance must be join-free:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the moment aggregate:\n$p")
+  }
+
+  test("r9 session tier plans no cartesian and no sort-merge joins") {
+    // q89: FK checks are keyed hash joins (AQE broadcasts the parent
+    // at test SF); q90/q91/panel: every small frame is broadcast-
+    // hinted past its checkpoint (stats-free frames silently SMJ
+    // otherwise — the r8 lesson); conformal: the corpus never
+    // shuffles past training
+    for (q <- Seq("q89_dq_audit", "q90_markov_stationary", "q91_theil_sen",
+        "pipeline_trend_panel", "ml_conformal_interval")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plans a sort-merge join:\n$p")
+    }
+  }
+
+  test("trend panel collapses the corpus to day grain before any window") {
+    val p = plan("pipeline_trend_panel")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0, s"expected the day-grain aggregate:\n$p")
+    // the shared dd is checkpointed, so the windows in the visible
+    // plan operate on the days-grain RDD scan, never on raw events
+    assert(!p.contains("events.parquet") || winIdx < 0
+      || p.indexOf("events.parquet") > winIdx,
+      s"a window must not consume the raw corpus:\n$p")
+  }
 }

@@ -177,7 +177,16 @@ object ScaleProbe {
       ("graph_anf", d => operators.Graph.anfQuery.build(spark, d)),
       ("approx_tdigest_quantiles", d => operators.Sketches.approxTdigestQuantiles.build(spark, d)),
       ("approx_set_overlap", d => operators.Sketches.approxSetOverlap.build(spark, d)),
-      ("pipeline_retrieval_eval", d => similarity.Similarity.retrievalEval.build(spark, d)))
+      ("pipeline_retrieval_eval", d => similarity.Similarity.retrievalEval.build(spark, d)),
+      // the round-9 session tier: multi-table scan checks + FK joins,
+      // order-statistic selection at corpus scale, day-grain pair
+      // scans, composed one-scan panel, moment-only ablation
+      ("q89_dq_audit", d => operators.Insights2.q89.build(spark, d)),
+      ("ml_conformal_interval", d => operators.Analytics.mlConformal.build(spark, d)),
+      ("q90_markov_stationary", d => operators.Insights2.q90.build(spark, d)),
+      ("q91_theil_sen", d => operators.Insights2.q91.build(spark, d)),
+      ("pipeline_trend_panel", d => operators.Insights2.pipelineTrendPanel.build(spark, d)),
+      ("ml_feature_importance", d => operators.Analytics.mlFeatureImportance.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -514,6 +515,76 @@ object Dedup {
       DedupApi.clusterSizeStats(asg).localCheckpoint(true)
     })
 
+  // ------------------------------------------- per-source dedup stats
+  /** dedup_source_stats: near-dup impact BY SOURCE — which ingest
+    * feeds actually carry the duplication (the attribution readout a
+    * data team reads before renegotiating/reweighting a source; a
+    * crawler feed at 40% dup rate and a curated feed at 2% should not
+    * be treated alike). Composes the gated `dedup_clusters` assignment
+    * unchanged, picks each cluster's canonical keeper (min doc_id —
+    * the `dedup_clusters` label convention, exact-integer total
+    * order), and attributes every non-keeper doc to ITS OWN source:
+    * per source the doc count, removable count, and 6-dp dup rate.
+    *
+    * 100 TB shape: the cluster machinery is the capped banded scan +
+    * large/small-star rounds already gated; on top of it ONE
+    * cluster-keyed min aggregate, one node-keyed join back to the
+    * (doc_id, source) projection, and a source-grain count aggregate
+    * — all keyed shuffles on ids, nothing quadratic. */
+  val sourceStats = QueryDef(
+    "dedup_source_stats",
+    Some(s"""WITH $bandsSqlCte,
+      $cappedBandsSqlCte,
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+          / (len(s1.sh) + len(s2.sh) - len(list_filter(s1.sh, x -> list_contains(s2.sh, x)))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+      asg AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+      kp AS (SELECT cluster, min(node) AS keep FROM asg GROUP BY cluster),
+      at AS (SELECT d.source, CASE WHEN a.node <> kp.keep THEN 1 ELSE 0 END AS rm
+        FROM asg a JOIN kp ON a.cluster = kp.cluster
+        JOIN documents d ON a.node = d.doc_id),
+      st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(rm) AS BIGINT) AS n_removable
+        FROM at GROUP BY source)
+      SELECT source, n_docs, n_removable,
+        ${graft.Portable.round6RatioDuck("n_removable", "n_docs")} AS dup_rate
+      FROM st ORDER BY source"""
+      .replaceFirst("WITH ", "WITH RECURSIVE ")),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val pairs = DedupApi.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, maxBucketSize = LshBucketCap)
+      val asg = DedupApi.nearDupClusters(Tables.documents(s, d), "doc_id", pairs)
+        .select(col("node"), col("cluster"))
+      sourceDedupStats(asg,
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
+        .localCheckpoint(true)
+    })
+
+  /** Per-source removable attribution over a (node, cluster)
+    * assignment and a (doc_id, source) projection — [[sourceStats]]. */
+  def sourceDedupStats(asg: DataFrame, docSource: DataFrame): DataFrame = {
+    val kp = asg.groupBy(col("cluster")).agg(min(col("node")).as("keep"))
+    asg.join(kp, Seq("cluster"))
+      .join(docSource, col("node") === col("doc_id"))
+      .select(col("source"),
+        when(col("node") =!= col("keep"), 1L).otherwise(0L).as("rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("rm")).cast("long").as("n_removable"))
+      .selectExpr("source", "n_docs", "n_removable",
+        s"${graft.Portable.round6RatioSpark("n_removable", "n_docs")} AS dup_rate")
+      .orderBy(col("source"))
+  }
+
   // ----------------------------------------- keep-best cluster policy
   /** Near-dup clusters resolved by the PRODUCTION keep policy: each
     * cluster retains its highest-QUALITY member, not its min id — the
@@ -604,5 +675,6 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(exact, minhashSignatures, minhashLsh,
     simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
     embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
-    keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep, clusterStats)
+    keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep, clusterStats,
+    sourceStats)
 }

@@ -912,6 +912,111 @@ object Analytics {
       .orderBy(col("feature"))
   }
 
+  // ---------------------------------------------- ml_learning_curve
+  /** Held-out SSE from MOMENTS ALONE — the quadratic identity
+    * SSE = y'y − 2·w'X'y + w'X'Xw expanded over the 10 test moments,
+    * evaluated on the (w0, w1, w2) columns of the layer below; one
+    * shared token string, so both engines build the identical
+    * fixed-order IEEE tree. */
+  private val lcSseT =
+    """(syy_t - 2 * (w0 * sy_t + w1 * s1y_t + w2 * s2y_t)
+       + (w0 * w0 * n_t + w1 * w1 * s11_t + w2 * w2 * s22_t
+          + 2 * w0 * w1 * s1_t + 2 * w0 * w2 * s2_t + 2 * w1 * w2 * s12_t))"""
+
+  /** ml_learning_curve: held-out RMSE/R² of the [[linearProbe]] OLS
+    * as the training set grows (folds {0}, {0,1}, {0,1,2},
+    * {0,1,2,3} of `l_orderkey % 5`, fold 4 fixed as the test set) —
+    * the "is more data still buying fit" diagnosis every practitioner
+    * draws before scaling a pipeline 10×.
+    *
+    * The entire curve costs ONE map-combinable pass: per-fold DECIMAL
+    * moment sums (kept decimal), cumulative training moments as EXACT
+    * decimal additions over the 5-row fold frame (the k-fold
+    * total−fold trick, cumulative form), each point's weights a 3×3
+    * Cramer solve, and the held-out error needs NO residual scan —
+    * SSE over the test fold comes from the quadratic moment identity
+    * y'y − 2·w'X'y + w'X'Xw on the test fold's own 10 moments. Zero
+    * corpus shuffles, zero second scans, at any corpus size. */
+  val mlLearningCurve = QueryDef(
+    "ml_learning_curve",
+    Some(s"""WITH li AS (SELECT l_orderkey % 5 AS fold, l_quantity, l_discount, l_extendedprice FROM lineitem),
+      fm AS (SELECT fold, count(*) AS cnt,
+        sum(CAST(l_quantity AS DECIMAL(18,6))) AS d1,
+        sum(CAST(l_discount AS DECIMAL(18,6))) AS d2,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dy,
+        sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS d11,
+        sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS d12,
+        sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS d22,
+        sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS d1y,
+        sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS d2y,
+        sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS dyy
+        FROM li GROUP BY fold),
+      ks AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4),
+      tr AS (SELECT ks.k, CAST(sum(cnt) AS DOUBLE) AS n,
+        CAST(sum(d1) AS DOUBLE) AS s1, CAST(sum(d2) AS DOUBLE) AS s2,
+        CAST(sum(dy) AS DOUBLE) AS sy, CAST(sum(d11) AS DOUBLE) AS s11,
+        CAST(sum(d12) AS DOUBLE) AS s12, CAST(sum(d22) AS DOUBLE) AS s22,
+        CAST(sum(d1y) AS DOUBLE) AS s1y, CAST(sum(d2y) AS DOUBLE) AS s2y
+        FROM ks JOIN fm ON fm.fold < ks.k GROUP BY ks.k),
+      te AS (SELECT CAST(cnt AS DOUBLE) AS n_t,
+        CAST(d1 AS DOUBLE) AS s1_t, CAST(d2 AS DOUBLE) AS s2_t,
+        CAST(dy AS DOUBLE) AS sy_t, CAST(d11 AS DOUBLE) AS s11_t,
+        CAST(d12 AS DOUBLE) AS s12_t, CAST(d22 AS DOUBLE) AS s22_t,
+        CAST(d1y AS DOUBLE) AS s1y_t, CAST(d2y AS DOUBLE) AS s2y_t,
+        CAST(dyy AS DOUBLE) AS syy_t
+        FROM fm WHERE fold = 4),
+      w AS (SELECT k, CAST(n AS BIGINT) AS n_train,
+        $detA0 / $detA AS w0, $detA1 / $detA AS w1, $detA2 / $detA AS w2 FROM tr),
+      r AS (SELECT w.k, w.n_train, te.n_t, te.syy_t, te.sy_t, $lcSseT AS sse FROM w, te)
+      SELECT k, n_train, CAST(n_t AS BIGINT) AS n_test,
+        round(sqrt(sse / n_t), 6) AS rmse_test,
+        round(1 - sse / (syy_t - sy_t * sy_t / n_t), 6) AS r2_test
+      FROM r ORDER BY k"""),
+    (s, d) => learningCurve(s, Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_extendedprice"))))
+
+  /** Learning-curve readout over a lineitem-shaped frame — see
+    * [[mlLearningCurve]]. */
+  def learningCurve(s: SparkSession, raw: DataFrame): DataFrame = {
+    val li = raw.select(expr("l_orderkey % 5").as("fold"),
+      col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+    val fm = li.groupBy(col("fold")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("l_quantity").cast(DecimalType(18, 6))).as("d1"),
+      sum(col("l_discount").cast(DecimalType(18, 6))).as("d2"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("dy"),
+      sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8))).as("d11"),
+      sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8))).as("d12"),
+      sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8))).as("d22"),
+      sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 8))).as("d1y"),
+      sum((col("l_discount") * col("l_extendedprice")).cast(DecimalType(28, 8))).as("d2y"),
+      sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 8))).as("dyy"))
+      .localCheckpoint(true) // 5 rows; the one corpus scan runs once
+    import s.implicits._
+    val ks = Seq(1, 2, 3, 4).toDF("k")
+    val tr = broadcast(ks).join(broadcast(fm), col("fold") < col("k"))
+      .groupBy(col("k")).agg(
+        sum(col("cnt")).cast(DoubleType).as("n"),
+        sum(col("d1")).cast(DoubleType).as("s1"), sum(col("d2")).cast(DoubleType).as("s2"),
+        sum(col("dy")).cast(DoubleType).as("sy"), sum(col("d11")).cast(DoubleType).as("s11"),
+        sum(col("d12")).cast(DoubleType).as("s12"), sum(col("d22")).cast(DoubleType).as("s22"),
+        sum(col("d1y")).cast(DoubleType).as("s1y"), sum(col("d2y")).cast(DoubleType).as("s2y"))
+    val te = fm.filter(col("fold") === 4).selectExpr(
+      "CAST(cnt AS DOUBLE) AS n_t", "CAST(d1 AS DOUBLE) AS s1_t",
+      "CAST(d2 AS DOUBLE) AS s2_t", "CAST(dy AS DOUBLE) AS sy_t",
+      "CAST(d11 AS DOUBLE) AS s11_t", "CAST(d12 AS DOUBLE) AS s12_t",
+      "CAST(d22 AS DOUBLE) AS s22_t", "CAST(d1y AS DOUBLE) AS s1y_t",
+      "CAST(d2y AS DOUBLE) AS s2y_t", "CAST(dyy AS DOUBLE) AS syy_t")
+    val w = tr.selectExpr("k", "CAST(n AS BIGINT) AS n_train",
+      s"$detA0 / $detA AS w0", s"$detA1 / $detA AS w1", s"$detA2 / $detA AS w2")
+    w.crossJoin(broadcast(te))
+      .selectExpr("k", "n_train", "n_t", "syy_t", "sy_t", s"$lcSseT AS sse")
+      .selectExpr("k", "n_train", "CAST(n_t AS BIGINT) AS n_test",
+        "round(sqrt(sse / n_t), 6) AS rmse_test",
+        "round(1 - sse / (syy_t - sy_t * sy_t / n_t), 6) AS r2_test")
+      .orderBy(col("k"))
+  }
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -1932,5 +2037,6 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(q55, q56, q57, linearProbe, q58, q59, mlLogregGd,
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
-    pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance)
+    pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
+    mlLearningCurve)
 }

@@ -86,6 +86,28 @@ object AnnApi {
       col(s"a.$id") =!= col(s"b.$id") && col(s"a.$label") =!= col(s"b.$label")), id, k)
   }
 
+  /** FILTERED vector search (r9): exact cosine top-k restricted to a
+    * metadata-allowed candidate set — the "WHERE clause on a vector
+    * query" every retrieval stack needs (RAG over one tenant/source/
+    * language slice). The filter is applied as a PRE-filter: the
+    * candidate side is semi-joined to `allowedIds` BEFORE any
+    * distance is computed, so (a) the result always carries k hits
+    * when k exist in the slice — post-filtering a global top-k can
+    * return fewer or zero (the classic filtered-ANN recall bug) —
+    * and (b) the distance pass scans |allowed| vectors, not the
+    * corpus. At 100 TB the semi-join is a keyed shuffle on the id
+    * column only (the vectors never move until the slice is cut);
+    * at small SF AQE broadcasts the id list. The brute scoring here
+    * is the composition point: swap in lshTopK/ivf candidates over
+    * the filtered slice for the indexed path. */
+  def filteredTopK(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, allowedIds: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(corpus, id, vec)
+    val probes = n.join(probeIds, Seq(id), "left_semi")
+    val cands = n.join(allowedIds, Seq(id), "left_semi")
+    rerank(probes.as("a").join(cands.as("b"), col(s"a.$id") =!= col(s"b.$id")), id, k)
+  }
+
   /** Maximal-Marginal-Relevance top-k (Carbonell & Goldstein,
     * SIGIR'98) — diversity-aware reranking: after the exact top-
     * `poolSize` pool per probe, picks are greedy by

@@ -1219,6 +1219,34 @@ object Similarity {
     * gate-isolation design, so the composed gate costs ≈ one single,
     * not two — the `pipeline_ml_readouts` pattern on the ANN tier.
     * recall@5 sides are prefix FILTERS of the shared depth-10 lists. */
+  // ------------------------------------------------- filtered search
+  /** ann_filtered_search: metadata-filtered vector search — exact
+    * cosine top-5 per probe among candidates whose DOCUMENT row
+    * passes the source predicate (see [[AnnApi.filteredTopK]]: the
+    * "WHERE clause on a vector query"; pre-filter semantics, so the
+    * slice always yields k hits when k exist — post-filtering a
+    * global top-k is the classic filtered-ANN recall bug). The
+    * allowed-id list is cut from the `documents` table and
+    * semi-joined into the candidate side BEFORE any distance is
+    * computed; same determinism contract as `ann_brute_topk`
+    * (shared cosine folds, id tiebreak, 6-dp display). */
+  val filteredSearch = QueryDef(
+    "ann_filtered_search",
+    Some(s"""WITH $normSqlCte,
+      al AS (SELECT doc_id FROM documents
+        WHERE source IN ('src1', 'src2', 'src3', 'src4', 'src5'))
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        JOIN al ON b.vec_id = al.doc_id) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""),
+    (s, d) => AnnApi.filteredTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")),
+      Tables.documents(s, d)
+        .filter(col("source").isin("src1", "src2", "src3", "src4", "src5"))
+        .select(col("doc_id").as("vec_id"))))
+
   val retrievalEval = QueryDef(
     "pipeline_retrieval_eval",
     Some {
@@ -1266,5 +1294,5 @@ object Similarity {
       AnnApi.retrievalEval(emb, "vec_id", "embedding", probes)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch)
 }

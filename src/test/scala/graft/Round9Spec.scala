@@ -398,6 +398,55 @@ class Round9Spec extends AnyFunSuite {
       s"discount = ${r("l_discount")}")
   }
 
+  test("filtered search: pre-filter keeps only allowed candidates, closer outsiders excluded") {
+    import spark.implicits._
+    // probe 0 = [1,0]; candidate 1 = [1,0] (cos 1, NOT allowed),
+    // 2 = [0.8,0.6] (cos 0.8), 3 = [0,1] (cos 0). allowed = {2,3}:
+    // the slice's top-2 must be (2, 3) — a post-filtered global top-2
+    // would have returned only {2} (1 occupied a slot)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = similarity.AnnApi.filteredTopK(emb, "vec_id", "embedding",
+      Seq(0L).toDF("vec_id"), Seq(2L, 3L).toDF("vec_id"), k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((0L, 1, 2L, 0.8), (0L, 2, 3L, 0.0)), r.toSeq.toString)
+  }
+
+  test("learning curve: planted exact plane scores zero held-out error at every size") {
+    import spark.implicits._
+    // y = 10 + 2q + 3disc exactly; every fold holds the same
+    // nonsingular 4-point design so each cumulative train set solves
+    // to the true plane and the moment-identity SSE must be ~0
+    val pts = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 1.0), (1.0, 1.0))
+    val li = (0 until 5).flatMap { f =>
+      pts.zipWithIndex.map { case ((q, ds), i) =>
+        (f.toLong + 5L * i, q, ds, 10.0 + 2.0 * q + 3.0 * ds) }
+    }.toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val r = operators.Analytics.learningCurve(spark, li).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1, 4L, 4L), (2, 8L, 4L), (3, 12L, 4L), (4, 16L, 4L)), r.toSeq.toString)
+    r.foreach { x =>
+      assert(x.getDouble(3) == 0.0, s"k=${x.getInt(0)} rmse = ${x.getDouble(3)}")
+      assert(x.getDouble(4) == 1.0, s"k=${x.getInt(0)} r2 = ${x.getDouble(4)}")
+    }
+  }
+
+  test("source dedup stats: removables attribute to their OWN source, keepers stay") {
+    import spark.implicits._
+    // clusters {1,2,3} (keep 1), {4,5} (keep 4), {6}; sources:
+    // A = {1,2,6}, B = {3,4,5}. removable 2 -> A; 3, 5 -> B
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("node", "cluster")
+    val ds = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "A"))
+      .toDF("doc_id", "source")
+    val r = dedup.Dedup.sourceDedupStats(asg, ds).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("A", 3L, 1L, 0.333333), ("B", 3L, 2L, 0.666667)),
+      r.toSeq.toString)
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

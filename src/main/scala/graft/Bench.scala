@@ -94,7 +94,8 @@ object Bench {
     "q88_join_skew_report", "ann_hybrid_rrf", "ann_ndcg",
     "pipeline_retrieval_eval", "q89_dq_audit", "ml_conformal_interval",
     "q90_markov_stationary", "q91_theil_sen", "pipeline_trend_panel",
-    "ml_feature_importance", "ml_learning_curve", "ann_filtered_search")
+    "ml_feature_importance", "ml_learning_curve", "ann_filtered_search",
+    "dedup_source_stats", "text_novelty_curve")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

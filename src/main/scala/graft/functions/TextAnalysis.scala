@@ -3,7 +3,7 @@ package graft.functions
 import graft.{Portable, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators for a training-data pipeline (SURVEY.md
   * §2.5): token counting, quality scoring, language-ID heuristic,
@@ -589,7 +589,79 @@ object TextAnalysis {
         "CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility")
       .orderBy(col("lang")))
 
+  // --------------------------------------------------- novelty curve
+  /** Ingest batches of this many doc_ids — the novelty curve's x-axis
+    * grain (the synthetic corpus has no ingest timestamp; contiguous
+    * id ranges stand in for crawl batches). */
+  val NoveltyBatch = 50
+
+  /** text_novelty_curve: per-ingest-batch NEW-shingle fraction — is
+    * the crawl still contributing novel content, or re-fetching what
+    * the corpus already holds? (the freshness curve a data team reads
+    * before paying for the next crawl round; novelty decay is the
+    * standard web-scale dedup observation). A shingle is NEW in the
+    * first batch (`doc_id div 50`) that contains it; per batch:
+    * distinct shingles seen, how many were first seen there, and the
+    * 6-dp novelty rate (CASE-guarded for shingle-free batches
+    * identically in both engines).
+    *
+    * 100 TB shape: the corpus explodes to (batch, shingle-hash)
+    * DISTINCT pairs (8-byte longs via the native
+    * `graft_word_shingles`, the dup_ngram lesson) — ONE shingle-keyed
+    * shrinking shuffle; first-batch is a shingle-grain `min`,
+    * and both readout aggregates are batch-grain. Nothing quadratic,
+    * nothing driver-side. */
+  val noveltyCurve = QueryDef(
+    "text_novelty_curve",
+    Some {
+      val k = DupShingleK
+      s"""WITH norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id // $NoveltyBatch AS batch,
+            unnest(list_transform(${Portable.wordShinglesSql("toks", k)},
+            s -> ${Portable.h60Sql("s")})) AS h
+          FROM norm WHERE len(toks) >= $k),
+        bs AS (SELECT DISTINCT batch, h FROM sh),
+        fb AS (SELECT h, min(batch) AS fbatch FROM bs GROUP BY h),
+        tot AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_shingles FROM bs GROUP BY batch),
+        nw AS (SELECT fbatch AS batch, CAST(count(*) AS BIGINT) AS n_new FROM fb GROUP BY fbatch),
+        nd AS (SELECT doc_id // $NoveltyBatch AS batch, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT nd.batch, nd.n_docs,
+          coalesce(tot.n_shingles, 0) AS n_shingles,
+          coalesce(nw.n_new, 0) AS n_new,
+          CASE WHEN coalesce(tot.n_shingles, 0) > 0
+            THEN ${graft.Portable.round6RatioDuck("coalesce(nw.n_new, 0)", "tot.n_shingles")} END AS novelty_rate
+        FROM nd LEFT JOIN tot ON nd.batch = tot.batch
+          LEFT JOIN nw ON nd.batch = nw.batch
+        ORDER BY nd.batch"""
+    },
+    (s, d) => noveltyCurveOf(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** Novelty curve over a (doc_id, text) frame — [[noveltyCurve]]. */
+  def noveltyCurveOf(docs: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val k = DupShingleK
+      graft.functions.WordShingles.ensure(docs.sparkSession)
+      val bs = scope.persist(docs
+        .select(expr(s"doc_id div $NoveltyBatch").as("batch"),
+          explode(graft.functions.WordShingles.hashes(normText(col("text")), k)).as("h"))
+        .distinct())
+      val fb = bs.groupBy(col("h")).agg(min(col("batch")).as("fbatch"))
+      val tot = bs.groupBy(col("batch")).agg(count(lit(1)).cast("long").as("n_shingles"))
+      val nw = fb.groupBy(col("fbatch").as("batch")).agg(count(lit(1)).cast("long").as("n_new"))
+      val nd = docs.select(expr(s"doc_id div $NoveltyBatch").as("batch"))
+        .groupBy(col("batch")).agg(count(lit(1)).cast("long").as("n_docs"))
+      nd.join(broadcast(tot), Seq("batch"), "left")
+        .join(broadcast(nw), Seq("batch"), "left")
+        .selectExpr("batch", "n_docs",
+          "coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles",
+          "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new",
+          s"""CASE WHEN coalesce(n_shingles, CAST(0 AS BIGINT)) > 0
+            THEN ${graft.Portable.round6RatioSpark("coalesce(n_new, CAST(0 AS BIGINT))", "n_shingles")} END AS novelty_rate""")
+        .orderBy(col("batch"))
+    }
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
-    entropy, keyphrases, invertedIndex, tokenizerFertility)
+    entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve)
 }

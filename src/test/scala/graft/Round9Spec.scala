@@ -447,6 +447,27 @@ class Round9Spec extends AnyFunSuite {
       r.toSeq.toString)
   }
 
+  test("novelty curve: repeats score zero, fresh content scores by shingle share, short docs NULL") {
+    import spark.implicits._
+    // batch 0: docs 0 ("a..f" -> 2 shingles) + 1 ("g..k" -> 1) all new;
+    // batch 1: doc 50 repeats doc 0 verbatim -> 0 new; batch 2:
+    // doc 100 shares one 5-shingle with doc 0 -> 1 of 2 new;
+    // batch 3: doc 150 too short for k=5 -> 0 shingles, NULL rate
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "g h i j k"),
+      (50L, "a b c d e f"),
+      (100L, "a b c d e x"),
+      (150L, "w x")).toDF("doc_id", "text")
+    val r = functions.TextAnalysis.noveltyCurveOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4))))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 3L, 3L, Some(1.0)),
+      (1L, 1L, 2L, 0L, Some(0.0)),
+      (2L, 1L, 2L, 1L, Some(0.5)),
+      (3L, 1L, 0L, 0L, None)), r.toSeq.toString)
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

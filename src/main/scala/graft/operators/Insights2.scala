@@ -1026,6 +1026,82 @@ object Insights2 {
       .orderBy(col("event_type"))
   }
 
+  // ----------------------------------------------------------- q92
+  /** Equi-depth bucket count. */
+  val EquidepthK = 8
+
+  /** q92: equi-depth histogram of `o_totalprice` — the
+    * equal-frequency summary every optimizer/stats engine builds
+    * (selectivity estimation, partition planning, monitoring
+    * dashboards): k = 8 buckets whose UPPER boundaries are the exact
+    * order statistics at ranks ⌈i·n/k⌉ (0-based, pure-BIGINT rank
+    * arithmetic `(i·n + k − 1) div k − 1` — no float rank), bucket
+    * membership by VALUE range (lo < x ≤ hi], so tied values land in
+    * one bucket and per-bucket counts honestly deviate from n/k under
+    * ties (the textbook equi-depth-with-ties semantics).
+    *
+    * Determinism: boundaries are actual data values picked by exact
+    * integer ranks ([[ExactPercentiles.orderStatistics]] — the
+    * narrowing selection, never a sort shuffle; the oracle takes the
+    * independent row_number route); counts are exact conditional
+    * BIGINTs against those boundary values.
+    *
+    * 100 TB shape: one count, one k-rank selection over the pruned
+    * value column (2–3 histogram passes, shuffle carries 2^16-bucket
+    * counts), one map-combinable conditional-count aggregate with the
+    * k boundaries broadcast. */
+  val q92 = QueryDef(
+    "q92_equidepth_histogram",
+    Some {
+      val k = EquidepthK
+      s"""WITH v AS (SELECT o_totalprice AS x FROM orders),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      rk AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM v),
+      bd AS (SELECT i.i AS bucket, rk.x AS hi
+        FROM (SELECT unnest(range(1, $k + 1)) AS i) i, nn
+        JOIN rk ON rk.r = (i.i * nn.n + $k - 1) // $k),
+      bb AS (SELECT bucket, lag(hi) OVER (ORDER BY bucket) AS lo, hi FROM bd),
+      ct AS (SELECT bb.bucket, bb.lo, bb.hi,
+          CAST(sum(CASE WHEN (bb.lo IS NULL OR v.x > bb.lo) AND v.x <= bb.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+        FROM bb, v GROUP BY bb.bucket, bb.lo, bb.hi)
+      SELECT bucket, lo, hi, n_rows FROM ct ORDER BY bucket"""
+    },
+    (s, d) => equidepthHistogram(Tables.orders(s, d).select(col("o_totalprice").as("x"))))
+
+  /** Equi-depth histogram over a single-column (x DOUBLE) frame —
+    * see [[q92]]. */
+  def equidepthHistogram(v: DataFrame, k: Int = EquidepthK): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val s = v.sparkSession
+      import s.implicits._
+      val nn = v.agg(count(lit(1)).cast(LongType).as("n")).localCheckpoint(true)
+      // 0-based rank of bucket i's upper boundary: ceil(i*n/k) - 1
+      val ranks = broadcast(nn).crossJoin(broadcast((1 to k).toDF("bucket")))
+        .selectExpr("'x' AS g", "bucket", s"(bucket * n + $k - 1) div $k - 1 AS k")
+      val bd = ExactPercentiles.orderStatistics(
+        v.withColumn("g", lit("x")), "g", "x", ranks.select(col("g"), col("k")))
+      // map rank back to bucket index (ranks are strictly increasing
+      // in bucket, so a sort-free join on k suffices)
+      val withB = ranks.join(broadcast(bd), Seq("g", "k"))
+        .select(col("bucket"), col("value").as("hi"))
+      val bb = withB
+        .withColumn("lo", lag(col("hi"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))))
+        .select(col("bucket"), col("lo"), col("hi"))
+        .localCheckpoint(true) // k rows; also silences the single-partition window warn
+      // left-join the counts back so a bucket emptied by tied
+      // boundaries (lo = hi) still surfaces with n_rows = 0, exactly
+      // as the oracle's sum(CASE) over all k buckets does
+      val counts = v.crossJoin(broadcast(bb))
+        .filter((col("lo").isNull || col("x") > col("lo")) && col("x") <= col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      bb.join(broadcast(counts), Seq("bucket"), "left")
+        .select(col("bucket"), col("lo"), col("hi"),
+          coalesce(col("c"), lit(0L)).as("n_rows"))
+        .orderBy(col("bucket"))
+    }
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel)
+    q90, q91, pipelineTrendPanel, q92)
 }

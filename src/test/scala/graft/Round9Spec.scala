@@ -468,6 +468,22 @@ class Round9Spec extends AnyFunSuite {
       (3L, 1L, 0L, 0L, None)), r.toSeq.toString)
   }
 
+  test("equi-depth histogram: uniform values split evenly; total ties empty the tail buckets") {
+    import spark.implicits._
+    val r = operators.Insights2.equidepthHistogram(
+      (1 to 16).map(_.toDouble).toDF("x")).collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1.0 else x.getDouble(1),
+        x.getDouble(2), x.getLong(3)))
+    assert(r.toSeq == (1 to 8).map(i =>
+      (i, if (i == 1) -1.0 else 2.0 * (i - 1), 2.0 * i, 2L)).toSeq, r.toSeq.toString)
+    // 8 identical values: every boundary is 5.0 -> bucket 1 holds all,
+    // buckets 2..8 surface EMPTY (lo = hi), not dropped
+    val t = operators.Insights2.equidepthHistogram(
+      Seq.fill(8)(5.0).toDF("x")).collect()
+      .map(x => (x.getInt(0), x.getLong(3)))
+    assert(t.toSeq == ((1, 8L) +: (2 to 8).map(i => (i, 0L))), t.toSeq.toString)
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

@@ -661,7 +661,65 @@ object TextAnalysis {
         .orderBy(col("batch"))
     }
 
+  // --------------------------------------------- boilerplate fraction
+  /** A sentence is boilerplate when it appears in at least this many
+    * documents (the CCNet-style absolute df threshold; web pipelines
+    * use a handful of repeats as the cut). */
+  val BoilerplateDf = 3
+
+  /** text_boilerplate_fraction: SENTENCE-level duplication per doc —
+    * the CCNet/RefinedWeb paragraph-dedup readout (doc-level near-dup
+    * misses the nav bars, cookie banners, and license footers that
+    * repeat across otherwise-distinct pages; those are removed at the
+    * LINE grain). Text splits on sentence punctuation, sentences
+    * normalize + hash to 8-byte longs, a sentence with document
+    * frequency ≥ 3 is boilerplate, and each doc reports its sentence
+    * count, boilerplate count, and 6-dp fraction.
+    *
+    * 100 TB shape: the dup_ngram shape at sentence grain — explode to
+    * DISTINCT (doc, sentence-hash), ONE hash-keyed shrinking df
+    * aggregate, per-doc attribution via a doc-keyed join of the ≥df
+    * hash set (never joined on the hot sentence value itself); all
+    * shuffles carry longs. */
+  val boilerplateFraction = QueryDef(
+    "text_boilerplate_fraction",
+    Some(s"""WITH sraw AS (SELECT doc_id,
+        unnest(string_split_regex(text, '[.!?]+')) AS s FROM documents),
+      sn AS (SELECT DISTINCT doc_id, ${Portable.h60Sql(s"(${normTextSql("s")})")} AS h
+        FROM sraw WHERE ${normTextSql("s")} <> ''),
+      df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sn GROUP BY h),
+      per AS (SELECT sn.doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+          CAST(sum(CASE WHEN df.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM sn JOIN df ON sn.h = df.h GROUP BY sn.doc_id)
+      SELECT doc_id, n_sent, n_boiler,
+        ${graft.Portable.round6RatioDuck("n_boiler", "n_sent")} AS boiler_fraction
+      FROM per ORDER BY doc_id"""),
+    (s, d) => boilerplateOf(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** Sentence-level boilerplate readout over (doc_id, text) —
+    * see [[boilerplateFraction]]. */
+  def boilerplateOf(docs: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val sn = scope.persist(docs
+        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("s"))
+        .select(col("doc_id"), normText(col("s")).as("ns"))
+        .filter(col("ns") =!= "")
+        .select(col("doc_id"), Portable.h60(col("ns")).as("h"))
+        .distinct())
+      val hot = sn.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerplateDf)
+        .select(col("h"), lit(1L).as("hit"))
+      sn.join(hot, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_sent"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_boiler"))
+        .selectExpr("doc_id", "n_sent", "n_boiler",
+          s"${graft.Portable.round6RatioSpark("n_boiler", "n_sent")} AS boiler_fraction")
+        .orderBy(col("doc_id"))
+    }
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
-    entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve)
+    entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
+    boilerplateFraction)
 }

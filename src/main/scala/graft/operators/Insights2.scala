@@ -1102,6 +1102,76 @@ object Insights2 {
         .orderBy(col("bucket"))
     }
 
+  // ----------------------------------------------------------- q93
+  /** q93: join-SIZE estimate from key histograms — predict
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k) WITHOUT materializing the join (the
+    * q88 skew report's sibling: q88 says how hot the keys are, this
+    * says how many rows the join will emit — the number that decides
+    * whether the join is even affordable, and what the optimizer's
+    * estimate should have been). Per candidate join: both sides'
+    * row/distinct-key counts, the exact predicted output size, and
+    * the fan-out ratio est/max(rows) (a fan-out ≫ 1 means a
+    * many-to-many blowup a pipeline wants to know about BEFORE the
+    * shuffle).
+    *
+    * Determinism: everything is exact BIGINT count algebra; the
+    * per-key product sum rides DECIMAL(38,0) (f_A·f_B can pass int64
+    * on mega-keys at corpus scale — the q77 lesson).
+    *
+    * 100 TB shape: per side ONE shrinking row→key-grain count
+    * aggregate, then a key-grain hash join of the two count tables
+    * (key-cardinality-sized, not data-sized) and a 1-row sum. The
+    * join itself never runs. */
+  val q93 = QueryDef(
+    "q93_join_size_estimate",
+    Some("""WITH lo AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f FROM lineitem GROUP BY 1),
+      oo AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS f FROM orders GROUP BY 1),
+      oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f FROM orders GROUP BY 1),
+      cc AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS f FROM customer GROUP BY 1),
+      j1 AS (SELECT 'lineitem*orders@orderkey' AS join_name,
+          (SELECT CAST(sum(f) AS BIGINT) FROM lo) AS rows_a,
+          (SELECT CAST(count(*) AS BIGINT) FROM lo) AS keys_a,
+          (SELECT CAST(sum(f) AS BIGINT) FROM oo) AS rows_b,
+          (SELECT CAST(count(*) AS BIGINT) FROM oo) AS keys_b,
+          CAST(sum(CAST(lo.f AS DECIMAL(19,0)) * oo.f) AS BIGINT) AS est_rows
+        FROM lo JOIN oo ON lo.k = oo.k),
+      j2 AS (SELECT 'orders*customer@custkey' AS join_name,
+          (SELECT CAST(sum(f) AS BIGINT) FROM oc) AS rows_a,
+          (SELECT CAST(count(*) AS BIGINT) FROM oc) AS keys_a,
+          (SELECT CAST(sum(f) AS BIGINT) FROM cc) AS rows_b,
+          (SELECT CAST(count(*) AS BIGINT) FROM cc) AS keys_b,
+          CAST(sum(CAST(oc.f AS DECIMAL(19,0)) * cc.f) AS BIGINT) AS est_rows
+        FROM oc JOIN cc ON oc.k = cc.k)
+      SELECT join_name, rows_a, keys_a, rows_b, keys_b, est_rows,
+        CAST(est_rows AS DOUBLE) / greatest(rows_a, rows_b) AS fanout
+      FROM (SELECT * FROM j1 UNION ALL SELECT * FROM j2) u
+      ORDER BY join_name"""),
+    (s, d) => {
+      def side(df: DataFrame, key: String): DataFrame =
+        df.select(col(key).as("k")).groupBy(col("k"))
+          .agg(count(lit(1)).cast(LongType).as("f"))
+      val est1 = joinSizeEstimate("lineitem*orders@orderkey",
+        side(Tables.lineitem(s, d), "l_orderkey"), side(Tables.orders(s, d), "o_orderkey"))
+      val est2 = joinSizeEstimate("orders*customer@custkey",
+        side(Tables.orders(s, d), "o_custkey"), side(Tables.customer(s, d), "c_custkey"))
+      est1.unionAll(est2).orderBy(col("join_name"))
+    })
+
+  /** Exact Σ f_A·f_B join-size prediction over two (k, f) key-count
+    * frames — see [[q93]]. */
+  def joinSizeEstimate(name: String, fa: DataFrame, fb: DataFrame): DataFrame = {
+    val sa = fa.agg(sum(col("f")).cast(LongType).as("rows_a"),
+      count(lit(1)).cast(LongType).as("keys_a")).localCheckpoint(true)
+    val sb = fb.agg(sum(col("f")).cast(LongType).as("rows_b"),
+      count(lit(1)).cast(LongType).as("keys_b")).localCheckpoint(true)
+    val est = fa.join(fb.withColumnRenamed("f", "fb"), Seq("k"))
+      .agg(sum(expr("CAST(f AS DECIMAL(19,0)) * fb")).cast(LongType).as("est_rows"))
+      .localCheckpoint(true)
+    broadcast(sa).crossJoin(broadcast(sb)).crossJoin(broadcast(est))
+      .selectExpr(s"'$name' AS join_name", "rows_a", "keys_a", "rows_b", "keys_b",
+        "est_rows", "CAST(est_rows AS DOUBLE) / greatest(rows_a, rows_b) AS fanout")
+  }
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92)
+    q90, q91, pipelineTrendPanel, q92, q93)
 }

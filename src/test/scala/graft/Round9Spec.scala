@@ -484,6 +484,38 @@ class Round9Spec extends AnyFunSuite {
     assert(t.toSeq == ((1, 8L) +: (2 to 8).map(i => (i, 0L))), t.toSeq.toString)
   }
 
+  test("join size estimate: sum f_a*f_b equals the materialized join row count") {
+    import spark.implicits._
+    val fa = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("k", "f")
+    val fb = Seq((1L, 4L), (2L, 1L), (9L, 5L)).toDF("k", "f")
+    val r = operators.Insights2.joinSizeEstimate("t", fa, fb).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((6L, 3L, 10L, 3L, 11L)), r.toString)
+    assert(r.getDouble(6) == 1.1, s"fanout = ${r.getDouble(6)}")
+    // the estimate IS the join size: materialize the expansion and check
+    val a = fa.as[(Long, Long)].collect().flatMap { case (k, f) => Seq.fill(f.toInt)(k) }
+      .toSeq.toDF("k")
+    val b = fb.as[(Long, Long)].collect().flatMap { case (k, f) => Seq.fill(f.toInt)(k) }
+      .toSeq.toDF("kb")
+    assert(a.join(b, col("k") === col("kb")).count() == 11L)
+  }
+
+  test("boilerplate fraction: a footer in 3 docs flags, a 2-doc repeat does not") {
+    import spark.implicits._
+    // "all rights reserved" appears in docs 1,2,3 (df 3 = threshold);
+    // "see you soon" only in 1,2 (df 2, below); unique bodies differ
+    val docs = Seq(
+      (1L, "Alpha body one. All rights reserved! See you soon."),
+      (2L, "Beta body two. All rights reserved. See you soon!"),
+      (3L, "Gamma body three? All rights reserved."),
+      (4L, "Delta body four.")).toDF("doc_id", "text")
+    val r = functions.TextAnalysis.boilerplateOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333),
+      (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0)), r.toSeq.toString)
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

@@ -186,7 +186,16 @@ object ScaleProbe {
       ("q90_markov_stationary", d => operators.Insights2.q90.build(spark, d)),
       ("q91_theil_sen", d => operators.Insights2.q91.build(spark, d)),
       ("pipeline_trend_panel", d => operators.Insights2.pipelineTrendPanel.build(spark, d)),
-      ("ml_feature_importance", d => operators.Analytics.mlFeatureImportance.build(spark, d)))
+      ("ml_feature_importance", d => operators.Analytics.mlFeatureImportance.build(spark, d)),
+      // the round-9 late tier: shingle/sentence-grain shuffles,
+      // selection-backed histogram, key-grain size estimate, per-fold
+      // moment curve, filtered slice scan, source attribution
+      ("text_novelty_curve", d => functions.TextAnalysis.noveltyCurve.build(spark, d)),
+      ("text_boilerplate_fraction", d => functions.TextAnalysis.boilerplateFraction.build(spark, d)),
+      ("q92_equidepth_histogram", d => operators.Insights2.q92.build(spark, d)),
+      ("q93_join_size_estimate", d => operators.Insights2.q93.build(spark, d)),
+      ("ml_learning_curve", d => operators.Analytics.mlLearningCurve.build(spark, d)),
+      ("dedup_source_stats", d => dedup.Dedup.sourceStats.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

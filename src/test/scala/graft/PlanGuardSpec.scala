@@ -587,6 +587,30 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("r9 late tier: shingle/sentence/key-grain shuffles only, no quadratic joins") {
+    // novelty/boilerplate: hash-keyed shrinking aggregates, doc-keyed
+    // attribution joins; q92: selection + broadcast boundaries; q93:
+    // key-grain count-table join; source_stats rides the capped pair
+    // scan. None may plan a cartesian; q93's count-table join and the
+    // attribution joins must stay hash joins
+    for (q <- Seq("text_novelty_curve", "text_boilerplate_fraction",
+        "q92_equidepth_histogram", "q93_join_size_estimate",
+        "ml_learning_curve", "ann_filtered_search")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plans a sort-merge join:\n$p")
+    }
+  }
+
+  test("boilerplate attribution joins on the hash, never explodes twice") {
+    // one exchange on h (the df aggregate + the hot-set join), one on
+    // doc_id (the per-doc aggregate) — a plan that re-splits the text
+    // for the join side would scan the corpus twice
+    val p = plan("text_boilerplate_fraction")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan parquet"),
+      s"expected the persisted sentence frame:\n$p")
+  }
+
   test("trend panel collapses the corpus to day grain before any window") {
     val p = plan("pipeline_trend_panel")
     val aggIdx = p.indexOf("HashAggregate")

@@ -1017,6 +1017,105 @@ object Analytics {
       .orderBy(col("k"))
   }
 
+  // ------------------------------------------------ ml_ks_two_sample
+  /** Shared KS readout fragments over (na, nb, nv, mx): D in the
+    * exact cross-multiplied form max|cumA·nB − cumB·nA| / (nA·nB)
+    * (the numerator maximized as DECIMAL(38,0) — cum·n products pass
+    * int64 at corpus scale), λ = D·√(nA·nB/(nA+nB)) (sqrt is a
+    * correctly-rounded IEEE op), and the α=0.05 decision against the
+    * asymptotic critical constant 1.358 (a literal — evaluating the
+    * Kolmogorov series would put a libm exp() ulp between the
+    * engines). */
+  private val ksD = "(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * nb))"
+  private val ksLambda =
+    s"($ksD * sqrt(CAST(na AS DOUBLE) * nb / (CAST(na AS DOUBLE) + nb)))"
+
+  /** ml_ks_two_sample: exact two-sample Kolmogorov–Smirnov test of
+    * `l_extendedprice` between return flags A and N — "did the
+    * distribution drift between the two populations" (the
+    * nonparametric drift gate feature pipelines run next to PSI; KS
+    * needs no binning choices). D = sup|F_A − F_B| is computed
+    * EXACTLY at every observed value — not on a sample, not on
+    * quantile sketches.
+    *
+    * The distributed shape is the point: a naive exact KS sorts the
+    * merged samples globally (the one thing a 100 TB column must
+    * never do). Here the corpus collapses to VALUE grain (one keyed
+    * shuffle with per-side conditional counts), and the running
+    * ECDFs come from the budget_select two-level scan — range
+    * partition on value, task-local cumulative sums, and the
+    * #partitions-row exclusive offset scan broadcast back; the sup
+    * is then one map-combinable max of the exact integer deviation.
+    * Partition-count invariant (global cum = base + local cum is
+    * exact integer arithmetic).
+    *
+    * Determinism: every cumulative count is an exact BIGINT, the
+    * deviation numerator an exact DECIMAL(38,0), and D/λ fixed-order
+    * IEEE trees over those exacts shared token-for-token; the oracle
+    * takes the independent single-node window-sort route. */
+  val mlKsTwoSample = QueryDef(
+    "ml_ks_two_sample",
+    Some(s"""WITH v AS (SELECT l_extendedprice AS x,
+        CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+        CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS ib
+      FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+      vg AS (SELECT x, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        FROM v GROUP BY x),
+      cum AS (SELECT x,
+        CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        FROM vg),
+      nn AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        CAST(count(*) AS BIGINT) AS nv FROM vg),
+      dev AS (SELECT max(abs(CAST(cuma AS DECIMAL(19,0)) * nn.nb
+          - CAST(cumb AS DECIMAL(19,0)) * nn.na)) AS mx
+        FROM cum, nn)
+      SELECT na AS n_a, nb AS n_b, nv AS n_values,
+        $ksD AS d, $ksLambda AS lambda,
+        ($ksLambda > 1.358) AS reject_05
+      FROM nn, dev"""),
+    (s, d) => ksTwoSample(Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_extendedprice").as("x"),
+        when(col("l_returnflag") === "A", 1L).otherwise(0L).as("ia"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("ib"))))
+
+  /** Exact distributed KS over an (x, ia, ib) indicator frame —
+    * see [[mlKsTwoSample]]. */
+  def ksTwoSample(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = v.groupBy(col("x")).agg(
+      sum(col("ia")).cast(LongType).as("ca"), sum(col("ib")).cast(LongType).as("cb"))
+    // value-grain two-level scan (the budget_select shape): persist
+    // PINS one physical range partitioning for both consumers
+    val ranked = graft.CacheScope.untracked.persist(vg
+      .repartitionByRange(col("x"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lca", sum(col("ca")).over(
+        Window.partitionBy(col("pid")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lcb", sum(col("cb")).over(
+        Window.partitionBy(col("pid")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lca")).as("pa"), max(col("lcb")).as("pb"))
+      .select(col("pid"),
+        coalesce(sum(col("pa")).over(wo), lit(0L)).as("basea"),
+        coalesce(sum(col("pb")).over(wo), lit(0L)).as("baseb"))
+    val nn = vg.agg(sum(col("ca")).cast(LongType).as("na"),
+      sum(col("cb")).cast(LongType).as("nb"),
+      count(lit(1)).cast(LongType).as("nv")).localCheckpoint(true)
+    val dev = ranked.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(nn))
+      .selectExpr("""abs(CAST(basea + lca AS DECIMAL(19,0)) * nb
+        - CAST(baseb + lcb AS DECIMAL(19,0)) * na) AS dv""")
+      .agg(max(col("dv")).as("mx")).localCheckpoint(true)
+    nn.crossJoin(broadcast(dev))
+      .selectExpr("na AS n_a", "nb AS n_b", "nv AS n_values",
+        s"$ksD AS d", s"$ksLambda AS lambda", s"($ksLambda > 1.358) AS reject_05")
+  }
+
   // ----------------------------------------------------------- q58
   /** q58: last-touch marketing attribution — every purchase is
     * credited to its user's most recent click/view STRICTLY before it
@@ -2038,5 +2137,5 @@ object Analytics {
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
-    mlLearningCurve)
+    mlLearningCurve, mlKsTwoSample)
 }

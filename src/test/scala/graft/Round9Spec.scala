@@ -516,6 +516,26 @@ class Round9Spec extends AnyFunSuite {
       (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0)), r.toSeq.toString)
   }
 
+  test("ks two-sample: planted ECDF gap hits D exactly; disjoint supports reject; partition-invariant") {
+    import spark.implicits._
+    def frame(a: Seq[Double], b: Seq[Double]) =
+      (a.map((_, 1L, 0L)) ++ b.map((_, 0L, 1L))).toDF("x", "ia", "ib")
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup|F_A - F_B| = 1/2 at x = 2..4
+    val r = operators.Analytics.ksTwoSample(
+      frame(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 6L)), r.toString)
+    assert(r.getDouble(3) == 0.5, s"d = ${r.getDouble(3)}")
+    assert(!r.getBoolean(5), "lambda 0.707 must not reject at 0.05")
+    // disjoint supports: D = 1, lambda = sqrt(50) >> 1.358
+    val s2 = operators.Analytics.ksTwoSample(
+      frame((1 to 100).map(_.toDouble), (101 to 200).map(_.toDouble))).collect().head
+    assert(s2.getDouble(3) == 1.0 && s2.getBoolean(5), s2.toString)
+    // two-level scan must be partition-count invariant bit-for-bit
+    val rp = operators.Analytics.ksTwoSample(
+      frame(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)).repartition(7)).collect().head
+    assert(rp.getDouble(3) == r.getDouble(3) && rp.getDouble(4) == r.getDouble(4))
+  }
+
   test("trend panel: composed rows equal the three singles field-for-field") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("ts"))

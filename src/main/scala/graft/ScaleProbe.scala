@@ -195,7 +195,8 @@ object ScaleProbe {
       ("q92_equidepth_histogram", d => operators.Insights2.q92.build(spark, d)),
       ("q93_join_size_estimate", d => operators.Insights2.q93.build(spark, d)),
       ("ml_learning_curve", d => operators.Analytics.mlLearningCurve.build(spark, d)),
-      ("dedup_source_stats", d => dedup.Dedup.sourceStats.build(spark, d)))
+      ("dedup_source_stats", d => dedup.Dedup.sourceStats.build(spark, d)),
+      ("ml_ks_two_sample", d => operators.Analytics.mlKsTwoSample.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -595,7 +595,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // attribution joins must stay hash joins
     for (q <- Seq("text_novelty_curve", "text_boilerplate_fraction",
         "q92_equidepth_histogram", "q93_join_size_estimate",
-        "ml_learning_curve", "ann_filtered_search")) {
+        "ml_learning_curve", "ann_filtered_search", "ml_ks_two_sample")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q plans a sort-merge join:\n$p")

@@ -149,4 +149,28 @@ class ExactPercentilesSpec extends AnyFunSuite {
         (r.getString(0), 0.9) -> r.getDouble(2))).toMap
     assert(fast == slow, s"$fast vs $slow")
   }
+
+  test("orderStatistics: every rank of a random multiset equals the sorted reference, any partitioning") {
+    import spark.implicits._
+    // adversarial multiset: duplicates, negatives, ulp-neighbors, -0.0
+    val rng = new scala.util.Random(42)
+    val vals = Seq.fill(40)(rng.nextInt(8).toDouble - 3) ++
+      Seq(-0.0, 0.0, 0.3, 0.30000000000000004, -1e300, 1e300) ++
+      Seq.fill(20)(rng.nextDouble())
+    val sorted = vals.sorted
+    for (parts <- Seq(1, 7)) {
+      val df = vals.map(("g", _)).toDF("g", "x").repartition(parts)
+      val ranks = vals.indices.map(i => ("g", i.toLong)).toDF("g", "k")
+      val got = CacheScope.withScope { implicit s =>
+        operators.ExactPercentiles.orderStatistics(df, "g", "x", ranks)
+          .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      }
+      vals.indices.foreach { i =>
+        // compare as bits so -0.0 vs 0.0 ordering is pinned too
+        assert(java.lang.Double.doubleToRawLongBits(got(i.toLong)) ==
+          java.lang.Double.doubleToRawLongBits(sorted(i)),
+          s"rank $i at parts=$parts: ${got(i.toLong)} vs ${sorted(i)}")
+      }
+    }
+  }
 }

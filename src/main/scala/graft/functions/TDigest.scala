@@ -87,7 +87,10 @@ case class TDigestAgg(
 
   override def update(buf: TDigestBuffer, input: InternalRow): TDigestBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue(), 1L)
+    if (v != null) buf.add(v match {
+      case d: Decimal => d.toDouble // Spark Decimal is not a java Number
+      case n: Number  => n.doubleValue()
+    }, 1L)
     buf
   }
 

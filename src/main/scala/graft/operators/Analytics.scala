@@ -1081,14 +1081,17 @@ object Analytics {
         when(col("l_returnflag") === "N", 1L).otherwise(0L).as("ib"))))
 
   /** Exact distributed KS over an (x, ia, ib) indicator frame —
-    * see [[mlKsTwoSample]]. */
-  def ksTwoSample(v: DataFrame): DataFrame = {
+    * see [[mlKsTwoSample]]. Persists its load-bearing ranked frame
+    * through the caller's [[graft.CacheScope]] (like every sibling
+    * operator) so library-composed calls can reclaim the cache. */
+  def ksTwoSample(v: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import org.apache.spark.sql.functions.spark_partition_id
     val vg = v.groupBy(col("x")).agg(
       sum(col("ia")).cast(LongType).as("ca"), sum(col("ib")).cast(LongType).as("cb"))
     // value-grain two-level scan (the budget_select shape): persist
     // PINS one physical range partitioning for both consumers
-    val ranked = graft.CacheScope.untracked.persist(vg
+    val ranked = scope.persist(vg
       .repartitionByRange(col("x"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lca", sum(col("ca")).over(

@@ -114,7 +114,12 @@ object ExactPercentiles {
   def orderStatistics(df: DataFrame, group: String, value: String, ranks: DataFrame)(
       implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
     val data = prepare(df, group, value)
-    selectRanks(data, ranks.select(col("g"), col("k").cast("long").as("k")))._1
+    // dedupe (g, k) like percentilesCounted does for its ranks frame: a
+    // duplicate target would duplicate selection-state rows, and the
+    // per-pass histogram (grouped by (g, k)) would then double-count
+    // every bucket while `rem` stays k — silently selecting rank ~k/2
+    // (equidepthHistogram emits duplicate ranks when n < bucket count)
+    selectRanks(data, ranks.select(col("g"), col("k").cast("long").as("k")).distinct())._1
       .select(col("g"), col("k"), col("v").as("value"))
   }
 

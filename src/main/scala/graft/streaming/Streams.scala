@@ -93,7 +93,13 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a late event (inside the 2h watermark delay) can extend a
+              // session whose last + gap is already at/behind the current
+              // watermark; Spark rejects a timeout <= watermark with an
+              // IllegalArgumentException and fails the whole query — clamp
+              // to watermark + 1 so the session closes on the next trigger
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -115,10 +121,12 @@ object Streams {
         (user: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0, new java.sql.Timestamp(0)))
           val batch = it.toSeq
+          // last_seen is monotone: a late-arriving microbatch of old
+          // events must not regress it below the stored high-water mark
           val updated = UserTotals(user,
             prev.n_events + batch.size,
             prev.total_value + batch.map(_.value).sum,
-            batch.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_seen))
+            (prev.last_seen +: batch.map(_.ts)).maxBy(_.getTime))
           state.update(updated)
           updated
       }

@@ -173,4 +173,24 @@ class ExactPercentilesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("orderStatistics: duplicate (g, k) targets select the TRUE rank, once") {
+    // regression (r9 advice): a duplicated rank used to duplicate the
+    // selection-state row, double-counting every histogram bucket while
+    // rem stayed k — silently returning the ~k/2 order statistic.
+    // equidepthHistogram emits exactly such duplicates when n < buckets.
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0)
+    val df = vals.map(("g", _)).toDF("g", "x").repartition(3)
+    // rank 6 requested three times, rank 1 twice — true answers 70 and 20
+    val ranks = Seq(("g", 6L), ("g", 6L), ("g", 6L), ("g", 1L), ("g", 1L)).toDF("g", "k")
+    val got = CacheScope.withScope { implicit s =>
+      operators.ExactPercentiles.orderStatistics(df, "g", "x", ranks)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+    }
+    assert(got.length == 2, s"deduped output expected, got ${got.toSeq}")
+    val m = got.toMap
+    assert(m(("g", 6L)) == 70.0, s"rank 6: ${m(("g", 6L))}")
+    assert(m(("g", 1L)) == 20.0, s"rank 1: ${m(("g", 1L))}")
+  }
 }

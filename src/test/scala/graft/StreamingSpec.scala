@@ -201,6 +201,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, "2024-01-01 02:00:00", 1L, 5.0)), rows.toString)
   }
 
+  test("sessionize survives a late event arriving after the watermark passed the session's gap (r10)") {
+    import spark.implicits._
+    // regression (r9 advice): a late event accepted by the 2h-delay
+    // watermark filter, extending a session whose last + gap is already
+    // at/behind the eviction watermark, used to make setTimeoutTimestamp
+    // throw ('timeout timestamp cannot be earlier than watermark') and
+    // fail the whole query. The fix clamps the timeout to watermark + 1.
+    val in = Files.createTempDirectory("graft-sess-late-in").toString
+    writeBatches(in, Seq(
+      // b1: user 7 opens a session at 04:00 (timeout 04:30)
+      Seq(Streams.Event(1, ts("2024-01-01 04:00:00"), 7, "click", 1.0)),
+      // b2: jumps event time to 09:00 → eviction watermark for b3 = 07:00,
+      // far past user 7's last+gap = 04:30
+      Seq(Streams.Event(2, ts("2024-01-01 09:00:00"), 8, "view", 1.0)),
+      // b3: a LATE user-7 event at 04:15 — within the gap of the open
+      // session; late-event filtering uses the PREVIOUS batch's watermark
+      // (02:00), so the row reaches the state function while the eviction
+      // watermark is already 07:00
+      Seq(Streams.Event(3, ts("2024-01-01 04:15:00"), 7, "click", 2.0)),
+      // b4: advances event time so every open session times out and emits
+      Seq(Streams.Event(4, ts("2024-01-01 20:00:00"), 9, "view", 1.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.sessionize(stream)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) // the old code dies here with a StreamingQueryException
+    val rows = spark.table("sess_late_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // user 7's session closes exactly once, WITH the late event folded
+    // in (n=2, total=3.0) — Spark's late filter admitted it because the
+    // previous-batch watermark (02:00) governs filtering while eviction
+    // uses the current one (07:00); the old code threw right here
+    assert(rows.contains((7L, "2024-01-01 04:00:00", 2L, 3.0)), rows.toString)
+    assert(rows.count(_._1 == 7L) == 1, rows.toString)
+  }
+
+  test("runningUserTotals: a late microbatch of old events never regresses last_seen (r10)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-totals-late-in").toString
+    writeBatches(in, Seq(
+      Seq(Streams.Event(1, ts("2024-01-01 00:10:00"), 5, "click", 1.0)),
+      // late batch: older event for the same user
+      Seq(Streams.Event(2, ts("2024-01-01 00:01:00"), 5, "click", 2.0))))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*").as[Streams.Event]
+    val q = Streams.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("totals_late_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val last = spark.table("totals_late_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3)))
+      .filter(_._1 == 5L).maxBy(_._2)
+    assert(last._2 == 2L && last._3 == 3.0, last.toString)
+    // regression: last_seen used to take the CURRENT batch's max only
+    assert(last._4 == ts("2024-01-01 00:10:00"), s"last_seen regressed: ${last._4}")
+  }
+
   test("streaming scd2 emissions match the batch merge, version chains across batches") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-scd2-in").toString

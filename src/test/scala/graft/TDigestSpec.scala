@@ -73,4 +73,15 @@ class TDigestSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(med == 3.0, s"5 distinct points fit 5 centroids; median must be exact: $med")
   }
+
+  test("graft_tdigest over a DECIMAL column works (no Number cast crash)") {
+    // regression (r9 advice): Spark's Decimal is not a java.lang.Number,
+    // so aggregating a raw DECIMAL column (e.g. l_extendedprice without
+    // the gated query's CAST AS DOUBLE) used to throw ClassCastException
+    functions.TDigest.ensure(spark)
+    val df = spark.range(1, 101).selectExpr("CAST(id AS DECIMAL(12,2)) AS x")
+    val med = df.agg(expr("graft_tdigest_quantile(graft_tdigest(x, 200), 0.5)"))
+      .collect().head.getDouble(0)
+    assert(med >= 45.0 && med <= 56.0, s"decimal median off: $med")
+  }
 }

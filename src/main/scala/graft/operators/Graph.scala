@@ -686,15 +686,18 @@ object Graph {
     val seedIds = seeds.select(col("node")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (seedIds.isEmpty)
-      return Seq.empty[(String, Double, Long, Double)]
+      return Seq.empty[(String, String, Long, Double)]
         .toDF("readout", "k", "n", "v")
     val news = bitmaskBfsNews(edges0, seedIds, rounds)
       .localCheckpoint(true) // ONE BFS feeds both readouts
+    // the union report key is a STRING: a DOUBLE key (r9) would
+    // collide two seed ids above 2^53 in the readout — BIGINT→string
+    // is identical across engines and collision-free at any magnitude
     val cl = closenessFromNews(news, seedIds, rounds)
-      .selectExpr("'closeness' AS readout", "CAST(seed AS DOUBLE) AS k",
+      .selectExpr("'closeness' AS readout", "CAST(seed AS STRING) AS k",
         "CAST(reached AS BIGINT) AS n", "closeness AS v")
     val an = anfFromNews(news, seedIds.length.toLong)
-      .selectExpr("'anf' AS readout", "CAST(radius AS DOUBLE) AS k",
+      .selectExpr("'anf' AS readout", "CAST(radius AS STRING) AS k",
         "n_pairs AS n", "frac AS v")
     an.unionAll(cl).orderBy(col("readout"), col("k"))
   }
@@ -803,12 +806,12 @@ object Graph {
       val harmonic = (1 to BfsRounds).map(k => s"CAST(c$k AS DOUBLE) / $k").mkString(" + ")
       sb.append(s""",
         counts AS (SELECT seed, $cexprs FROM d$BfsRounds WHERE dist > 0 GROUP BY seed),
-        cl AS (SELECT 'closeness' AS readout, CAST(seed AS DOUBLE) AS k,
+        cl AS (SELECT 'closeness' AS readout, CAST(seed AS VARCHAR) AS k,
           CAST($reached AS BIGINT) AS n, $harmonic AS v FROM counts),
         cnts AS (SELECT dist AS r, CAST(count(*) AS BIGINT) AS c FROM d$BfsRounds GROUP BY dist),
         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnts),
         anf AS (SELECT r, CAST(sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs FROM cnts),
-        an AS (SELECT 'anf' AS readout, CAST(anf.r AS DOUBLE) AS k,
+        an AS (SELECT 'anf' AS readout, CAST(anf.r AS VARCHAR) AS k,
           anf.n_pairs AS n, CAST(anf.n_pairs AS DOUBLE) / tot.t AS v FROM anf, tot)
         SELECT * FROM an UNION ALL SELECT * FROM cl ORDER BY readout, k""")
       sb.toString

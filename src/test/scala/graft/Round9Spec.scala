@@ -165,13 +165,31 @@ class Round9Spec extends AnyFunSuite {
     val e = (und ++ und.map(_.swap)).toDF("src", "dst")
     val seeds = Seq(0L, 2L).toDF("node")
     val composed = operators.Graph.pipelineGraphCentrality(e, seeds).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     val cl = operators.Graph.closeness(e, seeds).collect()
-      .map(r => ("closeness", r.getLong(0).toDouble, r.getLong(1), r.getDouble(2)))
+      .map(r => ("closeness", r.getLong(0).toString, r.getLong(1), r.getDouble(2)))
     val an = operators.Graph.anf(e, seeds).collect()
-      .map(r => ("anf", r.getLong(0).toDouble, r.getLong(1), r.getDouble(2)))
+      .map(r => ("anf", r.getLong(0).toString, r.getLong(1), r.getDouble(2)))
     assert(composed.toSeq == (an ++ cl).toSeq,
       s"composed must equal the singles:\n${composed.toSeq}\nvs\n${(an ++ cl).toSeq}")
+  }
+
+  test("pipeline_graph_centrality: seed ids above 2^53 stay distinct in the report key (r10)") {
+    import spark.implicits._
+    // 2^53 and 2^53 + 1 are the SAME double — the r9 DOUBLE report key
+    // collapsed them; the STRING key must keep both closeness rows
+    val a = (1L << 53)
+    val b = a + 1
+    val und = Seq((a, 7L), (b, 7L), (7L, 8L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(a, b).toDF("node")
+    val rows = operators.Graph.pipelineGraphCentrality(e, seeds).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val clKeys = rows.filter(_._1 == "closeness").map(_._2).toSet
+    assert(clKeys == Set(a.toString, b.toString), s"keys collapsed: $clKeys")
+    // both seeds see the same neighborhood: 7 at d=1, {8, the other seed} at d=2
+    rows.filter(_._1 == "closeness").foreach { r =>
+      assert(r._3 == 3L && r._4 == 1.0 + 2.0 / 2, r.toString) }
   }
 
   test("frontier-only closeness: partition count cannot change the result") {

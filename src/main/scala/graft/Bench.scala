@@ -96,7 +96,9 @@ object Bench {
     "q90_markov_stationary", "q91_theil_sen", "pipeline_trend_panel",
     "ml_feature_importance", "ml_learning_curve", "ann_filtered_search",
     "dedup_source_stats", "text_novelty_curve", "q92_equidepth_histogram",
-    "q93_join_size_estimate", "text_boilerplate_fraction", "ml_ks_two_sample")
+    "q93_join_size_estimate", "text_boilerplate_fraction", "ml_ks_two_sample",
+    // round-10 operators
+    "corpus_url_dedup")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

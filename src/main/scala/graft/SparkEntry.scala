@@ -20,6 +20,7 @@ object SparkEntry {
         functions.Corpus.defs ++
         functions.Pipeline.defs ++
         functions.LangModel.defs ++
+        functions.UrlCanon.defs ++
         sources.Sources.defs ++
         dedup.Dedup.defs ++
         similarity.Similarity.defs ++

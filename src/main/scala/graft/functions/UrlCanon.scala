@@ -1,0 +1,156 @@
+package graft.functions
+
+import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** URL-grain deduplication + canonicalization — the RefinedWeb/CCNet
+  * ingest stage a crawl pipeline runs BEFORE any content dedup
+  * (Penedo et al. 2023 §3.1 "URL deduplication"; the reference's data
+  * model has no crawl tier, so this is part of the LLM-pipeline
+  * surface the brief adds on top).
+  *
+  * Canonicalization (the standard normalization set):
+  *   - drop the `#fragment`
+  *   - lowercase scheme and authority
+  *   - strip the scheme's default port (`:80` http / `:443` https)
+  *   - strip trailing slashes from the path
+  *   - drop tracker params (`utm_*`, `gclid`, `fbclid`, `ref`), sort
+  *     the surviving query params by byte order, reassemble
+  *
+  * Every stage is a per-row string expression built from ONE shared
+  * template ([[UrlCanon.nofragSql]]…[[UrlCanon.assembleSql]]) whose
+  * only engine-specific parts are the four list-function NAMES
+  * ([[UrlSqlDialect]]) — Spark `split/filter/sort_array/array_join`
+  * vs DuckDB `string_split/list_filter/list_sort/array_to_string` —
+  * so the gated query and its oracle share the canonicalization
+  * token-for-token. All regexes avoid backslash escapes (`[?]` for a
+  * literal '?') because the two engines' string-literal escaping
+  * differs.
+  *
+  * 100 TB shape: canonicalization is narrow per-row work inside
+  * whole-stage codegen (no UDF, no shuffle); the dedup is ONE
+  * hash-shuffle groupBy on the canonical URL (map-side-combinable
+  * min), one url-keyed join back, and a source-grain count — the
+  * `dedup_exact` shape with a derived key, nothing quadratic.
+  */
+object UrlCanon {
+
+  /** The four list-op names that differ between Spark SQL and DuckDB. */
+  final case class UrlSqlDialect(split: String, filter: String, sort: String, join: String)
+  val SparkDialect: UrlSqlDialect = UrlSqlDialect("split", "filter", "sort_array", "array_join")
+  val DuckDialect: UrlSqlDialect = UrlSqlDialect("string_split", "list_filter", "list_sort", "array_to_string")
+
+  // ---- shared canonicalization stages (engine-identical text modulo
+  //      the dialect's function names) ----
+  def nofragSql(u: String): String = s"regexp_replace($u, '#.*', '')"
+  def schemeSql(nf: String): String =
+    s"lower(regexp_extract($nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+  def restSql(nf: String): String =
+    s"regexp_replace($nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+  def authSql(r: String): String = s"lower(regexp_extract($r, '^([^/?#]*)', 1))"
+  def hostSql(sc: String, a: String): String =
+    s"CASE WHEN $sc = 'http' THEN regexp_replace($a, ':80$$', '') " +
+      s"WHEN $sc = 'https' THEN regexp_replace($a, ':443$$', '') ELSE $a END"
+  def pathqSql(r: String, a: String): String = s"substr($r, length($a) + 1)"
+  def pathSql(pq: String): String =
+    s"regexp_replace(regexp_extract($pq, '^([^?]*)', 1), '/+$$', '')"
+  def qsSql(pq: String): String = s"regexp_extract($pq, '[?](.*)$$', 1)"
+  /** Tracker-stripped, byte-sorted query string ('' when none left).
+    * Both engines return '' from regexp_extract on no match, and both
+    * split '' into [''], which the `p <> ''` filter drops. The outer
+    * coalesce papers over the one semantic divergence: DuckDB's
+    * array_to_string of an EMPTY list is NULL, Spark's array_join is
+    * '' — unguarded, every query-less URL canonicalized to NULL on
+    * the oracle side and vanished from the keeper join. */
+  def qcSql(qs: String, d: UrlSqlDialect): String =
+    s"coalesce(${d.join}(${d.sort}(${d.filter}(${d.split}($qs, '&'), " +
+      s"p -> p <> '' AND NOT (substr(regexp_extract(p, '^([^=]*)', 1), 1, 4) = 'utm_' " +
+      s"OR regexp_extract(p, '^([^=]*)', 1) IN ('gclid', 'fbclid', 'ref')))), '&'), '')"
+  def assembleSql(sc: String, h: String, p: String, qc: String): String =
+    s"$sc || '://' || $h || $p || (CASE WHEN $qc = '' THEN '' ELSE '?' || $qc END)"
+
+  /** Adds `out` = canonical form of `urlCol` — staged narrow
+    * expressions, all inside whole-stage codegen. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String, out: String = "url_canon"): DataFrame =
+    df.withColumn("_nofrag", expr(nofragSql(urlCol)))
+      .withColumn("_scheme", expr(schemeSql("_nofrag")))
+      .withColumn("_rest", expr(restSql("_nofrag")))
+      .withColumn("_auth", expr(authSql("_rest")))
+      .withColumn("_host", expr(hostSql("_scheme", "_auth")))
+      .withColumn("_pathq", expr(pathqSql("_rest", "_auth")))
+      .withColumn("_path", expr(pathSql("_pathq")))
+      .withColumn("_qs", expr(qsSql("_pathq")))
+      .withColumn("_qc", expr(qcSql("_qs", SparkDialect)))
+      .withColumn(out, expr(assembleSql("_scheme", "_host", "_path", "_qc")))
+      .drop("_nofrag", "_scheme", "_rest", "_auth", "_host", "_pathq", "_path", "_qs", "_qc")
+
+  /** The full oracle-side canonicalization as chained CTE stages over
+    * a `raw(doc_id, source, url)` CTE, ending in
+    * `c(doc_id, source, url_canon)`. */
+  def canonCtesDuck: String =
+    s"""s1 AS (SELECT doc_id, source, ${nofragSql("url")} AS nofrag FROM raw),
+      s2 AS (SELECT *, ${schemeSql("nofrag")} AS scheme, ${restSql("nofrag")} AS rest FROM s1),
+      s3 AS (SELECT *, ${authSql("rest")} AS auth FROM s2),
+      s4 AS (SELECT *, ${hostSql("scheme", "auth")} AS host, ${pathqSql("rest", "auth")} AS pathq FROM s3),
+      s5 AS (SELECT *, ${pathSql("pathq")} AS path, ${qsSql("pathq")} AS qs FROM s4),
+      s6 AS (SELECT *, ${qcSql("qs", DuckDialect)} AS qc FROM s5),
+      c AS (SELECT doc_id, source, ${assembleSql("scheme", "host", "path", "qc")} AS url_canon FROM s6)"""
+
+  /** Exact dedup by canonical URL with per-source retention stats:
+    * keeper = min id per canonical URL (first-crawled wins), every
+    * non-keeper attributed to ITS OWN source. Returns
+    * (source, n_docs, n_removable, dup_rate) ordered by source. */
+  def urlDedupStats(df: DataFrame, id: String, urlCol: String, source: String): DataFrame = {
+    val c = withCanonicalUrl(
+      df.select(col(id).as("doc_id"), col(source).as("source"), col(urlCol).as("url")), "url")
+    val kp = c.groupBy(col("url_canon")).agg(min(col("doc_id")).as("keep"))
+    c.join(kp, Seq("url_canon"))
+      .select(col("source"), when(col("doc_id") =!= col("keep"), 1L).otherwise(0L).as("rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("rm")).cast("long").as("n_removable"))
+      .selectExpr("source", "n_docs", "n_removable",
+        s"${Portable.round6RatioSpark("n_removable", "n_docs")} AS dup_rate")
+      .orderBy(col("source"))
+  }
+
+  /** Gate-only raw-URL derivation: the documents table carries no URL
+    * column, so the gate manufactures one adversarial absolute URL per
+    * doc from `doc_id` alone — four variants per page id, three of
+    * which must collapse under canonicalization (host/scheme case,
+    * default port + fragment, trailing slash + utm params) and one of
+    * which must NOT (different host/path, with a query that survives
+    * as its sorted tracker-stripped residue). Shared literal-for-
+    * literal with the oracle; only the integer-division and string-
+    * cast tokens differ. */
+  def rawUrlSql(id: String, idiv: String, strType: String): String = {
+    val pid = s"CAST(($id) $idiv 4 AS $strType)"
+    s"""CASE ($id) % 4
+      WHEN 0 THEN 'http://www.example.com/site/page-' || $pid
+      WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM:80/site/page-' || $pid || '#frag'
+      WHEN 2 THEN 'http://www.example.com/site/page-' || $pid || '/?utm_source=feed&utm_medium=rss'
+      ELSE 'https://CDN.Example.com:443/assets/page-' || $pid || '?b=2&a=1&utm_campaign=x&gclid=g1' END"""
+  }
+
+  val urlDedup = QueryDef(
+    "corpus_url_dedup",
+    Some(s"""WITH raw AS (SELECT doc_id, source, ${rawUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
+      $canonCtesDuck,
+      kp AS (SELECT url_canon, min(doc_id) AS keep FROM c GROUP BY url_canon),
+      at AS (SELECT c.source, CASE WHEN c.doc_id <> kp.keep THEN 1 ELSE 0 END AS rm
+        FROM c JOIN kp ON c.url_canon = kp.url_canon),
+      st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(rm) AS BIGINT) AS n_removable
+        FROM at GROUP BY source)
+      SELECT source, n_docs, n_removable,
+        ${Portable.round6RatioDuck("n_removable", "n_docs")} AS dup_rate
+      FROM st ORDER BY source"""),
+    (s, d) => {
+      val raw = Tables.documents(s, d).selectExpr(
+        "doc_id", "source", s"${rawUrlSql("doc_id", "div", "STRING")} AS url")
+      urlDedupStats(raw, "doc_id", "url", "source")
+    })
+
+  val defs: Seq[QueryDef] = Seq(urlDedup)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 operator fixtures: URL canonicalization + dedup. */
+class Round10Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("url canonicalization: case/port/fragment/trailing-slash/tracker variants collapse; distinct paths and real queries don't") {
+    import spark.implicits._
+    val urls = Seq(
+      // five spellings of ONE page
+      1L -> "http://www.example.com/a/b",
+      2L -> "HTTP://WWW.EXAMPLE.COM/a/b",
+      3L -> "http://www.example.com:80/a/b",
+      4L -> "http://www.example.com/a/b/",
+      5L -> "http://www.example.com/a/b?utm_source=x&utm_medium=y&gclid=g&fbclid=f&ref=tw#frag",
+      // query params in different order = same page
+      6L -> "https://shop.example.com:443/p?b=2&a=1",
+      7L -> "https://shop.example.com/p?a=1&b=2&utm_campaign=z",
+      // NOT duplicates: different path, different surviving query, deeper path
+      8L -> "http://www.example.com/a/c",
+      9L -> "https://shop.example.com/p?a=1&b=3",
+      10L -> "http://www.example.com/a/b/c")
+    val df = urls.toDF("doc_id", "url")
+    val out = functions.UrlCanon.withCanonicalUrl(df, "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(out) == Set("http://www.example.com/a/b"))
+    assert(Set(6L, 7L).map(out) == Set("https://shop.example.com/p?a=1&b=2"))
+    assert(out(8L) == "http://www.example.com/a/c")
+    assert(out(9L) == "https://shop.example.com/p?a=1&b=3")
+    assert(out(10L) == "http://www.example.com/a/b/c")
+    assert(out.values.toSet.size == 5, out.toString)
+  }
+
+  test("urlDedupStats: keeper is the min id per canonical URL, removables attributed to their own source") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "crawl", "http://ex.com/x"),
+      (2L, "crawl", "HTTP://EX.COM:80/x/"),   // dup of 1 → crawl removable
+      (3L, "feed", "http://ex.com/x?utm_source=a"), // dup of 1 → feed removable
+      (4L, "feed", "http://ex.com/y"),        // unique
+      (5L, "curated", "http://ex.com/z")      // unique
+    ).toDF("doc_id", "source", "url")
+    val st = functions.UrlCanon.urlDedupStats(df, "doc_id", "url", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(st.toSeq == Seq(
+      ("crawl", 2L, 1L, 0.5), ("curated", 1L, 0L, 0.0), ("feed", 2L, 1L, 0.5)), st.toSeq)
+  }
+
+  test("url canonicalization round-trips engine-identically on the gate's derivation (spot sample vs DuckDB-verified forms)") {
+    import spark.implicits._
+    // the gate's four raw variants for pid 3 (doc ids 12..15): canonical
+    // forms pinned literally so a regression in EITHER engine's template
+    // shows up here without the oracle run
+    val df = (12L to 15L).map(i => (i, "s")).toDF("doc_id", "source")
+      .selectExpr("doc_id", s"${functions.UrlCanon.rawUrlSql("doc_id", "div", "STRING")} AS url")
+    val out = functions.UrlCanon.withCanonicalUrl(df, "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(12L) == "http://www.example.com/site/page-3")
+    assert(out(13L) == "http://www.example.com/site/page-3")
+    assert(out(14L) == "http://www.example.com/site/page-3")
+    assert(out(15L) == "https://cdn.example.com/assets/page-3?a=1&b=2")
+  }
+}

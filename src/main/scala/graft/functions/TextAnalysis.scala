@@ -718,8 +718,91 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }
 
+  // ------------------------------------------------ span-dedup rewrite
+  /** A sentence span is excised when it appears in at least this many
+    * documents (same absolute df cut as [[BoilerplateDf]]). */
+  val SpanDf = 3
+
+  /** text_dedup_spans: repeated-span REMOVAL — the rewrite stage that
+    * [[boilerplateFraction]] only measures (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: the recipe
+    * ends with EXCISING the repeated span, not flagging the doc;
+    * CCNet drops duplicated paragraphs the same way). Text splits on
+    * sentence punctuation, a sentence with corpus document frequency
+    * ≥ [[SpanDf]] is cut, and the doc is reassembled from its
+    * surviving sentences in original order with canonical `'.'`
+    * re-punctuation (surviving sentence CONTENT is byte-preserved;
+    * delimiter runs are not — the fixture pins a doc whose organic
+    * text survives byte-identical while the planted footer vanishes).
+    *
+    * 100 TB shape: explode → DISTINCT (doc, sentence-hash) → ONE
+    * hash-keyed shrinking df aggregate → the ≥df hash set joined back
+    * on 8-byte longs (each (doc, pos) row matches ≤ 1 hot row — never
+    * a join on the hot sentence STRING) → one doc-keyed reassembly
+    * aggregate. The corpus text is shuffled exactly once (the
+    * reassembly), which any rewrite owes; everything else carries
+    * longs. */
+  def dedupSpans(docs: DataFrame, textCol: String = "text", k: Int = SpanDf): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val segs = scope.persist(docs
+        .select(col("doc_id"), posexplode(split(col(textCol), "[.!?]+")).as(Seq("pos", "seg")))
+        .withColumn("ns", normText(col("seg")))
+        .filter(col("ns") =!= "")
+        .select(col("doc_id"), col("pos"), col("seg"), Portable.h60(col("ns")).as("h")))
+      val hot = segs.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= k)
+        .select(col("h"), lit(1L).as("hit"))
+      segs.join(hot, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_sent"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          // collect_list skips nulls → survivors only; array_sort on the
+          // (pos, seg) struct restores original order (collect order is
+          // shuffle-dependent — the text_keyphrases discipline)
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("hit").isNull, struct(col("pos"), col("seg"))))),
+              x => x.getField("seg")),
+            ".").as("rewritten"))
+    }
+
+  val dedupSpansQuery = QueryDef(
+    "text_dedup_spans",
+    Some {
+      // plant two high-df footers (every doc / every even doc) so the
+      // excision has deterministic work on the punctuation-free
+      // synthetic corpus — the text_pii_scrub recipe
+      val plant = s"""text || '. Subscribe to our newsletter today' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '. All rights reserved' ELSE '' END)"""
+      s"""WITH p AS (SELECT doc_id, $plant AS t FROM documents),
+        l AS (SELECT doc_id, string_split_regex(t, '[.!?]+') AS segs FROM p),
+        e0 AS (SELECT doc_id, i AS pos, segs[i] AS seg
+          FROM l, unnest(range(1, len(segs) + 1)) AS r(i)),
+        e AS (SELECT doc_id, pos, seg, ${Portable.h60Sql(s"(${normTextSql("seg")})")} AS h
+          FROM e0 WHERE ${normTextSql("seg")} <> ''),
+        hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+          GROUP BY h HAVING count(*) >= $SpanDf),
+        m AS (SELECT e.doc_id, e.pos, e.seg,
+            CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END AS hit
+          FROM e LEFT JOIN hot ON e.h = hot.h)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+          CAST(sum(hit) AS BIGINT) AS n_dropped,
+          md5(coalesce(string_agg(CASE WHEN hit = 0 THEN seg END, '.' ORDER BY pos), '')) AS rewrite_md5
+        FROM m GROUP BY doc_id ORDER BY doc_id"""
+    },
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(". Subscribe to our newsletter today"),
+          when(col("doc_id") % 2 === 0, ". All rights reserved").otherwise("")).as("t"))
+      dedupSpans(planted, "t")
+        .select(col("doc_id"), col("n_sent"), col("n_dropped"),
+          md5(col("rewritten")).as("rewrite_md5"))
+        .orderBy(col("doc_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
     entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
-    boilerplateFraction)
+    boilerplateFraction, dedupSpansQuery)
 }

@@ -63,4 +63,42 @@ class Round10Spec extends AnyFunSuite {
     assert(out(14L) == "http://www.example.com/site/page-3")
     assert(out(15L) == "https://cdn.example.com/assets/page-3?a=1&b=2")
   }
+
+  test("dedupSpans: the repeated footer is excised, organic text survives byte-identical") {
+    import spark.implicits._
+    // three docs share a footer (df = 3 >= SpanDf); organic sentences are
+    // unique (df = 1). doc 4 has no boilerplate at all.
+    val docs = Seq(
+      (1L, "alpha beta gamma. All rights reserved"),
+      (2L, "delta epsilon zeta. All rights reserved"),
+      (3L, "eta theta iota. All rights reserved"),
+      (4L, "kappa lambda mu. nu xi omicron")
+    ).toDF("doc_id", "text")
+    val out = functions.TextAnalysis.dedupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "alpha beta gamma")), out(1L).toString)
+    assert(out(2L) == ((2L, 1L, "delta epsilon zeta")), out(2L).toString)
+    assert(out(3L) == ((2L, 1L, "eta theta iota")), out(3L).toString)
+    // untouched doc: both sentences survive in order ('.' re-punctuation)
+    assert(out(4L) == ((2L, 0L, "kappa lambda mu. nu xi omicron")), out(4L).toString)
+  }
+
+  test("dedupSpans: excision is order-preserving and partition-invariant; a fully-boilerplate doc rewrites to empty") {
+    import spark.implicits._
+    // footer appears mid-doc AND as a full doc; order of survivors must
+    // follow original positions whatever the shuffle does
+    val docs = Seq(
+      (1L, "one two three. COMMON FOOTER HERE. four five six. seven eight nine"),
+      (2L, "COMMON FOOTER HERE"),
+      (3L, "COMMON FOOTER HERE. unique tail sentence"),
+      (4L, "COMMON FOOTER HERE")
+    ).toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val out = functions.TextAnalysis.dedupSpans(docs.repartition(parts)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(out(1L) == ((1L, "one two three. four five six. seven eight nine")), out(1L).toString)
+      assert(out(2L) == ((1L, "")), out(2L).toString)
+      assert(out(3L) == ((1L, " unique tail sentence")), out(3L).toString)
+    }
+  }
 }

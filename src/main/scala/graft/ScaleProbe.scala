@@ -196,7 +196,12 @@ object ScaleProbe {
       ("q93_join_size_estimate", d => operators.Insights2.q93.build(spark, d)),
       ("ml_learning_curve", d => operators.Analytics.mlLearningCurve.build(spark, d)),
       ("dedup_source_stats", d => dedup.Dedup.sourceStats.build(spark, d)),
-      ("ml_ks_two_sample", d => operators.Analytics.mlKsTwoSample.build(spark, d)))
+      ("ml_ks_two_sample", d => operators.Analytics.mlKsTwoSample.build(spark, d)),
+      // the round-10 tier: derived-key exact dedup, sentence-grain
+      // excision rewrite, paragraph-grain banded near-dup
+      ("corpus_url_dedup", d => functions.UrlCanon.urlDedup.build(spark, d)),
+      ("text_dedup_spans", d => functions.TextAnalysis.dedupSpansQuery.build(spark, d)),
+      ("dedup_paragraph_minhash", d => dedup.Dedup.paragraphMinhash.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -28,21 +28,28 @@ object Dedup {
     * affine family always hashed through h60 first) and intersection
     * counting over hashes equals the string form by the shared-md5
     * argument. */
-  private def shSqlCte: String =
-    s"""norm AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+  /** [[shSqlCte]] over an arbitrary (id, text) relation — r10, so the
+    * paragraph-grain gate can replay the identical machinery over its
+    * planted paragraph CTE. */
+  private def shSqlCteOver(rel: String, idCol: String, textCol: String): String =
+    s"""norm AS (SELECT $idCol AS doc_id, string_split(${normTextSql(textCol)}, ' ') AS toks FROM $rel),
        shx AS (SELECT doc_id, list_transform(${wordShinglesSql("toks")}, s -> ${h60Sql("s")}) AS sh
          FROM norm WHERE len(toks) >= 3)"""
 
-  private def bandsSqlCte: String = {
+  private def shSqlCte: String = shSqlCteOver("documents", "doc_id", "text")
+
+  private def bandsSqlCteOver(rel: String, idCol: String, textCol: String): String = {
     val ms = (0 until NumHashes).map(j => s"${minhashOfHashesSql("sh", j)} AS m$j").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$shSqlCte,
+    s"""${shSqlCteOver(rel, idCol, textCol)},
        sig AS (SELECT doc_id, $ms FROM shx),
        bands AS ($bandSelects)"""
   }
+
+  private def bandsSqlCte: String = bandsSqlCteOver("documents", "doc_id", "text")
 
   // ------------------------------------------------------ signatures
   val minhashSignatures = QueryDef(
@@ -585,6 +592,60 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------ paragraph-grain near-dup
+  /** Fixed template for the paragraph gate's planted near-dup
+    * population (29 tokens; the trailing variant token differs per
+    * class, so cross-class paragraphs share 26 of 27 shingles —
+    * J ≈ 0.93, a genuine NEAR-dup, while same-class paragraphs are
+    * exact). Population pinned to doc_id < 12 — FIXED-SIZE at every
+    * scale factor, so the [[LshBucketCap]] megabucket guard behaves
+    * identically at sf0.01 and sf0.1 (a %-of-corpus population would
+    * cross the cap as the corpus grows and silently empty the gate). */
+  private val ParaTemplate = "shared boilerplate paragraph one two three four " +
+    "five six seven eight nine ten eleven twelve thirteen fourteen fifteen " +
+    "sixteen seventeen eighteen nineteen twenty alpha beta gamma delta tail"
+
+  /** dedup_paragraph_minhash: near-dup pairs at PARAGRAPH grain —
+    * see [[DedupApi.paragraphMinhashPairs]]. The oracle replays the
+    * identical banded machinery over the identically-planted
+    * paragraph relation via [[bandsSqlCteOver]]. */
+  val paragraphMinhash = QueryDef(
+    "dedup_paragraph_minhash",
+    Some {
+      val m = DedupApi.MaxParasPerDoc
+      s"""WITH p0 AS (SELECT doc_id, text ||
+          (CASE WHEN doc_id < 12 THEN chr(10) || chr(10) || '$ParaTemplate ' || CAST(doc_id % 3 AS VARCHAR)
+           ELSE '' END) AS t FROM documents),
+        lx AS (SELECT doc_id, string_split_regex(t, '\\n{2,}') AS segs FROM p0),
+        pr AS (SELECT doc_id * $m + (i - 1) AS pid, segs[i] AS para
+          FROM lx, unnest(range(1, len(segs) + 1)) AS r(i)
+          WHERE ${normTextSql("segs[i]")} <> ''),
+        ${bandsSqlCteOver("pr", "pid", "para")},
+        $cappedBandsSqlCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.doc_a, c.doc_b,
+            len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS inter,
+            len(s1.sh) AS la, len(s2.sh) AS lb
+          FROM cand c JOIN shx s1 ON s1.doc_id = c.doc_a JOIN shx s2 ON s2.doc_id = c.doc_b)
+        SELECT doc_a // $m AS doc_a, doc_a % $m AS para_a,
+          doc_b // $m AS doc_b, doc_b % $m AS para_b,
+          round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        FROM pairs WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
+        ORDER BY doc_a, para_a, doc_b, para_b"""
+    },
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") < 12,
+            concat(lit("\n\n" + ParaTemplate + " "), (col("doc_id") % 3).cast("string")))
+            .otherwise("")).as("t"))
+      DedupApi.paragraphMinhashPairs(planted, "doc_id", "t",
+          threshold = 0.6, maxBucketSize = LshBucketCap)
+        .orderBy(col("doc_a"), col("para_a"), col("doc_b"), col("para_b"))
+    })
+
   // ----------------------------------------- keep-best cluster policy
   /** Near-dup clusters resolved by the PRODUCTION keep policy: each
     * cluster retains its highest-QUALITY member, not its min id — the
@@ -676,5 +737,5 @@ object Dedup {
     simhash, simhashPairs, incremental, ngramJaccard, containment, substring,
     embedCosine, embedCosineLsh, semantic, semanticDedupPipeline, clusters,
     keepBest, nearDedupPipeline, minhashFidelityQ, thresholdSweep, clusterStats,
-    sourceStats)
+    sourceStats, paragraphMinhash)
 }

@@ -158,6 +158,42 @@ object DedupApi {
         (if (roundJaccard) round(col("jac"), 6) else col("jac")).as("jaccard"))
   }
 
+  /** Paragraph-id packing headroom: paragraphs per doc the composite
+    * (doc, para) long key reserves. doc_id · 2^20 stays BIGINT-safe
+    * for doc ids below 2^43 ≈ 8.8e12 — comfortably above a 100 TB
+    * corpus's document count. */
+  val MaxParasPerDoc: Long = 1L << 20
+
+  /** Paragraph-grain MinHash near-dup pairs (r10) — the grain CCNet
+    * actually dedups at (doc-level near-dup misses the repeated
+    * paragraph inside otherwise-distinct pages; `text_dedup_spans`
+    * excises at SENTENCE grain, this finds the fuzzy-repeated
+    * paragraph blocks). Splits each doc on blank lines, keys each
+    * paragraph as `doc_id · 2^20 + pos`, and runs the UNCHANGED
+    * banded [[minhashPairs]] machinery (same signature family, same
+    * [[Dedup.LshBucketCap]]-style bucket capping) at that grain;
+    * output decodes back to (doc_a, para_a, doc_b, para_b, jaccard).
+    *
+    * 100 TB shape: identical to the doc-grain dedup — the unit count
+    * grows by the mean paragraphs/doc (a small constant), every pair
+    * scan stays banded + capped, and the composite key keeps all
+    * shuffles on 8-byte longs. */
+  def paragraphMinhashPairs(df: DataFrame, id: String, text: String,
+      sepRegex: String = "\\n{2,}", threshold: Double = 0.6,
+      maxBucketSize: Int = 0)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val paras = df
+      .select(col(id).cast(LongType).as("__doc"),
+        posexplode(split(col(text), sepRegex)).as(Seq("pos", "para")))
+      .filter(normText(col("para")) =!= "" && col("pos") < MaxParasPerDoc)
+      .select((col("__doc") * MaxParasPerDoc + col("pos")).as("pid"), col("para"))
+    minhashPairs(paras, "pid", "para", threshold = threshold,
+        maxBucketSize = maxBucketSize)
+      .selectExpr(s"doc_a div ${MaxParasPerDoc}L AS doc_a", s"doc_a % ${MaxParasPerDoc}L AS para_a",
+        s"doc_b div ${MaxParasPerDoc}L AS doc_b", s"doc_b % ${MaxParasPerDoc}L AS para_b",
+        "jaccard")
+  }
+
   /** MinHash fidelity audit (r8): per banded candidate pair, the
     * SIGNATURE-estimated Jaccard (matching coordinates / numHashes)
     * next to the EXACT shingle Jaccard — the calibration readout that

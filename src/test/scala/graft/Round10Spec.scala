@@ -101,4 +101,29 @@ class Round10Spec extends AnyFunSuite {
       assert(out(3L) == ((1L, " unique tail sentence")), out(3L).toString)
     }
   }
+
+  test("paragraphMinhashPairs: cross-doc duplicated paragraph found at its (doc, para) position; organic paragraphs stay clean") {
+    import spark.implicits._
+    val boiler = "install the framework then configure the cluster then deploy the service " +
+      "then monitor the pipeline then rotate the credentials then archive the logs"
+    val near = boiler + " carefully" // one extra token → J well above 0.6
+    val docs = Seq(
+      (1L, s"totally original opening paragraph about alpha beta gamma delta epsilon zeta\n\n$boiler"),
+      (2L, s"$boiler\n\nanother unique paragraph mentioning eta theta iota kappa lambda mu nu"),
+      (3L, s"unrelated first block omicron pi rho sigma tau upsilon phi chi\n\nsecond unrelated block psi omega one two three four five\n\n$near"),
+      (4L, "a document with no duplicated content at all just plain words here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.CacheScope.withScope { implicit s =>
+      dedup.DedupApi.paragraphMinhashPairs(docs, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    }
+    // the boiler paragraph sits at (1, para 1), (2, para 0), (3, para 2)
+    val keys = pairs.map(p => (p._1, p._2, p._3, p._4))
+    assert(keys.contains((1L, 1L, 2L, 0L)), pairs.toString)   // exact dup, J = 1
+    assert(keys.contains((1L, 1L, 3L, 2L)), pairs.toString)   // near dup
+    assert(keys.contains((2L, 0L, 3L, 2L)), pairs.toString)
+    assert(pairs.size == 3, s"organic paragraphs must not pair: $pairs")
+    assert(pairs.find(p => (p._1, p._3) == ((1L, 2L))).get._5 == 1.0)
+    assert(pairs.filter(p => p._3 == 3L).forall(p => p._5 >= 0.6 && p._5 < 1.0), pairs.toString)
+  }
 }

@@ -126,4 +126,23 @@ class Round10Spec extends AnyFunSuite {
     assert(pairs.find(p => (p._1, p._3) == ((1L, 2L))).get._5 == 1.0)
     assert(pairs.filter(p => p._3 == 3L).forall(p => p._5 >= 0.6 && p._5 < 1.0), pairs.toString)
   }
+
+  test("pipeline_schema_drift: the engine-derived report carries exactly the drift facts plus the implied data audit") {
+    val rows = schema.SchemaQueries.schemaDrift.build(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val schemaFacts = rows.filter(_._1.startsWith("schema_")).toSet ++
+      rows.filter(_._1 == "compat_violation").toSet
+    assert(schemaFacts == Set(
+      ("schema_added", "l_flag", "string", 1L),
+      ("schema_removed", "l_tax", "double", 1L),
+      ("schema_renamed", "quantity", "from l_quantity", 1L),
+      ("schema_retyped", "l_linenumber", "int -> long (widening)", 1L),
+      ("schema_retyped", "l_suppkey", "long -> int (narrowing)", 1L),
+      ("compat_violation", "l_suppkey", "incompatible_type", 1L)), schemaFacts.toString)
+    val data = rows.filter(_._1.startsWith("data_")).map(r => r._1 -> r._4).toMap
+    val n = Tables.lineitem(spark, TestSpark.sfDir).count()
+    assert(data("data_rows") == n && data("data_backfill") == n)
+    assert(data("data_drop_loss") == n)      // l_tax is fully populated
+    assert(data("data_narrow_overflow") == 0L) // suppkeys fit int today — the check is the point
+  }
 }

@@ -388,6 +388,59 @@ object Streams {
       .withColumn("ok", col("metric") === 0L)
   }
 
+  /** Corpus shingle table for [[noveltyStream]]'s static side: the
+    * DISTINCT word-shingle h60 set of the ingested corpus. Produce and
+    * refresh it with the batch plane (write it next to the corpus
+    * snapshot; point the stream at the new table on restart) — the
+    * same refresh contract as [[simhashComboKeyTable]]. */
+  def corpusShingleTable(corpus: DataFrame, textCol: String = "text",
+      k: Int = graft.functions.TextAnalysis.DupShingleK): DataFrame = {
+    graft.functions.WordShingles.ensure(corpus.sparkSession)
+    corpus.select(explode(
+        graft.functions.WordShingles.hashes(graft.Portable.normText(col(textCol)), k)).as("h"))
+      .distinct()
+  }
+
+  /** Streaming ingest-novelty monitor — the streaming twin of the
+    * batch `text_novelty_curve`: per closed 1-hour window, the
+    * fraction of the window's DISTINCT word shingles not present in
+    * the corpus shingle table ([[corpusShingleTable]], maintained by
+    * the batch plane). A collapsing novelty rate means the feed has
+    * started re-sending content the corpus already holds — the
+    * freshness readout an ingest pipeline watches in real time, with
+    * the usual lambda split (batch novelty curve owns the historical
+    * first-seen attribution; this plane bounds staleness against the
+    * last published shingle snapshot).
+    *
+    * Plane shape: explode → `dropDuplicatesWithinWatermark` on
+    * (window, h) — the cross-microbatch DISTINCT (state is one row
+    * per distinct shingle per open window, watermark-evicted) —
+    * stream–static LEFT join against the corpus set (static side
+    * stays hash-partitioned by h; the stream shuffles only its own
+    * shingles), ONE windowed map-combinable aggregate, append on
+    * close. */
+  def noveltyStream(docs: DataFrame, corpusShingles: DataFrame,
+      tsCol: String = "ts", textCol: String = "text",
+      k: Int = graft.functions.TextAnalysis.DupShingleK,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    graft.functions.WordShingles.ensure(docs.sparkSession)
+    val sh = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(
+        graft.functions.WordShingles.hashes(graft.Portable.normText(col(textCol)), k)).as("h"))
+      .withColumn("w", window(col(tsCol), "1 hour"))
+      // the window struct carries the event-time tag from here on; ts
+      // must go (two tagged columns in one stream is an analyzer error)
+      .select(col("w"), col("h"))
+      .dropDuplicatesWithinWatermark("w", "h")
+    sh.join(corpusShingles.select(col("h"), lit(1L).as("known")), Seq("h"), "left")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).cast("long").as("n_new"))
+      .select(col("w.start").as("window_start"), col("n_shingles"), col("n_new"),
+        (col("n_new").cast("double") / col("n_shingles")).as("novelty_rate"))
+  }
+
   def binnedDriftStream(events: DataFrame, refRange: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

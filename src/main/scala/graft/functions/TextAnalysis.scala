@@ -767,25 +767,35 @@ object TextAnalysis {
             ".").as("rewritten"))
     }
 
+  /** The gate's footer plant (two high-df footers: every doc / every
+    * even doc) — engine-portable SQL shared by `text_dedup_spans`,
+    * `pipeline_crawl_ingest`, and their oracles (the pii-scrub
+    * planting recipe; the synthetic corpus carries no punctuation). */
+  val FooterPlantSql: String = "text || '. Subscribe to our newsletter today' || " +
+    "(CASE WHEN doc_id % 2 = 0 THEN '. All rights reserved' ELSE '' END)"
+
+  /** Oracle-side span-excision CTE chain over a `rel(doc_id, t)`
+    * relation, ending in `m(doc_id, pos, seg, hit)` — shared by the
+    * `text_dedup_spans` oracle and the composed `pipeline_crawl_ingest`
+    * oracle (which runs it over the URL-dedup survivor set). */
+  def spanExciseCtesDuck(rel: String): String =
+    s"""l AS (SELECT doc_id, string_split_regex(t, '[.!?]+') AS segs FROM $rel),
+      e0 AS (SELECT doc_id, i AS pos, segs[i] AS seg
+        FROM l, unnest(range(1, len(segs) + 1)) AS r(i)),
+      e AS (SELECT doc_id, pos, seg, ${Portable.h60Sql(s"(${normTextSql("seg")})")} AS h
+        FROM e0 WHERE ${normTextSql("seg")} <> ''),
+      hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+        GROUP BY h HAVING count(*) >= $SpanDf),
+      m AS (SELECT e.doc_id, e.pos, e.seg,
+          CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END AS hit
+        FROM e LEFT JOIN hot ON e.h = hot.h)"""
+
   val dedupSpansQuery = QueryDef(
     "text_dedup_spans",
     Some {
-      // plant two high-df footers (every doc / every even doc) so the
-      // excision has deterministic work on the punctuation-free
-      // synthetic corpus — the text_pii_scrub recipe
-      val plant = s"""text || '. Subscribe to our newsletter today' ||
-        (CASE WHEN doc_id % 2 = 0 THEN '. All rights reserved' ELSE '' END)"""
+      val plant = FooterPlantSql
       s"""WITH p AS (SELECT doc_id, $plant AS t FROM documents),
-        l AS (SELECT doc_id, string_split_regex(t, '[.!?]+') AS segs FROM p),
-        e0 AS (SELECT doc_id, i AS pos, segs[i] AS seg
-          FROM l, unnest(range(1, len(segs) + 1)) AS r(i)),
-        e AS (SELECT doc_id, pos, seg, ${Portable.h60Sql(s"(${normTextSql("seg")})")} AS h
-          FROM e0 WHERE ${normTextSql("seg")} <> ''),
-        hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
-          GROUP BY h HAVING count(*) >= $SpanDf),
-        m AS (SELECT e.doc_id, e.pos, e.seg,
-            CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END AS hit
-          FROM e LEFT JOIN hot ON e.h = hot.h)
+        ${spanExciseCtesDuck("p")}
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
           CAST(sum(hit) AS BIGINT) AS n_dropped,
           md5(coalesce(string_agg(CASE WHEN hit = 0 THEN seg END, '.' ORDER BY pos), '')) AS rewrite_md5

@@ -152,5 +152,74 @@ object UrlCanon {
       urlDedupStats(raw, "doc_id", "url", "source")
     })
 
-  val defs: Seq[QueryDef] = Seq(urlDedup)
+  /** Composed crawl-ingest funnel census (r10): the order a real crawl
+    * pipeline runs its dedup ladder —
+    *   raw → URL-grain exact dedup (cheapest key first: canonical URL,
+    *   no content touched) → repeated-span EXCISION (the Lee et al.
+    *   rewrite; docs excised to empty drop out) → exact CONTENT dedup
+    *   on the rewritten text (boilerplate no longer masks identical
+    *   organic content) —
+    * reporting per (stage, source) doc counts, the funnel a data team
+    * reads to see where each feed's volume goes. Input must carry
+    * (id, source, text, url).
+    *
+    * 100 TB shape: each stage is the already-gated operator unchanged
+    * (one keyed min-aggregate + join for each dedup; the one doc-keyed
+    * reassembly the rewrite owes); stages chain as ONE Catalyst graph
+    * with the multiply-consumed frames persisted via the caller's
+    * [[graft.CacheScope]]. */
+  def crawlIngestCensus(docs: DataFrame, id: String = "doc_id", urlCol: String = "url",
+      textCol: String = "text", sourceCol: String = "source",
+      spanDf: Int = graft.functions.TextAnalysis.SpanDf)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val base = scope.persist(docs.select(col(id).as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text"), col(urlCol).as("url")))
+    val kp = withCanonicalUrl(base, "url")
+      .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
+    val u = scope.persist(base.join(kp.select(col("doc_id")), Seq("doc_id")))
+    val rw = graft.functions.TextAnalysis.dedupSpans(u.select(col("doc_id"), col("text")), "text", spanDf)
+    val sp = scope.persist(u.select(col("doc_id"), col("source"))
+      .join(rw.filter(col("rewritten") =!= "").select(col("doc_id"), col("rewritten")), Seq("doc_id")))
+    val kx = sp.groupBy(md5(col("rewritten")).as("hh")).agg(min(col("doc_id")).as("doc_id"))
+    val ex = sp.join(kx.select(col("doc_id")), Seq("doc_id"))
+    def cen(stage: String, df: DataFrame): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(stage).as("stage"), col("source"), col("n_docs"))
+    cen("0_raw", base).unionAll(cen("1_url_dedup", u))
+      .unionAll(cen("2_span_excise", sp)).unionAll(cen("3_exact_dedup", ex))
+      .orderBy(col("stage"), col("source"))
+  }
+
+  val crawlIngest = QueryDef(
+    "pipeline_crawl_ingest",
+    Some {
+      val plant = graft.functions.TextAnalysis.FooterPlantSql
+      s"""WITH raw AS (SELECT doc_id, source, ${rawUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
+        $canonCtesDuck,
+        kp AS (SELECT url_canon, min(doc_id) AS keep FROM c GROUP BY url_canon),
+        u AS (SELECT d.doc_id, d.source, $plant AS t FROM documents d
+          JOIN kp ON d.doc_id = kp.keep),
+        ${graft.functions.TextAnalysis.spanExciseCtesDuck("u")},
+        rw AS (SELECT doc_id,
+            coalesce(string_agg(CASE WHEN hit = 0 THEN seg END, '.' ORDER BY pos), '') AS rewritten
+          FROM m GROUP BY doc_id),
+        sp AS (SELECT u.doc_id, u.source, rw.rewritten FROM u
+          JOIN rw ON u.doc_id = rw.doc_id WHERE rw.rewritten <> ''),
+        kx AS (SELECT md5(rewritten) AS hh, min(doc_id) AS keep FROM sp GROUP BY hh),
+        ex AS (SELECT sp.doc_id, sp.source FROM sp JOIN kx ON sp.doc_id = kx.keep),
+        census AS (
+          SELECT '0_raw' AS stage, source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+          UNION ALL SELECT '1_url_dedup', source, CAST(count(*) AS BIGINT) FROM u GROUP BY source
+          UNION ALL SELECT '2_span_excise', source, CAST(count(*) AS BIGINT) FROM sp GROUP BY source
+          UNION ALL SELECT '3_exact_dedup', source, CAST(count(*) AS BIGINT) FROM ex GROUP BY source)
+        SELECT stage, source, n_docs FROM census ORDER BY stage, source"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "source",
+        s"${graft.functions.TextAnalysis.FooterPlantSql} AS text",
+        s"${rawUrlSql("doc_id", "div", "STRING")} AS url")
+      crawlIngestCensus(docs).localCheckpoint(true)
+    })
+
+  val defs: Seq[QueryDef] = Seq(urlDedup, crawlIngest)
 }

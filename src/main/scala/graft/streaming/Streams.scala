@@ -388,6 +388,22 @@ object Streams {
       .withColumn("ok", col("metric") === 0L)
   }
 
+  /** Streaming URL-grain exact dedup (r10) — the ingest twin of the
+    * batch `corpus_url_dedup`: each arriving doc's URL canonicalizes
+    * through the SAME staged expressions as the batch plane
+    * ([[graft.functions.UrlCanon.withCanonicalUrl]] — per-row codegen,
+    * no shuffle), and `dropDuplicatesWithinWatermark` on the canonical
+    * form passes only the first spelling of each page through (state =
+    * one row per distinct canonical URL inside the watermark;
+    * corpus-historical dedup belongs to the batch plane — the standard
+    * lambda split). Emits the input rows + `url_canon`, first arrival
+    * wins. */
+  def urlDedupStream(docs: DataFrame, tsCol: String = "ts", urlCol: String = "url",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.functions.UrlCanon.withCanonicalUrl(docs, urlCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("url_canon")
+
   /** Corpus shingle table for [[noveltyStream]]'s static side: the
     * DISTINCT word-shingle h60 set of the ingested corpus. Produce and
     * refresh it with the batch plane (write it next to the corpus

@@ -41,6 +41,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("streaming URL dedup: spellings of one page collapse across microbatches, distinct pages pass (r10)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-urldedup-in").toString
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), "http://ex.com/x"),
+      (2L, ts("2024-01-01 00:00:30"), "HTTP://EX.COM:80/x/#frag")    // same page, batch 1
+    ).toDF("doc_id", "ts", "url").coalesce(1).write.parquet(s"$in/b000")
+    Seq(
+      (3L, ts("2024-01-01 00:01:00"), "http://ex.com/x?utm_source=a"), // same page, batch 2
+      (4L, ts("2024-01-01 00:02:00"), "http://ex.com/y")               // distinct page
+    ).toDF("doc_id", "ts", "url").coalesce(1).write.parquet(s"$in/b001")
+    val stream = spark.readStream
+      .schema(Seq((0L, ts("2024-01-01 00:00:00"), "")).toDF("doc_id", "ts", "url").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = Streams.urlDedupStream(stream)
+      .writeStream.format("memory").queryName("urldedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("urldedup_out")
+      .select("doc_id", "url_canon")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 2, rows.toSeq.toString)
+    val byCanon = rows.groupBy(_._2)
+    assert(byCanon.keySet == Set("http://ex.com/x", "http://ex.com/y"), byCanon.toString)
+    // batch-1 spellings race within their microbatch (either may win);
+    // the batch-2 replay of the same page must NOT pass
+    assert(Set(1L, 2L).contains(byCanon("http://ex.com/x").head._1), rows.toSeq.toString)
+    assert(byCanon("http://ex.com/y").head._1 == 4L)
+  }
+
   test("streaming content dedup drops same-text docs and carries batch-identical simhash") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-docdedup-in").toString

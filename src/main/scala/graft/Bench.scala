@@ -99,7 +99,8 @@ object Bench {
     "q93_join_size_estimate", "text_boilerplate_fraction", "ml_ks_two_sample",
     // round-10 operators
     "corpus_url_dedup", "text_dedup_spans", "dedup_paragraph_minhash",
-    "pipeline_schema_drift", "pipeline_crawl_ingest")
+    "pipeline_schema_drift", "pipeline_crawl_ingest",
+    "corpus_decontaminate_semantic", "text_repetition")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -201,7 +201,10 @@ object ScaleProbe {
       // excision rewrite, paragraph-grain banded near-dup
       ("corpus_url_dedup", d => functions.UrlCanon.urlDedup.build(spark, d)),
       ("text_dedup_spans", d => functions.TextAnalysis.dedupSpansQuery.build(spark, d)),
-      ("dedup_paragraph_minhash", d => dedup.Dedup.paragraphMinhash.build(spark, d)))
+      ("dedup_paragraph_minhash", d => dedup.Dedup.paragraphMinhash.build(spark, d)),
+      ("pipeline_crawl_ingest", d => functions.UrlCanon.crawlIngest.build(spark, d)),
+      ("corpus_decontaminate_semantic", d => functions.Pipeline.semanticDecontaminateQ.build(spark, d)),
+      ("text_repetition", d => functions.TextAnalysis.repetition.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

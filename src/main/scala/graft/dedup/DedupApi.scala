@@ -689,7 +689,7 @@ object DedupApi {
       .select(col(s"o.$id").as("doc_existing"), col(s"n.$id").as("doc_new"), col("hamming"))
   }
 
-  private def normVecs(df: DataFrame, id: String, vec: String): DataFrame = {
+  private[graft] def normVecs(df: DataFrame, id: String, vec: String): DataFrame = {
     graft.functions.Dot.ensure(df.sparkSession)
     df.select(col(id), expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))

@@ -992,8 +992,84 @@ object Pipeline {
         .localCheckpoint(true)
     })
 
+  // --------------------------------------- semantic decontamination
+  /** corpus_decontaminate_semantic (r10): embedding-cosine benchmark
+    * decontamination — the SEMANTIC tier above the n-gram recipes
+    * (`corpus_decontaminate*` catch verbatim/lightly-edited leaks;
+    * paraphrased benchmark items share no 8-gram but sit next to the
+    * eval item in embedding space — the Phi/Llama-era audit). Corpus
+    * vectors landing in a shared hyperplane-LSH bucket with ANY
+    * benchmark vector (the `dedup_embed_cosine_lsh` tables, asymmetric
+    * like `simhashPairsIncremental`) verify by exact cosine; flagged
+    * docs report hit count + max similarity.
+    *
+    * 100 TB shape: the benchmark side is eval-suite scale (MBs) — its
+    * bucket rows BROADCAST, so the corpus-volume pass is one map-side
+    * broadcast join on (table, bucket) keys; candidates are bounded by
+    * |bench| per bucket table, the exact verify touches only them, and
+    * the corpus is never self-joined (the asymmetric analog of the
+    * decontaminate broadcast discipline). */
+  def semanticDecontaminate(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, id: String, vec: String,
+      threshold: Double)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): org.apache.spark.sql.DataFrame = {
+    import graft.similarity.Similarity
+    val nc = scope.persist(graft.dedup.DedupApi.normVecs(corpus, id, vec))
+    val nb = scope.persist(graft.dedup.DedupApi.normVecs(bench, id, vec)
+      .withColumnRenamed(id, "bench_id"))
+    def buckets(n: org.apache.spark.sql.DataFrame, idc: String) =
+      n.select(col(idc), explode(array((0 until Similarity.NumTables).map(t =>
+          struct(lit(t).as("t"), expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
+        .select(col(idc).as(if (idc == id) "cid" else idc), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = buckets(nc, id)
+      .join(broadcast(buckets(nb, "bench_id")), Seq("t", "bk"))
+      .select(col("cid"), col("bench_id")).distinct()
+    cand.as("cd")
+      .join(nc.as("x"), col("cd.cid") === col(s"x.$id"))
+      .join(broadcast(nb.as("y")), col("cd.bench_id") === col("y.bench_id"))
+      .select(col("cd.cid").as("cid"), expr("graft_dot(x.v, y.v) / (x.nrm * y.nrm)").as("c"))
+      .filter(col("c") >= threshold)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"), max(col("c")).as("mc"))
+      .select(col("cid").as(id), col("n_bench_hits"), round(col("mc"), 6).as("max_cos"))
+  }
+
+  val semanticDecontaminateQ = QueryDef(
+    "corpus_decontaminate_semantic",
+    Some {
+      import graft.similarity.Similarity
+      val bkCols = (0 until Similarity.NumTables)
+        .map(t => s"${Similarity.bucketExprSql(t)} AS bk_$t").mkString(", ")
+      def tbUnion(src: String, idAs: String) = (0 until Similarity.NumTables)
+        .map(t => s"SELECT vec_id AS $idAs, $t AS t, bk_$t AS bk FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH vx AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      nx AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM vx),
+      bn AS (SELECT * FROM nx WHERE vec_id % 29 = 0),
+      cp AS (SELECT * FROM nx WHERE vec_id % 29 <> 0),
+      bkb0 AS (SELECT vec_id, $bkCols FROM (SELECT vec_id, v FROM bn) t0),
+      bkc0 AS (SELECT vec_id, $bkCols FROM (SELECT vec_id, v FROM cp) t0),
+      bkb AS (${tbUnion("bkb0", "bench_id")}),
+      bkc AS (${tbUnion("bkc0", "cid")}),
+      cand AS (SELECT DISTINCT c.cid, b.bench_id FROM bkc c JOIN bkb b ON c.t = b.t AND c.bk = b.bk),
+      px AS (SELECT cd.cid,
+          list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+            / (a.nrm * b.nrm) AS c
+        FROM cand cd JOIN cp a ON a.vec_id = cd.cid JOIN bn b ON b.vec_id = cd.bench_id)
+      SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits, round(max(c), 6) AS max_cos
+      FROM px WHERE c >= 0.4 GROUP BY cid ORDER BY vec_id"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val e = Tables.embeddings(s, d)
+      val bench = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+      val corpus = e.filter(pmod(col("vec_id"), lit(29)) =!= 0)
+      semanticDecontaminate(corpus, bench, "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("vec_id")).localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
-    splitLeakage, qualityGate, epochMix, dsirSelect, dataCard)
+    splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,
+    semanticDecontaminateQ)
 }

@@ -811,8 +811,68 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     })
 
+  // ------------------------------------------- intra-doc repetition
+  /** text_repetition: INTRA-document n-gram repetition signals — the
+    * Gopher repetition filters (Rae et al. 2021, table A1: "fraction
+    * of duplicate n-grams") that `text_dup_ngram_fraction` does NOT
+    * cover (that one flags CROSS-doc shingle overlap; a doc that
+    * repeats its own sentence loops past it). Per doc: token count,
+    * bigram/trigram counts, and the 6-dp duplicate fraction
+    * `(n_ngrams − n_distinct) / n_ngrams` at n = 2 and 3 — high values
+    * flag keyword-stuffing/loop artifacts, the docs an LLM pipeline
+    * drops before training.
+    *
+    * 100 TB shape: pure per-row array arithmetic (split → sliding
+    * concat → array_distinct sizes) inside whole-stage codegen — ZERO
+    * shuffle at any corpus size (the `text_diversity` plan shape); the
+    * ORDER BY exists only for the oracle compare. Exact integers into
+    * `round6Ratio`, so both engines agree bit-for-bit. */
+  val repetition = QueryDef(
+    "text_repetition",
+    Some {
+      def grams(n: Int) = {
+        val parts = (0 until n).map(o => if (o == 0) "toks[i]" else s"toks[i+$o]").mkString(" || ' ' || ")
+        s"list_transform(range(1, len(toks) - ${n - 2}), i -> $parts)"
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n2,
+            CAST(len(list_distinct(${grams(2)})) AS BIGINT) AS d2,
+            CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n3,
+            CAST(len(list_distinct(${grams(3)})) AS BIGINT) AS d3
+          FROM t)
+        SELECT doc_id, n_tokens,
+          CASE WHEN n2 > 0 THEN ${graft.Portable.round6RatioDuck("(n2 - d2)", "n2")} END AS dup_bigram_frac,
+          CASE WHEN n3 > 0 THEN ${graft.Portable.round6RatioDuck("(n3 - d3)", "n3")} END AS dup_trigram_frac
+        FROM g ORDER BY doc_id"""
+    },
+    (s, d) => repetitionOf(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** Per-doc intra-repetition signals over (doc_id, text) — [[repetition]]. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark (auto-step −1) where DuckDB's
+    // end-exclusive range(1, 1) is empty — short docs need the guard
+    def grams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n2"),
+        size(array_distinct(grams(col("toks"), 2))).cast("long").as("d2"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n3"),
+        size(array_distinct(grams(col("toks"), 3))).cast("long").as("d3"))
+      .selectExpr("doc_id", "n_tokens",
+        s"CASE WHEN n2 > 0 THEN ${graft.Portable.round6RatioSpark("(n2 - d2)", "n2")} END AS dup_bigram_frac",
+        s"CASE WHEN n3 > 0 THEN ${graft.Portable.round6RatioSpark("(n3 - d3)", "n3")} END AS dup_trigram_frac")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
     entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
-    boilerplateFraction, dedupSpansQuery)
+    boilerplateFraction, dedupSpansQuery, repetition)
 }

@@ -145,4 +145,41 @@ class Round10Spec extends AnyFunSuite {
     assert(data("data_drop_loss") == n)      // l_tax is fully populated
     assert(data("data_narrow_overflow") == 0L) // suppkeys fit int today — the check is the point
   }
+
+  test("text_repetition: planted loop docs hit the closed-form duplicate n-gram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),              // bigrams 5 / distinct 2 → 0.6; trigrams 4 / 2 → 0.5
+      (2L, "w x y z"),                  // all distinct → 0.0 / 0.0
+      (3L, "solo"),                     // no bigrams → NULL / NULL
+      (4L, "two words")                 // 1 bigram distinct → 0.0; no trigram → NULL
+    ).toDF("doc_id", "text")
+    val out = functions.TextAnalysis.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 0.6, 0.5)), out(1L).toString)
+    assert(out(2L) == ((4L, 0.0, 0.0)), out(2L).toString)
+    assert(out(3L) == ((1L, null, null)), out(3L).toString)
+    assert(out(4L) == ((2L, 0.0, null)), out(4L).toString)
+  }
+
+  test("semanticDecontaminate: a corpus vector colinear with a bench vector is flagged; orthogonal content is not") {
+    import spark.implicits._
+    val dim = similarity.Similarity.Dim
+    def vec(axis: Int, scale: Float): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) scale else 0.0f)
+    val bench = Seq((1000L, vec(0, 1.0f)), (1001L, vec(3, 2.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(0, 5.0f)),   // colinear with bench 1000 → cos 1, same buckets
+      (2L, vec(7, 1.0f)),   // orthogonal to every bench vector
+      (3L, vec(3, 0.5f))    // colinear with bench 1001
+    ).toDF("vec_id", "embedding")
+    val out = graft.CacheScope.withScope { implicit s =>
+      functions.Pipeline.semanticDecontaminate(corpus, bench, "vec_id", "embedding", 0.9)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    assert(out.keySet == Set(1L, 3L), out.toString)
+    assert(out(1L) == ((1L, 1.0)) && out(3L) == ((1L, 1.0)), out.toString)
+  }
 }

@@ -658,6 +658,80 @@ object Analytics {
         .localCheckpoint(true)
     })
 
+  // ---------------------------------------------------------- ROC-AUC
+  /** Exact ROC-AUC over a scored (z, y) frame — the Mann–Whitney U
+    * rank statistic with midrank tie handling, in EXACT integer
+    * arithmetic and without ever sorting the corpus globally:
+    * AUC = (#{z⁺ > z⁻} + ½·#{z⁺ = z⁻}) / (n₁·n₀). Collapse scores to
+    * VALUE grain (p, q counts per distinct z — the `ml_ks_two_sample`
+    * shape), take the running negative count by the two-level
+    * range-partition scan (local cumsum + partition offsets broadcast
+    * — no single-task window), and fold
+    * U·2 = Σ_v p_v·(2·cumq_below(v) + q_v) as DECIMAL(19,0)×BIGINT
+    * products summed in DECIMAL(38,0) (merge-order free; tp·tn-style
+    * int64 wrap impossible). The only IEEE math is the final division
+    * of exact operands — bit-identical across engines. The persist
+    * PINS one physical range partitioning for both consumers (the KS
+    * lesson). */
+  def rocAucOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = zz.groupBy(col("z")).agg(
+      sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("p"),
+      sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast(LongType).as("q"))
+    val ranked = scope.persist(vg
+      .repartitionByRange(col("z"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lq", sum(col("q")).over(
+        Window.partitionBy(col("pid")).orderBy(col("z"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lq")).as("pq"))
+      .select(col("pid"), coalesce(sum(col("pq")).over(wo), lit(0L)).as("baseq"))
+    val nn = vg.agg(sum(col("p")).cast(LongType).as("n1"),
+      sum(col("q")).cast(LongType).as("n0"),
+      count(lit(1)).cast(LongType).as("n_values")).localCheckpoint(true)
+    val u2 = ranked.join(broadcast(offsets), Seq("pid"))
+      .selectExpr("CAST(p AS DECIMAL(19,0)) * (2 * (baseq + lq - q) + q) AS t")
+      .agg(sum(col("t")).cast(DecimalType(38, 0)).as("u2")).localCheckpoint(true)
+    nn.crossJoin(broadcast(u2)).selectExpr("n1", "n0", "n_values",
+      "CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc")
+  }
+
+  /** ml_roc_auc: exact distributed ROC-AUC of the gate's logreg scores
+    * — the threshold-free ranking metric next to [[mlPrAuc]]'s
+    * 11-point trapezoid (PR-AUC is an interpolated curve estimate;
+    * ROC-AUC is an EXACT rank statistic, so the engines must agree to
+    * the last bit, ties included — lineitem's 11 quantity × 11
+    * discount levels make score ties dense, exercising the midrank
+    * term for real). Same one-training-pass isolation as the sibling
+    * gates. */
+  lazy val mlRocAuc: QueryDef = QueryDef(
+    "ml_roc_auc",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        vg AS (SELECT z, CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          FROM zz GROUP BY z),
+        cum AS (SELECT z, p, q,
+            CAST(sum(q) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lq FROM vg),
+        cn AS (SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+            CAST(count(*) AS BIGINT) AS n_values FROM vg),
+        uu AS (SELECT CAST(sum(CAST(p AS DECIMAL(19,0)) * (2 * (lq - q) + q)) AS DECIMAL(38,0)) AS u2 FROM cum)
+        SELECT n1, n0, n_values,
+          CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc
+        FROM cn, uu""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = mlFeatures(s, d)
+      rocAucOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
+    })
+
   // ------------------------------------------------- confusion / MCC
   /** Confusion counts at the z > 0 operating point (σ(z) > ½) over a
     * scored (z, y) frame — ONE map-combinable aggregate. */
@@ -2140,5 +2214,5 @@ object Analytics {
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
-    mlLearningCurve, mlKsTwoSample)
+    mlLearningCurve, mlKsTwoSample, mlRocAuc)
 }

@@ -182,4 +182,22 @@ class Round10Spec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 3L), out.toString)
     assert(out(1L) == ((1L, 1.0)) && out(3L) == ((1L, 1.0)), out.toString)
   }
+
+  test("rocAucOfScores: midrank ties hit the closed form at any partitioning; perfect and inverted rankings bound it") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg {1, 2}: U = 1 + 1 + 1 + 0.5 = 3.5 → AUC 0.875
+    val zz = Seq((3.0, 1.0), (2.0, 1.0), (1.0, 0.0), (2.0, 0.0)).toDF("z", "y")
+    for (parts <- Seq(1, 7)) {
+      val r = CacheScope.withScope { implicit s =>
+        operators.Analytics.rocAucOfScores(zz.repartition(parts)).collect().head }
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 3L)), r.toString)
+      assert(r.getDouble(3) == 0.875, s"parts=$parts: ${r.getDouble(3)}")
+    }
+    // separable → 1.0; anti-separable → 0.0; all-tied → 0.5 exactly
+    def auc(rows: Seq[(Double, Double)]): Double = CacheScope.withScope { implicit s =>
+      operators.Analytics.rocAucOfScores(rows.toDF("z", "y")).collect().head.getDouble(3) }
+    assert(auc(Seq((5.0, 1.0), (4.0, 1.0), (1.0, 0.0))) == 1.0)
+    assert(auc(Seq((1.0, 1.0), (5.0, 0.0))) == 0.0)
+    assert(auc(Seq((2.0, 1.0), (2.0, 0.0), (2.0, 1.0))) == 0.5)
+  }
 }

@@ -100,7 +100,8 @@ object Bench {
     // round-10 operators
     "corpus_url_dedup", "text_dedup_spans", "dedup_paragraph_minhash",
     "pipeline_schema_drift", "pipeline_crawl_ingest",
-    "corpus_decontaminate_semantic", "text_repetition", "ml_roc_auc")
+    "corpus_decontaminate_semantic", "text_repetition", "ml_roc_auc",
+    "q94_calendar_fill")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -1172,6 +1172,71 @@ object Insights2 {
         "est_rows", "CAST(est_rows AS DOUBLE) / greatest(rows_a, rows_b) AS fanout")
   }
 
+  // ----------------------------------------------------------- q94
+  /** q94: calendar gap-fill + forward-fill — the time-series
+    * RESAMPLING step every daily-metrics consumer needs before
+    * window math (a missing day silently shifts every rolling
+    * average, WoW delta, and seasonality readout computed over
+    * row-position frames; q53/q65/q66/q79/q87 all assume a dense
+    * day axis upstream). Per event type: aggregate observed days,
+    * then explode the type's FULL [min_day, max_day] calendar, left
+    * join the observations back, and emit count 0 + an `observed`
+    * marker for the holes with the daily value sum carried FORWARD
+    * (`last_value` over the ignore-null frame — the standard
+    * fill-forward contract). The gate derives a deterministically
+    * SPARSE series (days-of-month ≡ 0 mod 3 dropped, shared
+    * literal) so the fill has real holes to restore at any sf.
+    *
+    * 100 TB shape: one (type, day) shrinking aggregate over the
+    * events scan; the calendar explode and fill run at DAYS×types
+    * grain — metadata scale — and the forward-fill window partitions
+    * by type over day-grain rows (bounded by the calendar span,
+    * never by event volume). */
+  val q94 = QueryDef(
+    "q94_calendar_fill",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+        FROM events WHERE date_part('day', ts) % 3 <> 0 GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM dd GROUP BY 1),
+      cal AS (SELECT sp.event_type, CAST(g.d0 AS DATE) AS d
+        FROM sp, unnest(generate_series(CAST(sp.dmin AS TIMESTAMP), CAST(sp.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d0)),
+      fl AS (SELECT cal.event_type, cal.d,
+          coalesce(dd.n, 0) AS n,
+          CASE WHEN dd.d IS NULL THEN 0 ELSE 1 END AS observed,
+          last_value(dd.sv IGNORE NULLS) OVER (PARTITION BY cal.event_type ORDER BY cal.d
+            ROWS UNBOUNDED PRECEDING) AS carry
+        FROM cal LEFT JOIN dd ON cal.event_type = dd.event_type AND cal.d = dd.d)
+      SELECT event_type, CAST(d AS VARCHAR) AS day, n, observed,
+        CAST(carry AS DOUBLE) AS carry_value
+      FROM fl ORDER BY event_type, day"""),
+    (s, d) => calendarFill(Tables.events(s, d)
+      .filter(expr("dayofmonth(ts) % 3 <> 0"))
+      .select(col("event_type"), col("ts"), col("value"))))
+
+  /** Calendar gap-fill + forward-fill over (event_type, ts, value)
+    * rows — see [[q94]]. */
+  def calendarFill(ev: DataFrame): DataFrame = {
+    val dd = ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sv"))
+    val cal = dd.groupBy(col("event_type"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(dd, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("sv").isNotNull || col("n").isNotNull, 1).otherwise(0).as("observed"),
+        last(col("sv"), ignoreNulls = true).over(w).as("carry"))
+      .select(col("event_type"), col("d").cast("string").as("day"), col("n"), col("observed"),
+        col("carry").cast(DoubleType).as("carry_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93)
+    q90, q91, pipelineTrendPanel, q92, q93, q94)
 }

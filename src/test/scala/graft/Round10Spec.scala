@@ -200,4 +200,27 @@ class Round10Spec extends AnyFunSuite {
     assert(auc(Seq((1.0, 1.0), (5.0, 0.0))) == 0.0)
     assert(auc(Seq((2.0, 1.0), (2.0, 0.0), (2.0, 1.0))) == 0.5)
   }
+
+  test("calendarFill: holes restore with n = 0 and the last observed sum carried forward") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type A observed on days 1 and 4 (hole 2-3); type B dense 2 days
+    val ev = Seq(
+      ("A", t("2024-03-01 10:00:00"), 5.0),
+      ("A", t("2024-03-01 11:00:00"), 7.0),
+      ("A", t("2024-03-04 09:00:00"), 1.0),
+      ("B", t("2024-03-02 08:00:00"), 2.0),
+      ("B", t("2024-03-03 08:00:00"), 3.0)
+    ).toDF("event_type", "ts", "value")
+    val out = operators.Insights2.calendarFill(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(("A", "2024-03-01")) == ((2L, 1, 12.0)))
+    assert(out(("A", "2024-03-02")) == ((0L, 0, 12.0)), "hole carries day-1 sum")
+    assert(out(("A", "2024-03-03")) == ((0L, 0, 12.0)))
+    assert(out(("A", "2024-03-04")) == ((1L, 1, 1.0)))
+    assert(out(("B", "2024-03-02")) == ((1L, 1, 2.0)))
+    assert(out(("B", "2024-03-03")) == ((1L, 1, 3.0)))
+    assert(out.size == 6, s"calendar spans per type only: ${out.keySet}")
+  }
 }

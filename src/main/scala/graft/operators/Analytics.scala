@@ -732,6 +732,83 @@ object Analytics {
       rocAucOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
+  // ------------------------------------------------ Poisson bootstrap
+  /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
+    * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
+    * with the oracle: deriving them cross-engine would put a libm
+    * `exp` ulp between the weight draws. */
+  private val PoissonPpm = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+  val BootstrapReps = 16
+
+  /** Per-(row, replicate) Poisson(1) weight from the content-stable
+    * hash: u = h60(id:rep) mod 1e6 inverted through the CDF. */
+  private def poissonWSql(idExpr: String): String = {
+    val cases = PoissonPpm.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"CASE $cases ELSE 7 END"
+  }
+
+  /** ml_bootstrap_ci: bootstrap confidence interval for a corpus mean
+    * by the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012) — the resampling scheme
+    * that actually distributes: classic bootstrap draws n rows WITH
+    * replacement per replicate (a global shuffle per replicate);
+    * Poisson(1) weights are iid per (row, replicate) and need only the
+    * row itself, so ALL `BootstrapReps` replicates ride ONE
+    * map-combinable aggregate over a 16-way per-row explode — no
+    * shuffle of the corpus, ever. Weights derive from the
+    * content-stable h60 (reproducible under any partitioning); the
+    * Poisson inverse-CDF uses exact ppm literals shared with the
+    * oracle. Replicate means are exact-DECIMAL sums divided once;
+    * the CI readout is the replicate min/max envelope (16 reps) next
+    * to the point estimate — all order-free statistics. */
+  lazy val mlBootstrapCi: QueryDef = QueryDef(
+    "ml_bootstrap_ci",
+    Some {
+      val wCase = poissonWSql("")
+      s"""WITH x AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem),
+        r AS (SELECT v, rep,
+            ${graft.Portable.h60Sql("(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(rep AS VARCHAR))")} % 1000000 AS u
+          FROM x, unnest(range(0, $BootstrapReps)) AS g(rep)),
+        w AS (SELECT rep, v, $wCase AS wt FROM r),
+        rm AS (SELECT rep,
+            CAST(sum(wt * CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+            CAST(sum(wt) AS BIGINT) AS n
+          FROM w GROUP BY rep),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+            min(CAST(s AS DOUBLE) / n) AS boot_lo,
+            max(CAST(s AS DOUBLE) / n) AS boot_hi FROM rm),
+        pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS est_mean
+          FROM x)
+        SELECT pt.n_rows, pt.est_mean, mm.n_reps, mm.boot_lo, mm.boot_hi,
+          (mm.boot_lo <= pt.est_mean AND pt.est_mean <= mm.boot_hi) AS covers_point
+        FROM pt, mm"""
+    },
+    (s, d) => {
+      val wCase = poissonWSql("")
+      val x = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("v"))
+      val r = x.select(col("v"), explode(sequence(lit(0), lit(BootstrapReps - 1))).as("rep"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("u", pmod(graft.Portable.h60(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"), lit(":"), col("rep").cast("string"))), lit(1000000L)))
+        .selectExpr("rep", "v", s"$wCase AS wt")
+      val rm = r.groupBy(col("rep")).agg(
+        sum(col("wt") * col("v").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("s"),
+        sum(col("wt")).cast(LongType).as("n"))
+      val mm = rm.agg(count(lit(1)).cast(LongType).as("n_reps"),
+        min(expr("CAST(s AS DOUBLE) / n")).as("boot_lo"),
+        max(expr("CAST(s AS DOUBLE) / n")).as("boot_hi")).localCheckpoint(true)
+      val pt = x.agg(count(lit(1)).cast(LongType).as("n_rows"),
+        expr("CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*)").as("est_mean"))
+        .localCheckpoint(true)
+      pt.crossJoin(broadcast(mm))
+        .selectExpr("n_rows", "est_mean", "n_reps", "boot_lo", "boot_hi",
+          "(boot_lo <= est_mean AND est_mean <= boot_hi) AS covers_point")
+    })
+
   // ------------------------------------------------- confusion / MCC
   /** Confusion counts at the z > 0 operating point (σ(z) > ½) over a
     * scored (z, y) frame — ONE map-combinable aggregate. */
@@ -2214,5 +2291,5 @@ object Analytics {
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
-    mlLearningCurve, mlKsTwoSample, mlRocAuc)
+    mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi)
 }

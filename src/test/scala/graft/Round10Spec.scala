@@ -223,4 +223,20 @@ class Round10Spec extends AnyFunSuite {
     assert(out(("B", "2024-03-03")) == ((1L, 1, 3.0)))
     assert(out.size == 6, s"calendar spans per type only: ${out.keySet}")
   }
+
+  test("ml_bootstrap_ci: the Poisson envelope brackets the point mean, scales with n, and is run-invariant") {
+    val r = operators.Analytics.mlBootstrapCi.build(spark, TestSpark.sfDir).collect().head
+    val (nRows, est, nReps, lo, hi, covers) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+    assert(nReps == 16L && covers, r.toString)
+    assert(lo < est && est < hi, r.toString)
+    // envelope width ~ K/sqrt(n) of the mean: with cv(l_extendedprice)
+    // ≈ 0.6 and 16 reps, K ≈ 4·0.6 — assert the right ORDER, not noise
+    val bound = 5.0 / math.sqrt(nRows.toDouble)
+    assert((hi - lo) / est < bound && (hi - lo) > 0, s"$r spread vs $bound")
+    assert(nRows == Tables.lineitem(spark, TestSpark.sfDir).count())
+    // hash-derived weights: the whole readout is partitioning-independent
+    val again = operators.Analytics.mlBootstrapCi.build(spark, TestSpark.sfDir).collect().head
+    assert(again.toSeq == r.toSeq, s"non-deterministic bootstrap: ${again.toSeq} vs ${r.toSeq}")
+  }
 }

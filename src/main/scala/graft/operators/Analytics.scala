@@ -740,11 +740,10 @@ object Analytics {
   private val PoissonPpm = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
   val BootstrapReps = 16
 
-  /** Per-(row, replicate) Poisson(1) weight from the content-stable
-    * hash: u = h60(id:rep) mod 1e6 inverted through the CDF. */
-  private def poissonWSql(idExpr: String): String = {
+  /** Poisson(1) weight by inverse CDF of a ppm-uniform expression. */
+  private def poissonWSql(u: String): String = {
     val cases = PoissonPpm.zipWithIndex
-      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      .map { case (t, k) => s"WHEN ($u) < $t THEN $k" }.mkString(" ")
     s"CASE $cases ELSE 7 END"
   }
 
@@ -762,51 +761,59 @@ object Analytics {
     * oracle. Replicate means are exact-DECIMAL sums divided once;
     * the CI readout is the replicate min/max envelope (16 reps) next
     * to the point estimate — all order-free statistics. */
+  /** Per-replicate uniform ppm draw from one shared row hash: the
+    * minhash affine family ((A_r·hm + B_r) mod P) mod 1e6 — ONE md5
+    * per row feeds all [[BootstrapReps]] replicates, same
+    * shared-literal portability as hashing each (row, rep) pair. */
+  private def bootstrapUSql(r: Int): String =
+    s"((${graft.Portable.A(r)} * hm + ${graft.Portable.B(r)}) % ${graft.Portable.P}) % 1000000"
+
   lazy val mlBootstrapCi: QueryDef = QueryDef(
     "ml_bootstrap_ci",
     Some {
-      val wCase = poissonWSql("")
-      s"""WITH x AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem),
-        r AS (SELECT v, rep,
-            ${graft.Portable.h60Sql("(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(rep AS VARCHAR))")} % 1000000 AS u
-          FROM x, unnest(range(0, $BootstrapReps)) AS g(rep)),
-        w AS (SELECT rep, v, $wCase AS wt FROM r),
-        rm AS (SELECT rep,
-            CAST(sum(wt * CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
-            CAST(sum(wt) AS BIGINT) AS n
-          FROM w GROUP BY rep),
-        mm AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
-            min(CAST(s AS DOUBLE) / n) AS boot_lo,
-            max(CAST(s AS DOUBLE) / n) AS boot_hi FROM rm),
-        pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-            CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS est_mean
+      // all replicates as aggregate COLUMNS of one scan: no explode,
+      // no replicate-keyed shuffle — the shape that holds at 100 TB
+      val repAggs = (0 until BootstrapReps).map { rr =>
+        val w = poissonWSql(bootstrapUSql(rr))
+        s"""CAST(sum(($w) * CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s$rr,
+           CAST(sum($w) AS BIGINT) AS n$rr"""
+      }.mkString(",\n          ")
+      val means = (0 until BootstrapReps).map(rr => s"CAST(s$rr AS DOUBLE) / n$rr")
+      s"""WITH x AS (SELECT
+          ${graft.Portable.h60Sql("(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))")} % ${graft.Portable.P} AS hm,
+          l_extendedprice AS v FROM lineitem),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS est_mean,
+          $repAggs
           FROM x)
-        SELECT pt.n_rows, pt.est_mean, mm.n_reps, mm.boot_lo, mm.boot_hi,
-          (mm.boot_lo <= pt.est_mean AND pt.est_mean <= mm.boot_hi) AS covers_point
-        FROM pt, mm"""
+        SELECT n_rows, est_mean, CAST($BootstrapReps AS BIGINT) AS n_reps,
+          least(${means.mkString(", ")}) AS boot_lo,
+          greatest(${means.mkString(", ")}) AS boot_hi,
+          (least(${means.mkString(", ")}) <= est_mean
+            AND est_mean <= greatest(${means.mkString(", ")})) AS covers_point
+        FROM ag"""
     },
     (s, d) => {
-      val wCase = poissonWSql("")
       val x = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("v"))
-      val r = x.select(col("v"), explode(sequence(lit(0), lit(BootstrapReps - 1))).as("rep"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("u", pmod(graft.Portable.h60(
-          concat(col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"), lit(":"), col("rep").cast("string"))), lit(1000000L)))
-        .selectExpr("rep", "v", s"$wCase AS wt")
-      val rm = r.groupBy(col("rep")).agg(
-        sum(col("wt") * col("v").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("s"),
-        sum(col("wt")).cast(LongType).as("n"))
-      val mm = rm.agg(count(lit(1)).cast(LongType).as("n_reps"),
-        min(expr("CAST(s AS DOUBLE) / n")).as("boot_lo"),
-        max(expr("CAST(s AS DOUBLE) / n")).as("boot_hi")).localCheckpoint(true)
-      val pt = x.agg(count(lit(1)).cast(LongType).as("n_rows"),
+        .select(graft.Portable.h60(
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))).mod(graft.Portable.P).as("hm"),
+          col("l_extendedprice").as("v"))
+      val repAggs = (0 until BootstrapReps).flatMap { rr =>
+        val w = poissonWSql(bootstrapUSql(rr))
+        Seq(expr(s"CAST(sum(($w) * CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2))").as(s"s$rr"),
+          expr(s"CAST(sum($w) AS BIGINT)").as(s"n$rr"))
+      }
+      val base = Seq(
+        count(lit(1)).cast(LongType).as("n_rows"),
         expr("CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*)").as("est_mean"))
-        .localCheckpoint(true)
-      pt.crossJoin(broadcast(mm))
-        .selectExpr("n_rows", "est_mean", "n_reps", "boot_lo", "boot_hi",
-          "(boot_lo <= est_mean AND est_mean <= boot_hi) AS covers_point")
+      val means = (0 until BootstrapReps).map(rr => s"CAST(s$rr AS DOUBLE) / n$rr")
+      x.agg((base ++ repAggs).head, (base ++ repAggs).tail: _*)
+        .selectExpr("n_rows", "est_mean", s"CAST($BootstrapReps AS BIGINT) AS n_reps",
+          s"least(${means.mkString(", ")}) AS boot_lo",
+          s"greatest(${means.mkString(", ")}) AS boot_hi",
+          s"""(least(${means.mkString(", ")}) <= est_mean
+            AND est_mean <= greatest(${means.mkString(", ")})) AS covers_point""")
     })
 
   // ------------------------------------------------- confusion / MCC

@@ -1237,6 +1237,77 @@ object Insights2 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // ----------------------------------------------------------- q95
+  /** q95: rolling 7-day window metrics over the gap-FILLED calendar —
+    * the consumer [[q94]] exists for: rolling sums/averages computed
+    * over row-position frames are only calendar-true when the day
+    * axis is dense (a hole silently stretches "7 rows" past 7 days).
+    * Per type: daily DECIMAL revenue sums, holes zero-filled on the
+    * exploded [min, max] calendar, then `ROWS 6 PRECEDING` windows
+    * give the rolling sum (exact DECIMAL), mean (one IEEE division of
+    * exact operands by the window's true day count), and min/max
+    * (DECIMAL total order). Same deterministic sparse derivation as
+    * q94 so the zero-fill provably participates.
+    *
+    * 100 TB shape: one shrinking (type, day) aggregate over the
+    * events scan; calendar + windows at days×types grain (the window
+    * partitions by type over day rows — bounded by the span, never
+    * by event volume). */
+  val q95 = QueryDef(
+    "q95_rolling_metrics",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+        FROM events WHERE date_part('day', ts) % 3 <> 0 GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM dd GROUP BY 1),
+      cal AS (SELECT sp.event_type, CAST(g.d0 AS DATE) AS d
+        FROM sp, unnest(generate_series(CAST(sp.dmin AS TIMESTAMP), CAST(sp.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d0)),
+      fl AS (SELECT cal.event_type, cal.d,
+          coalesce(dd.sv, CAST(0 AS DECIMAL(28,2))) AS sv
+        FROM cal LEFT JOIN dd ON cal.event_type = dd.event_type AND cal.d = dd.d),
+      rl AS (SELECT event_type, d, sv,
+          CAST(sum(sv) OVER w AS DECIMAL(28,2)) AS roll_sum,
+          CAST(count(*) OVER w AS BIGINT) AS win_days,
+          CAST(min(sv) OVER w AS DECIMAL(28,2)) AS roll_min,
+          CAST(max(sv) OVER w AS DECIMAL(28,2)) AS roll_max
+        FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, CAST(d AS VARCHAR) AS day,
+        CAST(sv AS DOUBLE) AS day_value,
+        CAST(roll_sum AS DOUBLE) AS roll_sum, win_days,
+        CAST(roll_sum AS DOUBLE) / win_days AS roll_mean,
+        CAST(roll_min AS DOUBLE) AS roll_min, CAST(roll_max AS DOUBLE) AS roll_max
+      FROM rl ORDER BY event_type, day"""),
+    (s, d) => rollingMetrics(Tables.events(s, d)
+      .filter(expr("dayofmonth(ts) % 3 <> 0"))
+      .select(col("event_type"), col("ts"), col("value"))))
+
+  /** Rolling 7-day metrics over the zero-filled daily calendar of an
+    * (event_type, ts, value) frame — see [[q95]]. */
+  def rollingMetrics(ev: DataFrame): DataFrame = {
+    val dd = ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sv"))
+    val cal = dd.groupBy(col("event_type"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, Window.currentRow)
+    cal.join(dd, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("sv"), lit(0).cast(DecimalType(28, 2))).as("sv"))
+      .select(col("event_type"), col("d"), col("sv"),
+        sum(col("sv")).over(w).cast(DecimalType(28, 2)).as("roll_sum"),
+        count(lit(1)).over(w).cast(LongType).as("win_days"),
+        min(col("sv")).over(w).cast(DecimalType(28, 2)).as("roll_min"),
+        max(col("sv")).over(w).cast(DecimalType(28, 2)).as("roll_max"))
+      .selectExpr("event_type", "CAST(d AS STRING) AS day",
+        "CAST(sv AS DOUBLE) AS day_value",
+        "CAST(roll_sum AS DOUBLE) AS roll_sum", "win_days",
+        "CAST(roll_sum AS DOUBLE) / win_days AS roll_mean",
+        "CAST(roll_min AS DOUBLE) AS roll_min", "CAST(roll_max AS DOUBLE) AS roll_max")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95)
 }

@@ -239,4 +239,25 @@ class Round10Spec extends AnyFunSuite {
     val again = operators.Analytics.mlBootstrapCi.build(spark, TestSpark.sfDir).collect().head
     assert(again.toSeq == r.toSeq, s"non-deterministic bootstrap: ${again.toSeq} vs ${r.toSeq}")
   }
+
+  test("rollingMetrics: a calendar hole participates as ZERO in the rolling window (the q94 composition point)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // days 1, 2, 4 observed (hole on 3): windows must span CALENDAR days
+    val ev = Seq(
+      ("A", t("2024-03-01 10:00:00"), 10.0),
+      ("A", t("2024-03-02 10:00:00"), 20.0),
+      ("A", t("2024-03-04 10:00:00"), 40.0)
+    ).toDF("event_type", "ts", "value")
+    val out = operators.Insights2.rollingMetrics(ev).collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out("2024-03-01") == ((10.0, 10.0, 1L, 10.0, 10.0, 10.0)))
+    assert(out("2024-03-02") == ((20.0, 30.0, 2L, 15.0, 10.0, 20.0)))
+    // the hole: day_value 0, window mean divides by the TRUE 3 days,
+    // roll_min is pulled to 0 by the filled day
+    assert(out("2024-03-03") == ((0.0, 30.0, 3L, 10.0, 0.0, 20.0)), out("2024-03-03").toString)
+    assert(out("2024-03-04") == ((40.0, 70.0, 4L, 17.5, 0.0, 40.0)), out("2024-03-04").toString)
+    assert(out.size == 4)
+  }
 }

@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   *   - lowercase scheme and authority
   *   - strip the scheme's default port (`:80` http / `:443` https)
   *   - strip trailing slashes from the path
-  *   - drop tracker params (`utm_*`, `gclid`, `fbclid`, `ref`), sort
-  *     the surviving query params by byte order, reassemble
+  *   - drop tracker params (`utm_*`, `gclid`, `fbclid`, `ref` —
+  *     matched case-insensitively on the param KEY, so `UTM_SOURCE=x`
+  *     strips like `utm_source=x`; the surviving params keep their
+  *     original case), sort the survivors by byte order, reassemble
+  *
+  * Absolute URLs only: a row whose URL has no `scheme://` prefix
+  * canonicalizes to NULL (pass-through — there is no authority to
+  * normalize), and every dedup in this module keys on
+  * `coalesce(url_canon, url)`, so malformed rows merge only when
+  * byte-identical.
   *
   * Every stage is a per-row string expression built from ONE shared
   * template ([[UrlCanon.nofragSql]]…[[UrlCanon.assembleSql]]) whose
@@ -65,13 +73,20 @@ object UrlCanon {
     * the oracle side and vanished from the keeper join. */
   def qcSql(qs: String, d: UrlSqlDialect): String =
     s"coalesce(${d.join}(${d.sort}(${d.filter}(${d.split}($qs, '&'), " +
-      s"p -> p <> '' AND NOT (substr(regexp_extract(p, '^([^=]*)', 1), 1, 4) = 'utm_' " +
-      s"OR regexp_extract(p, '^([^=]*)', 1) IN ('gclid', 'fbclid', 'ref')))), '&'), '')"
+      s"p -> p <> '' AND NOT (substr(lower(regexp_extract(p, '^([^=]*)', 1)), 1, 4) = 'utm_' " +
+      s"OR lower(regexp_extract(p, '^([^=]*)', 1)) IN ('gclid', 'fbclid', 'ref')))), '&'), '')"
+  /** NULL (not a mangled key) when the scheme regex never matched —
+    * a scheme-less/relative URL has no authority to lowercase, and
+    * canonicalizing it would collapse distinct case-sensitive paths
+    * ('Foo/x' vs 'foo/x') into one key. Callers key their dedups on
+    * `coalesce(url_canon, url)` so malformed rows never merge. */
   def assembleSql(sc: String, h: String, p: String, qc: String): String =
-    s"$sc || '://' || $h || $p || (CASE WHEN $qc = '' THEN '' ELSE '?' || $qc END)"
+    s"CASE WHEN $sc = '' THEN NULL ELSE " +
+      s"$sc || '://' || $h || $p || (CASE WHEN $qc = '' THEN '' ELSE '?' || $qc END) END"
 
   /** Adds `out` = canonical form of `urlCol` — staged narrow
-    * expressions, all inside whole-stage codegen. */
+    * expressions, all inside whole-stage codegen. NULL when `urlCol`
+    * is not an absolute URL (see [[assembleSql]]). */
   def withCanonicalUrl(df: DataFrame, urlCol: String, out: String = "url_canon"): DataFrame =
     df.withColumn("_nofrag", expr(nofragSql(urlCol)))
       .withColumn("_scheme", expr(schemeSql("_nofrag")))
@@ -89,13 +104,13 @@ object UrlCanon {
     * a `raw(doc_id, source, url)` CTE, ending in
     * `c(doc_id, source, url_canon)`. */
   def canonCtesDuck: String =
-    s"""s1 AS (SELECT doc_id, source, ${nofragSql("url")} AS nofrag FROM raw),
+    s"""s1 AS (SELECT doc_id, source, url, ${nofragSql("url")} AS nofrag FROM raw),
       s2 AS (SELECT *, ${schemeSql("nofrag")} AS scheme, ${restSql("nofrag")} AS rest FROM s1),
       s3 AS (SELECT *, ${authSql("rest")} AS auth FROM s2),
       s4 AS (SELECT *, ${hostSql("scheme", "auth")} AS host, ${pathqSql("rest", "auth")} AS pathq FROM s3),
       s5 AS (SELECT *, ${pathSql("pathq")} AS path, ${qsSql("pathq")} AS qs FROM s4),
       s6 AS (SELECT *, ${qcSql("qs", DuckDialect)} AS qc FROM s5),
-      c AS (SELECT doc_id, source, ${assembleSql("scheme", "host", "path", "qc")} AS url_canon FROM s6)"""
+      c AS (SELECT doc_id, source, url, ${assembleSql("scheme", "host", "path", "qc")} AS url_canon FROM s6)"""
 
   /** Exact dedup by canonical URL with per-source retention stats:
     * keeper = min id per canonical URL (first-crawled wins), every
@@ -104,8 +119,9 @@ object UrlCanon {
   def urlDedupStats(df: DataFrame, id: String, urlCol: String, source: String): DataFrame = {
     val c = withCanonicalUrl(
       df.select(col(id).as("doc_id"), col(source).as("source"), col(urlCol).as("url")), "url")
-    val kp = c.groupBy(col("url_canon")).agg(min(col("doc_id")).as("keep"))
-    c.join(kp, Seq("url_canon"))
+      .withColumn("uk", coalesce(col("url_canon"), col("url")))
+    val kp = c.groupBy(col("uk")).agg(min(col("doc_id")).as("keep"))
+    c.join(kp, Seq("uk"))
       .select(col("source"), when(col("doc_id") =!= col("keep"), 1L).otherwise(0L).as("rm"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -137,9 +153,10 @@ object UrlCanon {
     "corpus_url_dedup",
     Some(s"""WITH raw AS (SELECT doc_id, source, ${rawUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
       $canonCtesDuck,
-      kp AS (SELECT url_canon, min(doc_id) AS keep FROM c GROUP BY url_canon),
+      kp AS (SELECT coalesce(url_canon, url) AS uk, min(doc_id) AS keep FROM c
+        GROUP BY coalesce(url_canon, url)),
       at AS (SELECT c.source, CASE WHEN c.doc_id <> kp.keep THEN 1 ELSE 0 END AS rm
-        FROM c JOIN kp ON c.url_canon = kp.url_canon),
+        FROM c JOIN kp ON coalesce(c.url_canon, c.url) = kp.uk),
       st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(rm) AS BIGINT) AS n_removable
         FROM at GROUP BY source)
@@ -175,7 +192,8 @@ object UrlCanon {
     val base = scope.persist(docs.select(col(id).as("doc_id"),
       col(sourceCol).as("source"), col(textCol).as("text"), col(urlCol).as("url")))
     val kp = withCanonicalUrl(base, "url")
-      .groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(coalesce(col("url_canon"), col("url")).as("uk"))
+      .agg(min(col("doc_id")).as("doc_id"))
     val u = scope.persist(base.join(kp.select(col("doc_id")), Seq("doc_id")))
     val rw = graft.functions.TextAnalysis.dedupSpans(u.select(col("doc_id"), col("text")), "text", spanDf)
     val sp = scope.persist(u.select(col("doc_id"), col("source"))
@@ -196,7 +214,8 @@ object UrlCanon {
       val plant = graft.functions.TextAnalysis.FooterPlantSql
       s"""WITH raw AS (SELECT doc_id, source, ${rawUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
         $canonCtesDuck,
-        kp AS (SELECT url_canon, min(doc_id) AS keep FROM c GROUP BY url_canon),
+        kp AS (SELECT coalesce(url_canon, url) AS uk, min(doc_id) AS keep FROM c
+          GROUP BY coalesce(url_canon, url)),
         u AS (SELECT d.doc_id, d.source, $plant AS t FROM documents d
           JOIN kp ON d.doc_id = kp.keep),
         ${graft.functions.TextAnalysis.spanExciseCtesDuck("u")},

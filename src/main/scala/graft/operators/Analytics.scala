@@ -689,7 +689,9 @@ object Analytics {
     val offsets = ranked.groupBy(col("pid"))
       .agg(max(col("lq")).as("pq"))
       .select(col("pid"), coalesce(sum(col("pq")).over(wo), lit(0L)).as("baseq"))
-    val nn = vg.agg(sum(col("p")).cast(LongType).as("n1"),
+    // class totals off the PERSISTED ranked frame (not vg — re-aggregating
+    // vg would run the value-grain groupBy over the input a second time)
+    val nn = ranked.agg(sum(col("p")).cast(LongType).as("n1"),
       sum(col("q")).cast(LongType).as("n0"),
       count(lit(1)).cast(LongType).as("n_values")).localCheckpoint(true)
     val u2 = ranked.join(broadcast(offsets), Seq("pid"))
@@ -752,8 +754,8 @@ object Analytics {
     * for Massive Data Streams", Google 2012) — the resampling scheme
     * that actually distributes: classic bootstrap draws n rows WITH
     * replacement per replicate (a global shuffle per replicate);
-    * Poisson(1) weights are iid per (row, replicate) and need only the
-    * row itself, so ALL `BootstrapReps` replicates ride ONE
+    * Poisson(1) weights depend only on the row itself, so ALL
+    * `BootstrapReps` replicates ride ONE
     * map-combinable aggregate over a 16-way per-row explode — no
     * shuffle of the corpus, ever. Weights derive from the
     * content-stable h60 (reproducible under any partitioning); the
@@ -763,8 +765,15 @@ object Analytics {
     * to the point estimate — all order-free statistics. */
   /** Per-replicate uniform ppm draw from one shared row hash: the
     * minhash affine family ((A_r·hm + B_r) mod P) mod 1e6 — ONE md5
-    * per row feeds all [[BootstrapReps]] replicates, same
-    * shared-literal portability as hashing each (row, rep) pair. */
+    * per row feeds all [[BootstrapReps]] replicates. NOT iid per
+    * (row, replicate): across replicates the draws for one row are a
+    * pairwise-dependent affine family of the single hash, and the
+    * final mod 1e6 carries a ~5e-4 bias (P is not a multiple of 1e6)
+    * — both statistically negligible for a 16-rep min/max envelope
+    * (each replicate's marginal is near-uniform and rows stay
+    * independent), but callers wanting true per-(row, rep)
+    * independence should hash h60(key || ':' || rep) instead at the
+    * cost of [[BootstrapReps]] md5s per row. */
   private def bootstrapUSql(r: Int): String =
     s"((${graft.Portable.A(r)} * hm + ${graft.Portable.B(r)}) % ${graft.Portable.P}) % 1000000"
 

@@ -397,12 +397,17 @@ object Streams {
     * one row per distinct canonical URL inside the watermark;
     * corpus-historical dedup belongs to the batch plane — the standard
     * lambda split). Emits the input rows + `url_canon`, first arrival
-    * wins. */
+    * wins. State keys on `coalesce(url_canon, url)` — a scheme-less
+    * URL canonicalizes to NULL (see [[graft.functions.UrlCanon]]) and
+    * must dedup on its raw bytes, not merge with every other
+    * malformed row in the NULL group. */
   def urlDedupStream(docs: DataFrame, tsCol: String = "ts", urlCol: String = "url",
       watermarkDelay: String = "10 minutes"): DataFrame =
     graft.functions.UrlCanon.withCanonicalUrl(docs, urlCol)
+      .withColumn("_uk", coalesce(col("url_canon"), col(urlCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("url_canon")
+      .dropDuplicatesWithinWatermark("_uk")
+      .drop("_uk")
 
   /** Corpus shingle table for [[noveltyStream]]'s static side: the
     * DISTINCT word-shingle h60 set of the ingested corpus. Produce and

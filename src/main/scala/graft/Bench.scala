@@ -238,11 +238,25 @@ object Bench {
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // stdout scraping is lossy (the r5 driver kept only the last 2000
-    // chars of sbt output and truncated the 49-query line — `parsed:
-    // null`); the file is the canonical artifact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    // stdout scraping is lossy: the round stamper keeps only the LAST
+    // 2000 chars of sbt output, so a 180-query line loses its head and
+    // parses as null (r10's stamp). Print the full line only when it
+    // fits that window with room for sbt's trailing lines; otherwise a
+    // complete-but-compact JSON object (totals + slowest queries under
+    // a char budget + the canonical file path). The file always holds
+    // the full result.
+    val stdoutLine =
+      if (line.length <= 1400) line
+      else {
+        val sb = new StringBuilder
+        for ((k, med, _, _) <- good.sortBy(-_._2) if sb.length < 700) {
+          if (sb.nonEmpty) sb.append(',')
+          sb.append("\"" + k + "\":" + f"$med%.3f")
+        }
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
+      }
+    println(stdoutLine)
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -101,7 +101,9 @@ object Bench {
     "corpus_url_dedup", "text_dedup_spans", "dedup_paragraph_minhash",
     "pipeline_schema_drift", "pipeline_crawl_ingest",
     "corpus_decontaminate_semantic", "text_repetition", "ml_roc_auc",
-    "q94_calendar_fill", "ml_bootstrap_ci", "q95_rolling_metrics")
+    "q94_calendar_fill", "ml_bootstrap_ci", "q95_rolling_metrics",
+    // round-11 operators
+    "corpus_pack_ffd")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Portable, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,6 +194,135 @@ object Pipeline {
           col("n_docs"), col("n_starts"), col("n_tokens"),
           col("first_doc"), col("last_doc"))
         .orderBy(col("grp"), col("seq"))
+    })
+
+  // ------------------------------------------- FFD bin packing (r11)
+  /** Hard-capacity context-window packing (gate literals): documents
+    * stay WHOLE (the [[packSequences]] concat-and-chunk contract cuts
+    * them; many SFT/packing recipes forbid that), every bin holds at
+    * most [[FfdCapacity]] tokens, and the packing is greedy
+    * first-fit inside salted harmonic length-classes — see
+    * [[ffdAssignments]] for why that per-bucket first-fit has a
+    * closed form both engines compute from shared literals. */
+  val FfdCapacity = 64
+  val FfdSalts = 8
+
+  /** Whole-document bin packing with a HARD per-bin token capacity —
+    * the third packing contract next to [[packShards]] (whole docs,
+    * soft budget) and [[packSequences]] (hard capacity, docs cut):
+    * whole docs, hard capacity — what an SFT/packing stage that must
+    * not truncate mid-document runs.
+    *
+    * Bin packing is NP-hard and first-fit-decreasing is the standard
+    * 11/9·OPT greedy, but FFD is sequential — a global doc ordering.
+    * The distributed relaxation that keeps FFD's guarantee per bucket
+    * AND has a deterministic closed form is HARMONIC CLASSING
+    * (Lee–Lee 1985's interval trick): bucket units by
+    * `class_k = capacity div len`, so every unit in class k has
+    * len ∈ (C/(k+1), C/k]. Inside one class, ANY k units fit one bin
+    * (k·(C/k) ≤ C, exact in integers) and ANY k+1 strictly overflow
+    * (each (k+1)·len ≥ C+1), so first-fit over ANY arrival order
+    * packs exactly k units per bin — greedy first-fit inside the
+    * bucket IS "k per bin in hash order", a pure
+    * `row_number() div k`. No global sort, no sequential state, and
+    * the assignment is reproducible from shared literals in both
+    * engines.
+    *
+    * Docs longer than the capacity split into `len div C` FULL
+    * windows (fill ratio 1 by construction) plus a `len mod C`
+    * remainder unit that re-enters packing with its own class — the
+    * standard chunk-then-pack front door.
+    *
+    * 100 TB shape: one narrow scan computes lengths; units are a
+    * same-scan union; the ONLY shuffle is the (class, salt) window
+    * whose partitions are bounded by the salt count (gate: 8;
+    * production: O(corpus/task-budget) — parallelism scales with
+    * data, the bucket count is a knob, and each extra salt costs at
+    * most one partial bin per class). Nothing is ever sorted
+    * globally and nothing is quadratic. */
+  def ffdAssignments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", capacity: Int = 2048,
+      salts: Int = FfdSalts): DataFrame =
+    ffdAssignmentsOfLengths(
+      docs.select(col(idCol).as("doc_id"),
+        size(split(normText(col(textCol)), " ")).cast("long").as("n")),
+      capacity, salts)
+
+  /** [[ffdAssignments]] over a pre-computed (doc_id, n) length frame
+    * (callers that already hold lengths avoid a second text scan).
+    * Emits one row per packable unit: (doc_id, ulen, class_k, salt,
+    * bin) — full windows of over-capacity docs are NOT emitted (they
+    * are `n div capacity` per doc by construction; see the gate's
+    * `class_k = 0` summary row). */
+  def ffdAssignmentsOfLengths(dl: DataFrame, capacity: Int,
+      salts: Int): DataFrame = {
+    val units = dl.filter(col("n") <= capacity)
+      .select(col("doc_id"), col("n").as("ulen"))
+      .unionAll(dl.filter(col("n") > capacity && col("n") % capacity > 0)
+        .select(col("doc_id"), (col("n") % capacity).as("ulen")))
+    val h = h60(concat(lit("pack:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("class_k"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    units
+      .select(col("doc_id"), col("ulen"),
+        expr(s"$capacity div ulen").as("class_k"),
+        pmod(h, lit(salts.toLong)).as("salt"), h.as("h"))
+      .withColumn("bin", (row_number().over(w) - 1).cast("long"))
+      .withColumn("bin", expr("bin div class_k"))
+      .drop("h")
+  }
+
+  val packFfd = QueryDef(
+    "corpus_pack_ffd",
+    Some {
+      val c = FfdCapacity
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(${normTextSql("text")}, ' ')) AS BIGINT) AS n FROM documents),
+        un AS (SELECT doc_id, n AS ulen FROM dl WHERE n <= $c
+          UNION ALL SELECT doc_id, n % $c FROM dl WHERE n > $c AND n % $c > 0),
+        hx AS (SELECT doc_id, ulen, CAST($c // ulen AS BIGINT) AS class_k,
+            ${h60Sql(s"('pack:' || CAST(doc_id AS VARCHAR))")} AS h FROM un),
+        rn AS (SELECT class_k, h % $FfdSalts AS salt, ulen,
+            row_number() OVER (PARTITION BY class_k, h % $FfdSalts ORDER BY h, doc_id) AS rn FROM hx),
+        fb AS (SELECT class_k, salt, (rn - 1) // class_k AS bin,
+            count(*) AS nu, CAST(sum(ulen) AS BIGINT) AS fill
+          FROM rn GROUP BY class_k, salt, (rn - 1) // class_k),
+        cl AS (SELECT class_k, CAST(sum(nu) AS BIGINT) AS n_units,
+            CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(fill) AS BIGINT) AS n_tokens,
+            min(fill) AS min_fill, max(fill) AS max_fill
+          FROM fb GROUP BY class_k),
+        fw AS (SELECT CAST(0 AS BIGINT) AS class_k, CAST(count(*) AS BIGINT) AS n_units,
+            CAST(sum(n // $c) AS BIGINT) AS n_bins, CAST(sum(n // $c) * $c AS BIGINT) AS n_tokens,
+            CAST($c AS BIGINT) AS min_fill, CAST($c AS BIGINT) AS max_fill
+          FROM dl WHERE n > $c HAVING count(*) > 0)
+        SELECT class_k, n_units, n_bins, n_tokens, min_fill, max_fill,
+          ${Portable.round6RatioDuck("n_tokens", s"n_bins * $c")} AS fill_ratio
+        FROM (SELECT * FROM cl UNION ALL SELECT * FROM fw) u ORDER BY class_k"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val c = FfdCapacity
+      val dl = scope.persist(Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(normText(col("text")), " ")).cast("long").as("n")))
+      val fills = ffdAssignmentsOfLengths(dl, c, FfdSalts)
+        .groupBy(col("class_k"), col("salt"), col("bin"))
+        .agg(count(lit(1)).as("nu"), sum(col("ulen")).cast("long").as("fill"))
+      val cl = fills.groupBy(col("class_k"))
+        .agg(sum(col("nu")).cast("long").as("n_units"),
+          count(lit(1)).cast("long").as("n_bins"),
+          sum(col("fill")).cast("long").as("n_tokens"),
+          min(col("fill")).cast("long").as("min_fill"),
+          max(col("fill")).cast("long").as("max_fill"))
+      val fw = dl.filter(col("n") > c)
+        .agg(count(lit(1)).cast("long").as("n_units"),
+          sum(expr(s"n div $c")).cast("long").as("n_bins"))
+        .filter(col("n_units") > 0)
+        .select(lit(0L).as("class_k"), col("n_units"), col("n_bins"),
+          (col("n_bins") * c).cast("long").as("n_tokens"),
+          lit(c.toLong).as("min_fill"), lit(c.toLong).as("max_fill"))
+      cl.unionAll(fw)
+        .selectExpr("class_k", "n_units", "n_bins", "n_tokens", "min_fill", "max_fill",
+          s"${Portable.round6RatioSpark("n_tokens", s"n_bins * $c")} AS fill_ratio")
+        .orderBy(col("class_k"))
     })
 
   /** Quality-ordered selection under a global token budget — "keep the
@@ -1067,7 +1197,7 @@ object Pipeline {
         .orderBy(col("vec_id")).localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences,
+  val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
     splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,

@@ -42,4 +42,50 @@ class Round11Spec extends AnyFunSuite {
     // only doc 3 (byte-dup of 2) is removable; 1 vs 2 stay distinct
     assert(st.toSeq == Seq(("s", 4L, 1L)), st.toSeq.toString)
   }
+
+  test("ffd packing: harmonic classes pack exactly k per bin, remainders re-enter, every fill <= capacity") {
+    import spark.implicits._
+    // capacity 10, one salt: classes are closed-form.
+    //   lens 5,5,5        -> class 2: bins of 2+1, fills {10, 5}
+    //   lens 3,3,3,3 (+ the len-23 doc's remainder 3) -> class 3: 5 units,
+    //        bins of 3+2, fills {9, 6}
+    //   len 10            -> class 1: one bin, fill 10
+    //   len 1             -> class 10: one bin, fill 1
+    //   len 23            -> 2 full windows (not in assignments) + rem 3
+    val dl = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 3L, 5L -> 3L, 6L -> 3L,
+      7L -> 3L, 8L -> 10L, 9L -> 23L, 10L -> 1L).toDF("doc_id", "n")
+    val asg = functions.Pipeline.ffdAssignmentsOfLengths(dl, 10, 1)
+    val rows = asg.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10, rows.toSeq.toString) // 9 docs <= cap + 1 remainder
+    // the over-capacity doc appears only as its len-3 remainder unit
+    assert(rows.filter(_._1 == 9L).toSeq.map(_._2) == Seq(3L), rows.toSeq.toString)
+    val fills = rows.groupBy(r => (r._3, r._4, r._5)).map { case (k, us) =>
+      (k._1, us.map(_._2).sum, us.size) }.toSeq
+    assert(fills.forall(_._2 <= 10L), fills.toString)
+    def cls(k: Long) = fills.filter(_._1 == k).map(f => (f._2, f._3)).sortBy(-_._1)
+    assert(cls(2L) == Seq((10L, 2), (5L, 1)), cls(2L).toString)
+    assert(cls(3L) == Seq((9L, 3), (6L, 2)), cls(3L).toString)
+    assert(cls(1L) == Seq((10L, 1)), cls(1L).toString)
+    assert(cls(10L) == Seq((1L, 1)), cls(10L).toString)
+  }
+
+  test("ffd packing: assignments are partition-invariant and salted bins never exceed capacity") {
+    import spark.implicits._
+    val dl = (1L to 200L).map(i => (i, 1L + (i * 7) % 40)).toDF("doc_id", "n")
+    def run(parts: Int) = functions.Pipeline.ffdAssignmentsOfLengths(
+      dl.repartition(parts), 40, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val a = run(1)
+    assert(a == run(7), "assignments must not depend on physical partitioning")
+    val fills = a.groupBy(r => (r._3, r._4, r._5)).map { case (k, us) =>
+      (k, us.toSeq.map(_._2).sum, us.size) }
+    assert(fills.forall(f => f._2 <= 40L), fills.filter(f => f._2 > 40L).toString)
+    // k per bin: every bin in class k holds exactly k units except at
+    // most one partial bin per (class, salt) bucket
+    for (((k, s), bins) <- a.groupBy(r => (r._3, r._4))) {
+      val sizes = bins.groupBy(_._5).map(_._2.size).toSeq
+      assert(sizes.count(_ < k) <= 1, s"class $k salt $s sizes $sizes")
+    }
+  }
 }

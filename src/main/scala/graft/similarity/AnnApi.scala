@@ -913,6 +913,55 @@ object AnnApi {
     * rounded IEEE division of exact integers and the two-term sum is
     * commutative, so the fused score is bit-identical under any
     * partitioning/merge order. Ties broken by doc_id. */
+  /** BM25 top-k retrieval over a text corpus (r11): per probe doc,
+    * rank candidates by the Okapi BM25 score of the probe's DISTINCT
+    * tokens against the candidate ([[graft.operators.Insights.q73]]'s
+    * exact 12-dp-decimal per-term discipline, multi-query) — the
+    * lexical retrieval arm (exact; nothing approximate to audit) that
+    * pairs with the vector side in hybrid fusion ([[rrfFuse]]).
+    * Output `(id_p, id_c, rk, s)` with `s` the EXACT decimal score
+    * (rank on it, surface `CAST(s AS DOUBLE)` — ties broken by
+    * candidate id, so equal-scored candidates order deterministically).
+    *
+    * Scale shape: the corpus explodes once to (doc, tok) and is
+    * immediately semi-joined to the probes' token vocabulary — the
+    * inverted-index access path (only postings of query terms
+    * survive, the classic DAAT traversal): tf is a keyed aggregate of
+    * that filtered stream, df a vocab-grain aggregate of tf, and the
+    * probe vocabulary/df/corpus-stats all ride back as broadcasts.
+    * The corpus is never joined to itself and never re-scanned. */
+  def bm25TopK(docs: DataFrame, id: String, textCol: String,
+      probeIds: DataFrame, depth: Int)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import graft.Portable
+    val t = docs.select(col(id).as("doc_id"),
+      split(Portable.normText(col(textCol)), " ").as("toks"))
+    val tokd = scope.persist(t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("tok")))
+    val st = t.select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("nd"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qv = tokd.join(probeIds.select(col(probeIds.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_p"), col("tok")).distinct()
+    val qtoks = qv.select(col("tok")).distinct()
+    val tf = tokd.join(broadcast(qtoks), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+    val term = tf.join(broadcast(qv), Seq("tok"))
+      .filter(col("doc_id") =!= col("id_p"))
+      .join(broadcast(dft), Seq("tok"))
+      .crossJoin(broadcast(st))
+      .selectExpr("id_p", "doc_id",
+        s"CAST(${graft.operators.Insights.bm25Frag} AS DECIMAL(28,12)) AS ts")
+    term.groupBy(col("id_p"), col("doc_id")).agg(sum(col("ts")).as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_p")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= depth)
+      .select(col("id_p"), col("doc_id").as("id_c"), col("rk"), col("s"))
+  }
+
   def rrfFuse(lex: DataFrame, vec: DataFrame, kRrf: Int = 60,
       k: Int = 10): DataFrame = {
     val u = lex.selectExpr("id_p", "doc_id",

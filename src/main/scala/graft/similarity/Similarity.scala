@@ -1126,31 +1126,10 @@ object Similarity {
           row_number() OVER (PARTITION BY id_p ORDER BY rrf DESC, doc_id) AS rk FROM f) z
       WHERE rk <= $HybridTopK ORDER BY id_p, rk"""),
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), split(Portable.normText(col("text")), " ").as("toks"))
-      val tokd = scope.persist(t.select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("dl"), explode(col("toks")).as("tok")))
-      val st = t.select(size(col("toks")).cast(LongType).as("dl"))
-        .agg(count(lit(1)).cast(LongType).as("nd"),
-          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val qv = tokd.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("id_p"), col("tok")).distinct()
-      val qtoks = qv.select(col("tok")).distinct()
-      val tf = tokd.join(broadcast(qtoks), Seq("tok"), "left_semi")
-        .groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).cast(LongType).as("tf"))
-      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
-      val term = tf.join(broadcast(qv), Seq("tok"))
-        .filter(col("doc_id") =!= col("id_p"))
-        .join(broadcast(dft), Seq("tok"))
-        .crossJoin(broadcast(st))
-        .selectExpr("id_p", "doc_id",
-          s"CAST(${graft.operators.Insights.bm25Frag} AS DECIMAL(28,12)) AS ts")
-      val lex = term.groupBy(col("id_p"), col("doc_id")).agg(sum(col("ts")).as("s"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("id_p")).orderBy(col("s").desc, col("doc_id"))))
-        .filter(col("rk") <= HybridDepth)
-        .select(col("id_p"), col("doc_id"), col("rk"))
+      val docs = Tables.documents(s, d)
+      val lex = AnnApi.bm25TopK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 10).select(col("doc_id")), HybridDepth)
+        .select(col("id_p"), col("id_c").as("doc_id"), col("rk"))
       val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))
       val vec = AnnApi.bruteTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           probes, HybridDepth)
@@ -1294,5 +1273,85 @@ object Similarity {
       AnnApi.retrievalEval(emb, "vec_id", "embedding", probes)
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch)
+  // --------------------------------------------------- BM25 retrieval
+  /** text_bm25_topk: standalone BM25 top-10 retrieval per probe doc
+    * (r11; [[AnnApi.bm25TopK]] — the lexical arm `ann_hybrid_rrf`
+    * fuses, surfaced as its own ranked readout) PLUS the
+    * nDCG@10-vs-cosine comparison row per probe: how well the lexical
+    * ranking reproduces the EXACT semantic (cosine) neighbor order —
+    * the agreement readout a hybrid-retrieval designer reads to set
+    * fusion weights (low agreement = the modalities are complementary
+    * and fusion has headroom; the tier's existing nDCG audits grade
+    * an INDEX against its own exact metric — this row grades one
+    * modality against the other).
+    *
+    * Determinism: scores are q73's 12-dp-decimal term sums ranked on
+    * the EXACT decimal with candidate-id tiebreak (equal-score ties
+    * order by id — fixture-pinned); the nDCG row is exact-decimal
+    * gains/discounts with one final IEEE division
+    * ([[AnnApi.ndcgReadout]]). Output keyed
+    * (readout, id_p, k, ref, value): ('topk', probe, rank, doc,
+    * score) rows and ('ndcg10_vs_cosine', probe, 0, n_hits, ndcg)
+    * rows in one uniform schema.
+    *
+    * 100 TB shape: the lexical side is the inverted-index access path
+    * (corpus tokenizes once, semi-joined to the broadcast probe
+    * vocabulary — candidate volume is the postings mass, never
+    * corpus²); the cosine side is the audited brute ranking (swap
+    * LSH/IVF at scale); the comparison is probe-sample-sized. */
+  val bm25TopKQ = QueryDef(
+    "text_bm25_topk",
+    Some {
+      val caseSql = AnnApi.ndcgCaseSql("l.rk", 10)
+      val idcg = AnnApi.ndcgIdcg(10).toPlainString
+      s"""WITH t AS (SELECT doc_id, string_split(${Portable.normTextSql("text")}, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(CAST(len(toks) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM t),
+      qv AS (SELECT DISTINCT doc_id AS id_p, tok FROM tok WHERE doc_id < 10),
+      tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE tok IN (SELECT tok FROM qv) GROUP BY doc_id, dl, tok),
+      dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      term AS (SELECT qv.id_p, tf.doc_id, CAST(${graft.operators.Insights.bm25Frag} AS DECIMAL(28,12)) AS ts
+        FROM qv JOIN tf ON qv.tok = tf.tok JOIN dft ON tf.tok = dft.tok, st
+        WHERE tf.doc_id <> qv.id_p),
+      lexsc AS (SELECT id_p, doc_id, sum(ts) AS s FROM term GROUP BY id_p, doc_id),
+      lexk AS (SELECT id_p, doc_id AS id_c, s, rk FROM (SELECT id_p, doc_id, s,
+          row_number() OVER (PARTITION BY id_p ORDER BY s DESC, doc_id) AS rk FROM lexsc) z
+        WHERE rk <= 10),
+      $normSqlCte,
+      bru AS (SELECT id_p, id_c, rk AS brk FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) z
+        WHERE rk <= 10),
+      tm AS (SELECT l.id_p, CAST(coalesce(11 - b.brk, 0) AS BIGINT) AS rel,
+          CAST(CAST(coalesce(11 - b.brk, 0) AS BIGINT) * $caseSql AS DECIMAL(28,12)) AS term
+        FROM lexk l LEFT JOIN bru b ON b.id_p = l.id_p AND b.id_c = l.id_c),
+      nd AS (SELECT id_p, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          CAST(sum(term) AS DOUBLE) / CAST($idcg AS DOUBLE) AS ndcg
+        FROM tm GROUP BY id_p)
+      SELECT readout, id_p, k, ref, value FROM (
+        SELECT 'topk' AS readout, id_p, CAST(rk AS BIGINT) AS k, id_c AS ref,
+          CAST(s AS DOUBLE) AS value FROM lexk
+        UNION ALL SELECT 'ndcg10_vs_cosine', id_p, CAST(0 AS BIGINT), n_hits,
+          ndcg FROM nd) u
+      ORDER BY readout, id_p, k, ref"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val docs = Tables.documents(s, d)
+      val lex = scope.persist(AnnApi.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10).select(col("doc_id")), 10))
+      val emb = Tables.embeddings(s, d)
+      val brute = AnnApi.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10).select(col("vec_id")), 10)
+      val nd = AnnApi.ndcgReadout(lex.select(col("id_p"), col("rk"), col("id_c")), brute, 10)
+      val top = lex.select(lit("topk").as("readout"), col("id_p"),
+        col("rk").cast(LongType).as("k"), col("id_c").as("ref"),
+        col("s").cast(DoubleType).as("value"))
+      val cmp = nd.select(lit("ndcg10_vs_cosine").as("readout"), col("id_p"),
+        lit(0L).as("k"), col("n_hits").as("ref"), col("ndcg").as("value"))
+      top.unionAll(cmp).orderBy(col("readout"), col("id_p"), col("k"), col("ref"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch, bm25TopKQ)
 }

@@ -88,4 +88,26 @@ class Round11Spec extends AnyFunSuite {
       assert(sizes.count(_ < k) <= 1, s"class $k salt $s sizes $sizes")
     }
   }
+
+  test("bm25TopK: equal-score candidates rank by id, the probe excludes itself, term-free docs never surface") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana"),             // the probe (query = its tokens)
+      (1L, "apple banana xray"),        // identical tf/dl to doc 2 → exact tie
+      (2L, "apple banana yankee"),
+      (3L, "apple cucumber dirt elm"),  // one query term, longer → lower score
+      (4L, "zebra zebra zebra")         // no query term → absent
+    ).toDF("doc_id", "text")
+    val out = CacheScope.withScope { implicit s =>
+      similarity.AnnApi.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 0L).select(col("doc_id")), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDecimal(3)))
+    }
+    assert(out.forall(_._1 == 0L))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L), out.toSeq.toString)
+    val byId = out.map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(byId(1L)._2 == byId(2L)._2, s"docs 1 and 2 must tie exactly: $byId")
+    assert(byId(1L)._1 == 1 && byId(2L)._1 == 2, s"ties break by id: $byId")
+    assert(byId(3L)._1 == 3, byId.toString)
+  }
 }

@@ -856,6 +856,107 @@ object Pipeline {
         .orderBy(col("source"))
     })
 
+  // ------------------------------------------- mixture resampling (r11)
+  /** Deterministic mixture resampling WITH up-sampling — the general
+    * mixing stage between dedup and packing ([[temperatureSample]] is
+    * the α = ½ DOWN-sampling special case; real mixtures also
+    * UP-weight rare slices, which needs repetition, not just a keep
+    * gate): every row of slice `dim = v` is emitted
+    * `copies = floor(rep) + [draw < frac(rep)]` times, where
+    * `rep = target_share · N / n_v` is the slice's repetition factor
+    * in exact ppm integers (`(target_ppm · N) div n_v` — pure BIGINT,
+    * shared-literal portable) and the fractional copy draws from the
+    * content-stable `h60(dim:id) % 10⁶` ppm uniform (the
+    * `ml_bootstrap_ci` discipline: both engines draw the SAME rows,
+    * any partitioning). Expected slice share is exactly the target;
+    * realized counts are deterministic given the corpus.
+    *
+    * Returns the REPLICATED rows (0-based `copy` index, `rep_ppm`
+    * attached) — what a training-data writer materializes. Targets:
+    * a (dim, target_ppm) frame, or None = uniform flattening across
+    * the observed slices (`(10⁶·N) div (k·n_v)` — derived, exact,
+    * scale-invariant).
+    *
+    * 100 TB shape: slice counts are a map-combinable aggregate at
+    * slice grain, joined back as a BROADCAST; copies are a pure
+    * per-row expression; the explode fan-out is the mixture's own
+    * Σ rep·n_v ≈ N output volume — no shuffle of the corpus, ever. */
+  def mixtureSample(docs: DataFrame, dim: String, idCol: String = "doc_id",
+      targets: Option[DataFrame] = None): DataFrame = {
+    val r = mixtureRepPpm(docs, dim, targets)
+    val h = pmod(h60(concat(col(dim), lit(":"), col(idCol).cast("string"))),
+      lit(1000000L))
+    docs.join(broadcast(r), Seq(dim))
+      .withColumn("copies",
+        expr("rep_ppm div 1000000") +
+          when(h < expr("rep_ppm % 1000000"), 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      // copies >= 1 here: sequence(0, copies-1) is ascending (Spark's
+      // sequence DESCENDS on an inverted range — the text_repetition
+      // engine-divergence lesson, kept out of reach by the filter)
+      .withColumn("copy", explode(sequence(lit(0L), col("copies") - 1)))
+      .drop("copies")
+  }
+
+  /** Per-slice repetition factors in exact ppm (see [[mixtureSample]]):
+    * (dim, n_v, rep_ppm). Slice grain — broadcast it. */
+  def mixtureRepPpm(docs: DataFrame, dim: String,
+      targets: Option[DataFrame] = None): DataFrame = {
+    val c = docs.groupBy(col(dim)).agg(count(lit(1)).cast("long").as("n_v"))
+    val tot = c.agg(sum(col("n_v")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("k"))
+    targets match {
+      case None => c.crossJoin(broadcast(tot))
+        .select(col(dim), col("n_v"),
+          expr("(1000000 * n) div (k * n_v)").as("rep_ppm"))
+      case Some(t) => c.join(broadcast(t), Seq(dim))
+        .crossJoin(broadcast(tot.select(col("n"))))
+        .select(col(dim), col("n_v"),
+          expr("(target_ppm * n) div n_v").as("rep_ppm"))
+    }
+  }
+
+  val mixtureSampleQ = QueryDef(
+    "corpus_mixture_sample",
+    Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM c),
+      r AS (SELECT lang, n_v, (1000000 * n) // (k * n_v) AS rep_ppm FROM c, tot),
+      g AS (SELECT d.lang, r.n_v, r.rep_ppm,
+          CAST(len(string_split(${normTextSql("text")}, ' ')) AS BIGINT) AS toks,
+          rep_ppm // 1000000 + CASE WHEN ${h60Sql("(d.lang || ':' || CAST(d.doc_id AS VARCHAR))")} % 1000000
+            < rep_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN r ON r.lang = d.lang),
+      st AS (SELECT lang, n_v, rep_ppm, CAST(sum(copies) AS BIGINT) AS n_emitted,
+          CAST(sum(copies * toks) AS BIGINT) AS tokens_emitted
+        FROM g GROUP BY lang, n_v, rep_ppm),
+      te AS (SELECT CAST(sum(n_emitted) AS BIGINT) AS ne FROM st)
+      SELECT lang, n_v AS n_total, rep_ppm, n_emitted, tokens_emitted,
+        ${Portable.round6RatioDuck("n_emitted", "ne")} AS achieved_share
+      FROM st, te ORDER BY lang"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val r = mixtureRepPpm(docs, "lang")
+      val h = pmod(h60(concat(col("lang"), lit(":"), col("doc_id").cast("string"))),
+        lit(1000000L))
+      // stats read the copies expression directly (no explode — the
+      // ml_bootstrap_ci shape: the fan-out becomes aggregate algebra;
+      // the row-materializing surface is mixtureSample, fixture-pinned
+      // to agree with these counts)
+      val st = docs.join(broadcast(r), Seq("lang"))
+        .select(col("lang"), col("n_v"), col("rep_ppm"),
+          size(split(normText(col("text")), " ")).cast("long").as("toks"),
+          (expr("rep_ppm div 1000000") +
+            when(h < expr("rep_ppm % 1000000"), 1L).otherwise(0L)).as("copies"))
+        .groupBy(col("lang"), col("n_v"), col("rep_ppm"))
+        .agg(sum(col("copies")).cast("long").as("n_emitted"),
+          sum(col("copies") * col("toks")).cast("long").as("tokens_emitted"))
+      val te = st.agg(sum(col("n_emitted")).cast("long").as("ne"))
+      st.crossJoin(broadcast(te))
+        .selectExpr("lang", "n_v AS n_total", "rep_ppm", "n_emitted", "tokens_emitted",
+          s"${Portable.round6RatioSpark("n_emitted", "ne")} AS achieved_share")
+        .orderBy(col("lang"))
+    })
+
   // ---------------------------------------------- split leakage audit
   /** Train→test near-dup leakage audit — the contamination check a
     * split assignment itself needs (decontaminate guards against an
@@ -1199,7 +1300,7 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
-    decontaminateFuzzy, domainMix, temperatureSample, ingestFull,
+    decontaminateFuzzy, domainMix, temperatureSample, mixtureSampleQ, ingestFull,
     splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,
     semanticDecontaminateQ)
 }

@@ -110,4 +110,35 @@ class Round11Spec extends AnyFunSuite {
     assert(byId(1L)._1 == 1 && byId(2L)._1 == 2, s"ties break by id: $byId")
     assert(byId(3L)._1 == 3, byId.toString)
   }
+
+  test("mixtureSample: uniform flattening up-samples the rare slice with guaranteed floor copies, down-samples the common one") {
+    import spark.implicits._
+    // slice a: 8 rows, slice b: 2 rows, uniform target 50/50 over N=10:
+    //   rep(a) = (1e6*10) div (2*8) = 625000 ppm  -> 0 or 1 copies
+    //   rep(b) = (1e6*10) div (2*2) = 2500000 ppm -> 2 or 3 copies
+    val docs = ((1L to 8L).map(i => (i, "a")) ++ Seq(9L -> "b", 10L -> "b"))
+      .toDF("doc_id", "src")
+    val rep = functions.Pipeline.mixtureRepPpm(docs, "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep == Map("a" -> 625000L, "b" -> 2500000L), rep.toString)
+    val out = functions.Pipeline.mixtureSample(docs, "src")
+      .select(col("src"), col("doc_id"), col("copy")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perDoc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    for (i <- 9L to 10L) assert(perDoc(i) >= 2 && perDoc(i) <= 3, s"b doc $i: $perDoc")
+    for (i <- 1L to 8L) assert(perDoc.getOrElse(i, 0) <= 1, s"a doc $i: $perDoc")
+    // copy indexes are dense 0..copies-1 per doc
+    for ((id, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq, s"doc $id: ${rows.toSeq}")
+    // partition invariance
+    val again = functions.Pipeline.mixtureSample(docs.repartition(7), "src")
+      .select(col("src"), col("doc_id"), col("copy")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet, "emission must not depend on partitioning")
+    // explicit targets: 90/10 over the same slices
+    val t = Seq("a" -> 900000L, "b" -> 100000L).toDF("src", "target_ppm")
+    val rep2 = functions.Pipeline.mixtureRepPpm(docs, "src", Some(t))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep2 == Map("a" -> 1125000L, "b" -> 500000L), rep2.toString)
+  }
 }

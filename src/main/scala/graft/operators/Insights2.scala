@@ -1308,6 +1308,74 @@ object Insights2 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // --------------------------------------------------------------- q96
+  /** Band each fact row by its OWN group's exact quartiles — the
+    * feature-bucketing enrichment the ML tier consumes (quartile flags
+    * are the standard monotone-robust categorical encoding; banding by
+    * GLOBAL quantiles hides per-group shape, so edges are per-group).
+    * The q52 winsorize shape generalized from clip-at-2-edges to
+    * assign-into-N-bands: edges come from the distributed selection
+    * machinery ([[ExactPercentiles.percentiles]] — bounded histogram
+    * passes, never a sort, never a task buffering a group), ride back
+    * as a groups×3 BROADCAST, and the banding is a MAP-ONLY CASE per
+    * row. Band intervals are closed-left on the upper side
+    * (`value < edge` ascends), so a row EQUAL to an edge falls in the
+    * band ABOVE it — deterministic for both engines because the edge
+    * is the same IEEE double on both sides (fixture pins the
+    * boundary-tie row landing up, including the degenerate
+    * all-edges-equal case). Per (group, band): count, 6-dp share of
+    * the group, and the decimal-fold mean surfaced as one unrounded
+    * division of exact operands. */
+  def percentileBands(df: DataFrame, group: String, value: String)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val ev = df.select(col(group).as("g"), col(value).cast("double").as("v"))
+      .transform(scope.persist)
+    val th = ExactPercentiles.percentiles(ev, "g", "v", Seq(0.25, 0.5, 0.75))
+      .groupBy(col("g"))
+      .agg(min(when(col("p") === 0.25, col("value"))).as("p25"),
+        min(when(col("p") === 0.5, col("value"))).as("p50"),
+        min(when(col("p") === 0.75, col("value"))).as("p75"))
+    val banded = ev.join(broadcast(th), Seq("g"))
+      .select(col("g"), col("v"),
+        when(col("v") < col("p25"), "p00_p25")
+          .when(col("v") < col("p50"), "p25_p50")
+          .when(col("v") < col("p75"), "p50_p75")
+          .otherwise("p75_p100").as("band"))
+    val bg = banded.groupBy(col("g"), col("band"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v").cast(DecimalType(18, 6))).as("sv"))
+    val tot = bg.groupBy(col("g")).agg(sum(col("n")).cast("long").as("n_group"))
+    bg.join(broadcast(tot), Seq("g"))
+      .selectExpr("g", "band", "n", "n_group",
+        s"${Portable.round6RatioSpark("n", "n_group")} AS share",
+        "CAST(sv AS DOUBLE) / n AS mean_value")
+      .orderBy(col("g"), col("band"))
+  }
+
+  val q96 = QueryDef(
+    "q96_percentile_bands",
+    Some(s"""WITH th AS (SELECT event_type,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        percentile_cont(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS p75
+      FROM events GROUP BY event_type),
+      b AS (SELECT e.event_type AS g, value AS v,
+        CASE WHEN value < p25 THEN 'p00_p25' WHEN value < p50 THEN 'p25_p50'
+          WHEN value < p75 THEN 'p50_p75' ELSE 'p75_p100' END AS band
+      FROM events e JOIN th USING (event_type)),
+      bg AS (SELECT g, band, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(v AS DECIMAL(18,6))) AS sv
+        FROM b GROUP BY g, band),
+      tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_group FROM bg GROUP BY g)
+      SELECT bg.g, band, n, n_group,
+        ${Portable.round6RatioDuck("n", "n_group")} AS share,
+        CAST(sv AS DOUBLE) / n AS mean_value
+      FROM bg JOIN tot ON bg.g = tot.g ORDER BY bg.g, band"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      percentileBands(Tables.events(s, d), "event_type", "value")
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94, q95)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96)
 }

@@ -141,4 +141,25 @@ class Round11Spec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep2 == Map("a" -> 1125000L, "b" -> 500000L), rep2.toString)
   }
+
+  test("percentileBands: a row EQUAL to an edge lands in the band above; degenerate tied edges collapse bands deterministically") {
+    import spark.implicits._
+    // group A {10,10,10,20,30}: p25 = p50 = 10 (exact order stats),
+    // p75 = 20 — every 10 ties BOTH lower edges and must land in
+    // p50_p75; 20 ties p75 and lands in p75_p100.
+    // group B {1,2,3,4}: interpolated edges, one row per band.
+    val df = (Seq(10.0, 10.0, 10.0, 20.0, 30.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("B", _))).toDF("g", "v")
+    val out = CacheScope.withScope { implicit s =>
+      operators.Insights2.percentileBands(df, "g", "v").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    }
+    assert(out.keySet.filter(_._1 == "A") ==
+      Set(("A", "p50_p75"), ("A", "p75_p100")), out.keySet.toString)
+    assert(out(("A", "p50_p75")) == ((3L, 0.6, 10.0)), out(("A", "p50_p75")).toString)
+    assert(out(("A", "p75_p100")) == ((2L, 0.4, 25.0)), out(("A", "p75_p100")).toString)
+    for ((band, v) <- Seq("p00_p25" -> 1.0, "p25_p50" -> 2.0, "p50_p75" -> 3.0, "p75_p100" -> 4.0))
+      assert(out(("B", band)) == ((1L, 0.25, v)), s"B/$band: ${out(("B", band))}")
+  }
 }

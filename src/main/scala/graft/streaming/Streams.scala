@@ -388,6 +388,55 @@ object Streams {
       .withColumn("ok", col("metric") === 0L)
   }
 
+  /** Streaming schema-drift monitor (r11) — the incremental twin of
+    * the batch `pipeline_schema_drift`: ingest streams carry
+    * semi-structured payloads (JSON), and the drift a pipeline must
+    * catch BEFORE a batch migration runs is key-level — a feed
+    * starting to send a new column, dropping one, or sending it only
+    * sometimes. Per closed 1-hour window, one q89-style check row per
+    * column: `status` ∈ known (registered and present) / added
+    * (unregistered key observed) / missing (registered key absent
+    * from EVERY row), with `n_present` (rows carrying the key) vs
+    * `n_rows` (rows that voted on it) so a partially-absent
+    * registered key (`n_present < n_rows`, the backfill signal)
+    * fails `ok` without being "missing".
+    *
+    * Plane shape: each row emits (key, 1) per observed key plus
+    * (key, 0) per registered key it LACKS (a malformed/NULL payload
+    * emits all registered keys at 0 — it is missing data, not a
+    * dropped row), so missing-key detection needs NO second stateful
+    * operator: the whole monitor is ONE windowed (window, key)
+    * count/sum aggregate — map-combinable, state bounded by
+    * |keys ∪ ref| per open window — with a stateless CASE verdict
+    * after the window closes. Same watermark/append discipline as
+    * [[dqStream]]; the registered set is a broadcast literal (it IS
+    * the schema registry's published contract, domain-grain). */
+  def schemaDriftStream(docs: DataFrame, refCols: Seq[String],
+      tsCol: String = "ts", payloadCol: String = "payload",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val refArr = array(refCols.map(lit(_)): _*)
+    val keys = coalesce(json_object_keys(col(payloadCol)), array())
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(concat(
+        transform(keys, k => struct(k.as("key"), lit(1L).as("present"))),
+        transform(array_except(refArr, keys),
+          k => struct(k.as("key"), lit(0L).as("present"))))).as("kp"))
+      .withColumn("w", window(col(tsCol), "1 hour"))
+      // the window struct carries the event-time tag from here on; ts
+      // must go (two tagged columns in one stream is an analyzer error)
+      .select(col("w"), col("kp.key").as("col_name"), col("kp.present").as("present"))
+      .groupBy(col("w"), col("col_name"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("present")).cast("long").as("n_present"))
+      .select(col("w.start").as("window_start"), col("col_name"),
+        when(col("n_present") === 0L, "missing")
+          .when(col("col_name").isin(refCols: _*), "known")
+          .otherwise("added").as("status"),
+        col("n_rows"), col("n_present"))
+      .withColumn("ok", col("status") === "known" && col("n_present") === col("n_rows"))
+  }
+
   /** Streaming URL-grain exact dedup (r10) — the ingest twin of the
     * batch `corpus_url_dedup`: each arriving doc's URL canonicalizes
     * through the SAME staged expressions as the batch plane

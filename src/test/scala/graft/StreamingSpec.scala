@@ -589,4 +589,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(r(("domain", "event_type")) == ((1L, 5L, false)))
     assert(r(("range", "value")) == ((1L, 5L, false)))
   }
+
+  test("schema drift stream: a column added mid-window across microbatches, a partially-absent registered key, and a fully-missing key each get their check row (r11)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    val ref = Seq("a", "b", "d")
+    // window 00:00 split across two microbatches: b appears everywhere
+    // in batch 1, batch 2 ADDS key c and drops b from one row; d is
+    // registered but never arrives; a 06:00 row closes the window
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:05:00"), """{"a": 1, "b": 2}"""),
+      (2L, ts("2024-01-01 00:10:00"), """{"a": 1, "b": 2}"""))
+    val b2 = Seq(
+      (3L, ts("2024-01-01 00:20:00"), """{"a": 1, "b": 2, "c": 3}"""),
+      (4L, ts("2024-01-01 00:25:00"), """{"a": 4}"""))
+    val b3 = Seq((9L, ts("2024-01-01 06:00:00"), """{"a": 1, "b": 1}"""))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "ts", "payload")
+        .coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b000").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+    val q = Streams.schemaDriftStream(stream, ref)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val r = spark.table("drift_out")
+      .filter(col("window_start").cast("string") === "2024-01-01 00:00:00")
+      .collect()
+      .map(x => x.getString(1) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r.size == 4, s"one check row per column: $r")
+    assert(r("a") == (("known", 4L, 4L, true)), r("a").toString)
+    assert(r("b") == (("known", 4L, 3L, false)), "partial absence fails ok: " + r("b"))
+    assert(r("c") == (("added", 1L, 1L, false)), r("c").toString)
+    assert(r("d") == (("missing", 4L, 0L, false)), r("d").toString)
+    // batch parity: the SAME plane expressions over the closed window's
+    // rows as a batch frame reproduce the streamed rows exactly
+    val batch = Streams.schemaDriftStream(
+      (b1 ++ b2).toDF("doc_id", "ts", "payload"), ref)
+      .collect()
+      .map(x => x.getString(1) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(batch == r, s"batch $batch vs streamed $r")
+  }
 }

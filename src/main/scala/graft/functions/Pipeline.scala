@@ -272,17 +272,17 @@ object Pipeline {
       .drop("h")
   }
 
-  val packFfd = QueryDef(
-    "corpus_pack_ffd",
-    Some {
-      val c = FfdCapacity
-      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(${normTextSql("text")}, ' ')) AS BIGINT) AS n FROM documents),
-        un AS (SELECT doc_id, n AS ulen FROM dl WHERE n <= $c
-          UNION ALL SELECT doc_id, n % $c FROM dl WHERE n > $c AND n % $c > 0),
+  /** The pack oracle as CTE blocks over a `<rel>(doc_id, n)` relation
+    * (the shared-CTE reuse pattern: composed gates chain the EXACT
+    * fragments the standalone gate verifies), ending in `cl` + `fw`;
+    * finish with [[ffdSelectDuck]]. */
+  def ffdCtesDuck(rel: String, c: Int, salts: Int): String =
+    s"""un AS (SELECT doc_id, n AS ulen FROM $rel WHERE n <= $c
+          UNION ALL SELECT doc_id, n % $c FROM $rel WHERE n > $c AND n % $c > 0),
         hx AS (SELECT doc_id, ulen, CAST($c // ulen AS BIGINT) AS class_k,
             ${h60Sql(s"('pack:' || CAST(doc_id AS VARCHAR))")} AS h FROM un),
-        rn AS (SELECT class_k, h % $FfdSalts AS salt, ulen,
-            row_number() OVER (PARTITION BY class_k, h % $FfdSalts ORDER BY h, doc_id) AS rn FROM hx),
+        rn AS (SELECT class_k, h % $salts AS salt, ulen,
+            row_number() OVER (PARTITION BY class_k, h % $salts ORDER BY h, doc_id) AS rn FROM hx),
         fb AS (SELECT class_k, salt, (rn - 1) // class_k AS bin,
             count(*) AS nu, CAST(sum(ulen) AS BIGINT) AS fill
           FROM rn GROUP BY class_k, salt, (rn - 1) // class_k),
@@ -293,37 +293,58 @@ object Pipeline {
         fw AS (SELECT CAST(0 AS BIGINT) AS class_k, CAST(count(*) AS BIGINT) AS n_units,
             CAST(sum(n // $c) AS BIGINT) AS n_bins, CAST(sum(n // $c) * $c AS BIGINT) AS n_tokens,
             CAST($c AS BIGINT) AS min_fill, CAST($c AS BIGINT) AS max_fill
-          FROM dl WHERE n > $c HAVING count(*) > 0)
-        SELECT class_k, n_units, n_bins, n_tokens, min_fill, max_fill,
+          FROM $rel WHERE n > $c HAVING count(*) > 0)"""
+
+  def ffdSelectDuck(c: Int): String =
+    s"""SELECT class_k, n_units, n_bins, n_tokens, min_fill, max_fill,
           ${Portable.round6RatioDuck("n_tokens", s"n_bins * $c")} AS fill_ratio
         FROM (SELECT * FROM cl UNION ALL SELECT * FROM fw) u ORDER BY class_k"""
+
+  val packFfd = QueryDef(
+    "corpus_pack_ffd",
+    Some {
+      val c = FfdCapacity
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(${normTextSql("text")}, ' ')) AS BIGINT) AS n FROM documents),
+        ${ffdCtesDuck("dl", c, FfdSalts)}
+        ${ffdSelectDuck(c)}"""
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val c = FfdCapacity
-      val dl = scope.persist(Tables.documents(s, d)
+      ffdStats(Tables.documents(s, d)
         .select(col("doc_id"),
-          size(split(normText(col("text")), " ")).cast("long").as("n")))
-      val fills = ffdAssignmentsOfLengths(dl, c, FfdSalts)
-        .groupBy(col("class_k"), col("salt"), col("bin"))
-        .agg(count(lit(1)).as("nu"), sum(col("ulen")).cast("long").as("fill"))
-      val cl = fills.groupBy(col("class_k"))
-        .agg(sum(col("nu")).cast("long").as("n_units"),
-          count(lit(1)).cast("long").as("n_bins"),
-          sum(col("fill")).cast("long").as("n_tokens"),
-          min(col("fill")).cast("long").as("min_fill"),
-          max(col("fill")).cast("long").as("max_fill"))
-      val fw = dl.filter(col("n") > c)
-        .agg(count(lit(1)).cast("long").as("n_units"),
-          sum(expr(s"n div $c")).cast("long").as("n_bins"))
-        .filter(col("n_units") > 0)
-        .select(lit(0L).as("class_k"), col("n_units"), col("n_bins"),
-          (col("n_bins") * c).cast("long").as("n_tokens"),
-          lit(c.toLong).as("min_fill"), lit(c.toLong).as("max_fill"))
-      cl.unionAll(fw)
-        .selectExpr("class_k", "n_units", "n_bins", "n_tokens", "min_fill", "max_fill",
-          s"${Portable.round6RatioSpark("n_tokens", s"n_bins * $c")} AS fill_ratio")
-        .orderBy(col("class_k"))
+          size(split(normText(col("text")), " ")).cast("long").as("n")),
+        FfdCapacity, FfdSalts)
     })
+
+  /** The [[packFfd]] per-class fill report over ANY (doc_id, n) unit-
+    * length frame: class rows (units/bins/tokens/min/max fill/6-dp
+    * fill ratio) + the ratio-1 `class_k = 0` full-window row for
+    * over-capacity units. Shared by the standalone gate and the
+    * composed [[mixturePackStats]]. */
+  def ffdStats(lengths: DataFrame, capacity: Int, salts: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val c = capacity
+    val dl = scope.persist(lengths)
+    val fills = ffdAssignmentsOfLengths(dl, c, salts)
+      .groupBy(col("class_k"), col("salt"), col("bin"))
+      .agg(count(lit(1)).as("nu"), sum(col("ulen")).cast("long").as("fill"))
+    val cl = fills.groupBy(col("class_k"))
+      .agg(sum(col("nu")).cast("long").as("n_units"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("fill")).cast("long").as("n_tokens"),
+        min(col("fill")).cast("long").as("min_fill"),
+        max(col("fill")).cast("long").as("max_fill"))
+    val fw = dl.filter(col("n") > c)
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        sum(expr(s"n div $c")).cast("long").as("n_bins"))
+      .filter(col("n_units") > 0)
+      .select(lit(0L).as("class_k"), col("n_units"), col("n_bins"),
+        (col("n_bins") * c).cast("long").as("n_tokens"),
+        lit(c.toLong).as("min_fill"), lit(c.toLong).as("max_fill"))
+    cl.unionAll(fw)
+      .selectExpr("class_k", "n_units", "n_bins", "n_tokens", "min_fill", "max_fill",
+        s"${Portable.round6RatioSpark("n_tokens", s"n_bins * $c")} AS fill_ratio")
+      .orderBy(col("class_k"))
+  }
 
   /** Quality-ordered selection under a global token budget — "keep the
     * best docs until the budget is spent", the data-selection step
@@ -957,6 +978,58 @@ object Pipeline {
         .orderBy(col("lang"))
     })
 
+  /** Composed mixing → packing (r11): [[mixtureSample]]'s replicated
+    * rows fed straight into [[ffdStats]]' hard-capacity FFD packing —
+    * the production order (mix the corpus to its target shares, THEN
+    * pack the emitted stream into context windows), and the
+    * composition has a real subtlety the standalone gates can't see:
+    * an up-sampled row's copies would all hash to the SAME packing
+    * unit key (the packer salts/orders on `h60('pack:' || id)`), so
+    * duplicate copies of one doc would always land adjacently in one
+    * bucket. Each copy therefore gets its own composite identity
+    * `id · copyStride + copy` (the `dedup_paragraph_minhash`
+    * composite-key convention) — copies spread over salts/bins like
+    * independent docs. `copyStride` must exceed the mixture's maximum
+    * copy count (copies ≤ floor(max rep) + 1; uniform flattening over
+    * k slices bounds rep by N/(k·min n_v) — the gate's stride of 8
+    * covers rep < 8, spec-pinned).
+    *
+    * 100 TB shape: the mixture side never shuffles the corpus (slice
+    * counts broadcast back, copies per-row); packing adds its one
+    * salt-bounded (class, salt) window over the EMITTED stream — the
+    * two stages compose as one Catalyst graph with only the packer's
+    * window shuffle in it. */
+  def mixturePackStats(docs: DataFrame, dim: String, idCol: String = "doc_id",
+      textCol: String = "text", capacity: Int = 2048, salts: Int = FfdSalts,
+      copyStride: Int = 8, targets: Option[DataFrame] = None)(
+      implicit scope: graft.CacheScope): DataFrame =
+    ffdStats(mixtureSample(docs, dim, idCol, targets)
+      .select((col(idCol) * copyStride + col("copy")).as("doc_id"),
+        size(split(normText(col(textCol)), " ")).cast("long").as("n")),
+      capacity, salts)
+
+  val mixturePackQ = QueryDef(
+    "pipeline_mixture_pack",
+    Some {
+      val c = FfdCapacity
+      s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM lc),
+        r AS (SELECT lang, n_v, (1000000 * n) // (k * n_v) AS rep_ppm FROM lc, tot),
+        g AS (SELECT d.doc_id, d.lang, r.rep_ppm,
+            CAST(len(string_split(${normTextSql("text")}, ' ')) AS BIGINT) AS n,
+            rep_ppm // 1000000 + CASE WHEN ${h60Sql("(d.lang || ':' || CAST(d.doc_id AS VARCHAR))")} % 1000000
+              < rep_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN r ON r.lang = d.lang),
+        u AS (SELECT doc_id * 8 + unnest(range(0, copies)) AS doc_id, n
+          FROM g WHERE copies > 0),
+        ${ffdCtesDuck("u", c, FfdSalts)}
+        ${ffdSelectDuck(c)}"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      mixturePackStats(Tables.documents(s, d), "lang",
+        capacity = FfdCapacity, salts = FfdSalts)
+    })
+
   // ---------------------------------------------- split leakage audit
   /** Train→test near-dup leakage audit — the contamination check a
     * split assignment itself needs (decontaminate guards against an
@@ -1300,7 +1373,8 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
-    decontaminateFuzzy, domainMix, temperatureSample, mixtureSampleQ, ingestFull,
+    decontaminateFuzzy, domainMix, temperatureSample, mixtureSampleQ,
+    mixturePackQ, ingestFull,
     splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,
     semanticDecontaminateQ)
 }

@@ -162,4 +162,27 @@ class Round11Spec extends AnyFunSuite {
     for ((band, v) <- Seq("p00_p25" -> 1.0, "p25_p50" -> 2.0, "p50_p75" -> 3.0, "p75_p100" -> 4.0))
       assert(out(("B", band)) == ((1L, 0.25, v)), s"B/$band: ${out(("B", band))}")
   }
+
+  test("mixturePackStats: up-sampled copies pack as DISTINCT units (composite identity), bins stay within capacity") {
+    import spark.implicits._
+    // lang a: 1 doc, lang b: 4 docs, all 5 tokens; uniform 50/50 →
+    // rep(a) = 2.5 (2-3 copies of doc 1), rep(b) = 0.625. Capacity 10
+    // → every unit is class 2, bins of exactly 2 + ≤ 1 partial.
+    val docs = (Seq((1L, "a")) ++ (2L to 5L).map((_, "b")))
+      .map { case (i, l) => (i, l, "w w w w w") }.toDF("doc_id", "lang", "text")
+    CacheScope.withScope { implicit s =>
+      val mixed = functions.Pipeline.mixtureSample(docs, "lang")
+        .select(col("doc_id"), col("copy")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val copies1 = mixed.count(_._1 == 1L)
+      assert(copies1 >= 2 && copies1 <= 3, s"doc 1 must up-sample: ${mixed.toSeq}")
+      val st = functions.Pipeline.mixturePackStats(docs, "lang", capacity = 10, salts = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      assert(st.forall(_._1 == 2L), s"every 5-token unit is class 2: ${st.toSeq}")
+      val (_, nUnits, nBins, maxFill) = st.head
+      // copies counted as SEPARATE units — a collided composite key
+      // would merge doc 1's copies and shrink n_units below emitted
+      assert(nUnits == mixed.length, s"$nUnits units vs ${mixed.length} emitted rows")
+      assert(nBins == (nUnits + 1) / 2 && maxFill <= 10L, st.head.toString)
+    }
+  }
 }

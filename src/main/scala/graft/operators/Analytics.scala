@@ -734,6 +734,88 @@ object Analytics {
       rocAucOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
+  // ---------------------------------------------- average precision
+  /** Exact average precision over a scored (z, y) frame — the
+    * threshold-sum form (Σ over DISTINCT score thresholds of
+    * ΔRecall·Precision, descending), which is the exact area under
+    * the step-wise PR curve: AP = (1/n₁)·Σ_v p_v·ctp_v/(ctp_v+cfp_v)
+    * with ctp/cfp the running positive/negative counts at threshold
+    * z ≥ v. Same scale shape as [[rocAucOfScores]]: collapse to VALUE
+    * grain, take the DESCENDING running counts by the two-level
+    * range-partition scan (local cumsums + partition offsets
+    * broadcast — no global sort, no single-task window). Each
+    * per-threshold term is a fixed 3-node IEEE tree over exact
+    * integers, 12-dp-rounded into a DECIMAL(28,12) merge-order-free
+    * sum (the ngram_lm/pr_auc discipline); the final /n₁ divides
+    * exact operands once. */
+  def averagePrecisionOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = zz.groupBy(col("z")).agg(
+      sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("p"),
+      sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast(LongType).as("q"))
+    val wloc = Window.partitionBy(col("pid")).orderBy(col("z").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = scope.persist(vg
+      .repartitionByRange(col("z").desc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lp", sum(col("p")).over(wloc))
+      .withColumn("lq", sum(col("q")).over(wloc)))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lp")).as("pp"), max(col("lq")).as("pq"))
+      .select(col("pid"),
+        coalesce(sum(col("pp")).over(wo), lit(0L)).as("basep"),
+        coalesce(sum(col("pq")).over(wo), lit(0L)).as("baseq"))
+    val nn = ranked.agg(sum(col("p")).cast(LongType).as("n1"),
+      sum(col("q")).cast(LongType).as("n0"),
+      count(lit(1)).cast(LongType).as("n_values")).localCheckpoint(true)
+    val ap = ranked.join(broadcast(offsets), Seq("pid"))
+      .filter(col("p") > 0)
+      .selectExpr("CAST(round(CAST(p AS DOUBLE) * CAST(basep + lp AS DOUBLE)" +
+        " / CAST((basep + lp) + (baseq + lq) AS DOUBLE), 12) AS DECIMAL(28,12)) AS t")
+      .agg(sum(col("t")).as("ap_num")).localCheckpoint(true)
+    nn.crossJoin(broadcast(ap)).selectExpr("n1", "n0", "n_values",
+      "CAST(ap_num AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg_precision")
+  }
+
+  /** ml_average_precision: EXACT average precision of the gate's
+    * logreg scores — the exact step-curve area next to [[mlPrAuc]]'s
+    * 11-point trapezoid estimate (the pair mirrors
+    * [[mlRocAuc]]/[[mlPrAuc]]: interpolated curve for the monitor
+    * plot, exact rank statistic for the comparable number; sklearn's
+    * `average_precision_score` computes exactly this threshold sum,
+    * and lineitem's dense score ties exercise the value-grain
+    * collapse for real). Same one-training-pass isolation as the
+    * sibling gates. */
+  lazy val mlAveragePrecision: QueryDef = QueryDef(
+    "ml_average_precision",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        vg AS (SELECT z, CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          FROM zz GROUP BY z),
+        cum AS (SELECT z, p, q,
+            CAST(sum(p) OVER (ORDER BY z DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+            CAST(sum(q) OVER (ORDER BY z DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfp FROM vg),
+        cn AS (SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+            CAST(count(*) AS BIGINT) AS n_values FROM vg),
+        tm AS (SELECT CAST(round(CAST(p AS DOUBLE) * CAST(ctp AS DOUBLE)
+            / CAST(ctp + cfp AS DOUBLE), 12) AS DECIMAL(28,12)) AS t FROM cum WHERE p > 0),
+        ap AS (SELECT sum(t) AS ap_num FROM tm)
+        SELECT n1, n0, n_values,
+          CAST(ap_num AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg_precision
+        FROM cn, ap""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = mlFeatures(s, d)
+      averagePrecisionOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2307,5 +2389,5 @@ object Analytics {
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
-    mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi)
+    mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision)
 }

@@ -185,4 +185,22 @@ class Round11Spec extends AnyFunSuite {
       assert(nBins == (nUnits + 1) / 2 && maxFill <= 10L, st.head.toString)
     }
   }
+
+  test("averagePrecisionOfScores: threshold-sum closed forms with ties, at any partitioning; perfect and degenerate rankings bound it") {
+    import spark.implicits._
+    def ap(rows: Seq[(Double, Double)], parts: Int = 1): Double =
+      CacheScope.withScope { implicit s =>
+        operators.Analytics.averagePrecisionOfScores(rows.toDF("z", "y").repartition(parts))
+          .collect().head.getDouble(3)
+      }
+    // pos {3,2}, neg {1,2}: thresholds desc 3 → P=1, 2 → P=2/3 (tie
+    // collapses to one value-grain row); AP = (1 + round(2/3, 12))/2
+    val tied = Seq((3.0, 1.0), (2.0, 1.0), (1.0, 0.0), (2.0, 0.0))
+    val expect = (1.0 + 0.666666666667) / 2
+    for (p <- Seq(1, 7)) assert(ap(tied, p) == expect, s"parts=$p: ${ap(tied, p)}")
+    assert(ap(Seq((5.0, 1.0), (4.0, 1.0), (1.0, 0.0))) == 1.0, "perfect ranking")
+    assert(ap(Seq((1.0, 1.0), (5.0, 0.0))) == 0.5, "positive ranked last of two")
+    // all-tied: one threshold, precision = base rate
+    assert(ap(Seq((2.0, 1.0), (2.0, 0.0), (2.0, 1.0))) == 1.333333333333 / 2)
+  }
 }

@@ -104,7 +104,8 @@ object Bench {
     "q94_calendar_fill", "ml_bootstrap_ci", "q95_rolling_metrics",
     // round-11 operators
     "corpus_pack_ffd", "text_bm25_topk", "corpus_mixture_sample",
-    "q96_percentile_bands", "pipeline_mixture_pack", "ml_average_precision")
+    "q96_percentile_bands", "pipeline_mixture_pack", "ml_average_precision",
+    "ml_brier_decomposition")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

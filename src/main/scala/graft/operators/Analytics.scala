@@ -496,6 +496,110 @@ object Analytics {
       calibOfScores(scoreWith(b, logregWeights6(b)))
     })
 
+  // ------------------------------------- ml_brier_decomposition
+  /** Murphy decomposition of the Brier score over the calibration
+    * bins — the proper-scoring-rule readout next to
+    * [[calibOfScores]]' reliability diagram: the diagram SHOWS
+    * per-bin miscalibration, the decomposition prices it —
+    * BS* = REL − RES + UNC, where UNC = ȳ(1−ȳ) is the task's
+    * irreducible base-rate variance, RES = (1/N)·Σ_k n_k·(ȳ_k−ȳ)²
+    * is the skill the binning resolves, and REL =
+    * (1/N)·Σ_k n_k·(p̄_k−ȳ_k)² is the calibration penalty (Murphy
+    * 1973; BS* is the Brier score of the bin-mean forecast — the
+    * surfaced exact `bs` differs from `bs_binned` by the
+    * within-bin forecast variance, which a perfectly sharp binning
+    * drives to zero). Portability: bins compare z against the
+    * shared logit-edge literals (exp-free), per-row p and (p−y)²
+    * ride the 12-dp DECIMAL(28,12) discipline, ȳ/ȳ_k/p̄_k and every
+    * squared term are fixed IEEE trees over exact operands, and the
+    * 10 per-bin REL/RES terms are 12-dp-rounded into DECIMAL sums
+    * (merge-order free). 100 TB shape: ONE map-combinable 10-bin
+    * aggregate over the scored scan; everything after runs at bin
+    * grain (10 rows + one broadcast totals row). */
+  def brierOfScores(zz: DataFrame): DataFrame = {
+    val binExpr = calibEdges.map(e =>
+      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    val bins = zz.selectExpr(s"$binExpr AS bin",
+        "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS p", "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("pos"),
+        sum(round(col("p"), 12).cast(DecimalType(28, 12))).as("sp"),
+        sum(round((col("p") - col("y")) * (col("p") - col("y")), 12)
+          .cast(DecimalType(28, 12))).as("sbs"))
+      .localCheckpoint(true) // 10 rows feed totals + per-bin terms
+    val tot = bins.agg(sum(col("n")).cast(LongType).as("nt"),
+      sum(col("pos")).cast(LongType).as("post"),
+      sum(col("sbs")).as("sbst"))
+    bins.crossJoin(broadcast(tot))
+      .selectExpr("nt", "post", "sbst",
+        "CAST(round(CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12)) AS relt",
+        "CAST(round(CAST(n AS DOUBLE) * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))" +
+          " * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS rest")
+      .groupBy(col("nt"), col("post"), col("sbst"))
+      .agg(sum(col("relt")).as("srel"), sum(col("rest")).as("sres"))
+      .selectExpr("nt AS n", "post AS pos",
+        "CAST(sbst AS DOUBLE) / CAST(nt AS DOUBLE) AS bs",
+        "(CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))" +
+          " * (CAST(1 AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) AS unc",
+        "CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE) AS rel",
+        "CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE) AS res",
+        "CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE)" +
+          " - CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE)" +
+          " + (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))" +
+          " * (CAST(1 AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) AS bs_binned")
+  }
+
+  /** ml_brier_decomposition: the Murphy decomposition of the GD
+    * classifier's Brier score over the SAME logit-edge bins as
+    * [[mlCalibration]] — the one-row readout that separates "the
+    * model is miscalibrated" (rel) from "the model can't rank"
+    * (res vs unc). Same one-training-pass isolation as the sibling
+    * gates. (lazy — see [[mlCalibration]].) */
+  lazy val mlBrierDecomposition: QueryDef = QueryDef(
+    "ml_brier_decomposition",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        bz AS (SELECT $binExpr AS bin,
+            CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) AS p, y
+          FROM b, w6),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS sp,
+            sum(CAST(round((p - y) * (p - y), 12) AS DECIMAL(28,12))) AS sbs
+          FROM bz GROUP BY bin),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS post,
+            sum(sbs) AS sbst FROM c),
+        terms AS (SELECT nt, post, sbst,
+            CAST(round(CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12)) AS relt,
+            CAST(round(CAST(n AS DOUBLE) * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS rest
+          FROM c, t),
+        s AS (SELECT nt, post, sbst, sum(relt) AS srel, sum(rest) AS sres
+          FROM terms GROUP BY nt, post, sbst)
+        SELECT nt AS n, post AS pos,
+          CAST(sbst AS DOUBLE) / CAST(nt AS DOUBLE) AS bs,
+          (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) AS unc,
+          CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE) AS rel,
+          CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE) AS res,
+          CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE) + (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) AS bs_binned
+        FROM s""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = mlFeatures(s, d)
+      brierOfScores(scoreWith(b, logregWeights6(b)))
+    })
+
   // ------------------------------------------- pipeline_ml_readouts
   /** pipeline_ml_readouts: the composed evaluation suite — ONE
     * training pass ([[logregWeights6]]), ONE persisted scored-margin
@@ -2389,5 +2493,6 @@ object Analytics {
     q60, q61, mlKfoldCv, q62, q63, q64, mlThresholdSweep, q65, q66, q67,
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
-    mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision)
+    mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
+    mlBrierDecomposition)
 }

@@ -203,4 +203,34 @@ class Round11Spec extends AnyFunSuite {
     // all-tied: one threshold, precision = base rate
     assert(ap(Seq((2.0, 1.0), (2.0, 0.0), (2.0, 1.0))) == 1.333333333333 / 2)
   }
+
+  test("brierOfScores: single-bin closed form (res = 0, bs = bs_binned when p is constant per bin), two-bin resolution, partition invariance") {
+    import spark.implicits._
+    def brier(rows: Seq[(Double, Double)], parts: Int = 1): org.apache.spark.sql.Row =
+      operators.Analytics.brierOfScores(rows.toDF("z", "y").repartition(parts))
+        .collect().head
+    // z = 0 → p = 0.5 EXACTLY (1/(1+exp(0))); one bin, ȳ = 3/4:
+    // unc = 3/16, rel = (0.5 − 0.75)² = 1/16, res = 0,
+    // bs = (p − y)² mean = 1/4 = bs_binned (p constant within the bin)
+    val one = brier(Seq((0.0, 1.0), (0.0, 1.0), (0.0, 1.0), (0.0, 0.0)))
+    assert(one.getLong(0) == 4L && one.getLong(1) == 3L, one.toString)
+    assert(one.getDouble(2) == 0.25 && one.getDouble(3) == 0.1875, one.toString)
+    assert(one.getDouble(4) == 0.0625 && one.getDouble(5) == 0.0, one.toString)
+    assert(one.getDouble(6) == 0.25, one.toString)
+    // two bins, each pure (bin ȳ_k ∈ {0, 1}): resolution = unc (the
+    // binning resolves ALL base-rate variance), reliability = the
+    // per-bin squared forecast error
+    val zHi = 5.0
+    // p̄ of the hi bin is the 12-dp-rounded p (the DECIMAL sp discipline)
+    val p12 = math.rint(1.0 / (1.0 + math.exp(-zHi)) * 1e12) / 1e12
+    val two = Seq((zHi, 1.0), (zHi, 1.0), (0.0, 0.0), (0.0, 0.0))
+    val r2 = brier(two)
+    assert(r2.getDouble(5) == r2.getDouble(3), s"res == unc: $r2")
+    val relExp = (math.rint((2.0 * (p12 - 1.0) * (p12 - 1.0)) * 1e12) / 1e12 +
+      math.rint((2.0 * 0.5 * 0.5) * 1e12) / 1e12) / 4.0
+    assert(math.abs(r2.getDouble(4) - relExp) < 1e-15, s"rel: $r2 vs $relExp")
+    // partition invariance: DECIMAL sums are merge-order free
+    val mixed = Seq((0.0, 1.0), (zHi, 0.0), (zHi, 1.0), (0.0, 0.0), (-3.0, 1.0))
+    assert(brier(mixed, 1).toString == brier(mixed, 7).toString)
+  }
 }

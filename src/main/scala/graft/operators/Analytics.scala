@@ -920,6 +920,108 @@ object Analytics {
       averagePrecisionOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
+  // ------------------------------------------------- DeLong variance
+  /** Exact DeLong standard error + 95% CI for the ROC-AUC of a scored
+    * (z, y) frame (DeLong, DeLong & Clarke-Pearson 1988) — the error
+    * bar [[rocAucOfScores]]' point estimate needs before two models
+    * can be COMPARED: the placement values V10 (per positive, the
+    * fraction of negatives it outranks, ties at ½) and V01 (per
+    * negative, symmetric) have empirical variances s10/s01, and
+    * Var(AUC) = s10/n₁ + s01/n₀. The distributed shape is the point:
+    * placements are CONSTANT within a score value, so both placement
+    * sets compute at VALUE grain off ONE ascending two-level
+    * range-partition scan (running positive AND negative counts; no
+    * global sort, no single-task window) — the corpus is never
+    * scanned again after the value-grain collapse. Exactness: every
+    * placement numerator (2·#below + #tied) is an exact BIGINT, V10/
+    * V01/AUC are fixed IEEE trees over exact operands, the squared
+    * deviations 12-dp-round into DECIMAL(28,12) merge-order-free
+    * sums, and se/CI are one shared sqrt/mul tree (sqrt is correctly
+    * rounded — bit-identical across engines). Requires n₁ ≥ 2 and
+    * n₀ ≥ 2 (the sample variances divide by n−1). */
+  def delongOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = zz.groupBy(col("z")).agg(
+      sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("p"),
+      sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast(LongType).as("q"))
+    val wloc = Window.partitionBy(col("pid")).orderBy(col("z"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = scope.persist(vg
+      .repartitionByRange(col("z"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lp", sum(col("p")).over(wloc))
+      .withColumn("lq", sum(col("q")).over(wloc)))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lp")).as("pp"), max(col("lq")).as("pq"))
+      .select(col("pid"),
+        coalesce(sum(col("pp")).over(wo), lit(0L)).as("basep"),
+        coalesce(sum(col("pq")).over(wo), lit(0L)).as("baseq"))
+    val cum = scope.persist(ranked.join(broadcast(offsets), Seq("pid"))
+      .select(col("z"), col("p"), col("q"),
+        (col("basep") + col("lp")).as("cp"), (col("baseq") + col("lq")).as("cq")))
+    val scal = cum.agg(sum(col("p")).cast(LongType).as("n1"),
+        sum(col("q")).cast(LongType).as("n0"),
+        sum(expr("CAST(p AS DECIMAL(19,0)) * (2 * (cq - q) + q)"))
+          .cast(DecimalType(38, 0)).as("u2")).localCheckpoint(true)
+    val sums = cum.crossJoin(broadcast(scal))
+      .selectExpr(
+        "CAST(round(CAST(p AS DOUBLE) * ((CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12)) AS t10",
+        "CAST(round(CAST(q AS DOUBLE) * ((CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12)) AS t01")
+      .agg(sum(col("t10")).as("s10n"), sum(col("t01")).as("s01n"))
+      .localCheckpoint(true)
+    scal.crossJoin(broadcast(sums))
+      .selectExpr("n1", "n0",
+        "CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc",
+        "CAST(s10n AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s01n AS DOUBLE) / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS var_auc")
+      .selectExpr("n1", "n0", "auc_roc", "sqrt(var_auc) AS se_delong")
+      .selectExpr("n1", "n0", "auc_roc", "se_delong",
+        "auc_roc - 1.96 * se_delong AS ci_lo",
+        "auc_roc + 1.96 * se_delong AS ci_hi")
+  }
+
+  /** ml_auc_delong: DeLong SE + 95% CI for the gate's logreg ROC-AUC
+    * — the readout that turns [[mlRocAuc]]'s point estimate into a
+    * COMPARABLE number (two AUCs without error bars can't be ranked;
+    * lineitem's dense score ties exercise the ½-tie placements for
+    * real). Same one-training-pass isolation as the sibling gates. */
+  lazy val mlAucDelong: QueryDef = QueryDef(
+    "ml_auc_delong",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        vg AS (SELECT z, CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          FROM zz GROUP BY z),
+        cum AS (SELECT z, p, q,
+            CAST(sum(p) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+            CAST(sum(q) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq FROM vg),
+        scal AS (SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+            CAST(sum(CAST(p AS DECIMAL(19,0)) * (2 * (cq - q) + q)) AS DECIMAL(38,0)) AS u2
+          FROM cum),
+        sums AS (SELECT
+            sum(CAST(round(CAST(p AS DOUBLE) * ((CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12))) AS s10n,
+            sum(CAST(round(CAST(q AS DOUBLE) * ((CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12))) AS s01n
+          FROM cum, scal),
+        va AS (SELECT n1, n0,
+            CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc,
+            CAST(s10n AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s01n AS DOUBLE) / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS var_auc
+          FROM scal, sums),
+        sev AS (SELECT n1, n0, auc_roc, sqrt(var_auc) AS se_delong FROM va)
+        SELECT n1, n0, auc_roc, se_delong,
+          auc_roc - 1.96 * se_delong AS ci_lo,
+          auc_roc + 1.96 * se_delong AS ci_hi
+        FROM sev""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = mlFeatures(s, d)
+      delongOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2494,5 +2596,5 @@ object Analytics {
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
-    mlBrierDecomposition)
+    mlBrierDecomposition, mlAucDelong)
 }

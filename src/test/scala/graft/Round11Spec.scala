@@ -233,4 +233,31 @@ class Round11Spec extends AnyFunSuite {
     val mixed = Seq((0.0, 1.0), (zHi, 0.0), (zHi, 1.0), (0.0, 0.0), (-3.0, 1.0))
     assert(brier(mixed, 1).toString == brier(mixed, 7).toString)
   }
+
+  test("delongOfScores: tied-placement closed form at any partitioning; separable scores give se = 0 and a degenerate CI") {
+    import spark.implicits._
+    def dl(rows: Seq[(Double, Double)], parts: Int = 1): org.apache.spark.sql.Row =
+      CacheScope.withScope { implicit s =>
+        operators.Analytics.delongOfScores(rows.toDF("z", "y").repartition(parts))
+          .collect().head
+      }
+    // pos {3, 2}, neg {2, 1}: AUC = (1 + 1 + 1 + ½)/4 = 0.875;
+    // V10 = {1, ¾}, V01 = {¾, 1} (the tie at 2 places at ½), so
+    // s10 = s01 = 2·(0.125)²/(2−1) = 0.03125 and
+    // Var = 0.03125/2 + 0.03125/2 = 0.03125 — all dyadic, hence EXACT
+    val tied = Seq((3.0, 1.0), (2.0, 1.0), (2.0, 0.0), (1.0, 0.0))
+    val se = math.sqrt(0.03125)
+    for (p <- Seq(1, 5)) {
+      val r = dl(tied, p)
+      assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"parts=$p: $r")
+      assert(r.getDouble(2) == 0.875 && r.getDouble(3) == se, s"parts=$p: $r")
+      assert(r.getDouble(4) == 0.875 - 1.96 * se && r.getDouble(5) == 0.875 + 1.96 * se,
+        s"parts=$p: $r")
+    }
+    // perfectly separable: every placement equals AUC = 1 → zero
+    // variance, CI collapses to the point
+    val sep = dl(Seq((9.0, 1.0), (8.0, 1.0), (2.0, 0.0), (1.0, 0.0)))
+    assert(sep.getDouble(2) == 1.0 && sep.getDouble(3) == 0.0, sep.toString)
+    assert(sep.getDouble(4) == 1.0 && sep.getDouble(5) == 1.0, sep.toString)
+  }
 }

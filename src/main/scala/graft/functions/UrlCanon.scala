@@ -112,6 +112,103 @@ object UrlCanon {
       s6 AS (SELECT *, ${qcSql("qs", DuckDialect)} AS qc FROM s5),
       c AS (SELECT doc_id, source, url, ${assembleSql("scheme", "host", "path", "qc")} AS url_canon FROM s6)"""
 
+  /** Adds `out` = the canonicalized HOST of `urlCol` ('' when the URL
+    * is not absolute — same precondition as [[withCanonicalUrl]]):
+    * lowercased authority with the scheme's default port stripped,
+    * the key domain-grain reputation work groups by. Same staged
+    * template expressions as [[withCanonicalUrl]], all map-only. */
+  def withHostKey(df: DataFrame, urlCol: String, out: String = "host"): DataFrame =
+    df.withColumn("_nofrag", expr(nofragSql(urlCol)))
+      .withColumn("_scheme", expr(schemeSql("_nofrag")))
+      .withColumn("_rest", expr(restSql("_nofrag")))
+      .withColumn("_auth", expr(authSql("_rest")))
+      .withColumn(out,
+        expr(s"CASE WHEN _scheme = '' THEN '' ELSE ${hostSql("_scheme", "_auth")} END"))
+      .drop("_nofrag", "_scheme", "_rest", "_auth")
+
+  /** Host-grain reputation rollup — the RefinedWeb/CCNet DOMAIN
+    * filtering stage (Penedo et al. 2023 §3.1 run blocklists and
+    * reputation heuristics at host grain BEFORE touching content):
+    * per canonical host, doc volume, distinct canonical URLs, the
+    * exact 6-dp within-host URL dup rate, mean doc length (unrounded
+    * IEEE division of exact BIGINTs — corpus-scale sums exceed the
+    * 6-dp ratio's headroom, the fertility precedent), and a
+    * `flagged` verdict decided in EXACT integer arithmetic
+    * ((n_docs − n_urls)·10⁶ > ppm·n_docs — no float compare on the
+    * boundary; BIGINT-safe below ~9e12 docs/host). Scheme-less rows
+    * roll up under host '' (the "unknown" bucket a crawl report
+    * surfaces rather than drops).
+    *
+    * 100 TB shape: canonicalization + host key are narrow per-row
+    * codegen work; the rollup is ONE host-grain aggregate whose
+    * count-distinct rides Spark's two-phase partial-distinct expand
+    * — nothing quadratic, the corpus is never re-shuffled. */
+  def domainStats(df: DataFrame, id: String, urlCol: String, textCol: String,
+      flagPpm: Long = DomainFlagPpm): DataFrame = {
+    val c = withCanonicalUrl(withHostKey(
+      df.select(col(id).as("doc_id"), col(urlCol).as("url"), col(textCol).as("text")),
+      "url"), "url")
+    c.select(col("host"), coalesce(col("url_canon"), col("url")).as("uk"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("uk")).cast("long").as("n_urls"),
+        sum(col("len")).cast("long").as("sum_len"))
+      .withColumn("n_dup", col("n_docs") - col("n_urls"))
+      .selectExpr("host", "n_docs", "n_urls",
+        s"${Portable.round6RatioSpark("n_dup", "n_docs")} AS dup_rate",
+        "CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_len",
+        s"CAST(CASE WHEN n_dup * 1000000 > $flagPpm * n_docs THEN 1 ELSE 0 END AS BIGINT) AS flagged")
+      .orderBy(col("host"))
+  }
+
+  /** Dup-rate flag threshold for [[domainStats]] in exact ppm
+    * (250000 = "a quarter of the host's docs are canonical-URL
+    * duplicates" — the reputation heuristic's investigate line).
+    * LITERAL shared with the oracle. */
+  val DomainFlagPpm: Long = 250000L
+
+  /** Gate-only URL derivation for [[domainStatsQ]]: 23 hosts from
+    * `doc_id % 23`, three canonicalization-adversarial variants per
+    * doc (case+port+fragment, trailing slash+tracker) that must all
+    * collapse, and a page number whose granularity DEPENDS ON THE
+    * HOST (divisor 1 + host % 3 ∈ {1,2,3} → per-host dup rates ≈
+    * 0 / ½ / ⅔), so the flag threshold splits the host set
+    * deterministically at any sf. */
+  def domainUrlSql(id: String, idiv: String, strType: String): String = {
+    val h = s"CAST(($id) % 23 AS $strType)"
+    val pg = s"CAST((($id) $idiv 23) $idiv (1 + (($id) % 23) % 3) AS $strType)"
+    s"""CASE ($id) % 3
+      WHEN 0 THEN 'http://host' || $h || '.example.com/p/' || $pg
+      WHEN 1 THEN 'HTTP://Host' || $h || '.Example.COM:80/p/' || $pg || '#f'
+      ELSE 'http://host' || $h || '.example.com/p/' || $pg || '/?utm_source=x' END"""
+  }
+
+  val domainStatsQ = QueryDef(
+    "corpus_domain_stats",
+    Some(s"""WITH raw AS (SELECT doc_id, source, ${domainUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
+      $canonCtesDuck,
+      hx AS (SELECT c.doc_id, CASE WHEN s4.scheme = '' THEN '' ELSE s4.host END AS host,
+          coalesce(c.url_canon, c.url) AS uk
+        FROM c JOIN s4 ON c.doc_id = s4.doc_id),
+      j AS (SELECT hx.host, hx.uk, CAST(length(d.text) AS BIGINT) AS len
+        FROM hx JOIN documents d ON hx.doc_id = d.doc_id),
+      st AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT uk) AS BIGINT) AS n_urls,
+          CAST(sum(len) AS BIGINT) AS sum_len
+        FROM j GROUP BY host),
+      sd AS (SELECT *, n_docs - n_urls AS n_dup FROM st)
+      SELECT host, n_docs, n_urls,
+        ${Portable.round6RatioDuck("n_dup", "n_docs")} AS dup_rate,
+        CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_len,
+        CAST(CASE WHEN n_dup * 1000000 > $DomainFlagPpm * n_docs THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM sd ORDER BY host"""),
+    (s, d) => {
+      val raw = Tables.documents(s, d).selectExpr(
+        "doc_id", "text", s"${domainUrlSql("doc_id", "div", "STRING")} AS url")
+      domainStats(raw, "doc_id", "url", "text")
+    })
+
   /** Exact dedup by canonical URL with per-source retention stats:
     * keeper = min id per canonical URL (first-crawled wins), every
     * non-keeper attributed to ITS OWN source. Returns
@@ -240,5 +337,5 @@ object UrlCanon {
       crawlIngestCensus(docs).localCheckpoint(true)
     })
 
-  val defs: Seq[QueryDef] = Seq(urlDedup, crawlIngest)
+  val defs: Seq[QueryDef] = Seq(urlDedup, crawlIngest, domainStatsQ)
 }

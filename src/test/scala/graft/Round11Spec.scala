@@ -260,4 +260,29 @@ class Round11Spec extends AnyFunSuite {
     assert(sep.getDouble(2) == 1.0 && sep.getDouble(3) == 0.0, sep.toString)
     assert(sep.getDouble(4) == 1.0 && sep.getDouble(5) == 1.0, sep.toString)
   }
+
+  test("domainStats: per-host dup rates, strict flag boundary at exactly 25%, scheme-less rows roll up under host ''") {
+    import spark.implicits._
+    val rows = Seq(
+      // host a.com: 4 docs, 1 canonical → dup 0.75, flagged
+      (1L, "http://a.com/x", "aaaa"), (2L, "HTTP://A.com:80/x#f", "bb"),
+      (3L, "http://a.com/x/", "cccccc"), (4L, "http://a.com/x?utm_source=t", "dd"),
+      // host b.com: 4 docs, 4 canonicals → dup 0, not flagged
+      (5L, "http://b.com/1", "eee"), (6L, "http://b.com/2", "fff"),
+      (7L, "http://b.com/3", "ggg"), (8L, "http://b.com/4", "hhh"),
+      // host c.com: 4 docs, 3 canonicals → dup EXACTLY 0.25 → strict >
+      // threshold must NOT flag
+      (9L, "http://c.com/1", "i"), (10L, "http://c.com/1", "j"),
+      (11L, "http://c.com/2", "k"), (12L, "http://c.com/3", "l"),
+      // scheme-less → '' bucket, byte-identical pair merges
+      (13L, "rel/x", "mm"), (14L, "rel/x", "nn"), (15L, "other/y", "oo"))
+      .toDF("doc_id", "url", "text")
+    val st = functions.UrlCanon.domainStats(rows, "doc_id", "url", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(st("a.com") == ((4L, 1L, 0.75, 3.5, 1L)), st("a.com").toString)
+    assert(st("b.com") == ((4L, 4L, 0.0, 3.0, 0L)), st("b.com").toString)
+    assert(st("c.com") == ((4L, 3L, 0.25, 1.0, 0L)), st("c.com").toString)
+    assert(st("") == ((3L, 2L, 0.333333, 2.0, 1L)), st("").toString)
+  }
 }

@@ -1124,8 +1124,112 @@ object Graph {
            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS assortativity""")
     })
 
+  /** Hub cap for [[linkPredictionTopK]] wedge expansion: middle nodes
+    * with degree above this are excluded BEFORE the O(deg²) pair
+    * fan-out (the `MaxOrderSize` discipline — and for link prediction
+    * the cut is also SEMANTIC: a hub's 1/ln(deg) Adamic–Adar weight
+    * is near-zero information, which is the whole point of the AA
+    * weighting; every production LP system trims hubs). Gate degrees
+    * stay far below the cap, but it is ENFORCED and mirrored in the
+    * oracle. */
+  val MaxWedgeDegree = 1000L
+
+  /** Link-prediction gate's item-graph sparsifier: quantity ≥ 45
+    * co-purchases (the CC-gate idea at lower selectivity — the full
+    * item graph's wedge volume is quadratic in co-purchase degree
+    * and belongs to the capped candidate machinery, not a gate). */
+  val LpPredicate = "l_quantity >= 45"
+
+  /** Top-k link prediction over an undirected simple graph given as
+    * DISTINCT (u, v) pairs with u < v — the "related but not yet
+    * linked" recommender (Liben-Nowell & Kleinberg 2003): candidate
+    * pairs are 2-hop neighbors (a wedge through a shared middle node
+    * z) that are NOT edges, scored by common-neighbor count, the
+    * neighborhood Jaccard, and Adamic–Adar Σ_z 1/ln(deg z) — the
+    * inverse-log weighting that discounts promiscuous middles.
+    *
+    * Distributed shape: wedges come from ONE self-join of the doubled
+    * edge list on the middle node, with middles above `maxDeg`
+    * dropped BEFORE the O(deg²) expansion ([[MaxWedgeDegree]]);
+    * existing edges leave via a left-anti join on the (u, v) key;
+    * degrees ride nodes-scale joins (AQE broadcasts them at gate
+    * scale). Ranking is on the EXACT DECIMAL Adamic–Adar sum (each
+    * wedge term 12-dp-rounded, merge-order free — the ngram_lm
+    * discipline), ties on (u, v); the top-k runs through
+    * `TakeOrderedAndProject`. Middles need deg ≥ 2 to form a wedge,
+    * so ln(deg z) ≥ ln 2 and the division is always defined. */
+  def linkPredictionTopK(g: DataFrame, k: Int = 20, maxDeg: Long = MaxWedgeDegree)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val gP = scope.persist(g)
+    val e = scope.persist(
+      gP.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(gP.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = e.groupBy(col("src").as("nd")).agg(count(lit(1)).cast("long").as("dg"))
+    val mid = deg.filter(col("dg") >= 2 && col("dg") <= maxDeg)
+    val w = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .join(mid, col("a.src") === col("nd"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"), col("dg").as("dgz"))
+    val ag = w.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("cn"),
+        sum(expr("CAST(round(CAST(1 AS DOUBLE) / ln(CAST(dgz AS DOUBLE)), 12) AS DECIMAL(28,12))"))
+          .as("aa"))
+    ag.join(gP, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("nd").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("nd").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        round(col("cn").cast("double") / (col("du") + col("dv") - col("cn")), 6).as("jac"),
+        col("aa"))
+      .orderBy(col("aa").desc, col("u"), col("v"))
+      .limit(k)
+      .selectExpr("u", "v", "cn", "du", "dv", "jac", "CAST(aa AS DOUBLE) AS aa")
+  }
+
+  /** graph_link_prediction: Adamic–Adar / common-neighbor link
+    * prediction over the sparsified co-purchase ITEM graph (parts
+    * co-bought in a quantity-≥-45 order) — the unipartite projection
+    * where "not yet an edge" is a REAL exclusion (the raw
+    * customer–supplier graph is bipartite: same-side pairs are never
+    * adjacent and the anti-join would be vacuous). Complements
+    * `graph_node_similarity`, which scores pairs that DO share an
+    * order; this ranks the pairs one hop further out — the
+    * recommender's "you may also like" frontier. */
+  val linkPrediction = QueryDef(
+    "graph_link_prediction",
+    Some(s"""WITH co0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE $LpPredicate),
+      ok AS (SELECT o FROM co0 GROUP BY o HAVING count(*) <= $MaxOrderSize),
+      co AS (SELECT co0.o, co0.p FROM co0 JOIN ok ON co0.o = ok.o),
+      g AS (SELECT DISTINCT a.p AS u, b.p AS v FROM co a JOIN co b ON a.o = b.o AND a.p < b.p),
+      e AS (SELECT u AS src, v AS dst FROM g UNION ALL SELECT v, u FROM g),
+      deg AS (SELECT src AS nd, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY src),
+      mid AS (SELECT nd, dg FROM deg WHERE dg >= 2 AND dg <= $MaxWedgeDegree),
+      w AS (SELECT a.dst AS u, b.dst AS v, m.dg AS dgz
+        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        JOIN mid m ON a.src = m.nd),
+      ag AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+          sum(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(dgz AS DOUBLE)), 12) AS DECIMAL(28,12))) AS aa
+        FROM w GROUP BY u, v),
+      nn AS (SELECT ag.* FROM ag WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.u = ag.u AND g.v = ag.v)),
+      res AS (SELECT nn.u, nn.v, nn.cn, da.dg AS du, db.dg AS dv,
+          round(CAST(nn.cn AS DOUBLE) / (da.dg + db.dg - nn.cn), 6) AS jac, nn.aa
+        FROM nn JOIN deg da ON nn.u = da.nd JOIN deg db ON nn.v = db.nd
+        ORDER BY nn.aa DESC, nn.u, nn.v LIMIT 20)
+      SELECT u, v, cn, du, dv, jac, CAST(aa AS DOUBLE) AS aa FROM res"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val co0 = Tables.lineitem(s, d).filter(LpPredicate)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val coP = scope.persist(co0)
+      val kept = coP.join(
+        coP.groupBy(col("o")).agg(count(lit(1)).as("osz"))
+          .filter(col("osz") <= MaxOrderSize).select(col("o")), Seq("o"))
+      val g = kept.as("a").join(kept.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      linkPredictionTopK(g).localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
     modularityQuery, assortativity, closenessQuery, hitsQuery, anfQuery,
-    pipelineGraphCentralityQuery)
+    pipelineGraphCentralityQuery, linkPrediction)
 }

@@ -285,4 +285,30 @@ class Round11Spec extends AnyFunSuite {
     assert(st("c.com") == ((4L, 3L, 0.25, 1.0, 0L)), st("c.com").toString)
     assert(st("") == ((3L, 2L, 0.333333, 2.0, 1L)), st("").toString)
   }
+
+  test("linkPredictionTopK: closed-form Adamic-Adar ranking, existing edges anti-joined out, hub cap excludes middles before expansion") {
+    import spark.implicits._
+    // square 1-2-4-3-1 with diagonal 2-3 and pendant 4-5:
+    // deg: 1→2, 2→3, 3→3, 4→3, 5→1
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    def lp(maxDeg: Long) = CacheScope.withScope { implicit s =>
+      operators.Graph.linkPredictionTopK(g, 20, maxDeg).collect()
+    }
+    val rows = lp(1000L)
+    // wedge (2,3) through middle 1 IS an edge → must not appear
+    assert(!rows.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L))
+    val r13 = math.rint(1.0 / math.log(3.0) * 1e12) / 1e12
+    val aa14 = new java.math.BigDecimal(2).multiply(
+      new java.math.BigDecimal(r13)).doubleValue()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L), (2L, 5L), (3L, 5L)), rows.mkString("; "))
+    val top = rows.head
+    assert(top.getLong(2) == 2L && top.getLong(3) == 2L && top.getLong(4) == 3L, top.toString)
+    assert(top.getDouble(5) == 0.666667 && top.getDouble(6) == aa14, top.toString)
+    assert(rows(1).getLong(2) == 1L && rows(1).getDouble(5) == 0.333333
+      && rows(1).getDouble(6) == r13, rows(1).toString)
+    // cap 2: every wedge middle has deg 3 → nothing expands
+    assert(lp(2L).isEmpty)
+  }
 }

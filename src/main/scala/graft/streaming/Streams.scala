@@ -388,6 +388,47 @@ object Streams {
       .withColumn("ok", col("metric") === 0L)
   }
 
+  /** Streaming model-quality monitor (r11) — the incremental twin of
+    * the batch `ml_threshold_sweep` readout at ONE published
+    * operating threshold: a scoring service logs (ts, z margin,
+    * y outcome) as labels arrive, and the monitor a pipeline pages on
+    * is per-window confusion counts + precision/recall/accuracy —
+    * quality DEGRADATION shows up here hours before a retrain gate
+    * runs. Threshold compares the exp-FREE margin z (the
+    * ml_threshold_sweep discipline — thresholding on σ(z) would be
+    * the same decision boundary with a libm exp between a replayed
+    * batch and the stream). Per closed 1-hour window: exact BIGINT
+    * tp/fp/fn/tn and the pure-integer 6-dp ratios; precision/recall
+    * are NULL (not 0) when a window has no predicted/actual
+    * positives — a no-traffic window must not read as a broken
+    * model.
+    *
+    * Plane shape: ONE windowed conditional-count aggregate —
+    * map-combinable, a handful of BIGINTs per open window at any
+    * firehose rate — with stateless ratio math on window close. Same
+    * watermark/append discipline as [[dqStream]]. */
+  def metricStream(scored: DataFrame, threshold: Double = 0.0,
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame = {
+    def cnt(cond: String) = sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).cast("long")
+    val t = s"CAST($threshold AS DOUBLE)"
+    scored
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("total"),
+        cnt(s"z > $t AND y > 0.5").as("tp"),
+        cnt(s"z > $t AND y < 0.5").as("fp"),
+        cnt(s"NOT (z > $t) AND y > 0.5").as("fn"),
+        cnt(s"NOT (z > $t) AND y < 0.5").as("tn"))
+      .select(col("w.start").as("window_start"),
+        col("total"), col("tp"), col("fp"), col("fn"), col("tn"))
+      .withColumn("precision",
+        expr(s"CASE WHEN tp + fp > 0 THEN ${graft.Portable.round6RatioSpark("tp", "tp + fp")} END"))
+      .withColumn("recall",
+        expr(s"CASE WHEN tp + fn > 0 THEN ${graft.Portable.round6RatioSpark("tp", "tp + fn")} END"))
+      .withColumn("accuracy",
+        expr(graft.Portable.round6RatioSpark("tp + tn", "total")))
+  }
+
   /** Streaming schema-drift monitor (r11) — the incremental twin of
     * the batch `pipeline_schema_drift`: ingest streams carry
     * semi-structured payloads (JSON), and the drift a pipeline must

@@ -590,6 +590,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(r(("range", "value")) == ((1L, 5L, false)))
   }
 
+  test("metric stream: confusion counts split across microbatches merge exactly; a window with no predicted positives reports NULL precision, not 0 (r11)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-metric-in").toString
+    // window 00:00 at threshold 0: tp/fp in b1, fn/tn in b2 (the
+    // windowed counters must merge); window 01:00 has only negative
+    // margins → tp + fp = 0 → precision NULL while recall is 0
+    val b1 = Seq(
+      (ts("2024-01-01 00:05:00"), 1.5, 1.0),   // tp
+      (ts("2024-01-01 00:10:00"), 0.5, 0.0),   // fp
+      (ts("2024-01-01 00:15:00"), 2.0, 1.0))   // tp
+    val b2 = Seq(
+      (ts("2024-01-01 00:20:00"), -1.0, 1.0),  // fn
+      (ts("2024-01-01 00:25:00"), -0.5, 0.0),  // tn
+      (ts("2024-01-01 01:10:00"), -2.0, 1.0),  // 01:00 window: fn
+      (ts("2024-01-01 01:20:00"), -3.0, 0.0))  // 01:00 window: tn
+    val b3 = Seq((ts("2024-01-01 06:00:00"), 0.1, 1.0))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("ts", "z", "y").coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b000").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in + "/*")
+    val q = Streams.metricStream(stream)
+      .writeStream.format("memory").queryName("metric_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val r = spark.table("metric_out").collect()
+      .map(x => x.getTimestamp(0).toString.take(19) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)),
+          (Option(x.get(6)), Option(x.get(7)), x.getDouble(8)))).toMap
+    val (c0, m0) = r("2024-01-01 00:00:00")
+    assert(c0 == ((5L, 2L, 1L, 1L, 1L)), c0.toString)
+    // precision 2/3 → 0.666667 half-up, recall 2/3, accuracy 3/5
+    assert(m0 == ((Some(0.666667), Some(0.666667), 0.6)), m0.toString)
+    val (c1, m1) = r("2024-01-01 01:00:00")
+    assert(c1 == ((2L, 0L, 0L, 1L, 1L)), c1.toString)
+    assert(m1 == ((None, Some(0.0), 0.5)), m1.toString)
+  }
+
   test("schema drift stream: a column added mid-window across microbatches, a partially-absent registered key, and a fully-missing key each get their check row (r11)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-drift-in").toString

@@ -216,7 +216,8 @@ object ScaleProbe {
       ("ml_brier_decomposition", d => operators.Analytics.mlBrierDecomposition.build(spark, d)),
       ("ml_auc_delong", d => operators.Analytics.mlAucDelong.build(spark, d)),
       ("corpus_domain_stats", d => functions.UrlCanon.domainStatsQ.build(spark, d)),
-      ("graph_link_prediction", d => operators.Graph.linkPrediction.build(spark, d)))
+      ("graph_link_prediction", d => operators.Graph.linkPrediction.build(spark, d)),
+      ("ml_shap_linear", d => operators.Analytics.mlShapLinear.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

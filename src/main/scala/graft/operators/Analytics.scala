@@ -1022,6 +1022,84 @@ object Analytics {
       delongOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
+  // --------------------------------------------------- linear SHAP
+  /** Exact per-feature SHAP attribution magnitudes for a linear
+    * scorer — for a linear model with independent features the
+    * Shapley value of feature j on row x is EXACTLY
+    * φ_j(x) = w_j·(x_j − x̄_j) (Lundberg & Lee 2017 §4 "Linear
+    * SHAP"; no sampling, no background-set approximation), so the
+    * global explanation is mean|φ_j| per feature plus its share of
+    * total attribution — the importance readout a model card prints.
+    * Two passes over the feature frame: ONE map-combinable moment
+    * aggregate for the feature means, then ONE contribution
+    * aggregate with the means broadcast back; per-row |φ| values
+    * 12-dp-round into DECIMAL(28,12) merge-order-free sums (feature
+    * columns are raw doubles, so their naive sums would be
+    * merge-order dependent), x̄/mean|φ|/share are fixed IEEE trees
+    * over exact operands (the share's denominator is the EXACT
+    * decimal a1 + a2). Complements [[mlFeatureImportance]]'s
+    * leave-one-out ΔSSE: LOO prices a feature by lost FIT, SHAP by
+    * attribution MASS on the scored output. */
+  def shapLinear(b: DataFrame, w: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val bP = scope.persist(b)
+    val mo = bP.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(round(col("x1"), 12).cast(DecimalType(28, 12))).as("sx1"),
+      sum(round(col("x2"), 12).cast(DecimalType(28, 12))).as("sx2"))
+      .localCheckpoint(true)
+    val mm = mo.selectExpr(
+      "CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1",
+      "CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2")
+    val ag = bP.crossJoin(broadcast(mm)).crossJoin(broadcast(w))
+      .agg(
+        sum(expr("CAST(round(abs(wb * (x1 - m1)), 12) AS DECIMAL(28,12))")).as("a1"),
+        sum(expr("CAST(round(abs(wc * (x2 - m2)), 12) AS DECIMAL(28,12))")).as("a2"))
+      .localCheckpoint(true)
+    ag.crossJoin(broadcast(mo)).crossJoin(broadcast(w))
+      .selectExpr(
+        "stack(2," +
+          " 'x1', wb, CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE), CAST(a1 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE)," +
+          " 'x2', wc, CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE), CAST(a2 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE))" +
+          " AS (feature, weight, mean_abs_contrib, share)")
+      .orderBy(col("feature"))
+  }
+
+  /** ml_shap_linear: exact global SHAP attribution for the gate's GD
+    * classifier — mean|w_j·(x_j − x̄_j)| and attribution share per
+    * feature. Same one-training-pass isolation as the sibling gates.
+    * (lazy — see [[mlCalibration]].) */
+  lazy val mlShapLinear: QueryDef = QueryDef(
+    "ml_shap_linear",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(x1, 12) AS DECIMAL(28,12))) AS sx1,
+            sum(CAST(round(x2, 12) AS DECIMAL(28,12))) AS sx2 FROM b),
+        mm AS (SELECT CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+            CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2 FROM mo),
+        ag AS (SELECT
+            sum(CAST(round(abs(wb * (x1 - m1)), 12) AS DECIMAL(28,12))) AS a1,
+            sum(CAST(round(abs(wc * (x2 - m2)), 12) AS DECIMAL(28,12))) AS a2
+          FROM b, mm, w6)
+        SELECT 'x1' AS feature, wb AS weight,
+          CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_abs_contrib,
+          CAST(a1 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE) AS share
+        FROM ag, mo, w6
+        UNION ALL
+        SELECT 'x2' AS feature, wc AS weight,
+          CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_abs_contrib,
+          CAST(a2 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE) AS share
+        FROM ag, mo, w6
+        ORDER BY feature""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = mlFeatures(s, d)
+      shapLinear(b, logregWeights6(b)).localCheckpoint(true)
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2596,5 +2674,5 @@ object Analytics {
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
-    mlBrierDecomposition, mlAucDelong)
+    mlBrierDecomposition, mlAucDelong, mlShapLinear)
 }

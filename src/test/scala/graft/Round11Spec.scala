@@ -311,4 +311,22 @@ class Round11Spec extends AnyFunSuite {
     // cap 2: every wedge middle has deg 3 → nothing expands
     assert(lp(2L).isEmpty)
   }
+
+  test("shapLinear: closed-form attributions with a zero-weight feature, partition invariance") {
+    import spark.implicits._
+    // x1 = {1,2,3} (mean 2), x2 = {1,1,1} (mean 1), w = (0, 2, −1):
+    // |φ1| = {2,0,2} → mean 4/3, share 1; |φ2| ≡ 0 → share 0
+    val b = Seq((1.0, 1.0, 0.0), (2.0, 1.0, 1.0), (3.0, 1.0, 0.0))
+      .toDF("x1", "x2", "y")
+    val w = operators.Analytics.weightsOf(spark, 0.0, 2.0, -1.0)
+    for (parts <- Seq(1, 3)) {
+      val rows = CacheScope.withScope { implicit s =>
+        operators.Analytics.shapLinear(b.repartition(parts), w).collect()
+      }
+      val m = rows.map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(m("x1") == ((2.0, 4.0 / 3.0, 1.0)), s"parts=$parts: ${m("x1")}")
+      assert(m("x2") == ((-1.0, 0.0, 0.0)), s"parts=$parts: ${m("x2")}")
+    }
+  }
 }

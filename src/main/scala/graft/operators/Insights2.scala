@@ -1376,6 +1376,68 @@ object Insights2 {
         .localCheckpoint(true)
     })
 
+  // ------------------------------------------ q97 rolling actives
+  /** Rolling W-day distinct active users per observed day — the
+    * DAU/WAU/MAU engagement staple ("how many distinct users touched
+    * us in the trailing week"), which naively is a sliding-window
+    * COUNT DISTINCT: un-shardable state, the classic scale killer.
+    * The exact rewrite is interval STABBING: a user active on day a
+    * is "active within W" for every day in [a, a+W−1]; merging each
+    * user's active days into islands (consecutive gaps ≤ W — the
+    * q51 gaps-and-islands idiom) makes those per-day ranges coalesce
+    * into disjoint intervals [s, e+W−1], and WAU(d) is then just the
+    * number of intervals covering d — a +1/−1 delta per interval
+    * endpoint and ONE day-grain prefix sum. No day ever re-counts
+    * its window's users; no distinct-within-range join exists.
+    *
+    * 100 TB shape: ONE corpus-scale (user, day) distinct, a
+    * user-keyed window for islands, then everything runs at
+    * user-interval and day grain (the q94 "calendar grain" argument
+    * — the global prefix-sum window is days-scale, metadata). The
+    * oracle takes the INDEPENDENT route (day×window range join +
+    * COUNT DISTINCT), so the gate pins two different algorithms to
+    * the same integers. Day key = the offset-shifted epoch-day
+    * integer (the q83 dow idiom — exact BIGINT division in both
+    * engines). */
+  def activeUsersRolling(df: DataFrame, tsCol: String, userCol: String,
+      windowDays: Int = 7)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val w = windowDays
+    val ud = df.select(col(userCol).as("u"),
+        expr(s"(unix_micros(CAST($tsCol AS TIMESTAMP)) + ${Portable.EpochWeekOffsetUs})" +
+          " div 86400000000").as("day"))
+      .distinct().transform(scope.persist)
+    val wu = Window.partitionBy(col("u")).orderBy(col("day"))
+    val iv = ud
+      .withColumn("brk", when(col("day") > lag(col("day"), 1).over(wu) + w, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wu))
+      .groupBy(col("u"), col("isl"))
+      .agg(min(col("day")).as("s"), (max(col("day")) + (w - 1)).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("d"))
+      .unionAll(iv.select((col("e") + 1).as("day"), lit(-1L).as("d")))
+      .unionAll(ud.select(col("day"), lit(0L).as("d")).distinct())
+      .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("n_active", sum(col("delta")).over(wd))
+      .join(ud.select(col("day")).distinct(), Seq("day"), "left_semi")
+      .select(col("day"), col("n_active").cast("long").as(s"n_active_${w}d"))
+      .orderBy(col("day"))
+  }
+
+  val q97 = QueryDef(
+    "q97_active_users",
+    Some(s"""WITH ud AS (SELECT DISTINCT user_id AS u,
+        (epoch_us(ts) + ${Portable.EpochWeekOffsetUs}) // 86400000000 AS day FROM events),
+      dd AS (SELECT DISTINCT day FROM ud)
+      SELECT d.day, CAST(count(DISTINCT u.u) AS BIGINT) AS n_active_7d
+      FROM dd d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day ORDER BY d.day"""),
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      activeUsersRolling(Tables.events(s, d), "ts", "user_id")
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97)
 }

@@ -329,4 +329,27 @@ class Round11Spec extends AnyFunSuite {
       assert(m("x2") == ((-1.0, 0.0, 0.0)), s"parts=$parts: ${m("x2")}")
     }
   }
+
+  test("activeUsersRolling: island merge at the exactly-W gap, split at W+1, coverage tails count, WAU matches the brute per-day distinct") {
+    import spark.implicits._
+    // (user, active epoch-day): u1 {0,10} two islands; u2 {3,8} one
+    // island (gap 5); u3 {20,27} ONE island (gap exactly 7 merges);
+    // u5 {40,48} TWO islands (gap 8 splits); u4 {26}, u6 {47} probes
+    val act = Seq(1L -> 0L, 1L -> 10L, 2L -> 3L, 2L -> 8L, 3L -> 20L,
+      3L -> 27L, 4L -> 26L, 5L -> 40L, 5L -> 48L, 6L -> 47L)
+    val ev = act.map { case (u, day) =>
+      (u, new java.sql.Timestamp(day * 86400000L)) }.toDF("user_id", "ts")
+    val out = CacheScope.withScope { implicit s =>
+      operators.Insights2.activeUsersRolling(ev, "ts", "user_id").collect()
+    }
+    val off = Portable.EpochWeekOffsetUs / 86400000000L
+    val wau = out.map(r => (r.getLong(0) - off) -> r.getLong(1)).toMap
+    val expect = Map(0L -> 1L, 3L -> 2L, 8L -> 1L, 10L -> 2L, 20L -> 1L,
+      26L -> 2L, 27L -> 2L, 40L -> 1L, 47L -> 1L, 48L -> 2L)
+    assert(wau == expect, wau.toString)
+    // brute per-day trailing-7 distinct over the same facts agrees
+    val brute = expect.keys.map(d =>
+      d -> act.filter { case (_, a) => a >= d - 6 && a <= d }.map(_._1).distinct.size.toLong).toMap
+    assert(wau == brute, s"$wau vs $brute")
+  }
 }

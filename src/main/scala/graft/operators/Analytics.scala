@@ -1100,6 +1100,121 @@ object Analytics {
       shapLinear(b, logregWeights6(b)).localCheckpoint(true)
     })
 
+  // ---------------------------------------------- pipeline scorecard
+  /** Composed ranking-metric scorecard over a feature frame and a
+    * one-row weights frame — the r11 sibling of
+    * [[pipelineMlReadouts]]: that suite unites the threshold-grid
+    * readouts (sweep/lift/calibration), this one unites the RANK
+    * metrics and decompositions (exact ROC-AUC with its DeLong error
+    * bar, exact average precision, the Brier/Murphy decomposition,
+    * linear-SHAP attribution shares) into one long-format (metric,
+    * value) report — the numbers a model card prints, off ONE
+    * training pass and ONE persisted scored frame. The self-contained
+    * singles retrain by design (each gate must stand alone for its
+    * oracle); this is the production shape: train once, score once,
+    * read everything. */
+  def scorecardOfScores(b: DataFrame, w: DataFrame)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val zz = scope.persist(scoreWith(b, w))
+    val dl = delongOfScores(zz)
+    val ap = averagePrecisionOfScores(zz)
+    val br = brierOfScores(zz)
+    val sh = shapLinear(b, w)
+    dl.selectExpr("stack(6, 'n1', CAST(n1 AS DOUBLE), 'n0', CAST(n0 AS DOUBLE)," +
+        " 'auc_roc', auc_roc, 'se_delong', se_delong, 'ci_lo', ci_lo, 'ci_hi', ci_hi)" +
+        " AS (metric, value)")
+      .unionAll(ap.selectExpr("'avg_precision' AS metric", "avg_precision AS value"))
+      .unionAll(br.selectExpr("stack(4, 'brier', bs, 'brier_unc', unc," +
+        " 'brier_rel', rel, 'brier_res', res) AS (metric, value)"))
+      .unionAll(sh.selectExpr("concat('shap_share_', feature) AS metric", "share AS value"))
+      .orderBy(col("metric"))
+  }
+
+  /** pipeline_ml_scorecard: the composed rank-metric suite for the
+    * gate's GD classifier. Bench evidence target ≈ one single's cost,
+    * not five — the GD training rounds and the corpus scoring scan
+    * are shared; every readout runs at value/bin/feature grain off
+    * the persisted margins. (lazy — see [[mlCalibration]].) */
+  lazy val pipelineMlScorecard: QueryDef = QueryDef(
+    "pipeline_ml_scorecard",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        vg AS (SELECT z, CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          FROM zz GROUP BY z),
+        cum AS (SELECT z, p, q,
+            CAST(sum(p) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+            CAST(sum(q) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq FROM vg),
+        scal AS (SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+            CAST(sum(CAST(p AS DECIMAL(19,0)) * (2 * (cq - q) + q)) AS DECIMAL(38,0)) AS u2
+          FROM cum),
+        sums AS (SELECT
+            sum(CAST(round(CAST(p AS DOUBLE) * ((CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12))) AS s10n,
+            sum(CAST(round(CAST(q AS DOUBLE) * ((CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (n1 - cp) + p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12))) AS s01n
+          FROM cum, scal),
+        va AS (SELECT n1, n0,
+            CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc,
+            CAST(s10n AS DOUBLE) / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s01n AS DOUBLE) / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS var_auc
+          FROM scal, sums),
+        sev AS (SELECT n1, n0, auc_roc, sqrt(var_auc) AS se_delong FROM va),
+        cumd AS (SELECT z, p, q,
+            CAST(sum(p) OVER (ORDER BY z DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+            CAST(sum(q) OVER (ORDER BY z DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfp FROM vg),
+        tm AS (SELECT CAST(round(CAST(p AS DOUBLE) * CAST(ctp AS DOUBLE)
+            / CAST(ctp + cfp AS DOUBLE), 12) AS DECIMAL(28,12)) AS t FROM cumd WHERE p > 0),
+        apx AS (SELECT sum(t) AS ap_num FROM tm),
+        apv AS (SELECT CAST(ap_num AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg_precision FROM apx, scal),
+        bz AS (SELECT $binExpr AS bin,
+            CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS p, y FROM zz),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS sp,
+            sum(CAST(round((p - y) * (p - y), 12) AS DECIMAL(28,12))) AS sbs
+          FROM bz GROUP BY bin),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS post,
+            sum(sbs) AS sbst FROM c),
+        terms AS (SELECT nt, post, sbst,
+            CAST(round(CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12)) AS relt,
+            CAST(round(CAST(n AS DOUBLE) * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS rest
+          FROM c, t),
+        s AS (SELECT nt, post, sbst, sum(relt) AS srel, sum(rest) AS sres
+          FROM terms GROUP BY nt, post, sbst),
+        mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(x1, 12) AS DECIMAL(28,12))) AS sx1,
+            sum(CAST(round(x2, 12) AS DECIMAL(28,12))) AS sx2 FROM b),
+        mm AS (SELECT CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+            CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2 FROM mo),
+        ag AS (SELECT
+            sum(CAST(round(abs(wb * (x1 - m1)), 12) AS DECIMAL(28,12))) AS a1,
+            sum(CAST(round(abs(wc * (x2 - m2)), 12) AS DECIMAL(28,12))) AS a2
+          FROM b, mm, w6)
+        SELECT metric, value FROM (
+          SELECT 'n1' AS metric, CAST(n1 AS DOUBLE) AS value FROM scal
+          UNION ALL SELECT 'n0', CAST(n0 AS DOUBLE) FROM scal
+          UNION ALL SELECT 'auc_roc', auc_roc FROM sev
+          UNION ALL SELECT 'se_delong', se_delong FROM sev
+          UNION ALL SELECT 'ci_lo', auc_roc - 1.96 * se_delong FROM sev
+          UNION ALL SELECT 'ci_hi', auc_roc + 1.96 * se_delong FROM sev
+          UNION ALL SELECT 'avg_precision', avg_precision FROM apv
+          UNION ALL SELECT 'brier', CAST(sbst AS DOUBLE) / CAST(nt AS DOUBLE) FROM s
+          UNION ALL SELECT 'brier_unc', (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) FROM s
+          UNION ALL SELECT 'brier_rel', CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE) FROM s
+          UNION ALL SELECT 'brier_res', CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE) FROM s
+          UNION ALL SELECT 'shap_share_x1', CAST(a1 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE) FROM ag
+          UNION ALL SELECT 'shap_share_x2', CAST(a2 AS DOUBLE) / CAST(a1 + a2 AS DOUBLE) FROM ag
+        ) ORDER BY metric""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      scorecardOfScores(b, logregWeights6(b)).localCheckpoint(true)
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2674,5 +2789,5 @@ object Analytics {
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
-    mlBrierDecomposition, mlAucDelong, mlShapLinear)
+    mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard)
 }

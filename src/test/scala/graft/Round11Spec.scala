@@ -352,4 +352,31 @@ class Round11Spec extends AnyFunSuite {
       d -> act.filter { case (_, a) => a >= d - 6 && a <= d }.map(_._1).distinct.size.toLong).toMap
     assert(wau == brute, s"$wau vs $brute")
   }
+
+  test("scorecardOfScores: every composed metric equals its standalone readout on a planted frame") {
+    import spark.implicits._
+    val b = Seq((1.0, 0.0, 1.0), (2.0, 1.0, 1.0), (3.0, 0.0, 0.0),
+      (4.0, 1.0, 0.0), (5.0, 0.0, 1.0), (2.0, 1.0, 0.0))
+      .toDF("x1", "x2", "y")
+    val w = operators.Analytics.weightsOf(spark, 0.5, 1.0, -2.0)
+    val card = CacheScope.withScope { implicit s =>
+      operators.Analytics.scorecardOfScores(b, w).collect()
+    }.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card.size == 13, card.toString)
+    val (dl, ap, br, sh) = CacheScope.withScope { implicit s =>
+      val zz = operators.Analytics.scoreWith(b, w)
+      (operators.Analytics.delongOfScores(zz).collect().head,
+        operators.Analytics.averagePrecisionOfScores(zz).collect().head,
+        operators.Analytics.brierOfScores(zz).collect().head,
+        operators.Analytics.shapLinear(b, w).collect())
+    }
+    assert(card("n1") == dl.getLong(0).toDouble && card("n0") == dl.getLong(1).toDouble)
+    assert(card("auc_roc") == dl.getDouble(2) && card("se_delong") == dl.getDouble(3))
+    assert(card("ci_lo") == dl.getDouble(4) && card("ci_hi") == dl.getDouble(5))
+    assert(card("avg_precision") == ap.getDouble(3))
+    assert(card("brier") == br.getDouble(2) && card("brier_unc") == br.getDouble(3))
+    assert(card("brier_rel") == br.getDouble(4) && card("brier_res") == br.getDouble(5))
+    val shm = sh.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(card("shap_share_x1") == shm("x1") && card("shap_share_x2") == shm("x2"))
+  }
 }

@@ -871,8 +871,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- collocations
+  /** Minimum adjacent-pair support for [[collocations]] — pairs seen
+    * fewer times are PMI noise (a hapax pair has maximal PMI by
+    * construction; Church & Hanks' original caveat). LITERAL shared
+    * with the oracle. */
+  val CollocMinSupport = 3
+
+  /** text_collocations: PMI collocation mining over adjacent token
+    * pairs (Church & Hanks 1990 — the association-mining staple that
+    * surfaces multi-word expressions: "ipsum lorem" scores far above
+    * chance, "the of" far below): PMI = ln(P(a,b)/(P(a)·P(b))) with
+    * P(a,b) = c_ab/N_pairs over adjacent SLOTS and P(w) = c_w/N_tok
+    * over token occurrences. The RANKING never touches libm: it
+    * orders on the lift c_ab·N²_tok/(c_a·c_b·N_pairs) evaluated as a
+    * fixed-order IEEE tree over exact BIGINTs (bit-identical across
+    * engines — ranking on the rounded ln would put a library ulp on
+    * every near-tie), ties on (a, b); the surfaced `pmi` is the
+    * 12-dp-rounded ln of that same tree. Pairs below
+    * [[CollocMinSupport]] drop before any join.
+    *
+    * 100 TB shape: the bigram fan-out is a map-only per-row array
+    * transform (the sequence(1, size−1) short-array trap guarded —
+    * Spark DESCENDS on empty ranges); ONE pair-grain count aggregate
+    * + ONE token-grain count aggregate; marginals join at vocab
+    * grain; the two scalars broadcast; top-20 via
+    * TakeOrderedAndProject. The corpus is never self-joined. */
+  val collocations = QueryDef(
+    "text_collocations",
+    Some {
+      val lift = "CAST(cab AS DOUBLE) * CAST(n_tok AS DOUBLE) / CAST(ca AS DOUBLE)" +
+        " * CAST(n_tok AS DOUBLE) / CAST(cb AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+      s"""WITH t AS (SELECT string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      ug AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      pr AS (SELECT unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+            i -> struct_pack(a := toks[i], b := toks[i + 1]))
+          ELSE [] END) AS p FROM t),
+      pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cab
+        FROM pr GROUP BY p.a, p.b),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM ug),
+      np AS (SELECT CAST(sum(cab) AS BIGINT) AS n_pairs FROM pc),
+      j AS (SELECT a, b, cab, ua.c AS ca, ub.c AS cb
+        FROM pc JOIN ug ua ON pc.a = ua.w JOIN ug ub ON pc.b = ub.w
+        WHERE cab >= $CollocMinSupport),
+      res AS (SELECT a, b, cab, ca, cb, $lift AS lift,
+          round(ln($lift), 12) AS pmi
+        FROM j, nt, np)
+      SELECT a, b, cab, ca, cb, lift, pmi FROM res
+      ORDER BY lift DESC, a, b LIMIT 20"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      collocationsTopK(Tables.documents(s, d).select(col("text"))).localCheckpoint(true)
+    })
+
+  /** The [[collocations]] computation over any single-text-column
+    * frame — see the QueryDef for semantics and the scale argument. */
+  def collocationsTopK(docs: DataFrame, k: Int = 20,
+      minSupport: Int = CollocMinSupport)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val tP = scope.persist(docs.select(split(normText(col("text")), " ").as("toks")))
+    val ug = scope.persist(tP.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c")))
+    val pc = scope.persist(tP.selectExpr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))" +
+          " ELSE array() END AS ps")
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cab")))
+    val nt = ug.agg(sum(col("c")).cast("long").as("n_tok")).localCheckpoint(true)
+    val np = pc.agg(sum(col("cab")).cast("long").as("n_pairs")).localCheckpoint(true)
+    val lift = "CAST(cab AS DOUBLE) * CAST(n_tok AS DOUBLE) / CAST(ca AS DOUBLE)" +
+      " * CAST(n_tok AS DOUBLE) / CAST(cb AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+    pc.filter(col("cab") >= minSupport)
+      .join(ug.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(ug.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .selectExpr("a", "b", "cab", "ca", "cb", s"$lift AS lift",
+        s"round(ln($lift), 12) AS pmi")
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
     entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
-    boilerplateFraction, dedupSpansQuery, repetition)
+    boilerplateFraction, dedupSpansQuery, repetition, collocations)
 }

@@ -379,4 +379,26 @@ class Round11Spec extends AnyFunSuite {
     val shm = sh.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(card("shap_share_x1") == shm("x1") && card("shap_share_x2") == shm("x2"))
   }
+
+  test("collocationsTopK: closed-form lift with the exact IEEE tree, min-support drop, single-token docs are pair-free") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)("red apple pie") ++ Seq.fill(2)("apple sauce jar") ++
+      Seq("red jar", "x")).toDF("text")
+    val rows = CacheScope.withScope { implicit s =>
+      functions.TextAnalysis.collocationsTopK(docs).collect()
+    }
+    // N_tok = 18, N_pairs = 11; support ≥ 3 keeps only (red,apple)=3
+    // and (apple,pie)=3; c_red=4, c_apple=5, c_pie=3
+    def lift(cab: Long, ca: Long, cb: Long): Double =
+      cab.toDouble * 18.0 / ca.toDouble * 18.0 / cb.toDouble / 11.0
+    assert(rows.length == 2, rows.mkString("; "))
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) == (("apple", "pie")), top.toString)
+    assert(top.getLong(2) == 3L && top.getLong(3) == 5L && top.getLong(4) == 3L)
+    assert(top.getDouble(5) == lift(3, 5, 3), top.toString)
+    assert(top.getDouble(6) == math.rint(math.log(lift(3, 5, 3)) * 1e12) / 1e12)
+    val snd = rows(1)
+    assert((snd.getString(0), snd.getString(1)) == (("red", "apple")))
+    assert(snd.getDouble(5) == lift(3, 4, 5), snd.toString)
+  }
 }

@@ -1425,6 +1425,84 @@ object Insights2 {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------- q98 robust rolling stats
+  /** Rolling 7-day MEDIAN + MAD outlier flag over the zero-filled
+    * daily calendar — the ROBUST companion to [[q95]]'s rolling
+    * sum/min/max/mean (a single spike day drags a rolling mean for a
+    * week; the median/MAD pair is the monitor that pages on the
+    * spike and then forgets it — Leys et al. 2013's "absolute
+    * deviation around the median" rule, cutoff 3·1.4826·MAD). The
+    * window is ≤ 7 rows by construction, so the order statistics are
+    * PER-ROW ARRAY MATH, not a distributed selection: sort the
+    * window's collected values, median = (a[(n+1) div 2] +
+    * a[n div 2 + 1])/2 on the exact DECIMAL sum, MAD = the same
+    * formula over the |x − med| deviations (fixed IEEE trees over
+    * exact operands — identical bits in both engines, so even the
+    * flag's boundary compare agrees).
+    *
+    * 100 TB: same as q94/q95 — ONE shrinking (type, day) aggregate
+    * over the scan; the window/array work runs at calendar grain.
+    * Same deterministic sparse derivation (days ≡ 0 mod 3 dropped)
+    * so the zero-filled holes participate in the median for real. */
+  def rollingRobust(ev: DataFrame): DataFrame = {
+    val dd = ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sv"))
+    val cal = dd.groupBy(col("event_type"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, Window.currentRow)
+    cal.join(dd, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("sv"), lit(0).cast(DecimalType(28, 2))).as("sv"))
+      .withColumn("arr", sort_array(collect_list(col("sv")).over(w)))
+      .selectExpr("event_type", "CAST(d AS STRING) AS day",
+        "CAST(sv AS DOUBLE) AS day_value",
+        "CAST(size(arr) AS BIGINT) AS win_days",
+        "CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) + element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) AS DOUBLE) / 2.0 AS roll_med",
+        "arr")
+      .selectExpr("event_type", "day", "day_value", "win_days", "roll_med",
+        "array_sort(transform(arr, x -> abs(CAST(x AS DOUBLE) - roll_med))) AS dv")
+      .selectExpr("event_type", "day", "day_value", "win_days", "roll_med",
+        "(element_at(dv, CAST((size(dv) + 1) div 2 AS INT)) + element_at(dv, CAST(size(dv) div 2 + 1 AS INT))) / 2.0 AS roll_mad")
+      .selectExpr("event_type", "day", "day_value", "win_days", "roll_med", "roll_mad",
+        "CAST(CASE WHEN abs(day_value - roll_med) > 3.0 * 1.4826 * roll_mad THEN 1 ELSE 0 END AS BIGINT) AS outlier")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q98 = QueryDef(
+    "q98_rolling_robust",
+    Some("""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+        FROM events WHERE date_part('day', ts) % 3 <> 0 GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM dd GROUP BY 1),
+      cal AS (SELECT sp.event_type, CAST(g.d0 AS DATE) AS d
+        FROM sp, unnest(generate_series(CAST(sp.dmin AS TIMESTAMP), CAST(sp.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d0)),
+      fl AS (SELECT cal.event_type, cal.d,
+          coalesce(dd.sv, CAST(0 AS DECIMAL(28,2))) AS sv
+        FROM cal LEFT JOIN dd ON cal.event_type = dd.event_type AND cal.d = dd.d),
+      rl AS (SELECT event_type, d, sv, list_sort(list(sv) OVER w) AS arr
+        FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      m1 AS (SELECT event_type, CAST(d AS VARCHAR) AS day, CAST(sv AS DOUBLE) AS day_value,
+          CAST(len(arr) AS BIGINT) AS win_days,
+          CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS DOUBLE) / 2.0 AS roll_med,
+          arr
+        FROM rl),
+      m2 AS (SELECT event_type, day, day_value, win_days, roll_med,
+          list_sort(list_transform(arr, x -> abs(CAST(x AS DOUBLE) - roll_med))) AS dv
+        FROM m1),
+      m3 AS (SELECT event_type, day, day_value, win_days, roll_med,
+          (dv[(len(dv) + 1) // 2] + dv[len(dv) // 2 + 1]) / 2.0 AS roll_mad
+        FROM m2)
+      SELECT event_type, day, day_value, win_days, roll_med, roll_mad,
+        CAST(CASE WHEN abs(day_value - roll_med) > 3.0 * 1.4826 * roll_mad THEN 1 ELSE 0 END AS BIGINT) AS outlier
+      FROM m3 ORDER BY event_type, day"""),
+    (s, d) => rollingRobust(Tables.events(s, d)
+      .filter(expr("dayofmonth(ts) % 3 <> 0"))
+      .select(col("event_type"), col("ts"), col("value"))))
+
   val q97 = QueryDef(
     "q97_active_users",
     Some(s"""WITH ud AS (SELECT DISTINCT user_id AS u,
@@ -1439,5 +1517,5 @@ object Insights2 {
     })
 
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98)
 }

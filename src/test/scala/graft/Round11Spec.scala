@@ -401,4 +401,27 @@ class Round11Spec extends AnyFunSuite {
     assert((snd.getString(0), snd.getString(1)) == (("red", "apple")))
     assert(snd.getDouble(5) == lift(3, 4, 5), snd.toString)
   }
+
+  test("rollingRobust: even/odd window medians, MAD cutoff flags the spike and not the ramp, zero-filled hole participates") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = (
+      (1 to 7).map(d => ("a", t(d), 10.0)) ++ Seq(("a", t(8), 1000.0)) ++
+      Seq(("b", t(1), 1.0), ("b", t(2), 3.0), ("b", t(3), 5.0), ("b", t(4), 100.0)) ++
+      Seq(("c", t(1), 10.0), ("c", t(3), 10.0))  // hole at day 2 zero-fills
+    ).toDF("event_type", "ts", "value")
+    val out = operators.Insights2.rollingRobust(ev).collect()
+      .map(r => (r.getString(0), r.getString(1).takeRight(2).toInt) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    // 'a' day 8: window {10×6, 1000} → med 10, mad 0, spike flags
+    assert(out(("a", 8)) == ((1000.0, 7L, 10.0, 0.0, 1L)), out(("a", 8)).toString)
+    assert(out(("a", 7)) == ((10.0, 7L, 10.0, 0.0, 0L)), out(("a", 7)).toString)
+    // 'b': even-window medians (n = 2 → 2.0; n = 4 → 4.0 with MAD 2.0)
+    assert(out(("b", 2)) == ((3.0, 2L, 2.0, 1.0, 0L)), out(("b", 2)).toString)
+    assert(out(("b", 3)) == ((5.0, 3L, 3.0, 2.0, 0L)), out(("b", 3)).toString)
+    assert(out(("b", 4)) == ((100.0, 4L, 4.0, 2.0, 1L)), out(("b", 4)).toString)
+    // 'c': the zero-filled day 2 is a real window member
+    assert(out(("c", 2)) == ((0.0, 2L, 5.0, 5.0, 0L)), out(("c", 2)).toString)
+    assert(out(("c", 3)) == ((10.0, 3L, 10.0, 0.0, 0L)), out(("c", 3)).toString)
+  }
 }

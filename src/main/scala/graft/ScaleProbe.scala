@@ -221,7 +221,8 @@ object ScaleProbe {
       ("q97_active_users", d => operators.Insights2.q97.build(spark, d)),
       ("pipeline_ml_scorecard", d => operators.Analytics.pipelineMlScorecard.build(spark, d)),
       ("text_collocations", d => functions.TextAnalysis.collocations.build(spark, d)),
-      ("q98_rolling_robust", d => operators.Insights2.q98.build(spark, d)))
+      ("q98_rolling_robust", d => operators.Insights2.q98.build(spark, d)),
+      ("ml_mcnemar_test", d => operators.Analytics.mlMcnemarTest.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

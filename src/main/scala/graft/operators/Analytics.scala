@@ -1215,6 +1215,73 @@ object Analytics {
       scorecardOfScores(b, logregWeights6(b)).localCheckpoint(true)
     })
 
+  // --------------------------------------------------- McNemar test
+  /** McNemar's paired test over two scored margin columns (za, zb)
+    * and the shared outcome y — the PAIRED model-comparison test
+    * next to [[delongOfScores]]' CI: DeLong bounds ONE model's AUC,
+    * McNemar decides whether two models' DECISIONS differ beyond
+    * chance on the same rows (Dietterich 1998's recommendation for
+    * comparing classifiers without refit resampling). Only the
+    * discordant pairs carry signal: n01 (A wrong, B right) vs n10
+    * (A right, B wrong), continuity-corrected
+    * χ² = (|n01−n10|−1)²/(n01+n10), significant at α = 0.05 against
+    * the LITERAL critical value 3.841 (evaluating the chi-square CDF
+    * cross-engine would put a libm ulp on the verdict). Counts are
+    * exact BIGINTs off ONE scan; the square rides DECIMAL(19,0)
+    * (the q77 wrap lesson); the statistic is one IEEE tree over
+    * exact operands; NULL (not 0) when no discordant pairs exist. */
+  def mcnemarOfScores(zz: DataFrame): DataFrame =
+    zz.agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(when(expr("((za > 0) = (y > 0.5))"), 1L).otherwise(0L)).cast(LongType).as("n_correct_a"),
+        sum(when(expr("((zb > 0) = (y > 0.5))"), 1L).otherwise(0L)).cast(LongType).as("n_correct_b"),
+        sum(when(expr("NOT ((za > 0) = (y > 0.5)) AND ((zb > 0) = (y > 0.5))"), 1L)
+          .otherwise(0L)).cast(LongType).as("n01"),
+        sum(when(expr("((za > 0) = (y > 0.5)) AND NOT ((zb > 0) = (y > 0.5))"), 1L)
+          .otherwise(0L)).cast(LongType).as("n10"))
+      .selectExpr("n_pairs", "n_correct_a", "n_correct_b", "n01", "n10",
+        "CASE WHEN n01 + n10 > 0 THEN CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS mcnemar_stat",
+        "CAST(CASE WHEN n01 + n10 > 0 AND CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+
+  /** ml_mcnemar_test: McNemar's paired test between the gate's
+    * 3-round GD classifier and its 2-round ancestor on the same rows
+    * — the "did the extra training round change DECISIONS beyond
+    * chance" readout (both weight sets fall out of the SAME unrolled
+    * training chain, so the oracle reads w3 and w2 from one CTE
+    * ladder). Same one-training-pass-per-model isolation as the
+    * sibling gates. (lazy — see [[mlCalibration]].) */
+  lazy val mlMcnemarTest: QueryDef = QueryDef(
+    "ml_mcnemar_test",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        zz AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) AS za,
+            (wa2 + wb2 * x1 + wc2 * x2) AS zb, y FROM b, w6a, w6b),
+        cc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN ((za > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_a,
+            CAST(sum(CASE WHEN ((zb > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_b,
+            CAST(sum(CASE WHEN NOT ((za > 0) = (y > 0.5)) AND ((zb > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN ((za > 0) = (y > 0.5)) AND NOT ((zb > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n10
+          FROM zz)
+        SELECT n_pairs, n_correct_a, n_correct_b, n01, n10,
+          CASE WHEN n01 + n10 > 0 THEN CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS mcnemar_stat,
+          CAST(CASE WHEN n01 + n10 > 0 AND CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM cc""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b)
+        .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      mcnemarOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
+        .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+          "(wa2 + wb2 * x1 + wc2 * x2) AS zb", "y")).localCheckpoint(true)
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2789,5 +2856,6 @@ object Analytics {
     mlLiftDeciles, q68, q69, q70, mlRidgePath, mlCalibration,
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
-    mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard)
+    mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
+    mlMcnemarTest)
 }

@@ -424,4 +424,23 @@ class Round11Spec extends AnyFunSuite {
     assert(out(("c", 2)) == ((0.0, 2L, 5.0, 5.0, 0L)), out(("c", 2)).toString)
     assert(out(("c", 3)) == ((10.0, 3L, 10.0, 0.0, 0L)), out(("c", 3)).toString)
   }
+
+  test("mcnemarOfScores: continuity-corrected statistic closed forms, zero-margin counts as predicted negative, no-discordant case is NULL not 0") {
+    import spark.implicits._
+    def mc(rows: Seq[(Double, Double, Double)]) =
+      operators.Analytics.mcnemarOfScores(rows.toDF("za", "zb", "y")).collect().head
+    // n01 = 6, n10 = 1 → (|5|−1)²/7 = 16/7, below 3.841
+    val r = mc(Seq.fill(2)((1.0, 1.0, 1.0)) ++ Seq.fill(6)((-1.0, 1.0, 1.0)) ++
+      Seq((1.0, -1.0, 1.0), (-1.0, -1.0, 1.0)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 3L, 8L, 6L, 1L)), r.toString)
+    assert(r.getDouble(5) == 16.0 / 7.0 && r.getLong(6) == 0L, r.toString)
+    // n01 = 10, n10 = 0 → 81/10 = 8.1 > 3.841 → significant
+    val s = mc(Seq.fill(10)((-1.0, 1.0, 1.0)))
+    assert(s.getDouble(5) == 8.1 && s.getLong(6) == 1L, s.toString)
+    // za = 0 predicts NEGATIVE (the > 0 boundary): correct on y = 0
+    val z = mc(Seq((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    assert(z.getLong(1) == 2L && z.getLong(2) == 2L, z.toString)
+    assert(z.isNullAt(5) && z.getLong(6) == 0L, z.toString)
+  }
 }

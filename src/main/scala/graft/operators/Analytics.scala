@@ -1282,6 +1282,161 @@ object Analytics {
           "(wa2 + wb2 * x1 + wc2 * x2) AS zb", "y")).localCheckpoint(true)
     })
 
+  // ------------------------------------------------- Cohen's kappa
+  /** Kappa readout fragments over the exact contingency counts
+    * (n_pairs, n11, n10, n01, n00) — the SAME strings run in Spark's
+    * `selectExpr` and the DuckDB oracle, so both engines evaluate the
+    * identical expression tree. Products ride DECIMAL (the q77 wrap
+    * lesson: at 100 TB n_pairs² overflows BIGINT at ~3e9 rows); each
+    * surfaced value is ONE IEEE division of exact integers. */
+  private val kappaPeNum =
+    "(CAST(n11 + n10 AS DECIMAL(19,0)) * (n11 + n01) + CAST(n01 + n00 AS DECIMAL(19,0)) * (n10 + n00))"
+  private val kappaNSq = "(CAST(n_pairs AS DECIMAL(19,0)) * n_pairs)"
+  private def kappaReadoutSql: Seq[String] = Seq(
+    "CAST(n11 + n00 AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS po",
+    s"CAST($kappaPeNum AS DOUBLE) / CAST($kappaNSq AS DOUBLE) AS pe",
+    s"""CASE WHEN $kappaNSq <> $kappaPeNum
+       THEN CAST(CAST(n_pairs AS DECIMAL(19,0)) * (n11 + n00) - $kappaPeNum AS DOUBLE)
+          / CAST($kappaNSq - $kappaPeNum AS DOUBLE) END AS kappa""")
+
+  /** Cohen's kappa over two scored margin columns (za, zb) — the
+    * chance-corrected AGREEMENT between two classifiers' decisions,
+    * the descriptive companion to [[mcnemarOfScores]]' significance
+    * verdict (McNemar asks "do they differ beyond chance?"; kappa
+    * answers "how much do they agree beyond chance?"). Exact 2×2
+    * contingency counts off ONE scan; κ = (n·a − Σ r·c)/(n² − Σ r·c)
+    * computed as ONE division of exact DECIMAL integers (a = both-
+    * agree count, r/c the raters' margins) — po and pe likewise each
+    * one division. NULL when pe = 1 (both raters constant — κ is
+    * undefined, not 0). */
+  def kappaOfScores(zz: DataFrame): DataFrame =
+    zz.agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(when(expr("za > 0 AND zb > 0"), 1L).otherwise(0L)).cast(LongType).as("n11"),
+        sum(when(expr("za > 0 AND NOT (zb > 0)"), 1L).otherwise(0L)).cast(LongType).as("n10"),
+        sum(when(expr("NOT (za > 0) AND zb > 0"), 1L).otherwise(0L)).cast(LongType).as("n01"),
+        sum(when(expr("NOT (za > 0) AND NOT (zb > 0)"), 1L).otherwise(0L)).cast(LongType).as("n00"))
+      .selectExpr("n_pairs" +: "n11" +: "n10" +: "n01" +: "n00" +: kappaReadoutSql: _*)
+
+  /** ml_cohens_kappa: chance-corrected agreement between the gate's
+    * 3-round GD classifier and its 2-round ancestor on the same rows
+    * — the effect-size companion to [[mlMcnemarTest]] (same paired
+    * zz frame, same one-CTE-ladder oracle: w3 and w2 fall out of ONE
+    * unrolled training chain). (lazy — see [[mlCalibration]].) */
+  lazy val mlCohensKappa: QueryDef = QueryDef(
+    "ml_cohens_kappa",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        zz AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) AS za,
+            (wa2 + wb2 * x1 + wc2 * x2) AS zb FROM b, w6a, w6b),
+        cc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN za > 0 AND zb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN za > 0 AND NOT (zb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN NOT (za > 0) AND zb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN NOT (za > 0) AND NOT (zb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM zz)
+        SELECT n_pairs, n11, n10, n01, n00,
+          ${kappaReadoutSql.mkString(",\n          ")}
+        FROM cc""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b)
+        .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      kappaOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
+        .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+          "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
+    })
+
+  // -------------------------------------------- Hosmer–Lemeshow test
+  /** χ² critical values at α = 0.05 for df = 1..8, as a shared CASE
+    * over the LITERALS (evaluating the chi-square quantile cross-
+    * engine would put a libm ulp on the verdict — the McNemar 3.841
+    * discipline, generalized to the HL test's df = bins − 2). */
+  private val chi2Crit05: Seq[Double] =
+    Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507)
+  private def chi2CritSql(df: String): String =
+    "CASE " + chi2Crit05.zipWithIndex.map { case (c, i) =>
+      s"WHEN ($df) = ${i + 1} THEN CAST($c AS DOUBLE)" }.mkString(" ") + " END"
+
+  /** Hosmer–Lemeshow goodness-of-fit over a scored (z, y) frame — the
+    * SIGNIFICANCE companion to [[calibOfScores]]' reliability diagram
+    * (the diagram shows the miscalibration; HL decides whether it is
+    * beyond chance): per z-space decile bin, observed positives O vs
+    * expected E = Σσ(z), statistic Σ (O−E)²/(E(1−E/n)), df = used
+    * bins − 2, verdict against the LITERAL χ² critical value. Bin
+    * counts and O are exact integers; E is the 12-dp DECIMAL `exp`
+    * sum; each bin term is one IEEE tree over exact operands rounded
+    * to 12 dp into DECIMAL so the cross-bin sum is merge-order-free.
+    * Degenerate bins (E ≤ 0 or E ≥ n — a constant-σ bin) are excluded
+    * from both the statistic and df. ONE corpus scan past training,
+    * then 10-row algebra. */
+  def hosmerLemeshowOfScores(zz: DataFrame): DataFrame = {
+    val binExpr = calibEdges.map(e =>
+      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    val term = "CAST(round((CAST(pos AS DOUBLE) - CAST(sp AS DOUBLE)) * (CAST(pos AS DOUBLE) - CAST(sp AS DOUBLE)) / (CAST(sp AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))"
+    val used = "CAST(sp AS DOUBLE) > 0 AND CAST(sp AS DOUBLE) < CAST(n AS DOUBLE)"
+    zz.selectExpr(s"$binExpr AS bin",
+        "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS p", "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("pos"),
+        sum(round(col("p"), 12).cast(DecimalType(28, 12))).as("sp"))
+      .agg(
+        sum(col("n")).cast(LongType).as("n"),
+        sum(col("pos")).cast(LongType).as("pos"),
+        count(lit(1)).cast(LongType).as("n_bins"),
+        sum(expr(s"CASE WHEN $used THEN 1 ELSE 0 END")).cast(LongType).as("n_bins_used"),
+        expr(s"CAST(sum(CASE WHEN $used THEN $term END) AS DOUBLE)").as("hl_stat"))
+      .selectExpr("n", "pos", "n_bins", "n_bins_used",
+        "n_bins_used - 2 AS df", "hl_stat",
+        s"CAST(CASE WHEN hl_stat > ${chi2CritSql("n_bins_used - 2")} THEN 1 ELSE 0 END AS BIGINT) AS significant")
+  }
+
+  /** ml_hosmer_lemeshow: the HL goodness-of-fit verdict for the GD
+    * classifier's calibration — same training chain, same z-space bin
+    * edges as [[mlCalibration]], so the three calibration gates
+    * (diagram, Brier decomposition, HL test) all read the SAME bins.
+    * (lazy — see [[mlCalibration]].) */
+  lazy val mlHosmerLemeshow: QueryDef = QueryDef(
+    "ml_hosmer_lemeshow",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val term = "CAST(round((CAST(pos AS DOUBLE) - CAST(sp AS DOUBLE)) * (CAST(pos AS DOUBLE) - CAST(sp AS DOUBLE)) / (CAST(sp AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))"
+      val used = "CAST(sp AS DOUBLE) > 0 AND CAST(sp AS DOUBLE) < CAST(n AS DOUBLE)"
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        bz AS (SELECT $binExpr AS bin,
+            CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2))) AS p, y
+          FROM b, w6),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS sp
+          FROM bz GROUP BY bin),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos,
+            CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(CASE WHEN $used THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_used,
+            CAST(sum(CASE WHEN $used THEN $term END) AS DOUBLE) AS hl_stat
+          FROM c)
+        SELECT n, pos, n_bins, n_bins_used, n_bins_used - 2 AS df, hl_stat,
+          CAST(CASE WHEN hl_stat > ${chi2CritSql("n_bins_used - 2")} THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM t""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = mlFeatures(s, d)
+      hosmerLemeshowOfScores(scoreWith(b, logregWeights6(b)))
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -2857,5 +3012,5 @@ object Analytics {
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
-    mlMcnemarTest)
+    mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow)
 }

@@ -1516,6 +1516,176 @@ object Insights2 {
         .localCheckpoint(true)
     })
 
+  // ------------------------------------------ q99 Mann–Kendall trend
+  /** Shared z/trend fragments over (s_stat, var18) — the SAME strings
+    * run in Spark and DuckDB, so the continuity-corrected statistic
+    * is one identical IEEE tree over exact integers (sqrt and
+    * division are IEEE-754 correctly-rounded in both engines, so z is
+    * bit-identical and needs no rounding). */
+  private val mkZSql =
+    """CASE WHEN var18 <= 0 THEN NULL
+       WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+       ELSE CAST(0 AS DOUBLE) END"""
+  private val mkTrendSql =
+    """CASE WHEN z_stat IS NULL THEN NULL
+       WHEN z_stat > 1.96 THEN 'increasing'
+       WHEN z_stat < -1.96 THEN 'decreasing'
+       ELSE 'none' END"""
+
+  /** q99: Mann–Kendall trend test per event type — the SIGNIFICANCE
+    * companion to [[q91]]'s Theil–Sen slope (Sen's estimator says how
+    * fast the series moves; Mann–Kendall decides whether the monotone
+    * trend is beyond chance — the pairing every environmetrics /
+    * monitoring stack ships, Mann 1945 / Kendall 1975):
+    * S = Σ_{i<j} sign(c_j − c_i) over the daily counts, tie-corrected
+    * variance Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, continuity-
+    * corrected z = (S∓1)/√Var, verdict against the LITERAL 1.96.
+    *
+    * Determinism: S, the tie term, and 18·Var are exact BIGINTs (the
+    * sign compares exact day counts); z is one IEEE tree over exacts
+    * — bit-identical cross-engine, surfaced UNROUNDED. NULL z (not 0)
+    * when the series is constant (Var = 0).
+    *
+    * 100 TB shape: the corpus collapses to ONE (type, day) count
+    * aggregate; the pair scan runs at DAYS grain (≤ days²/2 pairs per
+    * type — the calendar, not the data, bounds it; the q91 argument)
+    * and ties aggregate at distinct-value grain. */
+  def mannKendall(ev: DataFrame): DataFrame =
+    mannKendallFromDaily(ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).cast(LongType).as("c")))
+
+  /** [[mannKendall]] off a prebuilt (event_type, d, c) day-grain frame
+    * — the [[theilSenFromDaily]] reuse point for trend panels. */
+  def mannKendallFromDaily(dd0: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val dd = scope.persist(dd0.select(col("event_type"), col("d"), col("c")))
+      val pr = dd.select(col("event_type"), col("d").as("ad"), col("c").as("ac"))
+        .join(broadcast(dd.select(col("event_type").as("et2"), col("d").as("bd"), col("c").as("bc"))),
+          col("event_type") === col("et2") && col("bd") > col("ad"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(expr("CASE WHEN bc > ac THEN 1 WHEN bc < ac THEN -1 ELSE 0 END"))
+            .cast(LongType).as("s_stat"))
+      val ti = dd.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).cast(LongType).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).cast(LongType).as("tie_term"),
+          sum(col("t")).cast(LongType).as("n_days"))
+      ti.join(broadcast(pr), Seq("event_type"))
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+        .selectExpr("event_type", "n_days", "n_pairs", "s_stat",
+          "CAST(var18 AS DOUBLE) / 18.0 AS var_s", s"$mkZSql AS z_stat")
+        .selectExpr("event_type", "n_days", "n_pairs", "s_stat", "var_s",
+          "z_stat", s"$mkTrendSql AS trend")
+        .orderBy(col("event_type"))
+    }
+
+  val q99 = QueryDef(
+    "q99_mann_kendall",
+    Some(s"""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      pr AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM dd a JOIN dd b ON a.event_type = b.event_type AND b.d > a.d GROUP BY 1),
+      tg AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t FROM dd GROUP BY 1, 2),
+      ti AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+          CAST(sum(t) AS BIGINT) AS n_days FROM tg GROUP BY 1),
+      v AS (SELECT ti.event_type, n_days, n_pairs, s_stat,
+          n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        FROM ti JOIN pr ON ti.event_type = pr.event_type),
+      zz AS (SELECT event_type, n_days, n_pairs, s_stat,
+          CAST(var18 AS DOUBLE) / 18.0 AS var_s, $mkZSql AS z_stat FROM v)
+      SELECT event_type, n_days, n_pairs, s_stat, var_s, z_stat,
+        $mkTrendSql AS trend
+      FROM zz ORDER BY event_type"""),
+    (s, d) => mannKendall(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
+  // ------------------------------------------- q100 Wald–Wolfowitz runs
+  /** Shared runs-test readout fragments over the exact counts
+    * (runs, n_above, n_below) — one IEEE tree each, identical in both
+    * engines; z surfaced UNROUNDED (the [[mkZSql]] argument). */
+  private val rtN = "(n_above + n_below)"
+  private val rtESql =
+    s"(CAST(1 AS DOUBLE) + CAST(2 * n_above * n_below AS DOUBLE) / CAST($rtN AS DOUBLE))"
+  private val rtVarSql =
+    s"(CAST(2 * n_above * n_below * (2 * n_above * n_below - $rtN) AS DOUBLE) / CAST($rtN * $rtN * ($rtN - 1) AS DOUBLE))"
+  private val rtZSql =
+    s"""CASE WHEN n_above > 0 AND n_below > 0 AND $rtN > 1
+          AND 2 * n_above * n_below * (2 * n_above * n_below - $rtN) > 0
+        THEN (CAST(runs AS DOUBLE) - $rtESql) / sqrt($rtVarSql) END"""
+  private val rtVerdictSql =
+    "CASE WHEN z_stat IS NULL THEN CAST(NULL AS BIGINT) WHEN abs(z_stat) <= 1.96 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+  /** q100: Wald–Wolfowitz runs test per event type — "is the daily
+    * series' above/below-mean pattern random, or does it cluster?"
+    * (the randomness audit behind control charts: too FEW runs =
+    * regime persistence / level shifts, too MANY = oscillation; the
+    * residual-independence check [[q80]]'s CUSUM and [[q99]]'s trend
+    * verdicts implicitly assume). Each day classifies against the
+    * series MEAN by the exact integer cross-multiplication
+    * c·n_days vs Σc (no division — the mean is never materialized);
+    * equal-to-mean days are dropped (standard practice, and the
+    * remaining above/below sets are nonempty by the Σ(c−mean) = 0
+    * balance). R = 1 + sign changes via lag at day grain;
+    * E[R] = 1 + 2n₁n₂/n, Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z = (R−E)/√Var
+    * — exact BIGINTs into one IEEE tree; verdict |z| ≤ 1.96.
+    *
+    * 100 TB shape: ONE (type, day) count aggregate; the lag window
+    * and all algebra run at calendar grain (the q94 argument). A
+    * constant series classifies no days and yields NO row — both
+    * engines agree by construction. */
+  def runsTest(ev: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val dd = scope.persist(
+        ev.groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(count(lit(1)).cast(LongType).as("c")))
+      val tot = dd.groupBy(col("event_type"))
+        .agg(sum(col("c")).cast(LongType).as("sc"), count(lit(1)).cast(LongType).as("nd"))
+      val wu = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      dd.join(broadcast(tot), Seq("event_type"))
+        .filter(expr("c * nd <> sc"))
+        .select(col("event_type"), col("d"),
+          expr("CASE WHEN c * nd > sc THEN 1 ELSE 0 END").as("sgn"))
+        .withColumn("prev", lag(col("sgn"), 1).over(wu))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L).otherwise(0L))
+            .cast(LongType).as("runs"),
+          sum(col("sgn")).cast(LongType).as("n_above"),
+          (count(lit(1)) - sum(col("sgn"))).cast(LongType).as("n_below"))
+        .selectExpr("event_type", s"$rtN AS n_days_used", "n_above", "n_below",
+          "runs", s"$rtESql AS e_runs", s"$rtZSql AS z_stat")
+        .selectExpr("event_type", "n_days_used", "n_above", "n_below", "runs",
+          "e_runs", "z_stat", s"$rtVerdictSql AS random_ok")
+        .orderBy(col("event_type"))
+    }
+
+  val q100 = QueryDef(
+    "q100_runs_test",
+    Some(s"""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+          CAST(count(*) AS BIGINT) AS nd FROM dd GROUP BY 1),
+      cl AS (SELECT dd.event_type, dd.d,
+          CASE WHEN dd.c * tot.nd > tot.sc THEN 1 ELSE 0 END AS sgn
+        FROM dd JOIN tot ON dd.event_type = tot.event_type
+        WHERE dd.c * tot.nd <> tot.sc),
+      rr AS (SELECT event_type, d, sgn,
+          lag(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM cl),
+      ag AS (SELECT event_type,
+          CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+          CAST(sum(sgn) AS BIGINT) AS n_above,
+          CAST(count(*) - sum(sgn) AS BIGINT) AS n_below
+        FROM rr GROUP BY 1),
+      rd AS (SELECT event_type, $rtN AS n_days_used, n_above, n_below, runs,
+          $rtESql AS e_runs, $rtZSql AS z_stat FROM ag)
+      SELECT event_type, n_days_used, n_above, n_below, runs, e_runs, z_stat,
+        $rtVerdictSql AS random_ok
+      FROM rd ORDER BY event_type"""),
+    (s, d) => runsTest(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

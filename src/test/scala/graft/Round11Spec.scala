@@ -443,4 +443,86 @@ class Round11Spec extends AnyFunSuite {
     assert(z.getLong(1) == 2L && z.getLong(2) == 2L, z.toString)
     assert(z.isNullAt(5) && z.getLong(6) == 0L, z.toString)
   }
+
+  test("kappaOfScores: closed-form 2x2 kappa, constant raters give NULL (pe = 1), not 0") {
+    import spark.implicits._
+    def kp(rows: Seq[(Double, Double)]) =
+      operators.Analytics.kappaOfScores(rows.toDF("za", "zb")).collect().head
+    // n11 = 4, n10 = 1, n01 = 2, n00 = 3 → po = 0.7, pe = 0.5, κ = 0.4
+    val r = kp(Seq.fill(4)((1.0, 1.0)) ++ Seq((1.0, -1.0)) ++
+      Seq.fill(2)((-1.0, 1.0)) ++ Seq.fill(3)((-1.0, -1.0)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 4L, 1L, 2L, 3L)), r.toString)
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.5 && r.getDouble(7) == 0.4, r.toString)
+    // both raters constant: pe = 1 → κ undefined → NULL
+    val c = kp(Seq.fill(5)((1.0, 1.0)))
+    assert(c.getDouble(5) == 1.0 && c.getDouble(6) == 1.0 && c.isNullAt(7), c.toString)
+    // perfect agreement with both classes present: κ = 1
+    val p = kp(Seq.fill(3)((1.0, 1.0)) ++ Seq.fill(2)((-1.0, -1.0)))
+    assert(p.getDouble(7) == 1.0, p.toString)
+  }
+
+  test("hosmerLemeshow: closed-form single-bin term at p = 0.5, a round(p,12) = 1 bin is excluded from stat and df") {
+    import spark.implicits._
+    // bin at z = 0 (p = 0.5 exactly): n = 4, pos = 3, E = 2 →
+    // (3−2)²/(2·(1−0.5)) = 1.0; the z = 40 bin rounds p to 1.0 at
+    // 12 dp → sp = n → degenerate, excluded from stat AND df
+    val zz = (Seq.fill(3)((0.0, 1.0)) ++ Seq((0.0, 0.0)) ++
+      Seq.fill(2)((40.0, 1.0))).toDF("z", "y")
+    val r = operators.Analytics.hosmerLemeshowOfScores(zz).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 5L, 2L, 1L, -1L)), r.toString)
+    assert(r.getDouble(5) == 1.0, r.toString)
+    // df < 1 has no critical value → the verdict CASE falls to 0
+    assert(r.getLong(6) == 0L, r.toString)
+  }
+
+  test("mannKendall: monotone series with continuity correction, constant series is NULL (tied variance), short decline is 'none'") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def series(tpe: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((tpe, t(i + 1))) }
+    val ev = (series("a", Seq(1, 2, 3, 4, 5)) ++ series("b", Seq(2, 2, 2)) ++
+      series("c", Seq(5, 3, 1))).toDF("event_type", "ts")
+    val out = operators.Insights2.mannKendall(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a") // strictly increasing: S = C(5,2) = 10, no ties
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((5L, 10L, 10L)), a.toString)
+    assert(a.getDouble(4) == 300.0 / 18.0, a.toString)
+    assert(a.getDouble(5) == 9.0 / math.sqrt(300.0 / 18.0), a.toString)
+    assert(a.getString(6) == "increasing", a.toString)
+    val b = out("b") // constant: every pair tied → Var = 0 → NULL, not 0
+    assert(b.getLong(3) == 0L && b.getDouble(4) == 0.0, b.toString)
+    assert(b.isNullAt(5) && b.isNullAt(6), b.toString)
+    val c = out("c") // S = −3 over 3 days: z = −2/√(66/18) ≈ −1.04 → none
+    assert(c.getLong(3) == -3L, c.toString)
+    assert(c.getDouble(5) == -2.0 / math.sqrt(66.0 / 18.0), c.toString)
+    assert(c.getString(6) == "none", c.toString)
+  }
+
+  test("runsTest: oscillation rejects, clustering within bounds, equal-to-mean days drop, constant series yields no row") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def series(tpe: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((tpe, t(i + 1))) }
+    val ev = (series("a", Seq(5, 1, 5, 1, 5, 1, 5, 1, 5, 1)) ++
+      series("b", Seq(5, 5, 5, 1, 1, 1)) ++
+      series("c", Seq(5, 1, 5, 1, 3)) ++ // day 5 sits exactly on the mean
+      series("d", Seq(2, 2))).toDF("event_type", "ts")
+    val out = operators.Insights2.runsTest(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("d"), out.keys.toString) // constant: no classified days
+    val a = out("a") // perfect alternation: R = 10 vs E = 6 → z ≈ 2.68, rejects
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((10L, 5L, 5L, 10L)), a.toString)
+    assert(a.getDouble(5) == 6.0 && a.getDouble(6) == 4.0 / math.sqrt(2000.0 / 900.0), a.toString)
+    assert(a.getLong(7) == 0L, a.toString)
+    val b = out("b") // two blocks: R = 2 vs E = 4 → z ≈ −1.83, within bounds
+    assert(b.getLong(4) == 2L && b.getDouble(6) == -2.0 / math.sqrt(1.2), b.toString)
+    assert(b.getLong(7) == 1L, b.toString)
+    val c = out("c") // the mean-valued day never classifies
+    assert((c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4)) ==
+      ((4L, 2L, 2L, 4L)), c.toString)
+    assert(c.getDouble(6) == 1.0 / math.sqrt(32.0 / 48.0) && c.getLong(7) == 1L, c.toString)
+  }
 }

@@ -226,7 +226,9 @@ object ScaleProbe {
       ("ml_cohens_kappa", d => operators.Analytics.mlCohensKappa.build(spark, d)),
       ("ml_hosmer_lemeshow", d => operators.Analytics.mlHosmerLemeshow.build(spark, d)),
       ("q99_mann_kendall", d => operators.Insights2.q99.build(spark, d)),
-      ("q100_runs_test", d => operators.Insights2.q100.build(spark, d)))
+      ("q100_runs_test", d => operators.Insights2.q100.build(spark, d)),
+      ("ml_isotonic_calibration", d => operators.Analytics.mlIsotonicCalibration.build(spark, d)),
+      ("text_hash_features", d => functions.TextAnalysis.hashFeatures.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -955,8 +955,62 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ------------------------------------------------- feature hashing
+  /** Hashing-trick dimensionality (2⁹ — small enough that the gate's
+    * synthetic vocabulary populates most dims, the realistic regime
+    * for collision stats; production would use 2¹⁸+). */
+  val HashDims = 512
+
+  /** text_hash_features: the hashing-trick featurizer census
+    * (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    * Multitask Learning" — the fixed-width, vocabulary-free text
+    * featurization every linear/logistic stage at corpus scale uses:
+    * no vocab dictionary to build, broadcast, or keep consistent
+    * across batches): token → dim = h(tok) mod D, sign from the next
+    * hash bit (the sklearn `alternate_sign` construction — collisions
+    * cancel in expectation instead of accumulating), per-dim census of
+    * distinct tokens (collision count), total tf, and the signed sum a
+    * downstream model would read as the feature value. Top-20 dims by
+    * mass, total order (tf, dim) so the cut is deterministic.
+    *
+    * 100 TB shape: ONE corpus scan → map-combinable (token) counts
+    * (vocab-bounded shuffle); md5 runs ONCE per DISTINCT token at
+    * vocab grain, not per occurrence; the dim aggregate shuffles ≤ D
+    * keys. Every hash op is the portable h60 + exact integer div/mod
+    * (nonnegative, so truncation semantics agree cross-engine). */
+  def hashFeaturesOf(docs: DataFrame, dims: Int = HashDims, topK: Int = 20): DataFrame = {
+    val tc = docs
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("tf"))
+    tc.select(col("tf"), Portable.h60(col("tok")).as("h"))
+      .selectExpr("tf", s"h % $dims AS dim",
+        s"CASE WHEN (h div $dims) % 2 = 0 THEN 1 ELSE -1 END AS sg")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("tf")).cast(LongType).as("total_tf"),
+        sum(col("sg") * col("tf")).cast(LongType).as("signed_sum"))
+      .orderBy(col("total_tf").desc, col("dim"))
+      .limit(topK)
+  }
+
+  val hashFeatures = QueryDef(
+    "text_hash_features",
+    Some(s"""WITH t AS (SELECT unnest(string_split(${normTextSql("text")}, ' ')) AS tok FROM documents),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM t WHERE tok <> '' GROUP BY tok),
+      hh AS (SELECT tf, h % $HashDims AS dim,
+          CASE WHEN (h // $HashDims) % 2 = 0 THEN 1 ELSE -1 END AS sg
+        FROM (SELECT tf, ${Portable.h60Sql("tok")} AS h FROM tc)),
+      d AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(tf) AS BIGINT) AS total_tf, CAST(sum(sg * tf) AS BIGINT) AS signed_sum
+        FROM hh GROUP BY dim)
+      SELECT dim, n_tokens, total_tf, signed_sum FROM d
+      ORDER BY total_tf DESC, dim LIMIT 20"""),
+    (s, d) => hashFeaturesOf(Tables.documents(s, d).select(col("text"))))
+
   val defs: Seq[QueryDef] = Seq(tokens, quality, langid, fingerprint,
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
     entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
-    boilerplateFraction, dedupSpansQuery, repetition, collocations)
+    boilerplateFraction, dedupSpansQuery, repetition, collocations,
+    hashFeatures)
 }

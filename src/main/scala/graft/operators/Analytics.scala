@@ -1437,6 +1437,102 @@ object Analytics {
       hosmerLemeshowOfScores(scoreWith(b, logregWeights6(b)))
     })
 
+  // -------------------------------------------- isotonic calibration
+  /** Exact 12-dp integer key of the rate sp/sn (both nonneg, sn > 0):
+    * floor((2·sp·10¹² + sn)/(2·sn)) — half-up, the [[graft.Portable
+    * .round6RatioSql]] construction with the numerator WIDENED
+    * (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) so sp·2·10¹² never
+    * wraps at any corpus size; the divided result ≤ 10¹² always fits
+    * BIGINT (Spark's `div` returns LONG, DuckDB's HUGEINT `//` is
+    * cast back). Distinct rationals may COLLIDE at 12 dp — that only
+    * ties the minimax, identically in both engines, since the fit is
+    * DEFINED over these keys. */
+  private def rate12KeySpark(sp: String, sn: String): String =
+    s"((CAST($sp AS DECIMAL(38,0)) * 2000000000000 + $sn) div (2 * $sn))"
+  private def rate12KeyDuck(sp: String, sn: String): String =
+    s"CAST((CAST($sp AS HUGEINT) * 2000000000000 + $sn) // (2 * $sn) AS BIGINT)"
+
+  /** Isotonic (PAV) calibration fit over a scored (z, y) frame — the
+    * REPAIR step [[mlCalibration]]'s diagram and [[mlHosmerLemeshow]]'s
+    * verdict motivate (a miscalibrated model's scores get replaced by
+    * the isotonic fit before thresholding on business costs; Zadrozny
+    * & Elkan 2002). Pool-adjacent-violators is inherently sequential,
+    * but over the 10 z-space bins it has the exact MINIMAX closed form
+    * fitted_i = max_{j≤i} min_{k≥i} mean(pos, n over bins j..k)
+    * (Robertson–Wright–Dykstra 1988 §1.2) — 10-row algebra, fully
+    * distributed-safe: the corpus collapses to ONE (bin, n, pos)
+    * aggregate; intervals build off prefix sums at 10-row grain; the
+    * 55 interval means compare as exact 12-dp integer keys
+    * ([[rate12KeySpark]]) so min/max are integer operations, never
+    * IEEE comparisons of rounded rationals. Output is monotone
+    * non-decreasing by construction. */
+  def isotonicOfScores(zz: DataFrame): DataFrame = {
+    val binExpr = calibEdges.map(e =>
+      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    val c = zz.selectExpr(s"$binExpr AS bin", "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("pos"))
+      .localCheckpoint(true) // ≤ 10 rows; all algebra below is metadata-grain
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("cp", sum(col("pos")).over(wb).cast(LongType))
+      .withColumn("cn", sum(col("n")).over(wb).cast(LongType))
+      .localCheckpoint(true)
+    val iv = cum.selectExpr("bin AS jb", "cp AS jcp", "cn AS jcn", "pos AS jp", "n AS jn")
+      .join(broadcast(cum.selectExpr("bin AS kb", "cp AS kcp", "cn AS kcn")),
+        expr("jb <= kb"))
+      .selectExpr("jb", "kb",
+        s"${rate12KeySpark("(kcp - jcp + jp)", "(kcn - jcn + jn)")} AS rk")
+    val fit = c.select(col("bin"))
+      .join(broadcast(iv), expr("jb <= bin AND kb >= bin"))
+      .groupBy(col("bin"), col("jb")).agg(min(col("rk")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("fitted"))
+    c.join(broadcast(fit), Seq("bin"))
+      .selectExpr("bin", "n", "pos",
+        s"CAST(${rate12KeySpark("pos", "n")} AS DOUBLE) / 1000000000000.0 AS raw_rate",
+        "CAST(fitted AS DOUBLE) / 1000000000000.0 AS iso_rate")
+      .orderBy(col("bin"))
+  }
+
+  /** ml_isotonic_calibration: the isotonic repair of the GD
+    * classifier's calibration — same training chain, same z-space bin
+    * edges as [[mlCalibration]]/[[mlHosmerLemeshow]], so the
+    * calibration tier's diagram, verdict, and repair all read the
+    * SAME bins. (lazy — see [[mlCalibration]].) */
+  lazy val mlIsotonicCalibration: QueryDef = QueryDef(
+    "ml_isotonic_calibration",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val binExpr = calibEdges.map(e =>
+        s"(CASE WHEN (wa + wb * x1 + wc * x2) >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        bz AS (SELECT $binExpr AS bin, y FROM b, w6),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM bz GROUP BY bin),
+        cum AS (SELECT bin, n, pos,
+            CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+            CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn FROM c),
+        iv AS (SELECT j.bin AS jb, k.bin AS kb,
+            ${rate12KeyDuck("(k.cp - j.cp + j.pos)", "(k.cn - j.cn + j.n)")} AS rk
+          FROM cum j JOIN cum k ON j.bin <= k.bin),
+        mn AS (SELECT c.bin, iv.jb, min(iv.rk) AS mn
+          FROM c JOIN iv ON iv.jb <= c.bin AND iv.kb >= c.bin GROUP BY 1, 2),
+        ft AS (SELECT bin, max(mn) AS fitted FROM mn GROUP BY 1)
+        SELECT c.bin, c.n, c.pos,
+          CAST(${rate12KeyDuck("c.pos", "c.n")} AS DOUBLE) / 1000000000000.0 AS raw_rate,
+          CAST(fitted AS DOUBLE) / 1000000000000.0 AS iso_rate
+        FROM c JOIN ft ON c.bin = ft.bin ORDER BY c.bin""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = mlFeatures(s, d)
+      isotonicOfScores(scoreWith(b, logregWeights6(b)))
+    })
+
   // ------------------------------------------------ Poisson bootstrap
   /** Poisson(1) CDF thresholds in exact ppm (1e6·P(X ≤ k), k = 0..6;
     * beyond 6 the tail mass is 8.3e-5 — capped at 7). LITERALS shared
@@ -3012,5 +3108,5 @@ object Analytics {
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
-    mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow)
+    mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration)
 }

@@ -525,4 +525,50 @@ class Round11Spec extends AnyFunSuite {
       ((4L, 2L, 2L, 4L)), c.toString)
     assert(c.getDouble(6) == 1.0 / math.sqrt(32.0 / 48.0) && c.getLong(7) == 1L, c.toString)
   }
+
+  test("isotonicOfScores: PAV pools the violating pair (weighted), endpoints survive, output is monotone") {
+    import spark.implicits._
+    // bins via distinct z: −3 → bin 0, −1 → bin 2, 0 → bin 5, 3 → bin 9
+    def bin(z: Double, n: Int, pos: Int) =
+      Seq.fill(pos)((z, 1.0)) ++ Seq.fill(n - pos)((z, 0.0))
+    // raw rates [.2, .4, .3, .8] → PAV pools (.4, .3) → .35
+    val zz = (bin(-3.0, 10, 2) ++ bin(-1.0, 10, 4) ++ bin(0.0, 10, 3) ++
+      bin(3.0, 10, 8)).toDF("z", "y")
+    val out = operators.Analytics.isotonicOfScores(zz).collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((10L, 2L, 0.2, 0.2)), out.toString)
+    assert(out(2L) == ((10L, 4L, 0.4, 0.35)), out.toString)
+    assert(out(5L) == ((10L, 3L, 0.3, 0.35)), out.toString)
+    assert(out(9L) == ((10L, 8L, 0.8, 0.8)), out.toString)
+    // weighted pool: (n=2, r=.5) vs (n=8, r=.25) → pooled 3/10 = 0.3
+    val zw = (bin(-3.0, 2, 1) ++ bin(0.0, 8, 2)).toDF("z", "y")
+    val ow = operators.Analytics.isotonicOfScores(zw).collect()
+      .map(r => r.getInt(0).toLong -> r.getDouble(4)).toMap
+    assert(ow == Map(0L -> 0.3, 5L -> 0.3), ow.toString)
+  }
+
+  test("hashFeaturesOf: dim/sign derive from h60, tf-weighted sums match an independent per-token computation") {
+    import spark.implicits._
+    val docs = Seq("alpha alpha beta", "beta gamma", "delta epsilon zeta eta")
+      .toDF("text")
+    // independent expectation: hash each DISTINCT token once via the
+    // same Portable.h60, aggregate in Scala
+    val toks = Seq("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L,
+      "epsilon" -> 1L, "zeta" -> 1L, "eta" -> 1L)
+    val hs = toks.map(_._1).toDF("tok")
+      .select(col("tok"), graft.Portable.h60(col("tok")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = toks.groupBy { case (t, _) => hs(t) % 512 }
+      .map { case (dim, ts) =>
+        val nTok = ts.size.toLong
+        val tf = ts.map(_._2).sum
+        val sgn = ts.map { case (t, c) => (if ((hs(t) / 512) % 2 == 0) 1L else -1L) * c }.sum
+        dim -> ((nTok, tf, sgn))
+      }
+    val out = functions.TextAnalysis.hashFeaturesOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == exp, s"got $out expected $exp")
+    // the cut is by (total_tf DESC, dim): with 7 tokens all dims fit in top-20
+    assert(out.values.map(_._2).sum == 9L, out.toString)
+  }
 }

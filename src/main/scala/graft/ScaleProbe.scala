@@ -228,7 +228,8 @@ object ScaleProbe {
       ("q99_mann_kendall", d => operators.Insights2.q99.build(spark, d)),
       ("q100_runs_test", d => operators.Insights2.q100.build(spark, d)),
       ("ml_isotonic_calibration", d => operators.Analytics.mlIsotonicCalibration.build(spark, d)),
-      ("text_hash_features", d => functions.TextAnalysis.hashFeatures.build(spark, d)))
+      ("text_hash_features", d => functions.TextAnalysis.hashFeatures.build(spark, d)),
+      ("ann_multiprobe_lsh", d => similarity.Similarity.multiprobeLsh.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

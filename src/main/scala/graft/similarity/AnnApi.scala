@@ -194,6 +194,47 @@ object AnnApi {
     rerank(pairs, id, k)
   }
 
+  /** Multi-probe LSH top-k (r11 cont.; Lv et al., "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search",
+    * VLDB 2007): instead of [[lshTopK]]'s `NumTables` independent
+    * tables — each one a full corpus→bucket assignment — ONE table is
+    * probed at the query's own bucket PLUS the `flipBits` buckets at
+    * Hamming distance 1 (a near-miss on one hyperplane is the most
+    * likely place a true neighbor hides; flipping one sign bit
+    * reaches it). Same recall lever as more tables, paid on the tiny
+    * PROBE side (probes × (1 + flipBits) lookup rows) instead of the
+    * corpus side: the corpus is assigned and shuffled ONCE, and the
+    * index holds ONE bucket id per vector instead of `NumTables` —
+    * at 100 TB of vectors that is the difference between one keyed
+    * shuffle and four, and a 4× smaller index. `flipBits = 0`
+    * degenerates to single-table single-probe LSH (the recall floor
+    * the fixture compares against). Shares the deterministic plane
+    * matrix (table 0), so the DuckDB oracle derives the same codes;
+    * exact cosine re-rank, id tiebreaks — the [[bruteTopK]]
+    * determinism contract. */
+  def multiProbeTopK(corpus: DataFrame, id: String, vec: String,
+      probeIds: DataFrame, k: Int = 5,
+      flipBits: Int = Similarity.PlanesPerTable)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val n = normalized(corpus, id, vec)
+      .transform(scope.persist)
+    val bk = n.withColumn("bk", expr(Similarity.bucketExprSparkFor(0)))
+      .select(col(id), col("bk"))
+      .transform(scope.persist)
+    val probes = bk.join(probeIds, Seq(id), "left_semi")
+      .withColumn("pbk", explode(array(
+        col("bk") +: (0 until flipBits).map(b => expr(s"bk ^ ${1 << b}")): _*)))
+      .select(col(id).as("pid"), col("pbk"))
+    val cand = probes.join(bk.select(col(id).as("cid"), col("bk").as("cbk")),
+        col("pbk") === col("cbk") && col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"))
+      .distinct()
+    val pairs = cand
+      .join(n.as("a"), col(s"a.$id") === col("pid"))
+      .join(n.as("b"), col(s"b.$id") === col("cid"))
+    rerank(pairs, id, k)
+  }
+
   /** Corpus-wide k-NN graph over the LSH buckets — [[lshTopK]] with
     * EVERY vector as a probe, plus the MUTUAL flag (reverse edge in
     * the graph too): the precursor structure for SemDeDup-style

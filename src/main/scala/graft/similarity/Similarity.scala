@@ -234,6 +234,37 @@ object Similarity {
     (s, d) => AnnApi.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id"))))
 
+  // --------------------------------------------------- multiprobe lsh
+  /** ann_multiprobe_lsh: see [[AnnApi.multiProbeTopK]] — ONE table
+    * probed at the query's bucket plus all Hamming-1 neighbors,
+    * instead of four tables. The oracle derives table 0's codes from
+    * the shared plane matrix and unions the bucket with its
+    * [[PlanesPerTable]] single-bit flips (DuckDB `xor` / Spark `^` —
+    * same two's-complement integers). */
+  val multiprobeLsh = QueryDef(
+    "ann_multiprobe_lsh",
+    Some {
+      val flips = (0 until PlanesPerTable)
+        .map(b => s"SELECT vec_id, xor(bk, ${1 << b}) AS pbk FROM bkp")
+        .mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bk AS (SELECT vec_id, ${bucketExprSql(0)} AS bk FROM nx),
+      bkp AS (SELECT vec_id, bk FROM bk WHERE vec_id < 10),
+      pb AS (SELECT vec_id, bk AS pbk FROM bkp UNION ALL $flips),
+      cand AS (SELECT DISTINCT pb.vec_id AS id_p, cb.vec_id AS id_c
+        FROM pb JOIN bk cb ON pb.pbk = cb.bk AND pb.vec_id <> cb.vec_id)
+      SELECT id_p, rk, id_c, round(c, 6) AS cos FROM (
+        SELECT cd.id_p, cd.id_c, $dotSql / (a.nrm * b.nrm) AS c,
+          row_number() OVER (PARTITION BY cd.id_p ORDER BY $dotSql / (a.nrm * b.nrm) DESC, cd.id_c) AS rk
+        FROM cand cd JOIN nx a ON a.vec_id = cd.id_p JOIN nx b ON b.vec_id = cd.id_c) t
+      WHERE rk <= 5 ORDER BY id_p, rk"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      AnnApi.multiProbeTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10).select(col("vec_id")))
+        .localCheckpoint(true)
+    })
+
   // ----------------------------------------------------- recall audit
   /** ann_recall_audit: per-probe recall@5 of the LSH index against
     * the exact brute-force ranking — the index-quality readout every
@@ -1353,5 +1384,5 @@ object Similarity {
       top.unionAll(cmp).orderBy(col("readout"), col("id_p"), col("k"), col("ref"))
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch, bm25TopKQ)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch, bm25TopKQ, multiprobeLsh)
 }

@@ -478,6 +478,54 @@ object Streams {
       .withColumn("ok", col("status") === "known" && col("n_present") === col("n_rows"))
   }
 
+  /** Streaming PSI score-drift monitor (r11 cont.) — the
+    * DISTRIBUTION-level model-quality plane next to [[metricStream]]'s
+    * label-based precision/recall: labels arrive late or never in
+    * production, but the SCORE distribution is observable immediately,
+    * and a shifted score distribution is the earliest drift signal
+    * (the q60_psi_drift readout made incremental). Per closed 1-hour
+    * window: scores bin against the published z-space decile edges
+    * (the SAME train-time logit edges the calibration tier reads —
+    * shared literals), bin shares compare to the train-time reference
+    * shares via PSI = Σ (aᵢ − eᵢ)·ln(aᵢ/eᵢ), verdict at the standard
+    * industry thresholds (< 0.1 stable / < 0.25 moderate / else
+    * shifted).
+    *
+    * Plane shape: streaming forbids chained aggregations in append
+    * mode, and PSI needs the window TOTAL next to each bin count — so
+    * all 10 bins ride ONE windowed aggregate as conditional-sum
+    * COLUMNS (the `ml_bootstrap_ci` 32-column discipline), state = one
+    * 11-column row per open window, map-combinable; the PSI fold is a
+    * stateless expression over the closed row. Zero observed shares
+    * clamp to 1e-6 (the standard PSI epsilon — ln(0) otherwise;
+    * reference shares are train-time constants the caller publishes
+    * as nonzero). */
+  def psiStream(scored: DataFrame, refShares: Seq[Double] = Seq.fill(10)(0.1),
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame = {
+    require(refShares.size == 10 && refShares.forall(_ > 0),
+      "refShares: 10 positive train-time bin shares")
+    val edges = (1 to 9).map(k => math.log((k / 10.0) / (1.0 - k / 10.0)))
+    val binExpr = edges.map(e =>
+      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    val psi = (0 until 10).map { i =>
+      val a = s"greatest(CAST(n$i AS DOUBLE) / CAST(total AS DOUBLE), CAST(1e-6 AS DOUBLE))"
+      val e = s"CAST(${refShares(i)} AS DOUBLE)"
+      s"(($a - $e) * ln($a / $e))"
+    }.mkString(" + ")
+    scored
+      .withWatermark(tsCol, watermarkDelay)
+      .selectExpr(tsCol, s"$binExpr AS bin")
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("total"),
+        (0 until 10).map(i =>
+          sum(expr(s"CASE WHEN bin = $i THEN 1 ELSE 0 END")).cast("long").as(s"n$i")): _*)
+      .select(col("w.start").as("window_start") +: col("total") +:
+        (0 until 10).map(i => col(s"n$i")): _*)
+      .withColumn("psi", expr(psi))
+      .withColumn("status", expr(
+        "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END"))
+  }
+
   /** Streaming URL-grain exact dedup (r10) — the ingest twin of the
     * batch `corpus_url_dedup`: each arriving doc's URL canonicalizes
     * through the SAME staged expressions as the batch plane

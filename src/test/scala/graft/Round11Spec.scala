@@ -571,4 +571,33 @@ class Round11Spec extends AnyFunSuite {
     // the cut is by (total_tf DESC, dim): with 7 tokens all dims fit in top-20
     assert(out.values.map(_._2).sum == 9L, out.toString)
   }
+
+  test("multiProbeTopK: Hamming-1 probing never loses recall vs the single-probe floor, no self-hits, ranks dense") {
+    import spark.implicits._
+    // deterministic synthetic 64-dim corpus (Similarity.Dim is fixed)
+    val corpus = (0L until 40L).map { i =>
+      (i, (0 until 64).map(j => ((i * 131 + j * 31 + 7) % 97) / 97.0 - 0.5).toArray)
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") < 5).select(col("vec_id"))
+    def hits(res: Array[(Long, Long)], truth: Map[Long, Set[Long]]): Int =
+      res.count { case (p, c) => truth(p).contains(c) }
+    val truth = similarity.AnnApi.bruteTopK(corpus, "vec_id", "embedding", probes)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).toSet }
+    def run(flips: Int) = CacheScope.withScope { implicit s =>
+      similarity.AnnApi.multiProbeTopK(corpus, "vec_id", "embedding", probes,
+        flipBits = flips)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    val mp = run(4)
+    val sp = run(0)
+    // superset candidates → recall is monotone (any displacing item
+    // with higher cosine than a brute-top5 member IS a brute-top5 member)
+    assert(hits(mp.map(t => (t._1, t._3)), truth) >=
+      hits(sp.map(t => (t._1, t._3)), truth), s"mp ${mp.length} sp ${sp.length}")
+    assert(hits(mp.map(t => (t._1, t._3)), truth) > 0)
+    assert(mp.forall(t => t._1 != t._3), "no self hits")
+    for ((p, rows) <- mp.groupBy(_._1))
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq, s"probe $p ranks")
+  }
 }

@@ -675,4 +675,46 @@ class StreamingSpec extends AnyFunSuite {
         ((x.getString(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
     assert(batch == r, s"batch $batch vs streamed $r")
   }
+
+  test("psi stream: bins merge across microbatches, matching reference gives psi = 0 'stable', uniform reference flags 'shifted' (r11)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-psi-in").toString
+    // window 00:00 split across two microbatches: bins 0 (z=-3), 5
+    // (z=0), 9 (z=3) end at counts 3/2/5 of 10; a 06:00 row closes it
+    val b1 = Seq.fill(3)((-3.0, ts("2024-01-01 00:05:00"))) ++
+      Seq.fill(2)((0.0, ts("2024-01-01 00:10:00")))
+    val b2 = Seq.fill(5)((3.0, ts("2024-01-01 00:40:00")))
+    val b3 = Seq((0.0, ts("2024-01-01 06:00:00")))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("z", "ts").coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    def run(name: String, ref: Seq[Double]) = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$in/b000").schema)
+        .option("maxFilesPerTrigger", "1").parquet(in + "/*")
+      val q = Streams.psiStream(stream, ref)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name)
+        .filter(col("window_start").cast("string") === "2024-01-01 00:00:00")
+        .collect().map(x => (x.getLong(1),
+          (0 until 10).map(i => x.getLong(2 + i)),
+          x.getDouble(12), x.getString(13))).head
+    }
+    // reference = the observed shares (empty bins pinned at the 1e-6
+    // clamp so their terms vanish) → psi exactly 0
+    val refMatch = Seq(0.3, 1e-6, 1e-6, 1e-6, 1e-6, 0.2, 1e-6, 1e-6, 1e-6, 0.5)
+    val (tot, bins, psi0, st0) = run("psi_match", refMatch)
+    assert(tot == 10L && bins(0) == 3L && bins(5) == 2L && bins(9) == 5L, s"$tot $bins")
+    assert(psi0 == 0.0 && st0 == "stable", s"$psi0 $st0")
+    // uniform reference: replicate the plane's exact IEEE fold in Scala
+    val (_, _, psi1, st1) = run("psi_uni", Seq.fill(10)(0.1))
+    val obs = Seq(3L, 0L, 0L, 0L, 0L, 2L, 0L, 0L, 0L, 5L)
+    val exp = obs.map { n =>
+      val a = math.max(n.toDouble / 10.0, 1e-6)
+      (a - 0.1) * math.log(a / 0.1)
+    }.sum
+    assert(psi1 == exp && st1 == "shifted", s"$psi1 vs $exp $st1")
+  }
 }

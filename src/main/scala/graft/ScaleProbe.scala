@@ -229,7 +229,11 @@ object ScaleProbe {
       ("q100_runs_test", d => operators.Insights2.q100.build(spark, d)),
       ("ml_isotonic_calibration", d => operators.Analytics.mlIsotonicCalibration.build(spark, d)),
       ("text_hash_features", d => functions.TextAnalysis.hashFeatures.build(spark, d)),
-      ("ann_multiprobe_lsh", d => similarity.Similarity.multiprobeLsh.build(spark, d)))
+      ("ann_multiprobe_lsh", d => similarity.Similarity.multiprobeLsh.build(spark, d)),
+      ("ml_cochran_q", d => operators.Analytics.mlCochranQ.build(spark, d)),
+      ("ml_spearman_corr", d => operators.Analytics.mlSpearmanCorr.build(spark, d)),
+      ("q101_autocorrelation", d => operators.Insights2.q101.build(spark, d)),
+      ("q102_ljung_box", d => operators.Insights2.q102.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -1354,6 +1354,198 @@ object Analytics {
           "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
     })
 
+  // --------------------------------------------------- Cochran's Q
+  /** Cochran's Q readout fragments over the exact per-classifier
+    * correct counts (ga, gb, gc) and the per-row agreement moments
+    * (sum_l = ΣLᵢ, sum_l2 = ΣLᵢ² where Lᵢ = #correct classifiers on
+    * row i). The textbook Q = k(k−1)Σⱼ(Gⱼ−T/k)²/(kT−ΣL²) folds to the
+    * ALL-INTEGER form Q = (k−1)(kΣG² − T²)/(kT − ΣL²) at k = 3 —
+    * products ride DECIMAL (the q77 wrap lesson), ONE division. */
+  private val cochranGSq =
+    "(CAST(ga AS DECIMAL(19,0)) * ga + CAST(gb AS DECIMAL(19,0)) * gb + CAST(gc AS DECIMAL(19,0)) * gc)"
+  private val cochranNum =
+    s"(2 * (3 * $cochranGSq - CAST(ga + gb + gc AS DECIMAL(19,0)) * (ga + gb + gc)))"
+  private val cochranDen = "(3 * sum_l - sum_l2)"
+  private def cochranReadoutSql: Seq[String] = Seq(
+    s"CASE WHEN $cochranDen > 0 THEN CAST($cochranNum AS DOUBLE) / CAST($cochranDen AS DOUBLE) END AS q_stat",
+    s"CAST(CASE WHEN $cochranDen > 0 AND CAST($cochranNum AS DOUBLE) / CAST($cochranDen AS DOUBLE) > 5.991 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+
+  /** Cochran's Q over THREE scored margin columns (za, zb, zc) and the
+    * shared outcome y — [[mcnemarOfScores]] generalized from 2 paired
+    * classifiers to k = 3 (Cochran 1950; the omnibus "do ANY of these
+    * models' decisions differ beyond chance?" gate run before pairwise
+    * McNemars): exact correct-counts and agreement moments off ONE
+    * scan, the statistic one division of exact DECIMAL integers,
+    * verdict against the LITERAL χ²₂ critical value 5.991 (the McNemar
+    * 3.841 discipline). NULL — not 0 — when every row is decided
+    * identically by all three (3T = ΣL², zero discordance). */
+  def cochranQOfScores(zz: DataFrame): DataFrame = {
+    def c(z: String) = s"(CASE WHEN (($z > 0) = (y > 0.5)) THEN 1 ELSE 0 END)"
+    val l = s"(${c("za")} + ${c("zb")} + ${c("zc")})"
+    zz.agg(
+        count(lit(1)).cast(LongType).as("n_rows"),
+        sum(expr(c("za"))).cast(LongType).as("ga"),
+        sum(expr(c("zb"))).cast(LongType).as("gb"),
+        sum(expr(c("zc"))).cast(LongType).as("gc"),
+        sum(expr(l)).cast(LongType).as("sum_l"),
+        sum(expr(s"$l * $l")).cast(LongType).as("sum_l2"))
+      .selectExpr("n_rows" +: "ga" +: "gb" +: "gc" +: "sum_l" +: "sum_l2" +:
+        cochranReadoutSql: _*)
+  }
+
+  /** ml_cochran_q: Cochran's Q across the gate's 3-, 2-, and 1-round
+    * GD classifiers — all three weight sets read off ONE unrolled
+    * training CTE ladder (w3, w2, w1 of the same chain), completing
+    * the paired-comparison family: McNemar decides a PAIR, kappa
+    * sizes a pair's agreement, Cochran's Q screens the whole set.
+    * (lazy — see [[mlCalibration]].) */
+  lazy val mlCochranQ: QueryDef = QueryDef(
+    "ml_cochran_q",
+    Some {
+      def c(z: String) = s"(CASE WHEN (($z > 0) = (y > 0.5)) THEN 1 ELSE 0 END)"
+      val l = s"(${c("za")} + ${c("zb")} + ${c("zc")})"
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        w6c AS (SELECT round(wa, 6) AS wa1, round(wb, 6) AS wb1, round(wc, 6) AS wc1 FROM w${GdRounds - 2}),
+        zz AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) AS za,
+            (wa2 + wb2 * x1 + wc2 * x2) AS zb,
+            (wa1 + wb1 * x1 + wc1 * x2) AS zc, y FROM b, w6a, w6b, w6c),
+        cc AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(${c("za")}) AS BIGINT) AS ga,
+            CAST(sum(${c("zb")}) AS BIGINT) AS gb,
+            CAST(sum(${c("zc")}) AS BIGINT) AS gc,
+            CAST(sum($l) AS BIGINT) AS sum_l,
+            CAST(sum($l * $l) AS BIGINT) AS sum_l2
+          FROM zz)
+        SELECT n_rows, ga, gb, gc, sum_l, sum_l2,
+          ${cochranReadoutSql.mkString(",\n          ")}
+        FROM cc""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b)
+        .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      val wC = logregWeights6(b, rounds = GdRounds - 2)
+        .selectExpr("wa AS wa1", "wb AS wb1", "wc AS wc1")
+      cochranQOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
+        .crossJoin(broadcast(wC))
+        .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+          "(wa2 + wb2 * x1 + wc2 * x2) AS zb",
+          "(wa1 + wb1 * x1 + wc1 * x2) AS zc", "y")).localCheckpoint(true)
+    })
+
+  // --------------------------------------------- Spearman correlation
+  /** Value-grain fractional midranks of column `c`: (c, u) with
+    * u = (2·below + cnt + 1)/(2n) ∈ (0, 1] — the midrank normalized
+    * into the unit interval, which keeps every downstream 12-dp
+    * DECIMAL term bounded at ANY corpus size (raw midrank products
+    * overflow any fixed precision at ~10⁹ rows). Spearman's ρ is
+    * invariant under the affine rank→u map, so nothing is lost.
+    * Ranks come from the [[rocAucOfScores]] two-level range-partition
+    * scan — value-grain collapse, local cumsum, partition offsets
+    * broadcast; NO global sort, NO single-task window. */
+  private def fracRanks(df: DataFrame, c: String, out: String)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = df.groupBy(col(c)).agg(count(lit(1)).cast(LongType).as("cnt"))
+    val ranked = scope.persist(vg
+      .repartitionByRange(col(c))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lc", sum(col("cnt")).over(
+        Window.partitionBy(col("pid")).orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lc")).as("pc"))
+      .select(col("pid"), coalesce(sum(col("pc")).over(wo), lit(0L)).as("base"))
+    val nn = ranked.agg(sum(col("cnt")).cast(LongType).as("nt")).localCheckpoint(true)
+    ranked.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(nn))
+      .selectExpr(c,
+        s"CAST(2 * (base + lc - cnt) + cnt + 1 AS DOUBLE) / (2.0 * CAST(nt AS DOUBLE)) AS $out")
+  }
+
+  /** Spearman rank correlation between two scored margin columns
+    * (za, zb) with midrank ties — the RANKING-grain agreement readout
+    * next to [[kappaOfScores]]' decision grain (two models can agree
+    * on every decision yet order the risk pool differently; ρ is what
+    * a ranker-swap decision reads). ρ = Pearson over the normalized
+    * midranks: per-column value-grain rank maps join back to the row
+    * frame (value-grain maps; the corpus itself is scanned once and
+    * never sorted), moment sums ride the 12-dp DECIMAL(28,12)
+    * merge-order-free discipline (u, v ∈ (0,1] keep every term
+    * bounded), and ρ is one IEEE tree over the exact sums. NULL when
+    * either column is constant (zero rank variance). */
+  def spearmanOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val z = scope.persist(zz.select(col("za"), col("zb")))
+    val ra = fracRanks(z.select(col("za")), "za", "u")
+    val rb = fracRanks(z.select(col("zb")), "zb", "v")
+    def dsum(e: String, a: String) =
+      expr(s"sum(CAST(round($e, 12) AS DECIMAL(28,12)))").as(a)
+    val m = z.join(broadcast(ra), Seq("za")).join(broadcast(rb), Seq("zb"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        dsum("u", "su"), dsum("v", "sv"), dsum("u * v", "suv"),
+        dsum("u * u", "su2"), dsum("v * v", "sv2"))
+    val covN = "(CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))"
+    val varU = "(CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
+    val varV = "(CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+    m.selectExpr("n",
+      s"CASE WHEN $varU > 0 AND $varV > 0 THEN $covN / sqrt($varU * $varV) END AS rho")
+  }
+
+  /** ml_spearman_corr: Spearman ρ between the gate's 3-round and
+    * 2-round GD scores — same paired frame as [[mlMcnemarTest]]/
+    * [[mlCohensKappa]], read at RANKING grain. (lazy — see
+    * [[mlCalibration]].) */
+  lazy val mlSpearmanCorr: QueryDef = QueryDef(
+    "ml_spearman_corr",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      def rankCte(src: String, c: String, out: String) =
+        s"""${out}g AS (SELECT $c, CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY $c),
+        ${out}r AS (SELECT $c, CAST(2 * (CAST(sum(cnt) OVER (ORDER BY $c ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1 AS DOUBLE)
+            / (2.0 * CAST((SELECT sum(cnt) FROM ${out}g) AS DOUBLE)) AS $out
+          FROM ${out}g)"""
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        zz AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) AS za,
+            (wa2 + wb2 * x1 + wc2 * x2) AS zb FROM b, w6a, w6b),
+        ${rankCte("zz", "za", "u")},
+        ${rankCte("zz", "zb", "v")},
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(u, 12) AS DECIMAL(28,12))) AS su,
+            sum(CAST(round(v, 12) AS DECIMAL(28,12))) AS sv,
+            sum(CAST(round(u * v, 12) AS DECIMAL(28,12))) AS suv,
+            sum(CAST(round(u * u, 12) AS DECIMAL(28,12))) AS su2,
+            sum(CAST(round(v * v, 12) AS DECIMAL(28,12))) AS sv2
+          FROM zz JOIN ur ON zz.za = ur.za JOIN vr ON zz.zb = vr.zb)
+        SELECT n,
+          CASE WHEN (CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) END AS rho
+        FROM m""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b)
+        .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      spearmanOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
+        .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+          "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
+    })
+
   // -------------------------------------------- Hosmer–Lemeshow test
   /** χ² critical values at α = 0.05 for df = 1..8, as a shared CASE
     * over the LITERALS (evaluating the chi-square quantile cross-
@@ -3108,5 +3300,6 @@ object Analytics {
     pipelineMlReadouts, mlPrAuc, mlConfusionMcc, mlConformal, mlFeatureImportance,
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
-    mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration)
+    mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration,
+    mlCochranQ, mlSpearmanCorr)
 }

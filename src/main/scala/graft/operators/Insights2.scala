@@ -1686,6 +1686,170 @@ object Insights2 {
       FROM rd ORDER BY event_type"""),
     (s, d) => runsTest(Tables.events(s, d).select(col("event_type"), col("ts"))))
 
+  // --------------------------------------------- q101 autocorrelation
+  /** ACF numerator/denominator as ALL-INTEGER forms (scaled by n²):
+    * r_k = (n²Σxy − nS(Σa+Σb) + (n−k)S²) / (n²Σx² − nS²) where the
+    * sums are exact integers — products ride a wide integer type
+    * (DECIMAL(38,0) in Spark, HUGEINT in DuckDB: same values, the
+    * engines' decimal-width rules differ) and the surfaced acf is ONE
+    * IEEE division of exacts. Headroom: n²Σxy < 10³⁸ holds for ~10⁴
+    * calendar days of 10¹²-count magnitudes. */
+  private def acfFrags(wide: String => String): (String, String) = {
+    val num = s"(${wide("n_days")} * n_days * sxy - ${wide("n_days")} * s * (sa + sb) + ${wide("(n_days - lag)")} * s * s)"
+    val den = s"(${wide("n_days")} * n_days * ss - ${wide("n_days")} * s * s)"
+    (num, den)
+  }
+  private val acfWideSpark: String => String = x => s"CAST($x AS DECIMAL(38,0))"
+  private val acfWideDuck: String => String = x => s"CAST($x AS HUGEINT)"
+
+  /** Shared day-grain ACF component frame: per (event_type, lag 1..7)
+    * the exact pair sums over the ZERO-FILLED calendar (the q94
+    * discipline — a hole is a real 0, so lag k is a true CALENDAR lag,
+    * not a row offset), plus the per-type totals. Everything past the
+    * one (type, day) count aggregate runs at calendar grain; the
+    * banded self-join is bounded by days × 7. */
+  private def acfComponents(ev: DataFrame, maxLag: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val dd = ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    val cal = dd.groupBy(col("event_type"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+    val fl = scope.persist(cal.join(dd, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        datediff(col("d"), min(col("d")).over(
+          Window.partitionBy(col("event_type")))).cast(LongType).as("t"),
+        coalesce(col("c"), lit(0L)).as("x")))
+    val tt = fl.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_days"),
+        sum(col("x")).cast(LongType).as("s"),
+        sum(expr("CAST(x AS DECIMAL(19,0)) * x")).cast(DecimalType(38, 0)).as("ss"))
+    val lg = fl.select(col("event_type"), col("t").as("at"), col("x").as("ax"))
+      .join(broadcast(fl.select(col("event_type").as("et2"), col("t").as("bt"), col("x").as("bx"))),
+        col("event_type") === col("et2") &&
+        col("at") - col("bt") >= 1 && col("at") - col("bt") <= maxLag)
+      .groupBy(col("event_type"), (col("at") - col("bt")).as("lag"))
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(expr("CAST(ax AS DECIMAL(19,0)) * bx")).cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("ax")).cast(LongType).as("sa"),
+        sum(col("bx")).cast(LongType).as("sb"))
+    lg.join(broadcast(tt), Seq("event_type"))
+  }
+
+  /** Oracle twin of [[acfComponents]] — CTE chain ending in `cmp`. */
+  private def acfCtesDuck(maxLag: Int): String =
+    s"""dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM dd GROUP BY 1),
+      cal AS (SELECT sp.event_type, CAST(g.d0 AS DATE) AS d
+        FROM sp, unnest(generate_series(CAST(sp.dmin AS TIMESTAMP), CAST(sp.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d0)),
+      fl AS (SELECT cal.event_type, CAST(cal.d - sp.dmin AS BIGINT) AS t,
+          coalesce(dd.c, CAST(0 AS BIGINT)) AS x
+        FROM cal JOIN sp ON cal.event_type = sp.event_type
+        LEFT JOIN dd ON cal.event_type = dd.event_type AND cal.d = dd.d),
+      tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(x) AS BIGINT) AS s, CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM fl GROUP BY 1),
+      lg AS (SELECT a.event_type, a.at - b.bt AS lag,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CAST(a.ax AS HUGEINT) * b.bx) AS HUGEINT) AS sxy,
+          CAST(sum(a.ax) AS BIGINT) AS sa, CAST(sum(b.bx) AS BIGINT) AS sb
+        FROM (SELECT event_type, t AS at, x AS ax FROM fl) a
+        JOIN (SELECT event_type, t AS bt, x AS bx FROM fl) b
+          ON a.event_type = b.event_type AND a.at - b.bt BETWEEN 1 AND $maxLag
+        GROUP BY 1, 2),
+      cmp AS (SELECT lg.event_type, lg.lag, lg.n_pairs, lg.sxy, lg.sa, lg.sb,
+          tt.n_days, tt.s, tt.ss
+        FROM lg JOIN tt ON lg.event_type = tt.event_type)"""
+
+  /** q101: sample autocorrelation at calendar lags 1..7 per series —
+    * the diagnostic every forecasting readout here implicitly assumes
+    * readable (q79's decomposition, q87's seasonal-naïve backtest, and
+    * q53's EWMA all presume the series' memory structure; the ACF is
+    * where that structure is READ — Box & Jenkins' first plot). The
+    * standard estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² folds to
+    * all-integer numerator/denominator scaled by n² ([[acfFrags]]);
+    * the surfaced acf is ONE IEEE division of exacts, bit-identical,
+    * unrounded. NULL — not 0 — on a constant series (zero variance).
+    *
+    * 100 TB: ONE (type, day) count aggregate; the zero-filled calendar
+    * and the 7-banded self-join run at days grain (calendar-bounded —
+    * the q91 argument). */
+  val q101 = QueryDef(
+    "q101_autocorrelation",
+    Some {
+      val (num, den) = acfFrags(acfWideDuck)
+      s"""WITH ${acfCtesDuck(7)}
+      SELECT event_type, lag, n_days, n_pairs,
+        CASE WHEN $den <> 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END AS acf
+      FROM cmp ORDER BY event_type, lag"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val (num, den) = acfFrags(acfWideSpark)
+      acfComponents(Tables.events(s, d).select(col("event_type"), col("ts")), 7)
+        .selectExpr("event_type", "lag", "n_days", "n_pairs",
+          s"CASE WHEN $den <> 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END AS acf")
+        .orderBy(col("event_type"), col("lag"))
+        .localCheckpoint(true)
+    })
+
+  // ----------------------------------------------- q102 Ljung–Box
+  /** The Ljung–Box fold over 7 pivoted acf columns — a FIXED
+    * left-to-right IEEE tree (aggregating IEEE terms across rows would
+    * be merge-order-dependent), NULL-propagating: a constant series'
+    * NULL acf nulls the statistic, not zeroes it. */
+  private def ljungBoxSql(maxLag: Int): String = {
+    val terms = (1 to maxLag)
+      .map(k => s"(a$k * a$k) / CAST(n_days - $k AS DOUBLE)").mkString(" + ")
+    s"(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * ($terms))"
+  }
+
+  /** q102: Ljung–Box portmanteau test per series — the white-noise
+    * verdict over [[q101]]'s ACF lags (Ljung & Box 1978; the residual
+    * check run after ANY forecast fit: if the series already fails it,
+    * there is structure to model, if a model's residuals fail it, the
+    * model missed some). Q = n(n+2)Σ r_k²/(n−k) over lags 1..7 as a
+    * fixed IEEE tree over the exact-operand acf divisions, verdict
+    * against the LITERAL χ²₇ critical value 14.067. */
+  val q102 = QueryDef(
+    "q102_ljung_box",
+    Some {
+      val (num, den) = acfFrags(acfWideDuck)
+      val acfs = (1 to 7).map(k =>
+        s"min(CASE WHEN lag = $k THEN acf END) AS a$k").mkString(",\n          ")
+      s"""WITH ${acfCtesDuck(7)},
+      af AS (SELECT event_type, lag, n_days,
+          CASE WHEN $den <> 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END AS acf
+        FROM cmp),
+      pv AS (SELECT event_type, min(n_days) AS n_days,
+          $acfs
+        FROM af GROUP BY event_type)
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        ${ljungBoxSql(7)} AS q_stat,
+        CAST(CASE WHEN ${ljungBoxSql(7)} IS NULL THEN NULL
+          WHEN ${ljungBoxSql(7)} <= 14.067 THEN 1 ELSE 0 END AS BIGINT) AS white_noise
+      FROM pv ORDER BY event_type"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val (num, den) = acfFrags(acfWideSpark)
+      val af = acfComponents(Tables.events(s, d).select(col("event_type"), col("ts")), 7)
+        .selectExpr("event_type", "lag", "n_days",
+          s"CASE WHEN $den <> 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END AS acf")
+      val aggs = min(col("n_days")).as("n_days") +:
+        (1 to 7).map(k => min(when(col("lag") === k, col("acf"))).as(s"a$k"))
+      af.groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("event_type", "CAST(n_days AS BIGINT) AS n_days",
+          s"${ljungBoxSql(7)} AS q_stat",
+          s"""CAST(CASE WHEN ${ljungBoxSql(7)} IS NULL THEN NULL
+            WHEN ${ljungBoxSql(7)} <= 14.067 THEN 1 ELSE 0 END AS BIGINT) AS white_noise""")
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+    })
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+    q101, q102)
 }

@@ -600,4 +600,111 @@ class Round11Spec extends AnyFunSuite {
     for ((p, rows) <- mp.groupBy(_._1))
       assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq, s"probe $p ranks")
   }
+
+  test("cochranQOfScores: all-integer closed forms, full-agreement gives NULL, strong discordance rejects") {
+    import spark.implicits._
+    def cq(rows: Seq[(Double, Double, Double, Double)]) =
+      operators.Analytics.cochranQOfScores(rows.toDF("za", "zb", "zc", "y")).collect().head
+    // 6 all-correct + 2 A-only + 1 B-only + 1 none:
+    // G = (8, 7, 6), T = 21, ΣL² = 57 → Q = 2(3·149 − 441)/6 = 2.0
+    val r = cq(Seq.fill(6)((1.0, 1.0, 1.0, 1.0)) ++
+      Seq.fill(2)((1.0, -1.0, -1.0, 1.0)) ++ Seq((-1.0, 1.0, -1.0, 1.0)) ++
+      Seq((-1.0, -1.0, -1.0, 1.0)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((10L, 8L, 7L, 6L, 21L, 57L)), r.toString)
+    assert(r.getDouble(6) == 2.0 && r.getLong(7) == 0L, r.toString)
+    // every row decided identically by all three → zero discordance → NULL
+    val u = cq(Seq.fill(4)((1.0, 1.0, 1.0, 1.0)) ++ Seq.fill(3)((-1.0, -1.0, -1.0, 1.0)))
+    assert(u.isNullAt(6) && u.getLong(7) == 0L, u.toString)
+    // A correct everywhere, B and C never: Q = 2(1200 − 400)/40 = 40 → rejects
+    val s = cq(Seq.fill(20)((1.0, -1.0, -1.0, 1.0)))
+    assert(s.getDouble(6) == 40.0 && s.getLong(7) == 1L, s.toString)
+  }
+
+  test("spearmanOfScores: monotone maps give rho 1/-1, midrank ties match the replicated fold, constant column is NULL") {
+    import spark.implicits._
+    def sp(rows: Seq[(Double, Double)]) = CacheScope.withScope { implicit s =>
+      operators.Analytics.spearmanOfScores(rows.toDF("za", "zb")).collect().head
+    }
+    val up = sp((1 to 5).map(i => (i.toDouble, (i * i).toDouble)))
+    assert(math.abs(up.getDouble(1) - 1.0) < 1e-12, up.toString)
+    val dn = sp((1 to 5).map(i => (i.toDouble, -i.toDouble)))
+    assert(math.abs(dn.getDouble(1) + 1.0) < 1e-12, dn.toString)
+    // ties: replicate the normalized-midrank Pearson fold exactly
+    val rows = Seq((1.0, 3.0), (1.0, 1.0), (2.0, 1.0), (3.0, 2.0))
+    def fracRank(vs: Seq[Double]): Map[Double, Double] = {
+      val n = vs.size
+      vs.groupBy(identity).map { case (v, g) =>
+        val below = vs.count(_ < v)
+        v -> (2.0 * below + g.size + 1).toDouble / (2.0 * n)
+      }
+    }
+    val (ru, rv) = (fracRank(rows.map(_._1)), fracRank(rows.map(_._2)))
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val (su, sv) = (rows.map(r => r12(ru(r._1))).sum, rows.map(r => r12(rv(r._2))).sum)
+    val suv = rows.map(r => r12(ru(r._1) * rv(r._2))).sum
+    val su2 = rows.map(r => r12(ru(r._1) * ru(r._1))).sum
+    val sv2 = rows.map(r => r12(rv(r._2) * rv(r._2))).sum
+    val n = rows.size.toDouble
+    val exp = (n * suv.toDouble - su.toDouble * sv.toDouble) /
+      math.sqrt((n * su2.toDouble - su.toDouble * su.toDouble) *
+        (n * sv2.toDouble - sv.toDouble * sv.toDouble))
+    val t = sp(rows)
+    assert(t.getDouble(1) == exp, s"${t.getDouble(1)} vs $exp")
+    // constant za: zero rank variance → NULL
+    assert(sp(Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0))).isNullAt(1))
+  }
+
+  test("acf/ljung-box: alternating series closed forms, a zero-filled hole participates, constant series is NULL") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def series(tpe: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((tpe, t(i + 1))) }
+    // NOTE: a trailing zero-count day generates no rows, so the
+    // calendar ends at the LAST OBSERVED day — series end on a count.
+    // 'a': [4,0,4,0,4] (n=5) → acf1 = −384/480, acf2 = 272/480
+    // 'b': days 1 and 3 only — the day-2 hole zero-fills and must
+    //      participate: acf1 = −16/24
+    // 'c': constant → zero variance → NULL
+    val ev = (series("a", Seq(4, 0, 4, 0, 4)) ++
+      Seq(("b", t(1)), ("b", t(1)), ("b", t(3)), ("b", t(3))) ++
+      series("c", Seq(5, 5)) ++
+      series("d", Seq(3, 0, 3, 0, 3, 0, 3, 0, 3))).toDF("event_type", "ts")
+    // the gates read an events table from a directory — plant one
+    val dir = java.nio.file.Files.createTempDirectory("graft-acf").toString
+    ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Insights2.q101.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(("a", 1L)) == Some(-384.0 / 480.0), out(("a", 1L)).toString)
+    assert(out(("a", 2L)) == Some(272.0 / 480.0), out(("a", 2L)).toString)
+    assert(out(("b", 1L)) == Some(-16.0 / 24.0), out(("b", 1L)).toString)
+    assert(out(("c", 1L)) == None, out(("c", 1L)).toString)
+    // Ljung–Box: 'a' has only 4 possible lags (n = 5) → NULL propagates;
+    // 'd' (n = 9) has all 7 — replicate the all-integer acf components
+    // independently from the raw series, then the same IEEE tree
+    val lb = operators.Insights2.q102.build(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(lb("a") == ((None, None)), lb("a").toString)
+    assert(lb("c") == ((None, None)), lb("c").toString)
+    val xs = Seq(3L, 0L, 3L, 0L, 3L, 0L, 3L, 0L, 3L)
+    val n = xs.size
+    val s = xs.sum
+    val ss = xs.map(x => x * x).sum
+    def acfK(k: Int): Double = {
+      val sxy = (k until n).map(i => xs(i) * xs(i - k)).sum
+      val sa = (k until n).map(xs).sum
+      val sb = (0 until n - k).map(xs).sum
+      val num = BigInt(n) * n * sxy - BigInt(n) * s * (sa + sb) + BigInt(n - k) * s * s
+      val den = BigInt(n) * n * ss - BigInt(n) * s * s
+      num.toDouble / den.toDouble
+    }
+    val expQ = n.toDouble * (n + 2).toDouble *
+      (1 to 7).map(k => acfK(k) * acfK(k) / (n - k).toDouble).reduceLeft(_ + _)
+    assert(lb("d")._1 == Some(expQ), s"${lb("d")} vs $expQ")
+    assert(lb("d")._2 == Some(0L), "alternation is structure, not white noise")
+  }
 }

@@ -1371,10 +1371,102 @@ object Pipeline {
         .orderBy(col("vec_id")).localCheckpoint(true)
     })
 
+  // ----------------------------------------------- span corruption
+  /** Span-corruption block length (tokens per maskable block) and
+    * mask rate (percent of blocks) — T5's defaults: mean span 3,
+    * corruption rate 15% (Raffel et al. 2020 §3.1.4 / table 5). */
+  val SpanBlock = 3
+  val SpanMaskPct = 15
+
+  /** corpus_span_corruption: the T5 denoising-objective REWRITE — the
+    * stage that turns a filtered corpus into (corrupted input, target)
+    * training pairs: ~15% of tokens drop in spans of [[SpanBlock]],
+    * each span replaced by an ordered `<extra_id_K>` sentinel in the
+    * input and emitted after its sentinel in the target. Span
+    * selection is hash-deterministic per (doc, block) — the
+    * corpus_split_stats recipe at block grain: reproducible across
+    * runs/cluster sizes, no RNG state, and the oracle derives the
+    * SAME masks from the same md5.
+    *
+    * 100 TB shape: pure per-row array math inside codegen — ZERO
+    * shuffle at any corpus size (the `text_repetition` plan shape);
+    * the ORDER BY exists for the oracle compare. Sentinel numbering
+    * uses a nested filter-count (K(b) = #selected blocks before b):
+    * O(blocks²) per doc, bounded by (len/3)² — fine for documents,
+    * and it is the form BOTH engines evaluate identically (neither
+    * exposes an indexed transform in common). The gate pins the
+    * REWRITE bytes via md5 of input and target. */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val h60Spark = (e: String) => s"CAST(conv(substring(md5($e),1,15),16,10) AS BIGINT)"
+    val sel = (b: String) =>
+      s"(${h60Spark(s"concat(CAST(doc_id AS STRING), ':', CAST($b AS STRING))")} % 100 < $SpanMaskPct)"
+    val blockToks = (b: String) => s"array_join(slice(toks, $b * $SpanBlock + 1, $SpanBlock), ' ')"
+    val sentinel = (k: String) => s"concat('<extra_id_', CAST($k AS STRING), '>')"
+    docs
+      .selectExpr("doc_id", s"split(${normTextSparkSql("text")}, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        s"CAST((size(toks) + ${SpanBlock - 1}) div $SpanBlock AS BIGINT) AS n_blocks")
+      .selectExpr("doc_id", "toks", "n_tokens", "n_blocks",
+        s"filter(sequence(0, CAST(n_blocks AS INT) - 1), b -> ${sel("b")}) AS selb")
+      .selectExpr("doc_id", "n_tokens", "n_blocks",
+        "CAST(size(selb) AS BIGINT) AS n_spans",
+        s"""aggregate(transform(selb, b -> least($SpanBlock, CAST(n_tokens AS INT) - b * $SpanBlock)),
+           0L, (a, x) -> a + x) AS n_masked""",
+        s"""md5(array_join(transform(sequence(0, CAST(n_blocks AS INT) - 1),
+           b -> CASE WHEN ${sel("b")}
+             THEN ${sentinel("size(filter(selb, x -> x < b))")}
+             ELSE ${blockToks("b")} END), ' ')) AS corrupted_md5""",
+        s"""md5(array_join(transform(selb,
+           b -> concat(${sentinel("size(filter(selb, x -> x < b))")}, ' ', ${blockToks("b")})), ' ')) AS target_md5""")
+      .selectExpr("doc_id", "n_tokens", "n_blocks", "n_spans", "n_masked",
+        s"${Portable.round6RatioSpark("n_masked", "n_tokens")} AS mask_fraction",
+        "corrupted_md5", "target_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Spark-SQL-string twin of [[Portable.normText]] for inline use. */
+  private def normTextSparkSql(e: String): String =
+    s"lower(trim(regexp_replace($e, '\\\\s+', ' ')))"
+
+  val spanCorruptionQ = QueryDef(
+    "corpus_span_corruption",
+    Some {
+      val sel = (b: String) =>
+        s"(${h60Sql(s"(CAST(doc_id AS VARCHAR) || ':' || CAST($b AS VARCHAR))")} % 100 < $SpanMaskPct)"
+      val blockToks = (b: String) =>
+        s"array_to_string(list_slice(toks, $b * $SpanBlock + 1, $b * $SpanBlock + $SpanBlock), ' ')"
+      val sentinel = (k: String) => s"('<extra_id_' || CAST($k AS VARCHAR) || '>')"
+      s"""WITH t AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST((len(toks) + ${SpanBlock - 1}) // $SpanBlock AS BIGINT) AS n_blocks
+        FROM t),
+      sb AS (SELECT doc_id, toks, n_tokens, n_blocks,
+          list_filter(range(0, CAST(n_blocks AS INT)), b -> ${sel("b")}) AS selb
+        FROM s),
+      r AS (SELECT doc_id, n_tokens, n_blocks,
+          CAST(len(selb) AS BIGINT) AS n_spans,
+          CAST(coalesce(list_sum(list_transform(selb,
+            b -> least($SpanBlock, CAST(n_tokens AS INT) - b * $SpanBlock))), 0) AS BIGINT) AS n_masked,
+          md5(array_to_string(list_transform(range(0, CAST(n_blocks AS INT)),
+            b -> CASE WHEN ${sel("b")}
+              THEN ${sentinel("len(list_filter(selb, x -> x < b))")}
+              ELSE ${blockToks("b")} END), ' ')) AS corrupted_md5,
+          md5(coalesce(array_to_string(list_transform(selb,
+            b -> ${sentinel("len(list_filter(selb, x -> x < b))")} || ' ' || ${blockToks("b")}), ' '), '')) AS target_md5
+        FROM sb)
+      SELECT doc_id, n_tokens, n_blocks, n_spans, n_masked,
+        ${Portable.round6RatioDuck("n_masked", "n_tokens")} AS mask_fraction,
+        corrupted_md5, target_md5
+      FROM r ORDER BY doc_id"""
+    },
+    (s, d) => spanCorruption(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, mixtureSampleQ,
     mixturePackQ, ingestFull,
     splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,
-    semanticDecontaminateQ)
+    semanticDecontaminateQ, spanCorruptionQ)
 }

@@ -707,4 +707,34 @@ class Round11Spec extends AnyFunSuite {
     assert(lb("d")._1 == Some(expQ), s"${lb("d")} vs $expQ")
     assert(lb("d")._2 == Some(0L), "alternation is structure, not white noise")
   }
+
+  test("spanCorruption: sentinel assembly matches a Scala reconstruction, no-span docs keep their bytes, counts bound") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val text = "a b c d e f g" // 7 tokens → blocks [a b c][d e f][g]
+    val docs = (1L to 50L).map(i => (i, text)).toDF("doc_id", "text")
+    // replicate the per-(doc, block) selection with the same portable hash
+    val sel = docs.selectExpr("doc_id",
+      s"""filter(sequence(0, 2), b -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))),1,15),16,10) AS BIGINT) % 100 < ${functions.Pipeline.SpanMaskPct}) AS selb""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val out = functions.Pipeline.spanCorruption(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val blocks = Seq("a b c", "d e f", "g")
+    for (i <- 1L to 50L) {
+      val sb = sel(i)
+      val r = out(i)
+      val corrupted = (0 to 2).map(b =>
+        if (sb.contains(b)) s"<extra_id_${sb.count(_ < b)}>" else blocks(b)).mkString(" ")
+      val target = sb.map(b => s"<extra_id_${sb.count(_ < b)}> ${blocks(b)}").mkString(" ")
+      assert(r.getLong(3) == sb.size.toLong, s"doc $i n_spans")
+      assert(r.getLong(4) == sb.map(b => math.min(3, 7 - b * 3)).sum.toLong, s"doc $i n_masked")
+      assert(r.getString(6) == md5hex(corrupted), s"doc $i corrupted")
+      assert(r.getString(7) == md5hex(target), s"doc $i target")
+      if (sb.isEmpty) assert(r.getString(6) == md5hex(text) && r.getString(7) == md5hex(""))
+    }
+    // the 15% rate shows up across (doc, block) draws — loose sanity bound
+    val masked = sel.values.map(_.size).sum
+    assert(masked > 0 && masked < 70, s"selected blocks: $masked of 150")
+  }
 }

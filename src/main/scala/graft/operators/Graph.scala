@@ -215,6 +215,110 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
   }
 
+  /** Degree-bucket CASE ladder shared with the oracle: power-of-two
+    * buckets over deg ≥ 2 (bucket 2^k covers [2^k, 2^(k+1))). */
+  private def degBucketSql(dg: String): String =
+    "CASE " + (1 to 20).map(k =>
+      s"WHEN $dg < ${1L << (k + 1)} THEN CAST(${1L << k} AS BIGINT)").mkString(" ") +
+      s" ELSE CAST(${1L << 21} AS BIGINT) END"
+
+  /** Per-node LOCAL clustering coefficients summarized by degree
+    * bucket — the Watts–Strogatz readout [[triangleStats]]'s single
+    * global transitivity hides (the two famously disagree on skewed
+    * graphs: hubs close few of their wedges, leaves close most, and
+    * the per-degree profile is how that structure is READ). Triangles
+    * attribute to ALL THREE corners: the degree-ordered
+    * adjacency-intersect from [[triangleStats]] runs unchanged, but
+    * with the intersection ELEMENTS kept (native `array_intersect` on
+    * the sorted lists) and exploded — output volume is exactly
+    * 3·#triangles, the honest floor for per-node attribution, with
+    * every list still O(√|E|) by the arboricity bound. Per node:
+    * cc = tri/(deg choose 2) as an exact half-up MICRO-unit integer
+    * (the round6Ratio construction), so the per-bucket average is ONE
+    * IEEE division of exact sums. */
+  def localClustering(edges: DataFrame,
+      broadcastAdjMaxEdges: Long = 8L * 1000 * 1000)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val e = edges.transform(scope.persist)
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .transform(scope.persist)
+    val ori = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("dg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("dg", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("r"))
+      .select(col("r.src"), col("r.dst"))
+    val adj = ori.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .transform(scope.persist)
+    val hint: DataFrame => DataFrame =
+      if (e.count() <= broadcastAdjMaxEdges) broadcast else identity
+    val corners = ori
+      .join(hint(adj.select(col("src").as("u_"), col("nbrs").as("nu"))),
+        col("src") === col("u_"))
+      .join(hint(adj.select(col("src").as("v_"), col("nbrs").as("nv"))),
+        col("dst") === col("v_"))
+      .select(col("src"), col("dst"),
+        explode(expr("array_intersect(nu, nv)")).as("w"))
+    val tric = corners.select(col("src").as("node"))
+      .unionAll(corners.select(col("dst").as("node")))
+      .unionAll(corners.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("tri"))
+    deg.filter(col("dg") >= 2)
+      .join(tric, Seq("node"), "left")
+      .selectExpr(s"${degBucketSql("dg")} AS deg_bucket",
+        "coalesce(tri, CAST(0 AS BIGINT)) AS tri",
+        "(dg * (dg - 1)) div 2 AS wed")
+      .groupBy(col("deg_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("tri")).cast("long").as("n_tri_corners"),
+        sum(col("wed")).cast("long").as("n_wedges"),
+        sum(expr("(tri * 2000000 + wed) div (2 * wed)")).cast("long").as("cc_micro"))
+      .selectExpr("deg_bucket", "n_nodes", "n_tri_corners", "n_wedges",
+        "CAST(cc_micro AS DOUBLE) / (1000000.0 * CAST(n_nodes AS DOUBLE)) AS avg_local_cc")
+      .orderBy(col("deg_bucket"))
+  }
+
+  /** graph_clustering_coeff: local clustering profile of the part
+    * co-purchase graph (same edge derivation as [[triangles]]); the
+    * oracle attributes the SAME triangles by the id-ordered 3-way
+    * self-join crediting all three corners — corner-count equality
+    * per node is exactly the correctness statement for the
+    * degree-ordered intersect attribution. */
+  val clusteringCoeff = QueryDef(
+    "graph_clustering_coeff",
+    Some {
+      val tri3 = "FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"
+      s"""WITH co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM co a JOIN co b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t GROUP BY node),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+          SELECT e1.u AS node $tri3
+          UNION ALL SELECT e1.v $tri3
+          UNION ALL SELECT e2.v $tri3) t GROUP BY node),
+      per AS (SELECT ${degBucketSql("deg.dg")} AS deg_bucket,
+          coalesce(tc.tri, CAST(0 AS BIGINT)) AS tri,
+          (deg.dg * (deg.dg - 1)) // 2 AS wed
+        FROM deg LEFT JOIN tc ON deg.node = tc.node WHERE deg.dg >= 2)
+      SELECT deg_bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(tri) AS BIGINT) AS n_tri_corners,
+        CAST(sum(wed) AS BIGINT) AS n_wedges,
+        CAST(CAST(sum((tri * 2000000 + wed) // (2 * wed)) AS BIGINT) AS DOUBLE)
+          / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_local_cc
+      FROM per GROUP BY deg_bucket ORDER BY deg_bucket"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val co = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = co.as("a").join(co.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      localClustering(e).localCheckpoint(true)
+    })
+
   /** Default mega-order cap for [[nodeSimilarityTopK]]: orders with
     * more parts than this are excluded from pair generation (gate
     * orders carry ≤ 7 parts — the cap never fires there, but it is
@@ -1231,5 +1335,5 @@ object Graph {
   val defs: Seq[QueryDef] = Seq(pagerankTop, triangles, nodeSimilarity,
     connectedComponents, kcoreQuery, bfsQuery, labelPropQuery, degreeStats,
     modularityQuery, assortativity, closenessQuery, hitsQuery, anfQuery,
-    pipelineGraphCentralityQuery, linkPrediction)
+    pipelineGraphCentralityQuery, linkPrediction, clusteringCoeff)
 }

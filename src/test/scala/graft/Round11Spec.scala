@@ -737,4 +737,21 @@ class Round11Spec extends AnyFunSuite {
     val masked = sel.values.map(_.size).sum
     assert(masked > 0 && masked < 70, s"selected blocks: $masked of 150")
   }
+
+  test("localClustering: triangle corners credit all three nodes, pendant and leaf nodes drop, buckets aggregate exactly") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on node 1; star center 10 over 11..14
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("u", "v")
+    val out = CacheScope.withScope { implicit s =>
+      operators.Graph.localClustering(e).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    }
+    // bucket 2 = deg ∈ [2,4): nodes 1 (deg 3, cc 1/3), 2 and 3 (deg 2, cc 1)
+    // avg = (1000000 + 1000000 + 333333) / 3e6
+    assert(out(2L) == ((3L, 3L, 5L, 2333333.0 / 3000000.0)), out(2L).toString)
+    // bucket 4: the triangle-free star center; leaves (deg 1) are absent
+    assert(out(4L) == ((1L, 0L, 6L, 0.0)), out(4L).toString)
+    assert(out.size == 2, out.toString)
+  }
 }

@@ -383,6 +383,134 @@ object Multimodal {
         .orderBy(col("audio_id"))
     })
 
+  // --------------------------------------------------- energy VAD
+  /** VAD frame length in samples (20 ms at 8 kHz — the standard
+    * telephony frame). */
+  val VadFrameLen = 160
+
+  /** Frame-level voice-activity row: exact integer counts; the
+    * fraction is computed downstream via the shared round6Ratio. */
+  final case class VadFeatures(
+      audio_id: Long, n_samples: Long, n_frames: Long,
+      n_voiced: Long, n_segments: Long)
+
+  /** REAL energy-based voice-activity detection over the decoded
+    * 16-bit PCM stream (the `javax.sound.sampled` codec of
+    * [[decodeAudio]]): the clip splits into [[VadFrameLen]]-sample
+    * frames, and a frame is VOICED iff its mean-square energy strictly
+    * exceeds HALF the clip's mean square — the classic adaptive energy
+    * gate (Rabiner & Sambur 1975's energy threshold, clip-relative so
+    * gain changes don't move decisions), decided by exact integer
+    * CROSS-MULTIPLICATION (2·Σx²_f·n > Σx²·n_f — no division, no
+    * doubles, so the oracle derives identical bits analytically).
+    * Segments count voiced runs (speech bursts). BigInt at frame
+    * grain: the cross products exceed int64 at ~45 s of full-scale
+    * 16-bit audio, and frames are metadata-scale. */
+  def decodeVad(audioId: Long, bytes: Array[Byte],
+      frameLen: Int = VadFrameLen): Option[VadFeatures] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val bigEndian = fmt.isBigEndian
+          val data = ais.readAllBytes()
+          val nFrames = data.length / (2 * channels)
+          if (nFrames == 0) return None
+          val nf = (nFrames + frameLen - 1) / frameLen
+          val frameSq = new Array[Long](nf)
+          val frameN = new Array[Long](nf)
+          var total = 0L
+          var j = 0
+          while (j < nFrames) {
+            val base = j * 2 * channels
+            val s =
+              if (bigEndian) ((data(base) << 8) | (data(base + 1) & 0xff)).toShort
+              else ((data(base + 1) << 8) | (data(base) & 0xff)).toShort
+            val v = s.toLong
+            frameSq(j / frameLen) += v * v
+            frameN(j / frameLen) += 1
+            total += v * v
+            j += 1
+          }
+          var voiced = 0L
+          var segs = 0L
+          var prev = false
+          var f = 0
+          while (f < nf) {
+            val isV = BigInt(2) * frameSq(f) * nFrames > BigInt(total) * frameN(f)
+            if (isV) { voiced += 1; if (!prev) segs += 1 }
+            prev = isV
+            f += 1
+          }
+          Some(VadFeatures(audioId, nFrames.toLong, nf.toLong, voiced, segs))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** VAD extraction over (id, binary) rows — the [[audioFeatures]]
+    * batch shape with the VAD kernel in the slot. */
+  def vadFeatures(df: org.apache.spark.sql.DataFrame, id: String,
+      content: String): org.apache.spark.sql.DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(id).cast("long"), col(content).cast("binary"))
+      .filter(col(id).isNotNull && col(content).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, bytes) => decodeVad(i, bytes) })
+      .toDF()
+  }
+
+  /** mm_audio_vad: the real-codec VAD gate — [[VadGate]] synthesizes
+    * RIFF/WAVE bytes from closed-form BURST patterns (tone bursts
+    * alternating with silence, burst length deliberately NOT
+    * frame-aligned so partial frames exercise the n_f term; plus
+    * constant-tone clips whose every frame ties the mean and must
+    * decide by the STRICT inequality), the Spark side decodes with the
+    * real codec, and the oracle recomputes per-sample → per-frame →
+    * per-clip ANALYTICALLY from the pattern parameters (16-bit PCM WAV
+    * is lossless). All decisions are exact integers; the surfaced
+    * fraction is the shared round6Ratio. */
+  val audioVadGate = QueryDef(
+    "mm_audio_vad",
+    Some(s"""WITH clips AS (SELECT i AS audio_id,
+        800 + (i*131) % 1600 AS n, i % 2 AS kind,
+        2000 + (i*37) % 6000 AS amp, 200 + (i*53) % 300 AS b
+      FROM range(0, ${VadGate.NumClips}) t(i)),
+      xs AS (SELECT audio_id, n, (j // $VadFrameLen) AS f,
+        CASE WHEN kind = 1 THEN amp
+             WHEN (j // b) % 2 = 0 THEN amp ELSE 0 END AS x
+      FROM (SELECT audio_id, n, kind, amp, b, unnest(range(0, n)) AS j FROM clips)),
+      fr AS (SELECT audio_id, n, f, CAST(count(*) AS BIGINT) AS nf,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+        FROM xs GROUP BY audio_id, n, f),
+      tot AS (SELECT audio_id, CAST(sum(sq) AS HUGEINT) AS total FROM fr GROUP BY audio_id),
+      vd AS (SELECT fr.audio_id, fr.n, fr.f,
+          CASE WHEN 2 * fr.sq * fr.n > tot.total * fr.nf THEN 1 ELSE 0 END AS v
+        FROM fr JOIN tot ON fr.audio_id = tot.audio_id),
+      sg AS (SELECT audio_id, n, f, v,
+          lag(v) OVER (PARTITION BY audio_id ORDER BY f) AS pv FROM vd),
+      agg AS (SELECT audio_id, CAST(min(n) AS BIGINT) AS n_samples,
+          CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(v) AS BIGINT) AS n_voiced,
+          CAST(sum(CASE WHEN v = 1 AND (pv IS NULL OR pv = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+        FROM sg GROUP BY audio_id)
+      SELECT audio_id, n_samples, n_frames, n_voiced, n_segments,
+        ${Portable.round6RatioDuck("n_voiced", "n_frames")} AS voiced_fraction
+      FROM agg ORDER BY audio_id"""),
+    (s, d) => {
+      val path = VadGate.ensureParquet(s)
+      vadFeatures(s.read.parquet(path), "audio_id", "wav")
+        .selectExpr("audio_id", "n_samples", "n_frames", "n_voiced", "n_segments",
+          s"${Portable.round6RatioSpark("n_voiced", "n_frames")} AS voiced_fraction")
+        .orderBy(col("audio_id"))
+    })
+
   // --------------------------------------------- perceptual-hash dedup
   /** Average-hash (aHash) of a decoded image: 8×8 grid of Rec.601
     * luma block sums; bit (bx, by) is set iff the block's mean STRICTLY
@@ -645,7 +773,7 @@ object Multimodal {
     })
 
   val defs: Seq[QueryDef] = Seq(features, frames, imageFeaturesGate, resizeGate,
-    audioFeaturesGate, phashDedup, audioFingerprint)
+    audioFeaturesGate, phashDedup, audioFingerprint, audioVadGate)
 }
 
 /** Deterministic synthetic WAV corpus for the real-codec audio gate:
@@ -700,6 +828,56 @@ object AudioGate {
       import sp.implicits._
       (0 until NumClips).map(i => (i.toLong, makeWav(i))).toDF("audio_id", "wav")
         .repartition(4) // several files: the scan shape under test is a distributed binary read
+        .write.mode("overwrite").parquet(dir)
+      generated = Some(dir)
+      dir
+    }
+  }
+}
+
+/** Deterministic bursty-WAV corpus for the VAD gate — same synthesis
+  * machinery as [[AudioGate]], burst patterns in lockstep with the
+  * `clips` CTE of the `mm_audio_vad` oracle. */
+object VadGate {
+  val NumClips = 40
+
+  /** (nSamples, kind, amp, burstLen) for clip `i`. */
+  private def pattern(i: Int): (Int, Int, Int, Int) =
+    (800 + (i * 131) % 1600, i % 2, 2000 + (i * 37) % 6000, 200 + (i * 53) % 300)
+
+  def sample(i: Int, j: Int): Int = {
+    val (_, kind, amp, b) = pattern(i)
+    if (kind == 1) amp else if ((j / b) % 2 == 0) amp else 0
+  }
+
+  def makeWav(i: Int): Array[Byte] = {
+    val (n, _, _, _) = pattern(i)
+    val pcm = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val v = sample(i, j)
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  @volatile private var generated: Option[String] = None
+
+  def ensureParquet(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    generated.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mm_vad").toString
+      val sp = spark
+      import sp.implicits._
+      (0 until NumClips).map(i => (i.toLong, makeWav(i))).toDF("audio_id", "wav")
+        .repartition(4)
         .write.mode("overwrite").parquet(dir)
       generated = Some(dir)
       dir

@@ -100,4 +100,41 @@ class MultimodalAudioSpec extends AnyFunSuite {
     // too-short clips (empty windows) are rejected, not mis-hashed
     assert(Multimodal.decodeAudioFp(4L, wav(Array.tabulate(10)(_.toShort))).isEmpty)
   }
+
+  test("decodeVad: burst/silence frames split on the exact half-mean cross-multiply, partial frames count, DC is one segment (r11)") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { j =>
+        pcm(2 * j) = (samples(j) & 0xff).toByte
+        pcm(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 380 samples: frame0 = 160×amp, frame1 = 160×0, frame2 = 60×amp
+    // (partial) → voiced, silent, voiced: 2 segments
+    val bursty = Array.tabulate(380)(j =>
+      if (j < 160 || j >= 320) 1000.toShort else 0.toShort)
+    val b = Multimodal.decodeVad(1L, wav(bursty)).get
+    assert((b.n_samples, b.n_frames, b.n_voiced, b.n_segments) ==
+      ((380L, 3L, 2L, 2L)), b.toString)
+    // constant clip: every frame STRICTLY beats half the mean → one run
+    val dc = Multimodal.decodeVad(2L, wav(Array.fill(320)(500.toShort))).get
+    assert((dc.n_frames, dc.n_voiced, dc.n_segments) == ((2L, 2L, 1L)), dc.toString)
+    // VadGate clip 0 cross-check: recompute frames from the closed form
+    val n0 = 800
+    val xs = (0 until n0).map(j => graft.multimodal.VadGate.sample(0, j).toLong)
+    val total = xs.map(v => v * v).sum
+    val frames = xs.grouped(Multimodal.VadFrameLen).toSeq
+    val vs = frames.map(f => BigInt(2) * f.map(v => v * v).sum * n0 > BigInt(total) * f.size)
+    val g = Multimodal.decodeVad(0L, graft.multimodal.VadGate.makeWav(0)).get
+    assert(g.n_voiced == vs.count(identity).toLong, s"$g vs $vs")
+    assert(g.n_segments ==
+      vs.zip(false +: vs).count { case (c, p) => c && !p }.toLong, s"$g vs $vs")
+  }
 }

@@ -604,7 +604,68 @@ object Corpus {
       .orderBy(col("cluster"), col("rk"))
   }
 
+  // ----------------------------------------------------- OOV rate
+  /** Vocabulary size for the coverage audit (small enough that the
+    * synthetic corpus leaves a real OOV tail). */
+  val OovVocabK = 2000
+
+  /** corpus_oov_rate: held-out vocabulary coverage — the tokenizer/
+    * vocab design readout (a word-level vocab of size K covers what
+    * fraction of UNSEEN text? the number that decides K, and the
+    * reason subword tokenizers exist — Sennrich et al. 2016 motivates
+    * BPE exactly by this OOV tail): the corpus splits by the
+    * `corpus_split_stats` content-stable hash (train < 90, held-out
+    * otherwise — the SAME split every gate uses, so vocab never leaks
+    * held-out tokens), the top-[[OovVocabK]] train tokens by the
+    * deterministic (count DESC, token ASC) total order form the
+    * vocab, and the held-out slice reports per-lang token count, OOV
+    * count, and 6-dp rate.
+    *
+    * 100 TB shape: train token counts are ONE vocab-bounded
+    * map-combinable aggregate; the top-K cut is TakeOrdered (never a
+    * full sort); the held-out explode joins the 2000-key vocab as a
+    * broadcast left join — the corpus is scanned twice (once per
+    * split side) and never self-joined. */
+  val oovRate = QueryDef(
+    "corpus_oov_rate",
+    Some(s"""WITH d AS (SELECT lang, ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 AS is_train,
+        string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+      tr AS (SELECT unnest(toks) AS tok FROM d WHERE is_train),
+      tc AS (SELECT tok, count(*) AS c FROM tr WHERE tok <> '' GROUP BY tok),
+      vocab AS (SELECT tok FROM tc ORDER BY c DESC, tok LIMIT $OovVocabK),
+      ho AS (SELECT lang, unnest(toks) AS tok FROM d WHERE NOT is_train),
+      hj AS (SELECT ho.lang, CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ho LEFT JOIN vocab ON ho.tok = vocab.tok WHERE ho.tok <> '')
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        ${Portable.round6RatioDuck("sum(oov)", "count(*)")} AS oov_rate
+      FROM hj GROUP BY lang ORDER BY lang"""),
+    (s, d) => oovRateOf(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))))
+
+  /** OOV readout over (doc_id, lang, text) rows — see [[oovRate]]. */
+  def oovRateOf(docsIn: org.apache.spark.sql.DataFrame,
+      vocabK: Int = OovVocabK): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .select(col("lang"),
+        (pmod(Portable.h60(col("doc_id").cast("string")), lit(100)) < 90).as("is_train"),
+        split(normText(col("text")), " ").as("toks"))
+    val vocab = docs.filter(col("is_train"))
+      .select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1L).as("hit"))
+    docs.filter(!col("is_train"))
+      .select(col("lang"), explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .selectExpr("lang", "n_tokens", "n_oov",
+        s"${Portable.round6RatioSpark("n_oov", "n_tokens")} AS oov_rate")
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QueryDef] = Seq(topTokens, topBigrams, centroids, tfidfTopK,
     rarityScore, qualityDedupPipeline, bpeMerges, bpeEncode, vocabGrowth,
-    versionDiff, topicClusters)
+    versionDiff, topicClusters, oovRate)
 }

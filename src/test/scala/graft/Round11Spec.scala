@@ -754,4 +754,28 @@ class Round11Spec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 6L, 0.0)), out(4L).toString)
     assert(out.size == 2, out.toString)
   }
+
+  test("oovRateOf: vocab cut is (count DESC, token ASC) over the train split only, held-out OOV matches a Scala replication") {
+    import spark.implicits._
+    val texts = Seq("aa bb", "aa cc", "bb cc dd", "aa aa ee", "dd ee", "cc aa bb")
+    val docs = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de",
+      texts((i % texts.size).toInt))).toDF("doc_id", "lang", "text")
+    // replicate the content-stable split assignment
+    val isTrain = docs.select(col("doc_id"),
+        (pmod(graft.Portable.h60(col("doc_id").cast("string")), lit(100)) < 90).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rows = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de",
+      texts((i % texts.size).toInt).split(" ").toSeq))
+    val trainToks = rows.filter(r => isTrain(r._1)).flatMap(_._3)
+    val vocab = trainToks.groupBy(identity).toSeq
+      .sortBy { case (t, g) => (-g.size, t) }.take(2).map(_._1).toSet
+    val exp = rows.filterNot(r => isTrain(r._1))
+      .flatMap(r => r._3.map(t => (r._2, t)))
+      .groupBy(_._1).map { case (lang, ts) =>
+        lang -> ((ts.size.toLong, ts.count(t => !vocab.contains(t._2)).toLong)) }
+    assert(exp.nonEmpty && exp.values.exists(_._2 > 0), s"fixture needs a held-out OOV tail: $exp")
+    val out = functions.Corpus.oovRateOf(docs, vocabK = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == exp, s"got $out expected $exp")
+  }
 }

@@ -236,7 +236,8 @@ object ScaleProbe {
       ("q102_ljung_box", d => operators.Insights2.q102.build(spark, d)),
       ("corpus_span_corruption", d => functions.Pipeline.spanCorruptionQ.build(spark, d)),
       ("graph_clustering_coeff", d => operators.Graph.clusteringCoeff.build(spark, d)),
-      ("corpus_oov_rate", d => functions.Corpus.oovRate.build(spark, d)))
+      ("corpus_oov_rate", d => functions.Corpus.oovRate.build(spark, d)),
+      ("text_langid_eval", d => functions.TextAnalysis.langidEval.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

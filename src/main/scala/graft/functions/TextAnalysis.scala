@@ -102,6 +102,63 @@ object TextAnalysis {
       scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
     })
 
+  // ------------------------------------------------------ langid eval
+  /** text_langid_eval: confusion matrix of the marker-word language
+    * identifier against the corpus's labeled `lang` column — the
+    * evaluation loop every langid deployment closes (per-language
+    * recall decides whether the cheap heuristic is good enough to
+    * GATE on, or which languages need the heavier model; `und` cells
+    * count the abstentions). Long-format (true_lang, pred_lang, n,
+    * share) cells; share = n / n_true via round6Ratio on exact
+    * integers.
+    *
+    * 100 TB shape: the scorer is per-row array math (the `text_langid`
+    * plan), the confusion aggregate shuffles ≤ langs² keys, true-lang
+    * totals ride a broadcast join back. */
+  val langidEval = QueryDef(
+    "text_langid_eval",
+    Some {
+      val scores = Markers.map { case (l, ws) =>
+        s"len(list_filter(toks, w -> ${inListSql("w", ws)})) AS n_$l"
+      }.mkString(", ")
+      val argmax = Markers.map(_._1).map { l =>
+        val others = Markers.map(_._1).filterNot(_ == l).map(o => s"n_$l >= n_$o").mkString(" AND ")
+        s"WHEN n_$l > 0 AND $others THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(${normTextSql("text")}, ' ') AS toks FROM documents),
+        sc AS (SELECT lang AS true_lang, $scores FROM t),
+        p AS (SELECT true_lang, CASE $argmax ELSE 'und' END AS pred_lang FROM sc),
+        cell AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+        tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cell GROUP BY 1)
+        SELECT cell.true_lang, cell.pred_lang, cell.n, tot.n_true,
+          ${graft.Portable.round6RatioDuck("cell.n", "tot.n_true")} AS share
+        FROM cell JOIN tot ON cell.true_lang = tot.true_lang
+        ORDER BY cell.true_lang, cell.pred_lang"""
+    },
+    (s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val scored = Tables.documents(s, d)
+        .select(col("lang").as("true_lang"), toks.as("toks"))
+        .select(col("true_lang") +: Markers.map { case (l, ws) =>
+          size(filter(col("toks"), w => w.isInCollection(ws))).as(s"n_$l")
+        }: _*)
+      val pred = Markers.foldLeft(when(lit(false), "und")) { case (acc, (l, _)) =>
+        val others = Markers.map(_._1).filterNot(_ == l)
+          .map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _)
+        acc.when(col(s"n_$l") > 0 && others, l)
+      }.otherwise("und")
+      val cell = scored.withColumn("pred_lang", pred)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = cell.groupBy(col("true_lang"))
+        .agg(sum(col("n")).cast("long").as("n_true"))
+      cell.join(broadcast(tot), Seq("true_lang"))
+        .selectExpr("true_lang", "pred_lang", "n", "n_true",
+          s"${graft.Portable.round6RatioSpark("n", "n_true")} AS share")
+        .orderBy(col("true_lang"), col("pred_lang"))
+    })
+
   // ------------------------------------------------------ fingerprint
   /** Document fingerprinting: md5 content hash + 64-bit-safe
     * polynomial rolling hash over codepoints (h = h*31 + c mod 1e9+7),
@@ -1012,5 +1069,5 @@ object TextAnalysis {
     dupNgramFraction, lengthHistogram, piiScrub, diversity, readability,
     entropy, keyphrases, invertedIndex, tokenizerFertility, noveltyCurve,
     boilerplateFraction, dedupSpansQuery, repetition, collocations,
-    hashFeatures)
+    hashFeatures, langidEval)
 }

@@ -778,4 +778,26 @@ class Round11Spec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == exp, s"got $out expected $exp")
   }
+
+  test("langidEval: confusion cells with closed-form counts, abstentions land in 'und', shares sum to 1 per true lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the fast small thing"),   // en markers → en
+      (2L, "en", "der und nicht text"),     // de markers on an en doc → confusion
+      (3L, "de", "der die und nicht"),      // de → de
+      (4L, "de", "nothing matches here"),   // no markers → und
+      (5L, "fr", "le et les mot"),          // fr → fr
+      (6L, "fr", "le et les mot")
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lid").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = functions.TextAnalysis.langidEval.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("en", "en")) == ((1L, 2L, 0.5)), out.toString)
+    assert(out(("en", "de")) == ((1L, 2L, 0.5)), out.toString)
+    assert(out(("de", "de")) == ((1L, 2L, 0.5)), out.toString)
+    assert(out(("de", "und")) == ((1L, 2L, 0.5)), out.toString)
+    assert(out(("fr", "fr")) == ((2L, 2L, 1.0)), out.toString)
+    assert(out.size == 5, out.toString)
+  }
 }

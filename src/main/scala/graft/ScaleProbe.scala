@@ -237,7 +237,9 @@ object ScaleProbe {
       ("corpus_span_corruption", d => functions.Pipeline.spanCorruptionQ.build(spark, d)),
       ("graph_clustering_coeff", d => operators.Graph.clusteringCoeff.build(spark, d)),
       ("corpus_oov_rate", d => functions.Corpus.oovRate.build(spark, d)),
-      ("text_langid_eval", d => functions.TextAnalysis.langidEval.build(spark, d)))
+      ("text_langid_eval", d => functions.TextAnalysis.langidEval.build(spark, d)),
+      ("q103_dow_anova", d => operators.Insights2.q103.build(spark, d)),
+      ("ml_c2st_drift", d => operators.Analytics.mlC2stDrift.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

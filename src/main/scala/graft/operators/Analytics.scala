@@ -838,6 +838,61 @@ object Analytics {
       rocAucOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
+  // -------------------------------------------------- C2ST drift test
+  /** The C2ST time-split cut (lineitem ship-date median at the gate
+    * corpus) and the AUC band read as "no distribution shift" — both
+    * LITERALS shared with the oracle. */
+  val C2stCutDate = "1998-05-24"
+  val C2stAucBand = 0.05
+
+  /** ml_c2st_drift: classifier two-sample drift test (Lopez-Paz &
+    * Oquab, "Revisiting Classifier Two-Sample Tests", ICLR 2017 — THE
+    * practical covariate-shift detector: label each row with which
+    * HALF it came from, train a cheap classifier on the features, and
+    * read its held-in AUC; AUC ≈ ½ means the feature distribution is
+    * indistinguishable across halves, AUC above the band means drift a
+    * monitoring pipeline must investigate before retraining): rows
+    * split at the LITERAL ship-date cut, the SAME 3-round distributed
+    * GD machinery trains on (quantity, discount) with the time-split
+    * label ([[logregCtesFor]] — the training ladder is
+    * label-agnostic), and the readout is the exact Mann–Whitney
+    * ROC-AUC ([[rocAucOfScores]]: value-grain collapse, two-level
+    * range-partition scan, NO global sort). Verdict
+    * |AUC − ½| > [[C2stAucBand]] against exact-operand doubles.
+    * ONE corpus scan per GD round + one scoring scan — the bounded
+    * drift-monitor shape at any corpus size. */
+  lazy val mlC2stDrift: QueryDef = QueryDef(
+    "ml_c2st_drift",
+    Some {
+      val ySql = s"CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$C2stCutDate' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+      val sb = new StringBuilder(logregCtesFor(ySql, GdRounds))
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        zz AS (SELECT (wa + wb * x1 + wc * x2) AS z, y FROM b, w6),
+        vg AS (SELECT z, CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS q
+          FROM zz GROUP BY z),
+        cum AS (SELECT z, p, q,
+            CAST(sum(q) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lq FROM vg),
+        cn AS (SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+            CAST(count(*) AS BIGINT) AS n_values FROM vg),
+        uu AS (SELECT CAST(sum(CAST(p AS DECIMAL(19,0)) * (2 * (lq - q) + q)) AS DECIMAL(38,0)) AS u2 FROM cum)
+        SELECT n1, n0, n_values,
+          CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc_roc,
+          CAST(CASE WHEN abs(CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 0.5) > $C2stAucBand THEN 1 ELSE 0 END AS BIGINT) AS drift
+        FROM cn, uu""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(Tables.lineitem(s, d).selectExpr(
+        "l_quantity AS x1", "l_discount AS x2",
+        s"CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$C2stCutDate' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y"))
+      rocAucOfScores(scoreWith(b, logregWeights6(b)))
+        .selectExpr("n1", "n0", "n_values", "auc_roc",
+          s"CAST(CASE WHEN abs(auc_roc - 0.5) > $C2stAucBand THEN 1 ELSE 0 END AS BIGINT) AS drift")
+        .localCheckpoint(true)
+    })
+
   // ---------------------------------------------- average precision
   /** Exact average precision over a scored (z, y) frame — the
     * threshold-sum form (Σ over DISTINCT score thresholds of
@@ -2487,9 +2542,17 @@ object Analytics {
   /** Oracle CTE block `b / nn / w0..wR` for the GD loop — shared by
     * the ml_logreg_gd and ml_threshold_sweep gates so both verify the
     * SAME unrolled training. */
-  private def logregCtes(rounds: Int): String = {
-    val base = """b AS (SELECT l_quantity AS x1, l_discount AS x2,
-          CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  private def logregCtes(rounds: Int): String = logregCtesFor(
+    """CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END""",
+    rounds)
+
+  /** [[logregCtes]] with a caller-supplied label expression over
+    * lineitem — the unrolled training ladder is label-agnostic, and
+    * the C2ST gate trains on a TIME-SPLIT label instead of the
+    * returnflag one. */
+  private def logregCtesFor(ySql: String, rounds: Int): String = {
+    val base = s"""b AS (SELECT l_quantity AS x1, l_discount AS x2,
+          $ySql AS y
         FROM lineitem),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
         w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wc)"""
@@ -3301,5 +3364,5 @@ object Analytics {
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
     mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration,
-    mlCochranQ, mlSpearmanCorr)
+    mlCochranQ, mlSpearmanCorr, mlC2stDrift)
 }

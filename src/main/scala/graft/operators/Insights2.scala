@@ -1849,7 +1849,111 @@ object Insights2 {
         .localCheckpoint(true)
     })
 
+  // -------------------------------------------- q103 weekday ANOVA
+  /** Portable Sunday=0 day-of-week of a DATE: epoch-day integer + a
+    * week-multiple offset (so truncation is floor pre-1970) + 4, mod
+    * 7 — the q66 idiom at DATE grain. */
+  private val DowOffsetDays = 7L * 400000L
+
+  /** One-way ANOVA F readout fragments over the PIVOTED per-dow
+    * sums/counts (s0..s6, n0..n6) and per-type totals (n_days, s,
+    * ss): between/within sums of squares from the standard identity
+    * SSB = Σ S_g²/n_g − S²/n, SSW = Σx² − Σ S_g²/n_g — each Σ a FIXED
+    * left-to-right IEEE tree over exact integers (the q102 pivot
+    * discipline: cross-row IEEE sums are merge-order-dependent). */
+  private val anGroupSq = (0 to 6).map(g =>
+    s"(CASE WHEN n$g > 0 THEN (CAST(s$g AS DOUBLE) * CAST(s$g AS DOUBLE)) / CAST(n$g AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)")
+    .mkString("(", " + ", ")")
+  private val anK = (0 to 6).map(g => s"(CASE WHEN n$g > 0 THEN 1 ELSE 0 END)")
+    .mkString("(", " + ", ")")
+  private val anSsb = s"($anGroupSq - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_days AS DOUBLE))"
+  private val anSsw = s"(CAST(ss AS DOUBLE) - $anGroupSq)"
+  private val anFSql =
+    s"""CASE WHEN $anK >= 2 AND n_days > $anK AND $anSsw > 0
+        THEN ($anSsb / CAST($anK - 1 AS DOUBLE)) / ($anSsw / CAST(n_days - $anK AS DOUBLE)) END"""
+  /** Verdict only where the LITERAL F(6,120) = 2.175 cut applies —
+    * full 7-dow design with df2 ≥ 120; the critical value DECREASES
+    * in df2, so using the 120 literal for any larger df2 is
+    * CONSERVATIVE. Elsewhere NULL, never a fake verdict. */
+  private val anVerdictSql =
+    """CASE WHEN f_stat IS NULL OR k_groups <> 7 OR df2 < 120 THEN CAST(NULL AS BIGINT)
+        WHEN f_stat > 2.175 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+
+  /** q103: one-way weekday ANOVA per series — the DAY-level companion
+    * to [[graft.operators.Analytics.q66]]'s event-level χ² (χ² asks
+    * "are event counts uniform across dows?" treating every event as
+    * a draw; ANOVA treats DAYS as replicates and asks whether the
+    * per-dow mean daily volume differs RELATIVE to day-to-day noise —
+    * a series can fail χ² on sheer n while its daily means are
+    * indistinguishable, and vice versa). Daily counts over the
+    * zero-filled calendar (q94 discipline) group by the portable
+    * Sunday=0 dow; per-group sums PIVOT to columns so SSB/SSW are
+    * fixed IEEE trees over exact integers; F one readout expression.
+    *
+    * 100 TB: ONE (type, day) count aggregate; everything after at
+    * (type × 7)-grain. */
+  def dowAnova(ev: DataFrame): DataFrame =
+    graft.CacheScope.withScope { implicit scope =>
+      val dd = ev.groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val cal = dd.groupBy(col("event_type"))
+        .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+        .select(col("event_type"),
+          explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+      val fl = scope.persist(cal.join(dd, Seq("event_type", "d"), "left")
+        .select(col("event_type"),
+          expr(s"(CAST(datediff(d, DATE '1970-01-01') AS BIGINT) + $DowOffsetDays + 4) % 7").as("dow"),
+          coalesce(col("c"), lit(0L)).as("x")))
+      val byDow = fl.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).cast(LongType).as("ng"), sum(col("x")).cast(LongType).as("sg"))
+      val pivotAggs =
+        (0 to 6).map(g => sum(when(col("dow") === g, col("ng")).otherwise(0L))
+          .cast(LongType).as(s"n$g")) ++
+        (0 to 6).map(g => sum(when(col("dow") === g, col("sg")).otherwise(0L))
+          .cast(LongType).as(s"s$g"))
+      val pv = byDow.groupBy(col("event_type")).agg(pivotAggs.head, pivotAggs.tail: _*)
+      val tt = fl.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          sum(col("x")).cast(LongType).as("s"),
+          sum(expr("CAST(x AS DECIMAL(19,0)) * x")).cast(DecimalType(38, 0)).as("ss"))
+      tt.join(broadcast(pv), Seq("event_type"))
+        .selectExpr("event_type", "n_days", s"$anK AS k_groups",
+          s"$anFSql AS f_stat", s"$anK - 1 AS df1", s"n_days - $anK AS df2")
+        .selectExpr("event_type", "n_days", "k_groups", "f_stat", "df1", "df2",
+          s"$anVerdictSql AS significant")
+        .orderBy(col("event_type"))
+    }
+
+  val q103 = QueryDef(
+    "q103_dow_anova",
+    Some(s"""WITH dd AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS dmin, max(d) AS dmax FROM dd GROUP BY 1),
+      cal AS (SELECT sp.event_type, CAST(g.d0 AS DATE) AS d
+        FROM sp, unnest(generate_series(CAST(sp.dmin AS TIMESTAMP), CAST(sp.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d0)),
+      fl AS (SELECT cal.event_type,
+          (CAST(cal.d - DATE '1970-01-01' AS BIGINT) + $DowOffsetDays + 4) % 7 AS dow,
+          coalesce(dd.c, CAST(0 AS BIGINT)) AS x
+        FROM cal LEFT JOIN dd ON cal.event_type = dd.event_type AND cal.d = dd.d),
+      bd AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS ng,
+          CAST(sum(x) AS BIGINT) AS sg FROM fl GROUP BY 1, 2),
+      pv AS (SELECT event_type,
+          ${(0 to 6).map(g => s"CAST(sum(CASE WHEN dow = $g THEN ng ELSE 0 END) AS BIGINT) AS n$g").mkString(",\n          ")},
+          ${(0 to 6).map(g => s"CAST(sum(CASE WHEN dow = $g THEN sg ELSE 0 END) AS BIGINT) AS s$g").mkString(",\n          ")}
+        FROM bd GROUP BY 1),
+      tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(x) AS BIGINT) AS s, CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM fl GROUP BY 1),
+      rd AS (SELECT tt.event_type, n_days, $anK AS k_groups,
+          $anFSql AS f_stat, $anK - 1 AS df1, n_days - $anK AS df2
+        FROM tt JOIN pv ON tt.event_type = pv.event_type)
+      SELECT event_type, n_days, k_groups, f_stat, df1, df2,
+        $anVerdictSql AS significant
+      FROM rd ORDER BY event_type"""),
+    (s, d) => dowAnova(Tables.events(s, d).select(col("event_type"), col("ts"))))
+
   val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, pipelineTrendPanel, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102)
+    q101, q102, q103)
 }

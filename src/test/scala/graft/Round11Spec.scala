@@ -800,4 +800,53 @@ class Round11Spec extends AnyFunSuite {
     assert(out(("fr", "fr")) == ((2L, 2L, 1.0)), out.toString)
     assert(out.size == 5, out.toString)
   }
+
+  test("dowAnova: replicated IEEE fold over a two-week design, single-day groups give NULL F, short designs give NULL verdict") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def series(tpe: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((tpe, t(i + 1))) }
+    // 2024-01-01 is a MONDAY (dow 1). 'a': two full weeks, Mondays
+    // hot (10, 12), every other dow (1, 2) — within-group variance
+    // real, k = 7, df2 = 7 (< 120 → NULL verdict, F non-NULL)
+    val aCounts = (0 until 14).map(i => if (i % 7 == 0) Seq(10, 12)(i / 7) else Seq(1, 2)(i / 7))
+    // 'b': single week Mon..Sat (6 days) → every group has ONE day →
+    // SSW = 0 → F NULL
+    val ev = (series("a", aCounts) ++ series("b", Seq(3, 1, 4, 1, 5, 9)))
+      .toDF("event_type", "ts")
+    val out = operators.Insights2.dowAnova(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert((a.getLong(1), a.getInt(2), a.getInt(4), a.getLong(5)) ==
+      ((14L, 7, 6, 7L)), a.toString)
+    // replicate the exact fold: group terms in dow order 0..6
+    val dowOf = (i: Int) => (i + 1) % 7 // day i (0-based from Monday): Mon=1..Sun=0 cycle
+    val groups = (0 until 14).groupBy(dowOf).map { case (g, is) =>
+      g -> is.map(aCounts) }
+    val gsq = (0 to 6).map(g => groups.get(g).map(xs =>
+      (xs.sum.toDouble * xs.sum.toDouble) / xs.size.toDouble).getOrElse(0.0)).reduceLeft(_ + _)
+    val s = aCounts.sum.toDouble
+    val ss = aCounts.map(x => x.toLong * x).sum.toDouble
+    val ssb = gsq - (s * s) / 14.0
+    val ssw = ss - gsq
+    val expF = (ssb / 6.0) / (ssw / 7.0)
+    assert(a.getDouble(3) == expF, s"${a.getDouble(3)} vs $expF")
+    assert(a.isNullAt(6), "df2 < 120 must yield a NULL verdict, not a fake one")
+    val b = out("b")
+    assert(b.getInt(2) == 6 && b.isNullAt(3) && b.isNullAt(6), b.toString)
+  }
+
+  test("c2st drift verdict: separable halves flag drift, tied halves do not") {
+    import spark.implicits._
+    def verdict(zz: org.apache.spark.sql.DataFrame) = CacheScope.withScope { implicit s =>
+      operators.Analytics.rocAucOfScores(zz)
+        .selectExpr("auc_roc",
+          s"CAST(CASE WHEN abs(auc_roc - 0.5) > ${operators.Analytics.C2stAucBand} THEN 1 ELSE 0 END AS BIGINT) AS drift")
+        .collect().head
+    }
+    val sep = verdict(Seq((2.0, 1.0), (3.0, 1.0), (-1.0, 0.0), (-2.0, 0.0)).toDF("z", "y"))
+    assert(sep.getDouble(0) == 1.0 && sep.getLong(1) == 1L, sep.toString)
+    val tie = verdict(Seq((1.0, 1.0), (1.0, 0.0), (2.0, 1.0), (2.0, 0.0)).toDF("z", "y"))
+    assert(tie.getDouble(0) == 0.5 && tie.getLong(1) == 0L, tie.toString)
+  }
 }

@@ -600,6 +600,36 @@ object Streams {
         (col("n_new").cast("double") / col("n_shingles")).as("novelty_rate"))
   }
 
+  /** Streaming OOV-rate monitor (r11 cont.) — the ingest twin of the
+    * batch `corpus_oov_rate`: a feed whose out-of-vocabulary rate
+    * climbs against the PUBLISHED training vocabulary is drifting
+    * away from what the tokenizer/model was built on (new language,
+    * new domain, encoding breakage) — the text-side analog of
+    * [[psiStream]]'s score drift. Per closed 1-hour window: tokens
+    * explode (per-row codegen), the vocab joins as a STREAM–STATIC
+    * left join on the token (the `corpusShingleTable` refresh
+    * contract — the static side is the batch plane's published
+    * vocab, re-snapshotted on retrain), and ONE windowed
+    * map-combinable aggregate emits token/OOV counts + the exact
+    * integer 6-dp rate on close. Unlike [[noveltyStream]] this counts
+    * OCCURRENCES, not distinct types — rate spikes weighted by volume,
+    * no per-window dedup state. */
+  def oovStream(docs: DataFrame, vocab: DataFrame,
+      tsCol: String = "ts", textCol: String = "text",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(split(graft.Portable.normText(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(vocab.select(col("tok"), lit(1L).as("hit")), Seq("tok"), "left")
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .select(col("w.start").as("window_start"), col("n_tokens"), col("n_oov"))
+      .withColumn("oov_rate",
+        expr(graft.Portable.round6RatioSpark("n_oov", "n_tokens")))
+
   def binnedDriftStream(events: DataFrame, refRange: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

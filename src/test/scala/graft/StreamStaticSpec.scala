@@ -88,4 +88,48 @@ class StreamStaticSpec extends AnyFunSuite {
     rows.foreach { case (w, (n, nn, _)) =>
       assert(batch(w) == ((n, nn)), s"batch parity broke at $w: ${batch(w)} vs ($n, $nn)") }
   }
+
+  test("oovStream: occurrence-weighted OOV rate vs the published vocab, counts merge across microbatches, batch parity (r11)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-oov-in").toString
+    val vocab = Seq("alpha", "beta").toDF("tok").localCheckpoint(true)
+    // window 10:00 split across two microbatches: occurrences
+    // {alpha, beta, zork, zork, alpha} → 5 tokens, 2 OOV (zork twice —
+    // occurrence-weighted, NOT distinct); window 11: all in-vocab
+    val b1 = Seq((1L, ts("2024-01-01 10:05:00"), "alpha beta zork"))
+    val b2 = Seq(
+      (2L, ts("2024-01-01 10:40:00"), "zork alpha"),
+      (3L, ts("2024-01-01 11:10:00"), "beta beta"))
+    val b3 = Seq((9L, ts("2024-01-01 20:00:00"), "alpha"))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "ts", "text").coalesce(1).write.parquet(f"$in/b$i%03d")
+    }
+    val stream = spark.readStream
+      .schema(Seq((0L, ts("2024-01-01 00:00:00"), "")).toDF("doc_id", "ts", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = Streams.oovStream(stream, vocab)
+      .writeStream.format("memory").queryName("oov_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("oov_out")
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("2024-01-01 10:00:00.0") == ((5L, 2L, 0.4)), rows.toString)
+    assert(rows("2024-01-01 11:00:00.0") == ((2L, 0L, 0.0)), rows.toString)
+    assert(!rows.contains("2024-01-01 20:00:00.0"), "open window must not emit")
+    // batch parity over the closed windows' rows
+    val all = (b1 ++ b2).toDF("doc_id", "ts", "text")
+    val batch = all
+      .select(col("ts"), explode(split(graft.Portable.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(vocab.select(col("tok"), lit(1L).as("hit")), Seq("tok"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).cast("long").as("o"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    for ((w, (n, o, _)) <- rows)
+      assert(batch(w) == ((n, o)), s"batch parity broke at $w")
+  }
 }

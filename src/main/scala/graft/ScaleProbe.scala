@@ -239,7 +239,9 @@ object ScaleProbe {
       ("corpus_oov_rate", d => functions.Corpus.oovRate.build(spark, d)),
       ("text_langid_eval", d => functions.TextAnalysis.langidEval.build(spark, d)),
       ("q103_dow_anova", d => operators.Insights2.q103.build(spark, d)),
-      ("ml_c2st_drift", d => operators.Analytics.mlC2stDrift.build(spark, d)))
+      ("ml_c2st_drift", d => operators.Analytics.mlC2stDrift.build(spark, d)),
+      ("ml_wilcoxon_signed_rank", d => operators.Analytics.mlWilcoxonSignedRank.build(spark, d)),
+      ("ml_threshold_cost_opt", d => operators.Analytics.mlThresholdCostOpt.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -1601,6 +1601,106 @@ object Analytics {
           "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
     })
 
+  // ------------------------------------------ Wilcoxon signed rank
+  /** Wilcoxon readout fragments over (w2 = 2·W⁺ exact, n, var48 =
+    * 48·Var exact) — the SAME strings in both engines; the z tree is
+    * IEEE over exact operands (sqrt/division correctly rounded →
+    * bit-identical, surfaced unrounded). */
+  private val wilcoxonZSql =
+    """CASE WHEN var48 > 0
+       THEN (CAST(w2 AS DOUBLE) / 2.0 - CAST(n_nonzero AS DOUBLE) * CAST(n_nonzero + 1 AS DOUBLE) / 4.0)
+          / sqrt(CAST(var48 AS DOUBLE) / 48.0) END"""
+  private val wilcoxonVerdictSql =
+    "CASE WHEN z_stat IS NULL THEN CAST(NULL AS BIGINT) WHEN abs(z_stat) > 1.96 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+  /** Wilcoxon signed-rank test over two scored margin columns
+    * (za, zb) — the NONPARAMETRIC paired location test completing the
+    * comparison family ([[mcnemarOfScores]] compares decisions,
+    * [[kappaOfScores]]/[[spearmanOfScores]] size agreement, this asks
+    * whether one model's MARGINS sit systematically above the other's
+    * without assuming normal differences — Wilcoxon 1945, the
+    * paired-t-test replacement every stats stack ships): zero
+    * differences drop (the standard `wilcox` treatment), |d| midranks
+    * come from the value-grain two-level range-partition scan (the
+    * [[rocAucOfScores]] shape — NO global sort), 2·W⁺ folds as
+    * DECIMAL(19,0)×BIGINT products in DECIMAL(38,0) (merge-order
+    * free), the tie-corrected 48·Var = 2n(n+1)(2n+1) − Σ(t³−t) rides
+    * wide integers, and z is one IEEE tree over exacts vs the LITERAL
+    * 1.96. Normal approximation — documented; fine for the n ≥ 50
+    * regime every gate here runs in, NULL on all-tied input. */
+  def wilcoxonOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val vg = zz.selectExpr("za - zb AS dv").filter("dv <> 0")
+      .groupBy(expr("abs(dv)").as("a"))
+      .agg(sum(when(col("dv") > 0, 1L).otherwise(0L)).cast(LongType).as("p"),
+        count(lit(1)).cast(LongType).as("t"))
+    val ranked = scope.persist(vg
+      .repartitionByRange(col("a"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lt", sum(col("t")).over(
+        Window.partitionBy(col("pid")).orderBy(col("a"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg(max(col("lt")).as("pt"))
+      .select(col("pid"), coalesce(sum(col("pt")).over(wo), lit(0L)).as("base"))
+    ranked.join(broadcast(offsets), Seq("pid"))
+      .agg(
+        sum(col("t")).cast(LongType).as("n_nonzero"),
+        sum(expr("CAST(p AS DECIMAL(19,0)) * (2 * (base + lt - t) + t + 1)"))
+          .cast(DecimalType(38, 0)).as("w2"),
+        sum(expr("CAST(t AS DECIMAL(19,0)) * t * t - t")).cast(DecimalType(38, 0)).as("tiesum"))
+      .selectExpr("n_nonzero", "CAST(w2 AS DOUBLE) / 2.0 AS w_plus", "w2",
+        "2 * CAST(n_nonzero AS DECIMAL(38,0)) * (n_nonzero + 1) * (2 * n_nonzero + 1) - tiesum AS var48")
+      .selectExpr("n_nonzero", "w_plus", s"$wilcoxonZSql AS z_stat")
+      .selectExpr("n_nonzero", "w_plus", "z_stat",
+        s"$wilcoxonVerdictSql AS significant")
+  }
+
+  /** ml_wilcoxon_signed_rank: Wilcoxon signed-rank between the gate's
+    * 3-round and 2-round GD margins — same paired frame as the
+    * McNemar/kappa/Spearman siblings, read at margin-location grain.
+    * (lazy — see [[mlCalibration]].) */
+  lazy val mlWilcoxonSignedRank: QueryDef = QueryDef(
+    "ml_wilcoxon_signed_rank",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        dd AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) - (wa2 + wb2 * x1 + wc2 * x2) AS dv
+          FROM b, w6a, w6b),
+        nz AS (SELECT dv FROM dd WHERE dv <> 0),
+        vg AS (SELECT abs(dv) AS a,
+            CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(count(*) AS BIGINT) AS t
+          FROM nz GROUP BY abs(dv)),
+        cum AS (SELECT a, p, t,
+            CAST(sum(t) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lt FROM vg),
+        ag AS (SELECT CAST(sum(t) AS BIGINT) AS n_nonzero,
+            CAST(sum(CAST(p AS HUGEINT) * (2 * (lt - t) + t + 1)) AS HUGEINT) AS w2,
+            CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tiesum
+          FROM cum),
+        rd AS (SELECT n_nonzero, CAST(w2 AS DOUBLE) / 2.0 AS w_plus, w2,
+            2 * CAST(n_nonzero AS HUGEINT) * (n_nonzero + 1) * (2 * n_nonzero + 1) - tiesum AS var48
+          FROM ag),
+        zz2 AS (SELECT n_nonzero, w_plus, $wilcoxonZSql AS z_stat FROM rd)
+        SELECT n_nonzero, w_plus, z_stat, $wilcoxonVerdictSql AS significant
+        FROM zz2""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b)
+        .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      wilcoxonOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
+        .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+          "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
+    })
+
   // -------------------------------------------- Hosmer–Lemeshow test
   /** χ² critical values at α = 0.05 for df = 1..8, as a shared CASE
     * over the LITERALS (evaluating the chi-square quantile cross-
@@ -3000,6 +3100,66 @@ object Analytics {
       sweepOfScores(scoreWith(b, logregWeights6(b)))
     })
 
+  // ------------------------------------------- cost-optimal threshold
+  /** Business error costs (false-positive, false-negative) — LITERALS
+    * shared with the oracle; asymmetric (a miss costs 5× a false
+    * alarm), the shape that moves the operating point off 0.5. */
+  val CostFp = 1L
+  val CostFn = 5L
+
+  /** Cost-optimal operating point over a scored (z, y) frame — the
+    * decision [[sweepOfScores]]'s grid exists FOR (a threshold sweep
+    * is only an intermediate; production picks the point minimizing
+    * expected cost under the business's asymmetric error prices —
+    * Elkan 2001, "The Foundations of Cost-Sensitive Learning"): per
+    * grid threshold, cost = [[CostFp]]·fp + [[CostFn]]·fn in exact
+    * BIGINTs, the argmin row flagged with the deterministic lowest-t
+    * tiebreak. Grid algebra at 9-row grain past the ONE sweep scan. */
+  def costOptOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val grid = sweepOfScores(zz)
+      .selectExpr("t", "tp", "fp", "fn", s"$CostFp * fp + $CostFn * fn AS cost")
+      .localCheckpoint(true) // 9 rows feed the argmin and the output
+    val best = grid.agg(min(col("cost")).as("min_cost"))
+    val bestT = grid.crossJoin(broadcast(best))
+      .filter(col("cost") === col("min_cost"))
+      .agg(min(col("t")).as("best_t"))
+    grid.crossJoin(broadcast(bestT))
+      .selectExpr("t", "tp", "fp", "fn", "cost",
+        "CAST(CASE WHEN t = best_t THEN 1 ELSE 0 END AS BIGINT) AS is_best")
+      .orderBy(col("t"))
+  }
+
+  /** ml_threshold_cost_opt: the cost-optimal operating point for the
+    * GD classifier under the published asymmetric costs — same
+    * training chain and logit-edge grid as [[mlThresholdSweep]].
+    * (lazy — see [[mlCalibration]].) */
+  lazy val mlThresholdCostOpt: QueryDef = QueryDef(
+    "ml_threshold_cost_opt",
+    Some {
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      val edges = calibEdges.map(e => s"CAST($e AS DOUBLE)").mkString("[", ", ", "]")
+      sb.append(s""",
+        ${w6Cte(GdRounds)},
+        th AS (SELECT CAST(i AS DOUBLE) / 10 AS t, $edges[i] AS e FROM (SELECT unnest(range(1, 10)) AS i)),
+        sc AS (SELECT th.t,
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > th.e AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN (wa + wb * x1 + wc * x2) > th.e AND y < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT ((wa + wb * x1 + wc * x2) > th.e) AND y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM b, w6, th GROUP BY th.t),
+        cg AS (SELECT t, tp, fp, fn, $CostFp * fp + $CostFn * fn AS cost FROM sc),
+        mn AS (SELECT min(cost) AS min_cost FROM cg),
+        bt AS (SELECT min(t) AS best_t FROM cg, mn WHERE cg.cost = mn.min_cost)
+        SELECT t, tp, fp, fn, cost,
+          CAST(CASE WHEN t = best_t THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        FROM cg, bt ORDER BY t""")
+      sb.toString
+    },
+    (s, d) => {
+      val b = mlFeatures(s, d)
+      costOptOfScores(scoreWith(b, logregWeights6(b)))
+    })
+
   // ----------------------------------------------------------- q65
   /** q65: week-over-week change report — the KPI-dashboard staple
     * (volume and value deltas per event type): one map-combinable
@@ -3364,5 +3524,6 @@ object Analytics {
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
     mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration,
-    mlCochranQ, mlSpearmanCorr, mlC2stDrift)
+    mlCochranQ, mlSpearmanCorr, mlC2stDrift, mlWilcoxonSignedRank,
+    mlThresholdCostOpt)
 }

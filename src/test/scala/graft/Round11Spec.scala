@@ -849,4 +849,43 @@ class Round11Spec extends AnyFunSuite {
     val tie = verdict(Seq((1.0, 1.0), (1.0, 0.0), (2.0, 1.0), (2.0, 0.0)).toDF("z", "y"))
     assert(tie.getDouble(0) == 0.5 && tie.getLong(1) == 0L, tie.toString)
   }
+
+  test("wilcoxonOfScores: midrank-tied closed form, zero differences drop, all-positive rejects, all-tied is NULL") {
+    import spark.implicits._
+    def wx(rows: Seq[(Double, Double)]) = CacheScope.withScope { implicit s =>
+      operators.Analytics.wilcoxonOfScores(rows.toDF("za", "zb")).collect().head
+    }
+    // d = {+2, +2, −1, +3, 0}: the zero drops; ranks of |d| 1,2,2,3 are
+    // 1, 2.5, 2.5, 4 → W⁺ = 9; 48·Var = 2·4·5·9 − (2³−2) = 354
+    val r = wx(Seq((3.0, 1.0), (5.0, 3.0), (1.0, 2.0), (4.0, 1.0), (2.0, 2.0)))
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 9.0, r.toString)
+    assert(r.getDouble(2) ==
+      (18.0 / 2.0 - 4.0 * 5.0 / 4.0) / math.sqrt(354.0 / 48.0), r.toString)
+    assert(r.getLong(3) == 0L, r.toString)
+    // all differences positive and distinct (1..10): W⁺ = 55, z ≈ 2.80
+    val s = wx((1 to 10).map(i => (i * 2.0 + i, i * 2.0))) // d = i
+    assert(s.getDouble(1) == 55.0, s.toString)
+    assert(s.getDouble(2) == (110.0 / 2.0 - 10.0 * 11.0 / 4.0) / math.sqrt(4620.0 / 48.0), s.toString)
+    assert(s.getLong(3) == 1L, s.toString)
+    // identical margins: nothing to rank → NULL, not 0
+    val t = wx(Seq((1.0, 1.0), (2.0, 2.0)))
+    assert(t.isNullAt(2) && t.isNullAt(3), t.toString)
+  }
+
+  test("costOptOfScores: asymmetric costs move the operating point, argmin tiebreaks to the lowest threshold") {
+    import spark.implicits._
+    // z = 5 (above every edge, y = 1), z = −5 (below every edge, y = 0),
+    // z = 0 (positive for t ≤ 0.4 — logit(0.5) = 0 is NOT exceeded, y = 1):
+    // cost 0 for t ≤ 0.4, cost CostFn for t ≥ 0.5 → best = 0.1 by tiebreak
+    val zz = Seq((5.0, 1.0), (-5.0, 0.0), (0.0, 1.0)).toDF("z", "y")
+    val out = CacheScope.withScope { implicit s =>
+      operators.Analytics.costOptOfScores(zz).collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    }
+    for (t <- Seq(0.1, 0.2, 0.3, 0.4))
+      assert(out(t) == (((0L, if (t == 0.1) 1L else 0L))), s"$t: ${out(t)}")
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      assert(out(t) == ((operators.Analytics.CostFn, 0L)), s"$t: ${out(t)}")
+    assert(out.values.map(_._2).sum == 1L, "exactly one operating point")
+  }
 }

@@ -1601,6 +1601,140 @@ object Analytics {
           "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
     })
 
+  // ------------------------------------------ composed model compare
+  /** pipeline_model_compare: the composed PAIRED-COMPARISON suite —
+    * the sibling of [[pipelineMlScorecard]] for the model-vs-model
+    * decision (scorecard answers "how good is THIS model?", this
+    * answers "is the NEW model actually different/better than the one
+    * serving?"): each candidate trains ONCE ([[logregWeights6]] at 3,
+    * 2, and 1 rounds — three models, three training passes), ONE
+    * persisted scored frame (za, zb, zc, y) feeds ALL FIVE readouts —
+    * McNemar (decision pair), Cohen's κ (pair agreement), Cochran's Q
+    * (k = 3 omnibus), Spearman ρ (ranking agreement), Wilcoxon
+    * signed-rank (margin location) — as one long-format
+    * (metric, value) report. The self-contained singles each retrain
+    * by gate-isolation design; this is the production
+    * train-once/score-once/compare-everything shape, bench target ≈
+    * one single's cost for five readouts. Every surfaced value is the
+    * SAME expression tree as its single. */
+  lazy val pipelineModelCompare: QueryDef = QueryDef(
+    "pipeline_model_compare",
+    Some {
+      def c(z: String) = s"(CASE WHEN (($z > 0) = (y > 0.5)) THEN 1 ELSE 0 END)"
+      val l = s"(${c("za")} + ${c("zb")} + ${c("zc")})"
+      val sb = new StringBuilder(logregCtes(GdRounds))
+      sb.append(s""",
+        w6a AS (SELECT round(wa, 6) AS wa3, round(wb, 6) AS wb3, round(wc, 6) AS wc3 FROM w$GdRounds),
+        w6b AS (SELECT round(wa, 6) AS wa2, round(wb, 6) AS wb2, round(wc, 6) AS wc2 FROM w${GdRounds - 1}),
+        w6c AS (SELECT round(wa, 6) AS wa1, round(wb, 6) AS wb1, round(wc, 6) AS wc1 FROM w${GdRounds - 2}),
+        zz AS (SELECT (wa3 + wb3 * x1 + wc3 * x2) AS za,
+            (wa2 + wb2 * x1 + wc2 * x2) AS zb,
+            (wa1 + wb1 * x1 + wc1 * x2) AS zc, y FROM b, w6a, w6b, w6c),
+        mcc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN NOT ((za > 0) = (y > 0.5)) AND ((zb > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN ((za > 0) = (y > 0.5)) AND NOT ((zb > 0) = (y > 0.5)) THEN 1 ELSE 0 END) AS BIGINT) AS n10
+          FROM zz),
+        mcs AS (SELECT n_pairs,
+            CASE WHEN n01 + n10 > 0 THEN CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS mcnemar_stat
+          FROM mcc),
+        kcc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN za > 0 AND zb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN za > 0 AND NOT (zb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN NOT (za > 0) AND zb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN NOT (za > 0) AND NOT (zb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM zz),
+        kps AS (SELECT ${kappaReadoutSql.mkString(", ")} FROM kcc),
+        qcc AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(${c("za")}) AS BIGINT) AS ga,
+            CAST(sum(${c("zb")}) AS BIGINT) AS gb,
+            CAST(sum(${c("zc")}) AS BIGINT) AS gc,
+            CAST(sum($l) AS BIGINT) AS sum_l,
+            CAST(sum($l * $l) AS BIGINT) AS sum_l2
+          FROM zz),
+        qs AS (SELECT ${cochranReadoutSql.head} FROM qcc),
+        ug AS (SELECT za, CAST(count(*) AS BIGINT) AS cnt FROM zz GROUP BY za),
+        ur AS (SELECT za, CAST(2 * (CAST(sum(cnt) OVER (ORDER BY za ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1 AS DOUBLE)
+            / (2.0 * CAST((SELECT sum(cnt) FROM ug) AS DOUBLE)) AS u FROM ug),
+        vg2 AS (SELECT zb, CAST(count(*) AS BIGINT) AS cnt FROM zz GROUP BY zb),
+        vr AS (SELECT zb, CAST(2 * (CAST(sum(cnt) OVER (ORDER BY zb ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1 AS DOUBLE)
+            / (2.0 * CAST((SELECT sum(cnt) FROM vg2) AS DOUBLE)) AS v FROM vg2),
+        sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(u, 12) AS DECIMAL(28,12))) AS su,
+            sum(CAST(round(v, 12) AS DECIMAL(28,12))) AS sv,
+            sum(CAST(round(u * v, 12) AS DECIMAL(28,12))) AS suv,
+            sum(CAST(round(u * u, 12) AS DECIMAL(28,12))) AS su2,
+            sum(CAST(round(v * v, 12) AS DECIMAL(28,12))) AS sv2
+          FROM zz JOIN ur ON zz.za = ur.za JOIN vr ON zz.zb = vr.zb),
+        sps AS (SELECT CASE WHEN (CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) END AS rho
+          FROM sm),
+        wnz AS (SELECT za - zb AS dv FROM zz WHERE za - zb <> 0),
+        wvg AS (SELECT abs(dv) AS a,
+            CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(count(*) AS BIGINT) AS t
+          FROM wnz GROUP BY abs(dv)),
+        wcum AS (SELECT a, p, t,
+            CAST(sum(t) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lt FROM wvg),
+        wag AS (SELECT CAST(sum(t) AS BIGINT) AS n_nonzero,
+            CAST(sum(CAST(p AS HUGEINT) * (2 * (lt - t) + t + 1)) AS HUGEINT) AS w2,
+            CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tiesum
+          FROM wcum),
+        wrd AS (SELECT n_nonzero, CAST(w2 AS DOUBLE) / 2.0 AS w_plus, w2,
+            2 * CAST(n_nonzero AS HUGEINT) * (n_nonzero + 1) * (2 * n_nonzero + 1) - tiesum AS var48
+          FROM wag),
+        wzz AS (SELECT n_nonzero, $wilcoxonZSql AS z_stat FROM wrd)
+        SELECT metric, value FROM (
+          SELECT 'n' AS metric, CAST(n_pairs AS DOUBLE) AS value FROM mcs
+          UNION ALL SELECT 'mcnemar_stat', mcnemar_stat FROM mcs
+          UNION ALL SELECT 'kappa_po', po FROM kps
+          UNION ALL SELECT 'kappa_pe', pe FROM kps
+          UNION ALL SELECT 'kappa', kappa FROM kps
+          UNION ALL SELECT 'cochran_q', q_stat FROM qs
+          UNION ALL SELECT 'spearman_rho', rho FROM sps
+          UNION ALL SELECT 'wilcoxon_z', z_stat FROM wzz
+        ) ORDER BY metric""")
+      sb.toString
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      val wA = logregWeights6(b).selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = logregWeights6(b, rounds = GdRounds - 1)
+        .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
+      val wC = logregWeights6(b, rounds = GdRounds - 2)
+        .selectExpr("wa AS wa1", "wb AS wb1", "wc AS wc1")
+      val zz = scope.persist(
+        b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB)).crossJoin(broadcast(wC))
+          .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
+            "(wa2 + wb2 * x1 + wc2 * x2) AS zb",
+            "(wa1 + wb1 * x1 + wc1 * x2) AS zc", "y"))
+      modelCompareOfScores(zz).localCheckpoint(true)
+    })
+
+  /** The composed readout over a persisted (za, zb, zc, y) frame —
+    * every metric the SAME expression tree as its single gate. */
+  def modelCompareOfScores(zz: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    def row(name: String, df: DataFrame, valueExpr: String) =
+      df.selectExpr(s"'$name' AS metric", s"CAST($valueExpr AS DOUBLE) AS value")
+    val mc = mcnemarOfScores(zz.select(col("za"), col("zb"), col("y"))).localCheckpoint(true)
+    val kp = kappaOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
+    val cq = cochranQOfScores(zz).localCheckpoint(true)
+    val sp = spearmanOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
+    val wx = wilcoxonOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
+    row("n", mc, "n_pairs")
+      .unionAll(row("mcnemar_stat", mc, "mcnemar_stat"))
+      .unionAll(row("kappa_po", kp, "po"))
+      .unionAll(row("kappa_pe", kp, "pe"))
+      .unionAll(row("kappa", kp, "kappa"))
+      .unionAll(row("cochran_q", cq, "q_stat"))
+      .unionAll(row("spearman_rho", sp, "rho"))
+      .unionAll(row("wilcoxon_z", wx, "z_stat"))
+      .orderBy(col("metric"))
+  }
+
   // ------------------------------------------ Wilcoxon signed rank
   /** Wilcoxon readout fragments over (w2 = 2·W⁺ exact, n, var48 =
     * 48·Var exact) — the SAME strings in both engines; the z tree is
@@ -3525,5 +3659,5 @@ object Analytics {
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
     mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration,
     mlCochranQ, mlSpearmanCorr, mlC2stDrift, mlWilcoxonSignedRank,
-    mlThresholdCostOpt)
+    mlThresholdCostOpt, pipelineModelCompare)
 }

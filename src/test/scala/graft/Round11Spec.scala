@@ -888,4 +888,35 @@ class Round11Spec extends AnyFunSuite {
       assert(out(t) == ((operators.Analytics.CostFn, 0L)), s"$t: ${out(t)}")
     assert(out.values.map(_._2).sum == 1L, "exactly one operating point")
   }
+
+  test("modelCompareOfScores: every composed metric equals its standalone readout on a planted frame") {
+    import spark.implicits._
+    val A = operators.Analytics
+    // mixed decisions, tied margins, both classes — all readouts live
+    val zz = Seq(
+      (2.0, 1.0, -1.0, 1.0), (1.0, 1.0, 1.0, 1.0), (-1.0, 2.0, 1.0, 0.0),
+      (3.0, -1.0, 2.0, 1.0), (-2.0, -2.0, -1.0, 0.0), (1.0, 3.0, -2.0, 1.0),
+      (2.0, 1.0, 2.0, 0.0), (-1.0, -3.0, 1.0, 1.0), (1.0, 1.0, -1.0, 0.0),
+      (4.0, 2.0, 3.0, 1.0)).toDF("za", "zb", "zc", "y")
+    val composed = CacheScope.withScope { implicit s =>
+      A.modelCompareOfScores(s.persist(zz)).collect()
+        .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    }
+    def single(f: graft.CacheScope => org.apache.spark.sql.DataFrame, c: String) =
+      CacheScope.withScope { implicit s =>
+        val r = f(s).collect().head
+        Option(r.get(r.fieldIndex(c))).map(x => (x: Any) match {
+          case d: Double => d
+          case l: Long => l.toDouble
+        })
+      }
+    assert(composed("n") == single(s => A.mcnemarOfScores(zz.select(col("za"), col("zb"), col("y"))), "n_pairs"))
+    assert(composed("mcnemar_stat") == single(s => A.mcnemarOfScores(zz.select(col("za"), col("zb"), col("y"))), "mcnemar_stat"))
+    assert(composed("kappa") == single(s => A.kappaOfScores(zz.select(col("za"), col("zb"))), "kappa"))
+    assert(composed("kappa_po") == single(s => A.kappaOfScores(zz.select(col("za"), col("zb"))), "po"))
+    assert(composed("kappa_pe") == single(s => A.kappaOfScores(zz.select(col("za"), col("zb"))), "pe"))
+    assert(composed("cochran_q") == single(s => A.cochranQOfScores(zz), "q_stat"))
+    assert(composed("spearman_rho") == single(implicit s => A.spearmanOfScores(zz.select(col("za"), col("zb"))), "rho"))
+    assert(composed("wilcoxon_z") == single(implicit s => A.wilcoxonOfScores(zz.select(col("za"), col("zb"))), "z_stat"))
+  }
 }

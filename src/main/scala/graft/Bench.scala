@@ -115,7 +115,7 @@ object Bench {
     "corpus_span_corruption", "graph_clustering_coeff", "mm_audio_vad",
     "corpus_oov_rate", "text_langid_eval", "q103_dow_anova", "ml_c2st_drift",
     "ml_wilcoxon_signed_rank", "ml_threshold_cost_opt",
-    "pipeline_model_compare")
+    "pipeline_model_compare", "vec_matryoshka_eval")
 
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4

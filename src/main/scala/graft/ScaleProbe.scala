@@ -242,7 +242,8 @@ object ScaleProbe {
       ("ml_c2st_drift", d => operators.Analytics.mlC2stDrift.build(spark, d)),
       ("ml_wilcoxon_signed_rank", d => operators.Analytics.mlWilcoxonSignedRank.build(spark, d)),
       ("ml_threshold_cost_opt", d => operators.Analytics.mlThresholdCostOpt.build(spark, d)),
-      ("pipeline_model_compare", d => operators.Analytics.pipelineModelCompare.build(spark, d)))
+      ("pipeline_model_compare", d => operators.Analytics.pipelineModelCompare.build(spark, d)),
+      ("vec_matryoshka_eval", d => similarity.Similarity.matryoshkaEval.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

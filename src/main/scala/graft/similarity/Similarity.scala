@@ -169,6 +169,86 @@ object Similarity {
         .orderBy(col("id_p"))
     })
 
+  // ------------------------------------------------ matryoshka curve
+  /** Prefix widths for the truncation CURVE (the full width 64 rides
+    * along as the trivially-1.0 baseline row that pins the join). */
+  val MrlWidths: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** vec_matryoshka_eval: recall@5 per PREFIX WIDTH against the
+    * full-width exact ranking — `ann_dim_audit` (one width) extended
+    * to the curve the storage decision actually reads (Kusupati et
+    * al. 2022, Matryoshka Representation Learning: MRL models are
+    * trained so prefixes stay usable; the deployment question is
+    * "which width first clears the recall bar?", answered by exactly
+    * this table). Per width: truncated cosine top-5 over the probe
+    * sample (probe-sample-sized audit cost, the published recipe),
+    * hits against the full ranking, ONE (dims) row with exact counts
+    * and the 6-dp pooled recall. */
+  val matryoshkaEval = QueryDef(
+    "vec_matryoshka_eval",
+    Some {
+      def block(w: Int) = {
+        val dotW =
+          s"list_reduce(list_transform(range(1, ${w + 1}), i -> a.vt[i] * b.vt[i]), (x, y) -> x + y)"
+        s"""t$w AS (SELECT vec_id, v[1:$w] AS vt FROM nx),
+        n$w AS (SELECT vec_id, vt,
+            sqrt(list_reduce(list_transform(vt, x -> x * x), (a, b) -> a + b)) AS nrm FROM t$w),
+        r$w AS (SELECT id_p, id_c FROM (
+          SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotW / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+          FROM n$w a JOIN n$w b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+          WHERE rk <= 5),
+        h$w AS (SELECT CAST($w AS BIGINT) AS dims,
+            CAST(count(DISTINCT bru.id_p) AS BIGINT) AS n_probes,
+            CAST(count(r$w.id_c) AS BIGINT) AS n_hits
+          FROM bru LEFT JOIN r$w ON r$w.id_p = bru.id_p AND r$w.id_c = bru.id_c)"""
+      }
+      val blocks = MrlWidths.map(block).mkString(",\n        ")
+      val union = MrlWidths.map(w => s"SELECT * FROM h$w").mkString(" UNION ALL ")
+      s"""WITH $normSqlCte,
+      bru AS (SELECT id_p, id_c FROM (
+        SELECT a.vec_id AS id_p, b.vec_id AS id_c,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotSql / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM nx a JOIN nx b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+        WHERE rk <= 5),
+      $blocks
+      SELECT dims, n_probes, n_hits,
+        ${graft.Portable.round6RatioDuck("n_hits", "5 * n_probes")} AS recall
+      FROM ($union) ORDER BY dims"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      graft.functions.Dot.ensure(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+      val full = scope.persist(
+        AnnApi.bruteTopK(emb, "vec_id", "embedding", probes)
+          .select(col("id_p"), col("id_c")))
+      val rows = MrlWidths.map { w =>
+        val tn = emb.select(col("vec_id"),
+            expr(s"transform(slice(embedding, 1, $w), x -> CAST(x AS DOUBLE))").as("vt"))
+          .withColumn("nrm", expr("sqrt(graft_dot(vt, vt))"))
+        val tp = tn.join(probes, Seq("vec_id"), "left_semi")
+        val tr = tp.as("a").join(tn.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("tp_"), col("b.vec_id").as("tc_"),
+            expr("graft_dot(a.vt, b.vt) / (a.nrm * b.nrm)").as("c"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("tp_"))
+              .orderBy(col("c").desc, col("tc_"))))
+          .filter(col("rk") <= 5)
+          .select(col("tp_"), col("tc_"))
+        full.join(broadcast(tr),
+            col("id_p") === col("tp_") && col("id_c") === col("tc_"), "left")
+          .agg(countDistinct(col("id_p")).cast("long").as("n_probes"),
+            count(col("tc_")).cast("long").as("n_hits"))
+          .selectExpr(s"CAST($w AS BIGINT) AS dims", "n_probes", "n_hits")
+      }
+      rows.reduce(_ unionAll _)
+        .selectExpr("dims", "n_probes", "n_hits",
+          s"${graft.Portable.round6RatioSpark("n_hits", "5 * n_probes")} AS recall")
+        .orderBy(col("dims"))
+        .localCheckpoint(true)
+    })
+
   // ------------------------------------------------------------- lsh
   /** Random-hyperplane LSH ANN: per table, a 4-bit sign-code bucket;
     * candidates are the union of same-bucket matches over the 4
@@ -1384,5 +1464,5 @@ object Similarity {
       top.unionAll(cmp).orderBy(col("readout"), col("id_p"), col("k"), col("ref"))
     })
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch, bm25TopKQ, multiprobeLsh)
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lsh, ivf, vecKmeans, ivfKmeans, annPq, annIvfPq, annIvfPqResidual, annSq8, vecStats, vecCovariance, annMmr, vecPcaProject, annRange, vecRpProject, annKnnGraph, vecSilhouette, vecOutliers, hardNegatives, recallAudit, mips, dimAudit, hybridRrf, ndcgAudit, retrievalEval, filteredSearch, bm25TopKQ, multiprobeLsh, matryoshkaEval)
 }

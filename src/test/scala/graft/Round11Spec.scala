@@ -919,4 +919,24 @@ class Round11Spec extends AnyFunSuite {
     assert(composed("spearman_rho") == single(implicit s => A.spearmanOfScores(zz.select(col("za"), col("zb"))), "rho"))
     assert(composed("wilcoxon_z") == single(implicit s => A.wilcoxonOfScores(zz.select(col("za"), col("zb"))), "z_stat"))
   }
+
+  test("matryoshkaEval: full width recalls exactly 1, prefix-constant widths collapse to the id-tiebreak ranking") {
+    import spark.implicits._
+    // dims 1..32 CONSTANT (prefix rankings are pure id tiebreaks and
+    // identical at widths 8/16/32); the signal lives in dims 33..64
+    val emb = (0L until 20L).map { i =>
+      (i, "x", (Array.fill(32)(0.5f) ++
+        (32 until 64).map(j => (((i * 131 + j * 31 + 7) % 97) / 97.0f - 0.5f)).toArray))
+    }.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrl").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = similarity.Similarity.matryoshkaEval.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(8L, 16L, 32L, 64L), out.toString)
+    assert(out(64L) == ((10L, 50L, 1.0)), "full width must self-agree: " + out(64L))
+    // all-tied prefixes rank by candidate id → identical hits at 8/16/32
+    assert(out(8L) == out(16L) && out(16L) == out(32L), out.toString)
+    assert(out(32L)._3 < 1.0, "id-order must not accidentally equal the true ranking: " + out(32L))
+    assert(out.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0), out.toString)
+  }
 }

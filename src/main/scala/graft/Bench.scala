@@ -117,6 +117,72 @@ object Bench {
     "ml_wilcoxon_signed_rank", "ml_threshold_cost_opt",
     "pipeline_model_compare", "vec_matryoshka_eval")
 
+  /** FROZEN round-over-round comparison basket: the 222 queries of the
+    * round-11 stamp (`BENCH_r11_local_d.json`). Every bench emits
+    * `common_total` over exactly this set next to the growing full
+    * `total`, so cross-round comparison reads two numbers instead of a
+    * hand intersection (the r11 verdict's bench-hygiene item). Do NOT
+    * grow this list — new queries belong only in [[headline]]; freeze
+    * a NEW basket (common_r{N}) if a future round needs a fresh
+    * baseline. */
+  private val commonR11: Set[String] = Set(
+    "ann_dim_audit", "ann_filtered_search", "ann_hybrid_rrf", "ann_ivf",
+    "ann_ivf_kmeans", "ann_ivfpq_residual", "ann_knn_graph", "ann_lsh",
+    "ann_mips", "ann_mmr", "ann_multiprobe_lsh", "ann_ndcg",
+    "ann_pq", "ann_range_search", "ann_recall_audit", "ann_sq8",
+    "approx_heavy_hitters", "approx_hll_union", "approx_set_overlap", "approx_tdigest_quantiles",
+    "corpus_bpe_encode", "corpus_bpe_merges", "corpus_budget_select", "corpus_decontaminate",
+    "corpus_decontaminate_bloom", "corpus_decontaminate_semantic", "corpus_domain_stats", "corpus_dsir",
+    "corpus_epoch_mix", "corpus_mixture_sample", "corpus_naive_bayes", "corpus_ngram_lm",
+    "corpus_oov_rate", "corpus_pack_ffd", "corpus_pack_sequences", "corpus_pmi_bigrams",
+    "corpus_quality_gate", "corpus_sample_weighted", "corpus_span_corruption", "corpus_split_leakage",
+    "corpus_temperature_sample", "corpus_tokenizer_fertility", "corpus_topic_clusters", "corpus_url_dedup",
+    "corpus_version_diff", "corpus_vocab_growth", "dedup_cluster_stats", "dedup_clusters",
+    "dedup_containment", "dedup_embed_cosine_lsh", "dedup_exact", "dedup_incremental",
+    "dedup_keep_best", "dedup_minhash_fidelity", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_paragraph_minhash", "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_source_stats", "dedup_substring", "dedup_threshold_sweep", "graph_anf",
+    "graph_assortativity", "graph_bfs", "graph_closeness", "graph_clustering_coeff",
+    "graph_connected_components", "graph_degree_stats", "graph_hits", "graph_kcore",
+    "graph_label_prop", "graph_link_prediction", "graph_modularity", "graph_node_similarity",
+    "graph_pagerank", "graph_triangles", "ml_auc_delong", "ml_average_precision",
+    "ml_bootstrap_ci", "ml_brier_decomposition", "ml_c2st_drift", "ml_calibration",
+    "ml_cochran_q", "ml_cohens_kappa", "ml_conformal_interval", "ml_confusion_mcc",
+    "ml_feature_importance", "ml_hosmer_lemeshow", "ml_isotonic_calibration", "ml_kfold_cv",
+    "ml_ks_two_sample", "ml_learning_curve", "ml_lift_deciles", "ml_linear_probe",
+    "ml_logreg_gd", "ml_mcnemar_test", "ml_pr_auc", "ml_ridge_path",
+    "ml_roc_auc", "ml_shap_linear", "ml_spearman_corr", "ml_threshold_cost_opt",
+    "ml_threshold_sweep", "ml_wilcoxon_signed_rank", "mm_audio_fingerprint", "mm_audio_vad",
+    "mm_features", "mm_phash_dedup", "pipeline_crawl_ingest", "pipeline_data_card",
+    "pipeline_graph_centrality", "pipeline_ingest_full", "pipeline_mixture_pack", "pipeline_ml_readouts",
+    "pipeline_ml_scorecard", "pipeline_model_compare", "pipeline_near_dedup", "pipeline_perplexity_filter",
+    "pipeline_retrieval_eval", "pipeline_schema_drift", "pipeline_trend_panel", "q100_runs_test",
+    "q101_autocorrelation", "q102_ljung_box", "q103_dow_anova", "q12_join_multi",
+    "q13_percentiles", "q16_events_window", "q17_sessionize", "q19_asof_join",
+    "q1_pricing_summary", "q3_top_orders", "q40_funnel", "q41_salted_join",
+    "q42_scd2_merge", "q43_stats_suite", "q44_window_frames", "q45_retention",
+    "q46_peak_concurrency", "q47_anomaly_zscore", "q48_asof_tolerance", "q49_time_weighted_avg",
+    "q50_session_overlap", "q51_streaks", "q52_winsorize", "q53_ewma",
+    "q54_anomaly_mad", "q55_fuzzy_link", "q56_transition_matrix", "q57_skyline",
+    "q58_attribution", "q59_ab_test", "q60_psi_drift", "q61_top_paths",
+    "q62_histogram2d", "q63_cumulative_reach", "q64_rfm", "q65_wow_change",
+    "q66_seasonality", "q67_gini", "q68_zipf_fit", "q69_lead_time",
+    "q70_abandoned_carts", "q71_basket_lift", "q72_stickiness", "q73_bm25",
+    "q74_cohort_matrix", "q75_purchase_intervals", "q76_grouped_regression", "q77_abc_classification",
+    "q78_new_vs_returning", "q79_trend_decompose", "q7_window_rank", "q80_cusum_changepoint",
+    "q81_hhi_concentration", "q82_price_elasticity", "q83_cohort_ltv", "q84_survival_retention",
+    "q85_benford_audit", "q86_chi2_independence", "q87_seasonal_naive_backtest", "q88_join_skew_report",
+    "q89_dq_audit", "q90_markov_stationary", "q91_theil_sen", "q92_equidepth_histogram",
+    "q93_join_size_estimate", "q94_calendar_fill", "q95_rolling_metrics", "q96_percentile_bands",
+    "q97_active_users", "q98_rolling_robust", "q99_mann_kendall", "src_text_roundtrip",
+    "text_bm25_topk", "text_boilerplate_fraction", "text_collocations", "text_dedup_spans",
+    "text_diversity", "text_dup_ngram_fraction", "text_entropy", "text_fingerprint",
+    "text_hash_features", "text_inverted_index", "text_keyphrases", "text_langid_eval",
+    "text_novelty_curve", "text_quality", "text_rarity_score", "text_readability",
+    "text_repetition", "text_tfidf_topk", "text_top_tokens", "vec_covariance",
+    "vec_hard_negatives", "vec_matryoshka_eval", "vec_outliers", "vec_pca_project",
+    "vec_rp_project", "vec_silhouette")
+
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
     * driver host showed noisy-neighbor spikes (one rep 3x slow at
@@ -251,7 +317,13 @@ object Bench {
     val gcs = repGcStart.zip(gcEnds).map { case (s, e) => f"${(e - s) / 1000.0}%.1f" }
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
+    // frozen-basket total: comparable round over round without
+    // intersecting query lists by hand; null if any basket query
+    // failed or was filtered out (a partial basket is not comparable)
+    val commonGood = good.filter(g => commonR11.contains(g._1))
+    val commonTotal =
+      if (commonGood.size == commonR11.size) f"${commonGood.map(_._2).sum}%.3f" else "null"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     // stdout scraping is lossy: the round stamper keeps only the LAST
     // 2000 chars of sbt output, so a 180-query line loses its head and
@@ -268,7 +340,7 @@ object Bench {
           if (sb.nonEmpty) sb.append(',')
           sb.append("\"" + k + "\":" + f"$med%.3f")
         }
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
       }
     println(stdoutLine)
     try {

@@ -73,7 +73,13 @@ object Cli {
   private def required(rest: List[String], name: String): String =
     opt(rest, name).getOrElse(throw CliError(2, s"missing $name\n$usage"))
 
-  private def loadSchema(path: String): GSchema = GSchemaIO.fromFile(path)
+  /** Schemed URIs (`file://`, `hdfs://`, `s3a://`, ...) load through
+    * the Hadoop-FS loader (the reference's from_s3 surface,
+    * schema.py:133); bare paths stay on the local-file fast path —
+    * neither opens a Spark session. */
+  private def loadSchema(path: String): GSchema =
+    if (path.contains("://")) GSchemaIO.fromPath(path)
+    else GSchemaIO.fromFile(path)
 
   /** Validate `--catalog-conf` syntax eagerly — every command path
     * (including file-only diffs that never open a session) must reject
@@ -231,7 +237,12 @@ object Cli {
         if (flag(rest, "--json-schema"))
           SchemaJson.toJsonSchemaDraft(schema, nested = !flag(rest, "--flat"))
         else SchemaJson.toJson(schema)
-      Files.writeString(Paths.get(outPath), body)
+      if (outPath.contains("://")) {
+        val p = new org.apache.hadoop.fs.Path(outPath)
+        val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } else Files.writeString(Paths.get(outPath), body)
       println(s"Schema written to $outPath")
     }
   }

@@ -153,6 +153,14 @@ object Portable {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  /** Spark-SQL-string twin of [[normText]] for call sites that build
+    * the whole projection as a SQL string (e.g. inside higher-order
+    * `transform` lambdas). Lives HERE, beside the Column spelling and
+    * the DuckDB spelling ([[normTextSql]]), so a change to the
+    * canonical normalization cannot silently miss one of the three. */
+  def normTextSparkSql(e: String): String =
+    s"lower(trim(regexp_replace($e, '\\\\s+', ' ')))"
+
   /** Distinct word k-shingles of a token array column (expects >= k tokens). */
   def wordShingles(tokens: Column, k: Int = 3): Column =
     array_distinct(transform(

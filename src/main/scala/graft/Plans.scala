@@ -62,6 +62,37 @@ object Plans {
     val stale = names.filterNot(qs.contains)
     require(stale.isEmpty, s"Plans curated list has stale names: $stale")
     val names2 = names ++ (qs.keySet -- names).toSeq.sorted
+    // localCheckpoint(true)-terminated gates execute their REAL plan
+    // eagerly at build time and hand back a Scan ExistingRDD — the
+    // static explain below is blind there (the r11 verdict's
+    // auditability item). Dataset.checkpoint runs through
+    // withAction("checkpoint", qe), so a QueryExecutionListener sees
+    // every pre-checkpoint QueryExecution; we keep the LAST one per
+    // query (the terminal checkpoint — the plan that produced the
+    // gate's rows) and emit it alongside the blind section.
+    val checkpointPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "checkpoint" || funcName == "localCheckpoint")
+          checkpointPlans.add(qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+    // the listener bus is asynchronous: wait until the capture count
+    // stops moving before reading it (generation-time only — never a
+    // runtime cost)
+    def drainListeners(): Unit = {
+      var last = -1
+      var same = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (same < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = checkpointPlans.size
+        if (now == last) same += 1 else { same = 0; last = now }
+      }
+    }
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans at sf0.01 (auto-generated by graft.Plans)\n"
     sb ++= "\nReview checklist per plan: filters/projection pushed to the scan,\n"
@@ -72,11 +103,25 @@ object Plans {
     sb ++= "the rendered Exchange count overstates executed shuffles. The\n"
     sb ++= "BroadcastNestedLoopJoins there are the centroid-array cross joins\n"
     sb ++= "(broadcast side <= kCells rows) — the intended assignment plan.\n"
+    sb ++= "Sections whose gate terminates in localCheckpoint(true) show the\n"
+    sb ++= "checkpoint's Scan ExistingRDD plus the captured PRE-CHECKPOINT plan\n"
+    sb ++= "(the plan that actually executed) as an 'executed pre-checkpoint\n"
+    sb ++= "plan' subsection.\n"
     names2.foreach { n =>
+      checkpointPlans.clear()
       val df = qs(n)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb ++= s"\n## $n\n\n```\n$plan```\n"
+      if (plan.contains("ExistingRDD")) {
+        drainListeners()
+        val caught = checkpointPlans.toArray(Array.empty[String])
+        caught.lastOption.foreach { pre =>
+          if (caught.size > 1)
+            sb ++= s"\n${caught.size - 1} earlier checkpointed stage(s) executed during build; terminal plan:\n"
+          sb ++= s"\n### $n — executed pre-checkpoint plan\n\n```\n$pre```\n"
+        }
+      }
     }
     sb ++= streamingNearDupPlan(spark)
     sb ++= streamingRepeatedSpanPlan(spark)

@@ -1425,9 +1425,12 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** Spark-SQL-string twin of [[Portable.normText]] for inline use. */
+  /** The shared normalization's Spark-SQL-string spelling — see
+    * [[graft.Portable.normTextSparkSql]]; defined next to the
+    * canonical [[graft.Portable.normText]] so the three spellings
+    * (Column, Spark SQL string, DuckDB SQL string) cannot drift. */
   private def normTextSparkSql(e: String): String =
-    s"lower(trim(regexp_replace($e, '\\\\s+', ' ')))"
+    graft.Portable.normTextSparkSql(e)
 
   val spanCorruptionQ = QueryDef(
     "corpus_span_corruption",

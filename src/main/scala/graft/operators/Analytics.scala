@@ -355,8 +355,11 @@ object Analytics {
     * assignment compares the exp-FREE margin z (identical IEEE bits
     * in both engines — the ml_threshold_sweep discipline) against
     * shared constants; binning on σ(z) directly would put a libm
-    * `exp` ulp on every bin boundary. */
-  private val calibEdges: Seq[Double] =
+    * `exp` ulp on every bin boundary. Package-visible because
+    * [[graft.streaming.Streams.psiStream]] bins against the SAME
+    * train-time edges — one definition, so the streaming PSI plane
+    * cannot drift from the batch calibration tier. */
+  private[graft] val calibEdges: Seq[Double] =
     (1 to 9).map(k => math.log((k / 10.0) / (1.0 - k / 10.0)))
 
   // ------------------------------------ shared ML scoring surface (r8)
@@ -1503,9 +1506,16 @@ object Analytics {
     * invariant under the affine rank→u map, so nothing is lost.
     * Ranks come from the [[rocAucOfScores]] two-level range-partition
     * scan — value-grain collapse, local cumsum, partition offsets
-    * broadcast; NO global sort, NO single-task window. */
+    * broadcast; NO global sort, NO single-task window. The broadcasts
+    * INSIDE are metadata-scale at any corpus size (`offsets` is one
+    * row per shuffle partition, `nn` is one row); the map ITSELF is
+    * value-grain — returned with its exact distinct-key count so the
+    * caller can decide whether joining it back to the corpus may
+    * broadcast (see [[spearmanOfScores]]). The count reads the
+    * persisted rank frame, which the returned map reuses, so the
+    * guard costs one cache scan, not a recompute. */
   private def fracRanks(df: DataFrame, c: String, out: String)(
-      implicit scope: graft.CacheScope): DataFrame = {
+      implicit scope: graft.CacheScope): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.spark_partition_id
     val vg = df.groupBy(col(c)).agg(count(lit(1)).cast(LongType).as("cnt"))
     val ranked = scope.persist(vg
@@ -1514,16 +1524,23 @@ object Analytics {
       .withColumn("lc", sum(col("cnt")).over(
         Window.partitionBy(col("pid")).orderBy(col(c))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val keys = ranked.count()
     val wo = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranked.groupBy(col("pid"))
       .agg(max(col("lc")).as("pc"))
       .select(col("pid"), coalesce(sum(col("pc")).over(wo), lit(0L)).as("base"))
     val nn = ranked.agg(sum(col("cnt")).cast(LongType).as("nt")).localCheckpoint(true)
-    ranked.join(broadcast(offsets), Seq("pid"))
+    (ranked.join(broadcast(offsets), Seq("pid"))
       .crossJoin(broadcast(nn))
       .selectExpr(c,
-        s"CAST(2 * (base + lc - cnt) + cnt + 1 AS DOUBLE) / (2.0 * CAST(nt AS DOUBLE)) AS $out")
+        s"CAST(2 * (base + lc - cnt) + cnt + 1 AS DOUBLE) / (2.0 * CAST(nt AS DOUBLE)) AS $out"),
+      keys)
   }
+
+  /** Default broadcast ceiling for value-grain rank maps: 10⁶ keys ×
+    * ~24 B/row ≈ 24 MB serialized — comfortably under executor/driver
+    * broadcast limits, far above the gate's bounded score grid. */
+  val RankMapBroadcastKeys: Long = 1000000L
 
   /** Spearman rank correlation between two scored margin columns
     * (za, zb) with midrank ties — the RANKING-grain agreement readout
@@ -1531,19 +1548,32 @@ object Analytics {
     * on every decision yet order the risk pool differently; ρ is what
     * a ranker-swap decision reads). ρ = Pearson over the normalized
     * midranks: per-column value-grain rank maps join back to the row
-    * frame (value-grain maps; the corpus itself is scanned once and
-    * never sorted), moment sums ride the 12-dp DECIMAL(28,12)
-    * merge-order-free discipline (u, v ∈ (0,1] keep every term
-    * bounded), and ρ is one IEEE tree over the exact sums. NULL when
-    * either column is constant (zero rank variance). */
-  def spearmanOfScores(zz: DataFrame)(
+    * frame (the corpus itself is scanned once and never sorted),
+    * moment sums ride the 12-dp DECIMAL(28,12) merge-order-free
+    * discipline (u, v ∈ (0,1] keep every term bounded), and ρ is one
+    * IEEE tree over the exact sums. NULL when either column is
+    * constant (zero rank variance).
+    *
+    * The rank maps are VALUE-grain — one row per distinct score. For
+    * a bounded score grid (the gate's 6-dp-weight quantity×discount
+    * space: ~550 keys at ANY sf) they broadcast; for continuous
+    * scores the grain is ~O(corpus) and a forced broadcast would blow
+    * the driver at scale, so each map broadcasts ONLY when its exact
+    * key count (read off the persisted rank frame inside
+    * [[fracRanks]] — one cache scan, no recompute) is ≤
+    * `maxBroadcastKeys`, else it shuffle-joins on the score key.
+    * Both paths produce identical midranks (property-specced). */
+  def spearmanOfScores(zz: DataFrame,
+      maxBroadcastKeys: Long = RankMapBroadcastKeys)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val z = scope.persist(zz.select(col("za"), col("zb")))
-    val ra = fracRanks(z.select(col("za")), "za", "u")
-    val rb = fracRanks(z.select(col("zb")), "zb", "v")
+    val (ra, ka) = fracRanks(z.select(col("za")), "za", "u")
+    val (rb, kb) = fracRanks(z.select(col("zb")), "zb", "v")
+    def hinted(m: DataFrame, keys: Long): DataFrame =
+      if (keys <= maxBroadcastKeys) broadcast(m) else m
     def dsum(e: String, a: String) =
       expr(s"sum(CAST(round($e, 12) AS DECIMAL(28,12)))").as(a)
-    val m = z.join(broadcast(ra), Seq("za")).join(broadcast(rb), Seq("zb"))
+    val m = z.join(hinted(ra, ka), Seq("za")).join(hinted(rb, kb), Seq("zb"))
       .agg(count(lit(1)).cast(LongType).as("n"),
         dsum("u", "su"), dsum("v", "sv"), dsum("u * v", "suv"),
         dsum("u * u", "su2"), dsum("v * v", "sv2"))
@@ -1846,6 +1876,15 @@ object Analytics {
     "CASE " + chi2Crit05.zipWithIndex.map { case (c, i) =>
       s"WHEN ($df) = ${i + 1} THEN CAST($c AS DOUBLE)" }.mkString(" ") + " END"
 
+  /** HL significance verdict over (n_bins_used, hl_stat) — NULL, not
+    * 0, when the test is UNDEFINED (df = n_bins_used − 2 < 1, or
+    * hl_stat NULL because every bin degenerated): a fake "not
+    * significant" would be a verdict the data cannot support — the
+    * [[wilcoxonVerdictSql]] NULL-verdict discipline. Shared string so
+    * the Spark readout and the DuckDB oracle cannot drift. */
+  private val hlVerdictSql =
+    s"CAST(CASE WHEN n_bins_used - 2 < 1 OR hl_stat IS NULL THEN NULL WHEN hl_stat > ${chi2CritSql("n_bins_used - 2")} THEN 1 ELSE 0 END AS BIGINT)"
+
   /** Hosmer–Lemeshow goodness-of-fit over a scored (z, y) frame — the
     * SIGNIFICANCE companion to [[calibOfScores]]' reliability diagram
     * (the diagram shows the miscalibration; HL decides whether it is
@@ -1856,8 +1895,10 @@ object Analytics {
     * sum; each bin term is one IEEE tree over exact operands rounded
     * to 12 dp into DECIMAL so the cross-bin sum is merge-order-free.
     * Degenerate bins (E ≤ 0 or E ≥ n — a constant-σ bin) are excluded
-    * from both the statistic and df. ONE corpus scan past training,
-    * then 10-row algebra. */
+    * from both the statistic and df. NULL (not 0) verdict when the
+    * test is undefined — df < 1 or no usable bins
+    * ([[hlVerdictSql]]). ONE corpus scan past training, then 10-row
+    * algebra. */
   def hosmerLemeshowOfScores(zz: DataFrame): DataFrame = {
     val binExpr = calibEdges.map(e =>
       s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1877,7 +1918,7 @@ object Analytics {
         expr(s"CAST(sum(CASE WHEN $used THEN $term END) AS DOUBLE)").as("hl_stat"))
       .selectExpr("n", "pos", "n_bins", "n_bins_used",
         "n_bins_used - 2 AS df", "hl_stat",
-        s"CAST(CASE WHEN hl_stat > ${chi2CritSql("n_bins_used - 2")} THEN 1 ELSE 0 END AS BIGINT) AS significant")
+        s"$hlVerdictSql AS significant")
   }
 
   /** ml_hosmer_lemeshow: the HL goodness-of-fit verdict for the GD
@@ -1909,7 +1950,7 @@ object Analytics {
             CAST(sum(CASE WHEN $used THEN $term END) AS DOUBLE) AS hl_stat
           FROM c)
         SELECT n, pos, n_bins, n_bins_used, n_bins_used - 2 AS df, hl_stat,
-          CAST(CASE WHEN hl_stat > ${chi2CritSql("n_bins_used - 2")} THEN 1 ELSE 0 END AS BIGINT) AS significant
+          $hlVerdictSql AS significant
         FROM t""")
       sb.toString
     },

@@ -237,7 +237,7 @@ object Graph {
     * (the round6Ratio construction), so the per-bucket average is ONE
     * IEEE division of exact sums. */
   def localClustering(edges: DataFrame,
-      broadcastAdjMaxEdges: Long = 8L * 1000 * 1000)(
+      broadcastAdj: Option[Boolean] = None)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val e = edges.transform(scope.persist)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
@@ -254,8 +254,16 @@ object Graph {
     val adj = ori.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .transform(scope.persist)
-    val hint: DataFrame => DataFrame =
-      if (e.count() <= broadcastAdjMaxEdges) broadcast else identity
+    // no eager e.count() just to pick a join strategy (a full extra
+    // job at scale): the caller who KNOWS the graph fits hints with
+    // Some(true); otherwise AQE's runtime size stats convert the
+    // shuffle join to broadcast exactly when the adjacency payload
+    // (≈8 B/edge) is actually small — the decision the count was
+    // approximating, made from measured sizes for free.
+    val hint: DataFrame => DataFrame = broadcastAdj match {
+      case Some(true) => broadcast
+      case _ => identity
+    }
     val corners = ori
       .join(hint(adj.select(col("src").as("u_"), col("nbrs").as("nu"))),
         col("src") === col("u_"))

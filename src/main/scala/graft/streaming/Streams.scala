@@ -501,12 +501,14 @@ object Streams {
     * reference shares are train-time constants the caller publishes
     * as nonzero). */
   def psiStream(scored: DataFrame, refShares: Seq[Double] = Seq.fill(10)(0.1),
-      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame = {
+      tsCol: String = "ts", scoreCol: String = "z",
+      watermarkDelay: String = "2 hours"): DataFrame = {
     require(refShares.size == 10 && refShares.forall(_ > 0),
       "refShares: 10 positive train-time bin shares")
-    val edges = (1 to 9).map(k => math.log((k / 10.0) / (1.0 - k / 10.0)))
-    val binExpr = edges.map(e =>
-      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    // the SAME train-time logit edges the batch calibration tier bins
+    // on — one definition (Analytics.calibEdges), zero drift risk
+    val binExpr = graft.operators.Analytics.calibEdges.map(e =>
+      s"(CASE WHEN $scoreCol >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
     val psi = (0 until 10).map { i =>
       val a = s"greatest(CAST(n$i AS DOUBLE) / CAST(total AS DOUBLE), CAST(1e-6 AS DOUBLE))"
       val e = s"CAST(${refShares(i)} AS DOUBLE)"

@@ -66,4 +66,45 @@ class RobustnessSpec extends AnyFunSuite {
     graft.schema.GSchemaIO.toFile(schema, f.toString)
     assert(graft.schema.GSchemaIO.fromFile(f.toString) == schema)
   }
+
+  test("fromPath/toPath: Hadoop-FS loader round-trips over a file:// URI and wraps failures (reference from_s3 surface)") {
+    val schema = graft.schema.GSchema(0, Seq(
+      graft.schema.GField(1, "a", required = true, graft.schema.GLong),
+      graft.schema.GField(2, "b", required = false, graft.schema.GString)), lastColumnId = 2)
+    val dir = Files.createTempDirectory("graft-fs")
+    val uri = s"file://$dir/schema.json"
+    GSchemaIO.toPath(schema, uri)
+    assert(GSchemaIO.fromPath(uri) == schema)
+    // bare local paths resolve through the default (local) filesystem
+    assert(GSchemaIO.fromPath(s"$dir/schema.json") == schema)
+    // same .json-only restriction and error wrapping as fromFile
+    intercept[IllegalArgumentException](GSchemaIO.fromPath("file:///tmp/x.yaml"))
+    val e = intercept[SchemaParseError](
+      GSchemaIO.fromPath(s"file://$dir/missing.json"))
+    assert(e.path == s"file://$dir/missing.json")
+  }
+
+  test("Cli routes schemed URIs through the Hadoop-FS loader on diff and serialize") {
+    val dir = Files.createTempDirectory("graft-cli-fs")
+    val a = graft.schema.GSchema(0, Seq(
+      graft.schema.GField(1, "a", required = true, graft.schema.GLong)), lastColumnId = 1)
+    val b = graft.schema.GSchema(0, Seq(
+      graft.schema.GField(1, "a", required = true, graft.schema.GLong),
+      graft.schema.GField(2, "b", required = false, graft.schema.GString)), lastColumnId = 2)
+    GSchemaIO.toPath(a, s"file://$dir/a.json")
+    GSchemaIO.toPath(b, s"file://$dir/b.json")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.Cli.diff(List(s"file://$dir/a.json", s"file://$dir/b.json"))
+    }
+    assert(out.toString.contains("b"), out.toString)
+    // serialize --output-path onto a file:// URI, then read it back
+    val data = s"$dir/part"
+    Tables.nation(spark, TestSpark.sfDir).limit(1).write.parquet(data)
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      graft.Cli.serialize(List("--data", data, "--output-path", s"file://$dir/n.json"))
+    }
+    val back = GSchemaIO.fromPath(s"file://$dir/n.json")
+    assert(back.fields.map(_.name) == Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
 }

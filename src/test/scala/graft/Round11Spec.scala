@@ -473,8 +473,9 @@ class Round11Spec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((6L, 5L, 2L, 1L, -1L)), r.toString)
     assert(r.getDouble(5) == 1.0, r.toString)
-    // df < 1 has no critical value → the verdict CASE falls to 0
-    assert(r.getLong(6) == 0L, r.toString)
+    // df < 1: the test is UNDEFINED → verdict is NULL, not a fake
+    // "not significant" 0 (the wilcoxonVerdictSql discipline)
+    assert(r.isNullAt(6), r.toString)
   }
 
   test("mannKendall: monotone series with continuity correction, constant series is NULL (tied variance), short decline is 'none'") {

@@ -115,7 +115,9 @@ object Bench {
     "corpus_span_corruption", "graph_clustering_coeff", "mm_audio_vad",
     "corpus_oov_rate", "text_langid_eval", "q103_dow_anova", "ml_c2st_drift",
     "ml_wilcoxon_signed_rank", "ml_threshold_cost_opt",
-    "pipeline_model_compare", "vec_matryoshka_eval")
+    "pipeline_model_compare", "vec_matryoshka_eval",
+    // round-12 operators
+    "pipeline_train_data_card")
 
   /** FROZEN round-over-round comparison basket: the 222 queries of the
     * round-11 stamp (`BENCH_r11_local_d.json`). Every bench emits

@@ -243,7 +243,9 @@ object ScaleProbe {
       ("ml_wilcoxon_signed_rank", d => operators.Analytics.mlWilcoxonSignedRank.build(spark, d)),
       ("ml_threshold_cost_opt", d => operators.Analytics.mlThresholdCostOpt.build(spark, d)),
       ("pipeline_model_compare", d => operators.Analytics.pipelineModelCompare.build(spark, d)),
-      ("vec_matryoshka_eval", d => similarity.Similarity.matryoshkaEval.build(spark, d)))
+      ("vec_matryoshka_eval", d => similarity.Similarity.matryoshkaEval.build(spark, d)),
+      // the round-12 tier: the full crawl→mixture→pack→card chain
+      ("pipeline_train_data_card", d => functions.Pipeline.trainDataCardQ.build(spark, d)))
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (tag, b) =>
       val t1 = time(s"$tag @1x", b(base))
       val tn = time(s"$tag @${factor}x", b(scaled))

@@ -1030,6 +1030,162 @@ object Pipeline {
         capacity = FfdCapacity, salts = FfdSalts)
     })
 
+  // ------------------------------------- composed crawl→train data card
+  /** The full production front-to-back run as ONE Catalyst graph
+    * (r12): crawl-ingest dedup ladder ([[graft.functions.UrlCanon
+    * .crawlIngestCensus]]'s stages — URL-grain exact dedup → repeated-
+    * span excision → exact content dedup on the rewrite) → mixture
+    * sampling to uniform language shares ([[mixtureSample]]) → FFD
+    * context-window packing ([[ffdStats]], copies spread under the
+    * [[mixturePackStats]] composite identity) → one long-format
+    * (section, k, n_a, n_b, metric) data card:
+    *   - `funnel/<stage>/<source>`: docs surviving each ladder stage
+    *     per source, with exact 6-dp retention vs raw;
+    *   - `mixture/<lang>`: emitted docs + tokens per language with the
+    *     achieved share;
+    *   - `pack/<class>`: packed units/bins/fill per harmonic class;
+    *   - `total/packed`: corpus-level packed tokens, bins, fill ratio.
+    * Every stage is the already-gated operator unchanged — the value
+    * of the composition is exposing cross-stage bugs (persist scope,
+    * copy identity, survivor-grain mixture counts) that the standalone
+    * gates cannot see, and proving the chain costs ≈ the sum of its
+    * parts (nothing recomputes: each multiply-consumed frame persists
+    * once via the caller's [[graft.CacheScope]]).
+    *
+    * 100 TB shape: each dedup stage is one keyed min-aggregate + join;
+    * the mixture never shuffles survivors (slice factors broadcast
+    * back); packing adds the one salt-bounded (class, salt) window
+    * over the emitted stream; card sections are map-combinable
+    * aggregates at stage/source/lang/class grain off persisted frames. */
+  def trainDataCard(docs: DataFrame, capacity: Int = FfdCapacity,
+      salts: Int = FfdSalts, copyStride: Int = 8,
+      spanDf: Int = graft.functions.TextAnalysis.SpanDf)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val base = scope.persist(docs.select(col("doc_id"), col("source"),
+      col("lang"), col("text"), col("url")))
+    val kp = graft.functions.UrlCanon.withCanonicalUrl(base, "url")
+      .groupBy(coalesce(col("url_canon"), col("url")).as("uk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val u = scope.persist(base.join(kp.select(col("doc_id")), Seq("doc_id")))
+    val rw = graft.functions.TextAnalysis.dedupSpans(
+      u.select(col("doc_id"), col("text")), "text", spanDf)
+    val sp = scope.persist(u.select(col("doc_id"), col("source"), col("lang"))
+      .join(rw.filter(col("rewritten") =!= "")
+        .select(col("doc_id"), col("rewritten")), Seq("doc_id")))
+    val kx = sp.groupBy(md5(col("rewritten")).as("hh")).agg(min(col("doc_id")).as("doc_id"))
+    // localCheckpoint, not just persist: the survivor frame is the
+    // reuse hub six downstream branches hang off, and each reference
+    // re-embeds the WHOLE crawl-ladder logical plan into the analyzer
+    // — measured 18 s vs 7 s sum-of-parts at sf0.1 from optimizer
+    // time alone, flat across sf. Truncating lineage here keeps the
+    // executed physical work identical (the frame materializes once
+    // either way) at metadata-scale plan cost.
+    val ex = sp.join(kx.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(normText(col("rewritten")), " ")).cast("long").as("toks"))
+      .localCheckpoint(true)
+    val rawN = base.groupBy(col("source")).agg(count(lit(1)).cast("long").as("raw_n"))
+    def cen(stage: String, df: DataFrame): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+        .join(broadcast(rawN), Seq("source"))
+        .selectExpr("'funnel' AS section", s"concat('$stage/', source) AS k",
+          "n AS n_a", "raw_n AS n_b",
+          s"${Portable.round6RatioSpark("n", "raw_n")} AS metric")
+    val funnel = cen("0_raw", base).unionAll(cen("1_url_dedup", u))
+      .unionAll(cen("2_span_excise", sp)).unionAll(cen("3_exact_dedup", ex))
+    // same lineage truncation for the emitted stream (three consumers)
+    val em = mixtureSample(ex, "lang").localCheckpoint(true)
+    val ms = em.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_emitted"),
+        sum(col("toks")).cast("long").as("tokens_emitted"))
+    val te = ms.agg(sum(col("n_emitted")).cast("long").as("ne"))
+    val mix = ms.crossJoin(broadcast(te))
+      .selectExpr("'mixture' AS section", "lang AS k", "n_emitted AS n_a",
+        "tokens_emitted AS n_b",
+        s"${Portable.round6RatioSpark("n_emitted", "ne")} AS metric")
+    val ps = scope.persist(ffdStats(em.select(
+        (col("doc_id") * copyStride + col("copy")).as("doc_id"),
+        col("toks").as("n")), capacity, salts))
+    val pack = ps.selectExpr("'pack' AS section", "CAST(class_k AS STRING) AS k",
+      "n_units AS n_a", "n_bins AS n_b", "fill_ratio AS metric")
+    val totalRow = ps.agg(sum(col("n_tokens")).cast("long").as("t"),
+        sum(col("n_bins")).cast("long").as("b"))
+      .selectExpr("'total' AS section", "'packed' AS k", "t AS n_a", "b AS n_b",
+        s"${Portable.round6RatioSpark("t", s"b * $capacity")} AS metric")
+    funnel.unionAll(mix).unionAll(pack).unionAll(totalRow)
+      .orderBy(col("section"), col("k"))
+  }
+
+  val trainDataCardQ = QueryDef(
+    "pipeline_train_data_card",
+    Some {
+      val c = FfdCapacity
+      val plant = graft.functions.TextAnalysis.FooterPlantSql
+      def r6(n: String, d: String) = Portable.round6RatioDuck(n, d)
+      s"""WITH raw AS (SELECT doc_id, source, ${graft.functions.UrlCanon.rawUrlSql("doc_id", "//", "VARCHAR")} AS url FROM documents),
+        ${graft.functions.UrlCanon.canonCtesDuck},
+        kp AS (SELECT coalesce(url_canon, url) AS uk, min(doc_id) AS keep FROM c
+          GROUP BY coalesce(url_canon, url)),
+        u AS (SELECT d.doc_id, d.source, d.lang, $plant AS t FROM documents d
+          JOIN kp ON d.doc_id = kp.keep),
+        ${graft.functions.TextAnalysis.spanExciseCtesDuck("u")},
+        rw AS (SELECT doc_id,
+            coalesce(string_agg(CASE WHEN hit = 0 THEN seg END, '.' ORDER BY pos), '') AS rewritten
+          FROM m GROUP BY doc_id),
+        sp AS (SELECT u.doc_id, u.source, u.lang, rw.rewritten FROM u
+          JOIN rw ON u.doc_id = rw.doc_id WHERE rw.rewritten <> ''),
+        kx AS (SELECT md5(rewritten) AS hh, min(doc_id) AS keep FROM sp GROUP BY md5(rewritten)),
+        ex AS (SELECT sp.doc_id, sp.source, sp.lang,
+            CAST(len(string_split(${normTextSql("rewritten")}, ' ')) AS BIGINT) AS toks
+          FROM sp JOIN kx ON sp.doc_id = kx.keep),
+        lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v FROM ex GROUP BY lang),
+        tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM lc),
+        r AS (SELECT lang, n_v, (1000000 * n) // (k * n_v) AS rep_ppm FROM lc, tot),
+        g AS (SELECT e.doc_id, e.lang, e.toks, r.rep_ppm,
+            rep_ppm // 1000000 + CASE WHEN ${h60Sql("(e.lang || ':' || CAST(e.doc_id AS VARCHAR))")} % 1000000
+              < rep_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+          FROM ex e JOIN r ON r.lang = e.lang),
+        u2 AS (SELECT doc_id * 8 + unnest(range(0, copies)) AS doc_id, toks AS n
+          FROM g WHERE copies > 0),
+        ${ffdCtesDuck("u2", c, FfdSalts)},
+        rawn AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_n FROM documents GROUP BY source),
+        f1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY source),
+        f2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source),
+        f3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY source),
+        fun AS (
+          SELECT 'funnel' AS section, '0_raw/' || source AS k, raw_n AS n_a, raw_n AS n_b,
+            ${r6("raw_n", "raw_n")} AS metric FROM rawn
+          UNION ALL SELECT 'funnel', '1_url_dedup/' || f1.source, f1.n, rawn.raw_n,
+            ${r6("f1.n", "rawn.raw_n")} FROM f1 JOIN rawn ON f1.source = rawn.source
+          UNION ALL SELECT 'funnel', '2_span_excise/' || f2.source, f2.n, rawn.raw_n,
+            ${r6("f2.n", "rawn.raw_n")} FROM f2 JOIN rawn ON f2.source = rawn.source
+          UNION ALL SELECT 'funnel', '3_exact_dedup/' || f3.source, f3.n, rawn.raw_n,
+            ${r6("f3.n", "rawn.raw_n")} FROM f3 JOIN rawn ON f3.source = rawn.source),
+        ms AS (SELECT lang, CAST(sum(copies) AS BIGINT) AS n_emitted,
+            CAST(sum(copies * toks) AS BIGINT) AS tokens_emitted
+          FROM g GROUP BY lang HAVING sum(copies) > 0),
+        te AS (SELECT CAST(sum(n_emitted) AS BIGINT) AS ne FROM ms),
+        mx AS (SELECT 'mixture' AS section, lang AS k, n_emitted AS n_a,
+            tokens_emitted AS n_b, ${r6("n_emitted", "ne")} AS metric FROM ms, te),
+        zz AS (SELECT * FROM cl UNION ALL SELECT * FROM fw),
+        pk AS (SELECT 'pack' AS section, CAST(class_k AS VARCHAR) AS k,
+            n_units AS n_a, n_bins AS n_b, ${r6("n_tokens", s"n_bins * $c")} AS metric FROM zz),
+        tz AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, CAST(sum(n_bins) AS BIGINT) AS b FROM zz),
+        tl AS (SELECT 'total' AS section, 'packed' AS k, t AS n_a, b AS n_b,
+            ${r6("t", s"b * $c")} AS metric FROM tz)
+        SELECT section, k, n_a, n_b, metric FROM fun
+        UNION ALL SELECT * FROM mx
+        UNION ALL SELECT * FROM pk
+        UNION ALL SELECT * FROM tl
+        ORDER BY section, k"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "source", "lang",
+        s"${graft.functions.TextAnalysis.FooterPlantSql} AS text",
+        s"${graft.functions.UrlCanon.rawUrlSql("doc_id", "div", "STRING")} AS url")
+      trainDataCard(docs).localCheckpoint(true)
+    })
+
   // ---------------------------------------------- split leakage audit
   /** Train→test near-dup leakage audit — the contamination check a
     * split assignment itself needs (decontaminate guards against an
@@ -1469,7 +1625,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,
     decontaminateFuzzy, domainMix, temperatureSample, mixtureSampleQ,
-    mixturePackQ, ingestFull,
+    mixturePackQ, trainDataCardQ, ingestFull,
     splitLeakage, qualityGate, epochMix, dsirSelect, dataCard,
     semanticDecontaminateQ, spanCorruptionQ)
 }

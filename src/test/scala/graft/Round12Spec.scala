@@ -84,6 +84,32 @@ class Round12Spec extends AnyFunSuite {
     assert(aqe == run(Some(false)), s"$aqe vs unhinted")
   }
 
+  test("trainDataCard: every token emitted by the mixture is packed, funnel retention is monotone, fills respect capacity") {
+    import spark.implicits._
+    // two sources, two langs, a URL dup (2 ~ 1), an exact content dup
+    // (4 ~ 3), and doc 5 long enough to split into window + remainder
+    val docs = Seq(
+      (1L, "s1", "en", "alpha beta gamma delta", "http://ex.com/a"),
+      (2L, "s1", "en", "other words here now", "http://ex.com/a?utm_source=x"),
+      (3L, "s2", "de", "eins zwei drei vier", "http://ex.com/b"),
+      (4L, "s2", "de", "eins zwei drei vier", "http://ex.com/c"),
+      (5L, "s2", "en", (1 to 9).map(i => s"w$i").mkString(" "), "http://ex.com/d")
+    ).toDF("doc_id", "source", "lang", "text", "url")
+    val card = CacheScope.withScope { implicit s =>
+      functions.Pipeline.trainDataCard(docs, capacity = 4, salts = 2).collect()
+    }
+    def sec(s: String) = card.filter(_.getString(0) == s)
+    val fun = sec("funnel").map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fun("0_raw/s1") == 2L && fun("1_url_dedup/s1") == 1L, fun.toString)
+    assert(fun("0_raw/s2") == 3L && fun("3_exact_dedup/s2") <= fun("0_raw/s2"))
+    // conservation: total packed tokens == sum of mixture emitted tokens
+    val emitted = sec("mixture").map(_.getLong(3)).sum
+    val packed = sec("total").head.getLong(2)
+    assert(packed == emitted, s"packed $packed vs emitted $emitted")
+    // no bin overfills: per-class fill ratio <= 1 (capacity honored)
+    sec("pack").foreach(r => assert(r.getDouble(4) <= 1.0, r.toString))
+  }
+
   test("normText twins: Column, Spark-SQL-string, and the Pipeline call site agree byte-for-byte") {
     import spark.implicits._
     val df = Seq("  A\t b\nC  ", "x", " MiXeD   caSe ").toDF("text")

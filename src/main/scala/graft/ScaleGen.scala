@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** sf1.0-equivalent test-data builder (r12 verdict item: "a real sf
+  * jump also grows key cardinality"): materializes factor× copies of
+  * the sf0.1 tables under target/ with
+  *   - fact KEYS re-spaced per replica (orderkeys, doc/vec/event/user
+  *     ids) so key cardinality scales with volume, and
+  *   - the GD feature grain DIVERSIFIED: each lineitem replica adds a
+  *     tiny deterministic `__rep/1000` offset to l_quantity, so the
+  *     distinct (quantity, discount) score grid — and with it every
+  *     value-grain structure downstream (ROC cumulatives, rank maps,
+  *     the spearman broadcast guard's key count) — grows ×factor
+  *     instead of collapsing onto the sf0.1 grid under replication.
+  * Dims stay 1× (the realistic star shape). Both engines read the SAME
+  * parquet, so the DuckDB oracle gate is as binding here as at sf0.01.
+  *
+  * Usage: runMain graft.ScaleGen [factor=10] [outDir=target/graft_tmp/sfgen_x<factor>]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val out = if (args.length > 1) args(1)
+      else s"target/graft_tmp/sfgen_x$factor"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      logLevel = "ERROR")
+    val base = "/root/testdata/sf0.1"
+
+    // single FILE per table (the /root/testdata layout): the DuckDB
+    // oracle reads '<dir>/<table>.parquet' as one file, not a Spark
+    // part-file directory — write to a staging dir, promote the part
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$out/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $stage"))
+      val dest = java.nio.file.Paths.get(s"$out/$name.parquet")
+      java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part.toPath, dest)
+      new java.io.File(stage).listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stage))
+    }
+    def replicate(name: String, keyCols: Seq[String],
+        extra: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+      val df = Tables.table(spark, base, name)
+      val rep = df.crossJoin(spark.range(factor).toDF("__rep"))
+      val shifted = keyCols.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * 10000000L)
+      }
+      writeOne(extra(shifted).drop("__rep"), name)
+    }
+    println(s"building ${factor}x sf0.1 (~sf${factor / 10.0}) under $out ...")
+    replicate("lineitem", Seq("l_orderkey"),
+      _.withColumn("l_quantity",
+        col("l_quantity") + col("__rep").cast("double") / 1000.0))
+    replicate("orders", Seq("o_orderkey"))
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    replicate("events", Seq("event_id", "user_id"))
+    for (dim <- Seq("customer", "region", "nation", "supplier", "part"))
+      writeOne(Tables.table(spark, base, dim), dim)
+    println(s"done: $out")
+    spark.stop()
+  }
+}

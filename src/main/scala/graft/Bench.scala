@@ -117,7 +117,9 @@ object Bench {
     "ml_wilcoxon_signed_rank", "ml_threshold_cost_opt",
     "pipeline_model_compare", "vec_matryoshka_eval",
     // round-12 operators
-    "pipeline_train_data_card")
+    "pipeline_train_data_card",
+    // round-13 operators
+    "ml_spearman_shuffle")
 
   /** FROZEN round-over-round comparison basket: the 222 queries of the
     * round-11 stamp (`BENCH_r11_local_d.json`). Every bench emits

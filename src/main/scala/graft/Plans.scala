@@ -71,7 +71,10 @@ object Plans {
     // query (the terminal checkpoint — the plan that produced the
     // gate's rows) and emit it alongside the blind section.
     val checkpointPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    // held in a val and unregistered in the finally below (r12
+    // ADVICE: repeated generation in one session must not accumulate
+    // listeners)
+    val checkpointListener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         if (funcName == "checkpoint" || funcName == "localCheckpoint")
@@ -79,7 +82,8 @@ object Plans {
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    })
+    }
+    spark.listenerManager.register(checkpointListener)
     // the listener bus is asynchronous: wait until the capture count
     // stops moving before reading it (generation-time only — never a
     // runtime cost)
@@ -107,7 +111,7 @@ object Plans {
     sb ++= "checkpoint's Scan ExistingRDD plus the captured PRE-CHECKPOINT plan\n"
     sb ++= "(the plan that actually executed) as an 'executed pre-checkpoint\n"
     sb ++= "plan' subsection.\n"
-    names2.foreach { n =>
+    try names2.foreach { n =>
       checkpointPlans.clear()
       val df = qs(n)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -116,13 +120,18 @@ object Plans {
       if (plan.contains("ExistingRDD")) {
         drainListeners()
         val caught = checkpointPlans.toArray(Array.empty[String])
+        if (caught.isEmpty)
+          // loud, never silent (r12 ADVICE): a slow listener bus must
+          // not make a blind section look intentional
+          sb ++= s"\n### $n — WARNING: pre-checkpoint plan NOT captured " +
+            "(listener drain exceeded 5s deadline; rerun graft.Plans on a quiet box)\n"
         caught.lastOption.foreach { pre =>
           if (caught.size > 1)
             sb ++= s"\n${caught.size - 1} earlier checkpointed stage(s) executed during build; terminal plan:\n"
           sb ++= s"\n### $n — executed pre-checkpoint plan\n\n```\n$pre```\n"
         }
       }
-    }
+    } finally spark.listenerManager.unregister(checkpointListener)
     sb ++= streamingNearDupPlan(spark)
     sb ++= streamingRepeatedSpanPlan(spark)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)

@@ -987,12 +987,18 @@ object Pipeline {
     * unit key (the packer salts/orders on `h60('pack:' || id)`), so
     * duplicate copies of one doc would always land adjacently in one
     * bucket. Each copy therefore gets its own composite identity
-    * `id · copyStride + copy` (the `dedup_paragraph_minhash`
+    * `id · stride + copy` (the `dedup_paragraph_minhash`
     * composite-key convention) — copies spread over salts/bins like
-    * independent docs. `copyStride` must exceed the mixture's maximum
-    * copy count (copies ≤ floor(max rep) + 1; uniform flattening over
-    * k slices bounds rep by N/(k·min n_v) — the gate's stride of 8
-    * covers rep < 8, spec-pinned).
+    * independent docs. The stride is DERIVED from the emitted stream
+    * itself (`max(copy) + 1`, one metadata-scale aggregate over the
+    * already-persisted mixture output, broadcast back) so it exceeds
+    * the mixture's maximum copy count by construction at ANY skew —
+    * r12 ADVICE closed: the old fixed `copyStride = 8` parameter
+    * silently aliased distinct units whenever a rare slice's
+    * repetition factor exceeded 8, and the oracle never honored
+    * non-default strides anyway. Both engines compute the identical
+    * stride, so the composite identity stays collision-free and
+    * oracle-pinned.
     *
     * 100 TB shape: the mixture side never shuffles the corpus (slice
     * counts broadcast back, copies per-row); packing adds its one
@@ -1001,12 +1007,27 @@ object Pipeline {
     * window shuffle in it. */
   def mixturePackStats(docs: DataFrame, dim: String, idCol: String = "doc_id",
       textCol: String = "text", capacity: Int = 2048, salts: Int = FfdSalts,
-      copyStride: Int = 8, targets: Option[DataFrame] = None)(
-      implicit scope: graft.CacheScope): DataFrame =
-    ffdStats(mixtureSample(docs, dim, idCol, targets)
-      .select((col(idCol) * copyStride + col("copy")).as("doc_id"),
+      targets: Option[DataFrame] = None)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val em = scope.persist(mixtureSample(docs, dim, idCol, targets))
+    ffdStats(em.crossJoin(broadcast(copyStrideOf(em)))
+      .select((col(idCol) * col("stride") + col("copy")).as("doc_id"),
         size(split(normText(col(textCol)), " ")).cast("long").as("n")),
       capacity, salts)
+  }
+
+  /** Collision-free composite-identity stride for a [[mixtureSample]]
+    * output: one-row `(stride)` frame with `max(copy) + 1` (≥ 1 even
+    * on an empty emission) — every emitted `copy` is < stride, so
+    * `id · stride + copy` never aliases two distinct packable units.
+    * Metadata-scale: broadcast it. */
+  private def copyStrideOf(em: DataFrame): DataFrame =
+    em.agg(coalesce(max(col("copy")) + lit(1L), lit(1L)).as("stride"))
+
+  /** DuckDB twin of [[copyStrideOf]] over the standard mixture CTE
+    * `g(…, copies)`: max emitted copy index + 1 = max(copies). */
+  private def copyStrideDuck(g: String): String =
+    s"(SELECT CAST(max(copies) AS BIGINT) AS stride FROM $g WHERE copies > 0)"
 
   val mixturePackQ = QueryDef(
     "pipeline_mixture_pack",
@@ -1020,7 +1041,7 @@ object Pipeline {
             rep_ppm // 1000000 + CASE WHEN ${h60Sql("(d.lang || ':' || CAST(d.doc_id AS VARCHAR))")} % 1000000
               < rep_ppm % 1000000 THEN 1 ELSE 0 END AS copies
           FROM documents d JOIN r ON r.lang = d.lang),
-        u AS (SELECT doc_id * 8 + unnest(range(0, copies)) AS doc_id, n
+        u AS (SELECT doc_id * ${copyStrideDuck("g")} + unnest(range(0, copies)) AS doc_id, n
           FROM g WHERE copies > 0),
         ${ffdCtesDuck("u", c, FfdSalts)}
         ${ffdSelectDuck(c)}"""
@@ -1058,7 +1079,7 @@ object Pipeline {
     * over the emitted stream; card sections are map-combinable
     * aggregates at stage/source/lang/class grain off persisted frames. */
   def trainDataCard(docs: DataFrame, capacity: Int = FfdCapacity,
-      salts: Int = FfdSalts, copyStride: Int = 8,
+      salts: Int = FfdSalts,
       spanDf: Int = graft.functions.TextAnalysis.SpanDf)(
       implicit scope: graft.CacheScope): DataFrame = {
     val base = scope.persist(docs.select(col("doc_id"), col("source"),
@@ -1103,8 +1124,9 @@ object Pipeline {
       .selectExpr("'mixture' AS section", "lang AS k", "n_emitted AS n_a",
         "tokens_emitted AS n_b",
         s"${Portable.round6RatioSpark("n_emitted", "ne")} AS metric")
-    val ps = scope.persist(ffdStats(em.select(
-        (col("doc_id") * copyStride + col("copy")).as("doc_id"),
+    val ps = scope.persist(ffdStats(em.crossJoin(broadcast(copyStrideOf(em)))
+      .select(
+        (col("doc_id") * col("stride") + col("copy")).as("doc_id"),
         col("toks").as("n")), capacity, salts))
     val pack = ps.selectExpr("'pack' AS section", "CAST(class_k AS STRING) AS k",
       "n_units AS n_a", "n_bins AS n_b", "fill_ratio AS metric")
@@ -1145,7 +1167,7 @@ object Pipeline {
             rep_ppm // 1000000 + CASE WHEN ${h60Sql("(e.lang || ':' || CAST(e.doc_id AS VARCHAR))")} % 1000000
               < rep_ppm % 1000000 THEN 1 ELSE 0 END AS copies
           FROM ex e JOIN r ON r.lang = e.lang),
-        u2 AS (SELECT doc_id * 8 + unnest(range(0, copies)) AS doc_id, toks AS n
+        u2 AS (SELECT doc_id * ${copyStrideDuck("g")} + unnest(range(0, copies)) AS doc_id, toks AS n
           FROM g WHERE copies > 0),
         ${ffdCtesDuck("u2", c, FfdSalts)},
         rawn AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_n FROM documents GROUP BY source),

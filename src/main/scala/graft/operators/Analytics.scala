@@ -1631,6 +1631,53 @@ object Analytics {
           "(wa2 + wb2 * x1 + wc2 * x2) AS zb")).localCheckpoint(true)
     })
 
+  /** ml_spearman_shuffle (r13): [[spearmanOfScores]] over CONTINUOUS
+    * row-grain scores — the gate that exercises the rank-map guard's
+    * SHUFFLE branch under the oracle (the r12 verdict's #1: the
+    * shuffle path had only ever run at spec scale; the gated
+    * `ml_spearman_corr` frame is a ~550-key bounded grid that always
+    * broadcasts). Scores are two correlated continuous readings of
+    * each lineitem row (`q·p − d` and `p·(1−d) + q` — both IEEE-
+    * deterministic left-to-right, both near-row-grain): ~6·10⁴
+    * distinct keys at sf0.01 (guard broadcasts), ~6·10⁶ at the
+    * 10×-cardinality ScaleGen dir (guard shuffle-joins BOTH maps —
+    * `Round13Spec` pins the >10⁶-key plan to SortMergeJoin with zero
+    * rank-map hints). Same oracle at every scale: value-grain
+    * midranks, 12-dp DECIMAL moment sums, one IEEE tree. */
+  lazy val mlSpearmanShuffle: QueryDef = QueryDef(
+    "ml_spearman_shuffle",
+    Some {
+      def rankCte(c: String, out: String) =
+        s"""${out}g AS (SELECT $c, CAST(count(*) AS BIGINT) AS cnt FROM zz GROUP BY $c),
+        ${out}r AS (SELECT $c, CAST(2 * (CAST(sum(cnt) OVER (ORDER BY $c ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1 AS DOUBLE)
+            / (2.0 * CAST((SELECT sum(cnt) FROM ${out}g) AS DOUBLE)) AS $out
+          FROM ${out}g)"""
+      s"""WITH zz AS (SELECT (l_quantity * l_extendedprice - l_discount) AS za,
+            (l_extendedprice * (1 - l_discount) + l_quantity) AS zb FROM lineitem),
+        ${rankCte("za", "u")},
+        ${rankCte("zb", "v")},
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(u, 12) AS DECIMAL(28,12))) AS su,
+            sum(CAST(round(v, 12) AS DECIMAL(28,12))) AS sv,
+            sum(CAST(round(u * v, 12) AS DECIMAL(28,12))) AS suv,
+            sum(CAST(round(u * u, 12) AS DECIMAL(28,12))) AS su2,
+            sum(CAST(round(v * v, 12) AS DECIMAL(28,12))) AS sv2
+          FROM zz JOIN ur ON zz.za = ur.za JOIN vr ON zz.zb = vr.zb)
+        SELECT n,
+          CASE WHEN (CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) END AS rho
+        FROM m"""
+    },
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      spearmanOfScores(Tables.lineitem(s, d)
+        .selectExpr("(l_quantity * l_extendedprice - l_discount) AS za",
+          "(l_extendedprice * (1 - l_discount) + l_quantity) AS zb"))
+        .localCheckpoint(true)
+    })
+
   // ------------------------------------------ composed model compare
   /** pipeline_model_compare: the composed PAIRED-COMPARISON suite —
     * the sibling of [[pipelineMlScorecard]] for the model-vs-model
@@ -3699,6 +3746,6 @@ object Analytics {
     mlLearningCurve, mlKsTwoSample, mlRocAuc, mlBootstrapCi, mlAveragePrecision,
     mlBrierDecomposition, mlAucDelong, mlShapLinear, pipelineMlScorecard,
     mlMcnemarTest, mlCohensKappa, mlHosmerLemeshow, mlIsotonicCalibration,
-    mlCochranQ, mlSpearmanCorr, mlC2stDrift, mlWilcoxonSignedRank,
-    mlThresholdCostOpt, pipelineModelCompare)
+    mlCochranQ, mlSpearmanCorr, mlSpearmanShuffle, mlC2stDrift,
+    mlWilcoxonSignedRank, mlThresholdCostOpt, pipelineModelCompare)
 }

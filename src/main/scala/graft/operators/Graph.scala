@@ -237,7 +237,7 @@ object Graph {
     * (the round6Ratio construction), so the per-bucket average is ONE
     * IEEE division of exact sums. */
   def localClustering(edges: DataFrame,
-      broadcastAdj: Option[Boolean] = None)(
+      forceBroadcast: Boolean = false)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val e = edges.transform(scope.persist)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
@@ -256,14 +256,17 @@ object Graph {
       .transform(scope.persist)
     // no eager e.count() just to pick a join strategy (a full extra
     // job at scale): the caller who KNOWS the graph fits hints with
-    // Some(true); otherwise AQE's runtime size stats convert the
-    // shuffle join to broadcast exactly when the adjacency payload
-    // (≈8 B/edge) is actually small — the decision the count was
-    // approximating, made from measured sizes for free.
-    val hint: DataFrame => DataFrame = broadcastAdj match {
-      case Some(true) => broadcast
-      case _ => identity
-    }
+    // forceBroadcast = true; otherwise AQE's runtime size stats
+    // convert the shuffle join to broadcast exactly when the
+    // adjacency payload (≈8 B/edge) is actually small — the decision
+    // the count was approximating, made from measured sizes for
+    // free. NOTE the trade (r12 ADVICE): under AQE the adjacency
+    // join stays a shuffle join whenever AQE's size estimate exceeds
+    // spark.sql.autoBroadcastJoinThreshold — correctness-identical
+    // (Round12Spec pins both paths bit-equal), perf governed by the
+    // session's AQE thresholds rather than an extra count job.
+    val hint: DataFrame => DataFrame =
+      if (forceBroadcast) broadcast else identity
     val corners = ori
       .join(hint(adj.select(col("src").as("u_"), col("nbrs").as("nu"))),
         col("src") === col("u_"))

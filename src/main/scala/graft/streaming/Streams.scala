@@ -939,6 +939,117 @@ object Streams {
       .drop("a_ts")
   }
 
+  /** Pre-bucketed hyperplane-LSH table for [[embedNearDupStream]]'s
+    * static side: one `(static_id, sv, snrm, t, bk)` row per corpus
+    * vector per LSH table (NumTables× fan-out), buckets keyed with
+    * the SAME deterministic sign-code expressions as the batch
+    * `dedup_embed_cosine_lsh` plane
+    * ([[graft.similarity.Similarity.bucketExprSparkFor]]), with the
+    * same per-(table, bucket) population cap — a hot bucket (near-
+    * constant region of embedding space) would otherwise make every
+    * arriving vector join |bucket| static rows per trigger. Produce
+    * and REFRESH this with the batch plane (write it to a parquet
+    * table right after the corpus embedding table updates and point
+    * the stream at the new snapshot on restart) — the
+    * [[simhashComboKeyTable]] refresh contract. The corpus vector and
+    * its norm ride along so the stream's exact-cosine verify needs no
+    * second corpus join; at `NumTables` = 4 that is a 4× vector
+    * replication — for very wide embeddings keep the cap and accept
+    * the storage, or shrink `NumTables` with the batch plane. */
+  def cosineBucketTable(staticVecs: DataFrame, id: String = "vec_id",
+      vec: String = "embedding",
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket): DataFrame = {
+    import graft.similarity.Similarity
+    graft.functions.Dot.ensure(staticVecs.sparkSession)
+    val n = staticVecs
+      .select(col(id).as("static_id"),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("snrm", expr("sqrt(graft_dot(v, v))"))
+    val all = n.select(col("static_id"), col("v").as("sv"), col("snrm"),
+        explode(array((0 until Similarity.NumTables).map(t =>
+          struct(lit(t).as("t"),
+            expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
+      .select(col("static_id"), col("sv"), col("snrm"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    if (maxBucketSize <= 0) all
+    else {
+      val oversized = all.groupBy(col("t"), col("bk"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucketSize)
+        .select(col("t").as("f_t"), col("bk").as("f_bk"))
+      all.join(broadcast(oversized),
+        col("t") === col("f_t") && col("bk") === col("f_bk"), "left_anti")
+    }
+  }
+
+  /** Column contract of [[cosineBucketTable]], used to recognize a
+    * pre-bucketed static side. */
+  private val cosineBucketCols = Set("static_id", "sv", "snrm", "t", "bk")
+
+  /** Streaming SEMANTIC near-dup detection — the embedding-space twin
+    * of [[nearDupPairsStream]] (that plane reads content via SimHash;
+    * this one reads meaning via cosine): arriving vectors are
+    * normalized and sign-code-bucketed with the SAME deterministic
+    * hyperplane expressions as the batch `dedup_embed_cosine_lsh`
+    * gate, stream–static joined on `(t, bk)` against the corpus
+    * bucket table, exact-cosine verified against the carried corpus
+    * vector (`graft_dot`, the codegen'd kernel every batch tier
+    * rides), and watermark-deduped across the NumTables collisions.
+    * Same lambda split as every dedup plane: this bounds staleness
+    * against the last published corpus snapshot; the batch
+    * [[graft.dedup.DedupApi.semanticPairs]] over the merged corpus
+    * owns completeness (including the stream-vs-stream window this
+    * plane — like LSH recall itself — does not promise). The static
+    * side stays hash-partitioned by (t, bk); the stream side only
+    * shuffles its NumTables key rows per vector, never the corpus.
+    * Emits `(id_a, id_b, cos)` in canonical order, self-matches
+    * dropped, cosine ≥ `threshold`.
+    *
+    * `staticVecs` is either a raw `(id, embedding)` corpus table or a
+    * pre-bucketed [[cosineBucketTable]] (recognized by its column
+    * set). Raw tables are bucketed ONCE and persisted via the
+    * implicit [[graft.CacheScope]] (tracked scope required — same
+    * contract and fallback warning as [[nearDupPairsStream]]); at
+    * corpus scale pass the pre-bucketed snapshot. */
+  def embedNearDupStream(vecs: DataFrame, staticVecs: DataFrame,
+      id: String = "vec_id", tsCol: String = "ts", vecCol: String = "embedding",
+      threshold: Double = 0.4, watermarkDelay: String = "10 minutes",
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    import graft.similarity.Similarity
+    graft.functions.Dot.ensure(vecs.sparkSession)
+    val staticBk =
+      if (staticVecs.columns.toSet == cosineBucketCols) staticVecs
+      else if (scope ne graft.CacheScope.untracked)
+        scope.persist(cosineBucketTable(staticVecs, id, vecCol, maxBucketSize))
+      else {
+        System.err.println("[graft] embedNearDupStream: raw corpus side used without " +
+          "a CacheScope — the LSH bucket build will recompute per microbatch. " +
+          "Wrap in CacheScope.withScope or pass cosineBucketTable(...) output.")
+        cosineBucketTable(staticVecs, id, vecCol, maxBucketSize)
+      }
+    val streamKeys = vecs
+      .select(col(id).as("stream_id"), col(tsCol),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col("stream_id"), col(tsCol), col("v"), col("nrm"),
+        explode(array((0 until Similarity.NumTables).map(t =>
+          struct(lit(t).as("t"),
+            expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
+      .select(col("stream_id"), col(tsCol), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    streamKeys.join(staticBk, Seq("t", "bk"))
+      .filter(col("static_id") =!= col("stream_id"))
+      .withColumn("c", expr("graft_dot(v, sv) / (nrm * snrm)"))
+      .filter(col("c") >= threshold)
+      .select(least(col("static_id"), col("stream_id")).as("id_a"),
+        greatest(col("static_id"), col("stream_id")).as("id_b"),
+        round(col("c"), 6).as("cos"), col(tsCol))
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .drop(tsCol)
+  }
+
   /** Streaming benchmark decontamination — the ingest-time twin of
     * `corpus_decontaminate_bloom`: incoming docs' word-shingle h60
     * hashes (the native one-pass `graft_word_shingles`, shared with

@@ -30,17 +30,27 @@ class Round12Spec extends AnyFunSuite {
   test("spearmanOfScores: shuffle path plans no broadcast of the rank maps, broadcast path does") {
     import spark.implicits._
     val rows = (1 to 20).map(i => (i.toDouble, (i * 7 % 5).toDouble))
-    def plan(maxKeys: Long) = CacheScope.withScope { implicit s =>
+    // count the ResolvedHint nodes the guard plants (r12 ADVICE: the
+    // old `!plan.contains("broadcast hint")` text check was vacuous —
+    // physical plan text never contains that literal). fracRanks
+    // broadcasts its metadata-scale offsets/nn frames on BOTH paths;
+    // the guard adds exactly the TWO rank-map hints on top, so the
+    // broadcast path must carry precisely two more hints than the
+    // shuffle path, and the executed broadcast plan must realize them.
+    def run(maxKeys: Long): (Int, String) = CacheScope.withScope { implicit s =>
       val df = operators.Analytics.spearmanOfScores(rows.toDF("za", "zb"), maxKeys)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
       val p = df.queryExecution.executedPlan.toString
       df.collect() // release the scope only after the plan is read
-      p
+      (hints, p)
     }
-    // the broadcast path hints the za/zb map joins; the guard path
-    // must leave them unhinted (AQE may still choose broadcast at
-    // runtime from measured sizes — the hint is what the guard gates)
-    assert(plan(Long.MaxValue).contains("BroadcastHashJoin"))
-    assert(!plan(0L).contains("broadcast hint"), "shuffle path must not force the hint")
+    val (hintsBc, planBc) = run(Long.MaxValue)
+    val (hintsSh, _) = run(0L)
+    assert(planBc.contains("BroadcastHashJoin"))
+    assert(hintsBc == hintsSh + 2,
+      s"broadcast path must hint exactly the two rank maps: $hintsBc vs $hintsSh")
   }
 
   test("hosmerLemeshow: all-degenerate bins make the test undefined — hl_stat and verdict are NULL, not 0") {
@@ -76,12 +86,11 @@ class Round12Spec extends AnyFunSuite {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 4: cc(1)=cc(2)=cc(3)=1, node 4 drops
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
-    def run(h: Option[Boolean]) = CacheScope.withScope { implicit s =>
+    def run(h: Boolean) = CacheScope.withScope { implicit s =>
       operators.Graph.localClustering(e, h).collect().map(_.toString).toSeq
     }
-    val aqe = run(None)
-    assert(aqe == run(Some(true)), s"$aqe vs hinted")
-    assert(aqe == run(Some(false)), s"$aqe vs unhinted")
+    val aqe = run(false)
+    assert(aqe == run(true), s"$aqe vs hinted")
   }
 
   test("trainDataCard: every token emitted by the mixture is packed, funnel retention is monotone, fills respect capacity") {

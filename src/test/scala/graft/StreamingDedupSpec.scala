@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 import graft.streaming.Streams
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -278,6 +279,81 @@ class StreamingDedupSpec extends AnyFunSuite {
     Console.withOut(new java.io.PrintStream(sw))(q.explain())
     assert(sw.toString.contains("StreamingSymmetricHashJoin"),
       "expected a watermark-bounded stream-stream join:\n" + sw.toString)
+  }
+
+  test("streaming embedding near-dup flags equal the batch LSH-blocked cosine pair set (r13)") {
+    import spark.implicits._
+    // corpus: 40 real sf0.001 embeddings; stream: 3 unrelated real
+    // vectors (no cross pair clears 0.4 — measured) plus an exact
+    // copy of corpus vec 1 (cos = 1) and a perturbed copy of corpus
+    // vec 2 (cos ≈ 1): the flags must be exactly the batch
+    // cosinePairsLsh cross pairs on the same data
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") <= 40)
+    def vecOf(id: Long): Array[Float] =
+      corpus.filter(col("vec_id") === id).collect().head
+        .getSeq[Float](1).toArray
+    val dup = vecOf(1)
+    val near = vecOf(2); near(0) = near(0) + 0.01f
+    val streamVecs = emb.filter(col("vec_id").between(41, 43))
+      .unionAll(Seq((1001L, dup.toSeq), (1002L, near.toSeq)).toDF("vec_id", "embedding"))
+      .withColumn("ts", lit(ts("2024-01-01 00:00:00")))
+      .select("vec_id", "ts", "embedding")
+    // batch truth: LSH-blocked cosine pairs over stream ∪ corpus,
+    // restricted to cross pairs (stream ids are all > 40)
+    val batchPairs = CacheScope.withScope { implicit s =>
+      dedup.DedupApi.cosinePairsLsh(
+          corpus.unionAll(streamVecs.drop("ts")), "vec_id", "embedding",
+          threshold = 0.4,
+          maxBucketSize = similarity.Similarity.KnnGraphMaxBucket)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => (a <= 40) != (b <= 40) }
+        .toSet
+    }
+    assert(batchPairs.exists { case (a, b, _) => a == 1L && b == 1001L },
+      s"expected the exact-copy pair in the batch truth: $batchPairs")
+    assert(batchPairs.exists { case (a, b, _) => a == 2L && b == 1002L },
+      s"expected the perturbed-copy pair in the batch truth: $batchPairs")
+    val in = Files.createTempDirectory("graft-embdup-in").toString
+    streamVecs.coalesce(1).write.parquet(s"$in/b000")
+    val streamSchema = streamVecs.schema
+    CacheScope.withScope { implicit scope =>
+      val q = Streams.embedNearDupStream(
+          spark.readStream.schema(streamSchema).parquet(s"$in/*"), corpus)
+        .writeStream.format("memory").queryName("embdup_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // raw-corpus path: the bucket build must be persisted once, not
+      // recomputed per microbatch
+      assert(scope.trackedCount == 1,
+        "corpus bucket table must be persisted via the cache scope")
+      val sw = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(sw))(q.explain())
+      assert(sw.toString.contains("InMemoryTableScan"),
+        "microbatch plan must read the corpus buckets from cache:\n" + sw)
+    }
+    val streamed = spark.table("embdup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchPairs,
+      s"stream flags $streamed must equal batch cross pairs $batchPairs")
+    assert(spark.table("embdup_out").columns.toSeq == Seq("id_a", "id_b", "cos"))
+
+    // pre-bucketed corpus side (the batch-plane refresh contract):
+    // identical flags off the published snapshot
+    val bkDir = Files.createTempDirectory("graft-embdup-bk").toString + "/bk"
+    Streams.cosineBucketTable(corpus).write.parquet(bkDir)
+    val q2 = Streams.embedNearDupStream(
+        spark.readStream.schema(streamSchema).parquet(s"$in/*"),
+        spark.read.parquet(bkDir))
+      .writeStream.format("memory").queryName("embdup_pre_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val streamedPre = spark.table("embdup_pre_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamedPre == batchPairs,
+      s"pre-bucketed corpus side changed the flag set: $streamedPre vs $batchPairs")
   }
 
   test("streaming bloom decontamination flags exactly the batch-contaminated docs") {

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Batched/filtered replica of check.py for partial Verify dumps:
+builds <out>/oracle_sql.json from a full oracle file, restricted to
+dump dirs that exist and to an include/exclude list, then delegates
+to tools/check.py.
+
+Usage: check_batch.py <outdir> <full_oracle.json> [--exclude a,b,c]
+                      [--only a,b,c]
+"""
+import sys, os, json, subprocess
+
+out = sys.argv[1]
+full = json.load(open(sys.argv[2]))
+exclude = set()
+only = None
+args = sys.argv[3:]
+while args:
+    if args[0] == "--exclude":
+        exclude = set(args[1].split(",")); args = args[2:]
+    elif args[0] == "--only":
+        only = set(args[1].split(",")); args = args[2:]
+    else:
+        raise SystemExit(f"unknown arg {args[0]}")
+done = {d for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(out, d)))}
+sel = {k: v for k, v in full.items()
+       if k in done and k not in exclude and (only is None or k in only)}
+json.dump(sel, open(os.path.join(out, "oracle_sql.json"), "w"))
+print(f"checking {len(sel)} of {len(done)} completed dumps "
+      f"({len(done) - len(sel)} excluded/pending)")
+sys.stdout.flush()
+rc = subprocess.call([sys.executable, os.path.join(os.path.dirname(__file__), "check.py"), out])
+sys.exit(rc)

@@ -121,10 +121,14 @@ object Plans {
         drainListeners()
         val caught = checkpointPlans.toArray(Array.empty[String])
         if (caught.isEmpty)
-          // loud, never silent (r12 ADVICE): a slow listener bus must
-          // not make a blind section look intentional
-          sb ++= s"\n### $n — WARNING: pre-checkpoint plan NOT captured " +
-            "(listener drain exceeded 5s deadline; rerun graft.Plans on a quiet box)\n"
+          // loud, never silent (r12 ADVICE); name BOTH possible causes
+          // (r13 ADVICE): an ExistingRDD can also come from an
+          // RDD-backed frame with no checkpoint executed in this build
+          sb ++= s"\n### $n — WARNING: pre-checkpoint plan NOT captured — " +
+            "either the listener drain exceeded its 5s deadline (rerun " +
+            "graft.Plans on a quiet box), or this plan's ExistingRDD is " +
+            "RDD-backed without a checkpoint/localCheckpoint executed " +
+            "during this build (no pre-checkpoint plan exists to capture)\n"
         caught.lastOption.foreach { pre =>
           if (caught.size > 1)
             sb ++= s"\n${caught.size - 1} earlier checkpointed stage(s) executed during build; terminal plan:\n"

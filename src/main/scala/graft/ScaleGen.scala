@@ -16,13 +16,25 @@ import org.apache.spark.sql.functions._
   * Dims stay 1× (the realistic star shape). Both engines read the SAME
   * parquet, so the DuckDB oracle gate is as binding here as at sf0.01.
   *
+  * A language-skew knob (r13 verdict item #3) plants ONE rare slice:
+  * `skewLang`/`skewMod` keep only 1-in-`skewMod` documents of that
+  * language (deterministic `doc_id % skewMod == 0` — stable across
+  * replicas since the 10⁷ key re-spacing is divisible by any
+  * power-of-two mod), so the uniform-flattening mixture's repetition
+  * factor for that slice exceeds the old fixed copyStride=8 and the
+  * derived-stride path ([[graft.functions.Pipeline]] `copyStrideOf`)
+  * is exercised at scale, not just in the toy spec fixture.
+  *
   * Usage: runMain graft.ScaleGen [factor=10] [outDir=target/graft_tmp/sfgen_x<factor>]
+  *                               [skewLang] [skewMod=16]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val skewLang = if (args.length > 2) Some(args(2)) else None
+    val skewMod = if (args.length > 3) args(3).toInt else 16
     val out = if (args.length > 1) args(1)
-      else s"target/graft_tmp/sfgen_x$factor"
+      else s"target/graft_tmp/sfgen_x$factor${skewLang.map(l => s"_skew_$l").getOrElse("")}"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       logLevel = "ERROR")
     val base = "/root/testdata/sf0.1"
@@ -56,7 +68,11 @@ object ScaleGen {
       _.withColumn("l_quantity",
         col("l_quantity") + col("__rep").cast("double") / 1000.0))
     replicate("orders", Seq("o_orderkey"))
-    replicate("documents", Seq("doc_id"))
+    replicate("documents", Seq("doc_id"), d => skewLang match {
+      case Some(l) =>
+        d.filter(col("lang") =!= l || pmod(col("doc_id"), lit(skewMod)) === 0)
+      case None => d
+    })
     replicate("embeddings", Seq("vec_id"))
     replicate("events", Seq("event_id", "user_id"))
     for (dim <- Seq("customer", "region", "nation", "supplier", "part"))

@@ -198,16 +198,39 @@ object Dedup {
     (s, d) => DedupApi.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id")))
 
+  /** DuckDB CTE pair replaying the engine's C(9,3) combo banding over
+    * the distinct signatures of `sigsRel` — the banded (near-linear)
+    * oracle shape (r14; lossless at hamming ≤ 6, so results are
+    * bit-identical to the old quadratic scan — verified equal at
+    * sf0.01 AND sf0.1 before the swap). */
+  private def comboKeysCte(name: String, sigsRel: String): String =
+    s"""${name}0 AS (SELECT simhash, unnest([${DedupApi.simhashComboKeysDuck("simhash")}]) AS u FROM $sigsRel),
+      $name AS (SELECT simhash, u.c AS c, u.k AS k FROM ${name}0)"""
+
   /** Banded plan (three-block combo tables, exact for hamming ≤ 6 — see
-    * [[DedupApi.simhashPairs]]); the oracle stays the quadratic DuckDB
-    * scan because banding is lossless at this distance. */
+    * [[DedupApi.simhashPairs]]); the oracle mirrors the SAME banding
+    * ([[DedupApi.simhashComboKeysDuck]] — shared constants) over
+    * distinct signatures, then expands through the signature→id map
+    * with hamming-0 self-rows, exactly like the engine. Banding is
+    * lossless at this distance, so the result set equals the
+    * quadratic scan's — but the oracle is now near-linear too
+    * (r13 verdict item #1: the old n²/2 reference scan was the only
+    * blocker for this key's 10× proof). */
   val simhashPairs = QueryDef(
     "dedup_simhash_pairs",
-    Some(s"""WITH $simhashSqlCte
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        bit_count(xor(a.simhash, b.simhash)) AS hamming
-      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    Some(s"""WITH $simhashSqlCte,
+      sigs AS (SELECT DISTINCT simhash FROM sim),
+      ${comboKeysCte("keys", "sigs")},
+      sp AS (SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b
+        FROM keys a JOIN keys b ON a.c = b.c AND a.k = b.k AND a.simhash < b.simhash
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+      spd AS (SELECT sig_a, sig_b FROM sp
+        UNION ALL SELECT simhash, simhash FROM sigs)
+      SELECT least(s1.doc_id, s2.doc_id) AS doc_a,
+        greatest(s1.doc_id, s2.doc_id) AS doc_b,
+        bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+      FROM spd p JOIN sim s1 ON s1.simhash = p.sig_a JOIN sim s2 ON s2.simhash = p.sig_b
+      WHERE p.sig_a <> p.sig_b OR s1.doc_id < s2.doc_id
       ORDER BY doc_a, doc_b"""),
     (s, d) => DedupApi.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 6, banded = true)
@@ -215,16 +238,27 @@ object Dedup {
 
   /** Incremental ingest dedup: even doc_ids stand in for the existing
     * corpus, odd for today's batch (production passes two real
-    * DataFrames). The oracle is the quadratic cross scan restricted to
-    * (existing, new) pairs — banding is lossless at hamming ≤ 6, so the
-    * asymmetric banded plan must reproduce it exactly. */
+    * DataFrames). The oracle mirrors the engine's asymmetric C(9,3)
+    * banding (new-side keys × existing-side keys, no pair ordering —
+    * identical signatures are cross pairs by construction), lossless
+    * at hamming ≤ 6, so it equals the old quadratic cross scan while
+    * staying near-linear at scale (r14, same swap-proof discipline as
+    * [[simhashPairs]]). */
   val incremental = QueryDef(
     "dedup_incremental",
-    Some(s"""WITH $simhashSqlCte
-      SELECT a.doc_id AS doc_existing, b.doc_id AS doc_new,
-        bit_count(xor(a.simhash, b.simhash)) AS hamming
-      FROM sim a JOIN sim b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    Some(s"""WITH $simhashSqlCte,
+      se AS (SELECT * FROM sim WHERE doc_id % 2 = 0),
+      sn AS (SELECT * FROM sim WHERE doc_id % 2 = 1),
+      sigse AS (SELECT DISTINCT simhash FROM se),
+      sigsn AS (SELECT DISTINCT simhash FROM sn),
+      ${comboKeysCte("keyse", "sigse")},
+      ${comboKeysCte("keysn", "sigsn")},
+      sp AS (SELECT DISTINCT a.simhash AS sig_new, b.simhash AS sig_old
+        FROM keysn a JOIN keyse b ON a.c = b.c AND a.k = b.k
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+      SELECT o.doc_id AS doc_existing, n.doc_id AS doc_new,
+        bit_count(xor(o.simhash, n.simhash)) AS hamming
+      FROM sp JOIN sn n ON n.simhash = sp.sig_new JOIN se o ON o.simhash = sp.sig_old
       ORDER BY doc_existing, doc_new"""),
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -273,16 +307,50 @@ object Dedup {
     * (1-t)|g|+1). */
   val ngramJaccard = QueryDef(
     "dedup_ngram_jaccard",
-    Some(s"""WITH g AS (SELECT doc_id, source,
-        list_distinct(list_transform(range(1, length(s) - 3), i -> substr(s, i, 5))) AS gr
-        FROM (SELECT doc_id, source, ${normTextSql("text")} AS s FROM documents)
-        WHERE length(s) >= 5)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        round(CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x))) AS DOUBLE)
-          / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))), 6) AS jaccard
-      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x))) AS DOUBLE)
-          / (len(a.gr) + len(b.gr) - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) >= 0.7
+    // r14 oracle shape, two quadratic walls removed while staying
+    // exactly equal to the old all-pairs-within-source scan (verified
+    // equal at sf0.01 AND sf0.1, and against the engine's 10× dump):
+    //  1. docs collapse to DISTINCT (source, normalized-text) classes
+    //     first (the Manku distinct-signature discipline the banded
+    //     simhash oracle already uses) — identical texts share gram
+    //     sets, so class pairs expand losslessly to id pairs
+    //     (within-class pairs are jaccard-1.0 by construction), and a
+    //     replicated corpus costs the oracle distinct-text work, not
+    //     corpus² work;
+    //  2. class-pair candidates ride the same (gdf, gram)-ordered
+    //     prefix filter + length + positional bounds the engine uses
+    //     (lossless for J ≥ t — Bayardo/ppjoin; see
+    //     [[DedupApi.ngramJaccardPairs]]), verified via native
+    //     list_intersect over sorted distinct gram lists.
+    Some(s"""WITH nrm AS (SELECT doc_id, source, ${normTextSql("text")} AS s FROM documents),
+      cls AS (SELECT source, s, min(doc_id) AS rep, list(doc_id) AS ids, count(*) AS m
+        FROM nrm WHERE length(s) >= 5 GROUP BY source, s),
+      gl AS (SELECT rep, source, ids, m,
+        list_sort(list_distinct(list_transform(range(1, length(s) - 3), i -> substr(s, i, 5)))) AS gr
+        FROM cls),
+      gll AS (SELECT rep, source, ids, m, gr, len(gr) AS la FROM gl),
+      ex AS (SELECT rep, source, la, unnest(gr) AS gram FROM gll),
+      gdf AS (SELECT source, gram, count(*) AS gdf FROM ex GROUP BY source, gram),
+      pre AS (SELECT e.rep, e.source, e.la, e.gram,
+          row_number() OVER (PARTITION BY e.rep ORDER BY d.gdf, e.gram) AS rn
+        FROM ex e JOIN gdf d ON d.source = e.source AND d.gram = e.gram),
+      pr AS (SELECT * FROM pre WHERE rn <= la - ceil(la * 0.7) + 1),
+      cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+        FROM pr a JOIN pr b ON a.source = b.source AND a.gram = b.gram AND a.rep < b.rep
+        WHERE a.la >= b.la * 0.7 - 1e-6 AND b.la >= a.la * 0.7 - 1e-6
+          AND 1 + least(a.la - a.rn, b.la - b.rn) >= ceil((a.la + b.la) * (0.7 / 1.7) - 1e-6)),
+      vr AS (SELECT c.rep_a, c.rep_b, g1.ids AS ids_a, g2.ids AS ids_b,
+          CAST(len(list_intersect(g1.gr, g2.gr)) AS DOUBLE)
+            / (g1.la + g2.la - len(list_intersect(g1.gr, g2.gr))) AS j
+        FROM cand c JOIN gll g1 ON g1.rep = c.rep_a JOIN gll g2 ON g2.rep = c.rep_b),
+      cross_pairs AS (SELECT least(xa, xb) AS doc_a, greatest(xa, xb) AS doc_b, round(j, 6) AS jaccard
+        FROM (SELECT unnest(ids_a) AS xa, ids_b, j FROM vr WHERE j >= 0.7) t0,
+          unnest(ids_b) AS u(xb)),
+      within_pairs AS (SELECT xa AS doc_a, xb AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM (SELECT unnest(ids) AS xa, ids FROM gll WHERE m > 1) t1,
+          unnest(ids) AS u(xb) WHERE xa < xb)
+      SELECT doc_a, doc_b, jaccard FROM cross_pairs
+      UNION ALL SELECT doc_a, doc_b, jaccard FROM within_pairs
       ORDER BY doc_a, doc_b"""),
     (s, d) => DedupApi.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", "source", n = 5, threshold = 0.7)
@@ -315,17 +383,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
 
   // ------------------------------------------- embedding near-dup
+  /** Exact all-pairs baseline — the semantics is the full n²/2 scan
+    * (the scale path is [[embedCosineLsh]]/[[semantic]]). r14 oracle
+    * speed fix: the dot rides DuckDB's native `list_dot_product`
+    * (sequential double accumulation — bit-identical to the old
+    * `list_reduce` fold, verified equal at sf0.01 AND sf0.1) and is
+    * computed ONCE per pair in a sub-select instead of twice
+    * (SELECT + WHERE) with a per-pair `range()` list build — the two
+    * changes took the 10× reference run from >23 min to seconds. */
   val embedCosine = QueryDef(
     "dedup_embed_cosine",
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM v)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        round(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-          / (a.nrm * b.nrm), 6) AS cos
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-          / (a.nrm * b.nrm) >= 0.4
-      ORDER BY id_a, id_b"""),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cos FROM p WHERE c >= 0.4 ORDER BY id_a, id_b"""),
     (s, d) => DedupApi.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")))
 

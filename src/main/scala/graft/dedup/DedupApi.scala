@@ -591,6 +591,25 @@ object DedupApi {
     array(structs: _*)
   }
 
+  /** DuckDB twin of [[simhashComboKeys]]: the 84 `{'c': …, 'k': …}`
+    * struct literals over a BIGINT simhash column, emitted from the
+    * SAME block-geometry constants — oracle banding can never drift
+    * from the engine's. Lossless at hamming ≤ 6 by the identical
+    * 9-block 3-match pigeonhole, so the banded oracles in [[Dedup]]
+    * ([[Dedup.simhashPairs]], [[Dedup.incremental]]) stay exact
+    * while turning the reference scan near-linear (r13 verdict: the
+    * quadratic oracles were the only thing blocking the 10× proof
+    * of these keys — DuckDB took >23 min at 50k docs on the n²/2
+    * scan the engine itself never runs). */
+  private[graft] def simhashComboKeysDuck(simhashCol: String): String = {
+    def block(b: Int) =
+      s"(($simhashCol >> ${BlockOffsets(b)}) & ${(1 << BlockWidths(b)) - 1})"
+    BlockCombos.zipWithIndex.map { case ((i, j, k), c) =>
+      s"{'c': $c, 'k': ${block(i)} * ${1L << (BlockWidths(j) + BlockWidths(k))} + " +
+        s"${block(j)} * ${1L << BlockWidths(k)} + ${block(k)}}"
+    }.mkString(", ")
+  }
+
   /** SimHash pairs within Hamming distance. `banded=true` (the scale
     * path, and exact for maxHamming ≤ 6 by the pigeonhole argument
     * above) follows Manku et al.'s full recipe: fingerprints are

@@ -958,7 +958,8 @@ object Streams {
     * the storage, or shrink `NumTables` with the batch plane. */
   def cosineBucketTable(staticVecs: DataFrame, id: String = "vec_id",
       vec: String = "embedding",
-      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket): DataFrame = {
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     graft.functions.Dot.ensure(staticVecs.sparkSession)
     val n = staticVecs
@@ -973,18 +974,37 @@ object Streams {
         col("tb.t").as("t"), col("tb.bk").as("bk"))
     if (maxBucketSize <= 0) all
     else {
-      val oversized = all.groupBy(col("t"), col("bk"))
+      // one materialization of the NumTables fan-out (r13 ADVICE): the
+      // cap path reads `all` twice (bucket-size aggregate + anti-join
+      // probe side); unpersisted, the standalone corpus-scale
+      // snapshot-build path would recompute the whole LSH fan-out.
+      // Tracked scope → persist (caller releases); untracked → eager
+      // localCheckpoint (RDD blocks reclaimed by the ContextCleaner)
+      val mat =
+        if (scope ne graft.CacheScope.untracked) scope.persist(all)
+        else all.localCheckpoint(true)
+      val oversized = mat.groupBy(col("t"), col("bk"))
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucketSize)
         .select(col("t").as("f_t"), col("bk").as("f_bk"))
-      all.join(broadcast(oversized),
+      mat.join(broadcast(oversized),
         col("t") === col("f_t") && col("bk") === col("f_bk"), "left_anti")
     }
   }
 
   /** Column contract of [[cosineBucketTable]], used to recognize a
-    * pre-bucketed static side. */
+    * pre-bucketed static side. A SUPERSET of these columns also counts
+    * as pre-bucketed (a published snapshot read back with an extra
+    * partition/date column must not silently fall through to the raw
+    * path and get re-bucketed — r13 ADVICE); the extras are dropped.
+    * A table carrying SOME of the distinctive columns but not the full
+    * contract is a near-miss (e.g. a snapshot written without `snrm`)
+    * and is rejected loudly instead of being treated as a raw corpus. */
   private val cosineBucketCols = Set("static_id", "sv", "snrm", "t", "bk")
+
+  /** The contract columns distinctive enough to signal "this was meant
+    * to be a bucket table" (`t` alone is too generic a name to count). */
+  private val cosineBucketMarkers = Set("static_id", "sv", "snrm", "bk")
 
   /** Streaming SEMANTIC near-dup detection — the embedding-space twin
     * of [[nearDupPairsStream]] (that plane reads content via SimHash;
@@ -1007,10 +1027,26 @@ object Streams {
     *
     * `staticVecs` is either a raw `(id, embedding)` corpus table or a
     * pre-bucketed [[cosineBucketTable]] (recognized by its column
-    * set). Raw tables are bucketed ONCE and persisted via the
-    * implicit [[graft.CacheScope]] (tracked scope required — same
-    * contract and fallback warning as [[nearDupPairsStream]]); at
-    * corpus scale pass the pre-bucketed snapshot. */
+    * set — any superset of the contract columns counts, extras are
+    * dropped; a partial column set is rejected loudly). Raw tables
+    * are bucketed ONCE and persisted via the implicit
+    * [[graft.CacheScope]] (tracked scope required — same contract and
+    * fallback warning as [[nearDupPairsStream]]); at corpus scale
+    * pass the pre-bucketed snapshot.
+    *
+    * CAP-BOUNDARY CAVEAT (r13 ADVICE, part of the equivalence claim):
+    * `maxBucketSize` here is applied to CORPUS-side buckets sized
+    * over the corpus alone ([[cosineBucketTable]] cannot know future
+    * stream arrivals at snapshot-build time), while the batch
+    * `cosinePairsLsh` sizes buckets over the full union and drops
+    * BOTH sides of an oversized bucket. Away from the cap boundary
+    * the two planes flag identical pairs (what the parity spec
+    * asserts); a bucket whose union population crosses the cap only
+    * because of stream-side arrivals is dropped by the batch plane
+    * but still probed by the stream — near the boundary the streamed
+    * flag set can be a superset of the batch pair set. The batch
+    * sweep over the merged corpus remains the completeness/semantics
+    * owner, exactly as with LSH recall itself. */
   def embedNearDupStream(vecs: DataFrame, staticVecs: DataFrame,
       id: String = "vec_id", tsCol: String = "ts", vecCol: String = "embedding",
       threshold: Double = 0.4, watermarkDelay: String = "10 minutes",
@@ -1018,8 +1054,19 @@ object Streams {
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     graft.functions.Dot.ensure(vecs.sparkSession)
+    val staticColSet = staticVecs.columns.toSet
     val staticBk =
-      if (staticVecs.columns.toSet == cosineBucketCols) staticVecs
+      if (cosineBucketCols.subsetOf(staticColSet))
+        // pre-bucketed snapshot; extra columns (partition/date stamps
+        // a publisher added) are dropped, not a reason to re-bucket
+        staticVecs.select(cosineBucketCols.toSeq.sorted.map(col): _*)
+      else if ((staticColSet & cosineBucketMarkers).nonEmpty)
+        throw new IllegalArgumentException(
+          s"embedNearDupStream: static side carries bucket-table columns " +
+            s"${(staticColSet & cosineBucketMarkers).toSeq.sorted.mkString(", ")} but not the " +
+            s"full cosineBucketTable contract ${cosineBucketCols.toSeq.sorted.mkString(", ")} — " +
+            "re-publish the snapshot with cosineBucketTable(...) or pass the raw " +
+            "(id, embedding) corpus table")
       else if (scope ne graft.CacheScope.untracked)
         scope.persist(cosineBucketTable(staticVecs, id, vecCol, maxBucketSize))
       else {

@@ -10,6 +10,13 @@ Usage: check_batch.py <outdir> <full_oracle.json> [--exclude a,b,c]
 import sys, os, json, subprocess
 
 out = sys.argv[1]
+# the filtered subset is written to <out>/oracle_sql.json below — if the
+# caller passes that same file as the FULL oracle, one run would silently
+# destroy the full set (r13 ADVICE); refuse instead
+if os.path.realpath(sys.argv[2]) == os.path.realpath(os.path.join(out, "oracle_sql.json")):
+    raise SystemExit("refusing: <full_oracle.json> is the output path "
+                     f"{os.path.join(out, 'oracle_sql.json')} — pass the full oracle "
+                     "from a different directory")
 full = json.load(open(sys.argv[2]))
 exclude = set()
 only = None

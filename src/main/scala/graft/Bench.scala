@@ -187,6 +187,16 @@ object Bench {
     "vec_hard_negatives", "vec_matryoshka_eval", "vec_outliers", "vec_pca_project",
     "vec_rp_project", "vec_silhouette")
 
+  /** FROZEN r13 basket (r13 verdict item #5): the r11 basket plus the
+    * two queries added since (`pipeline_train_data_card` r12,
+    * `ml_spearman_shuffle` r13) — 224 keys, the full r13-stamp
+    * headline. Emitted as `common_r13_total` NEXT TO the r11
+    * `common_total` (kept for one more round of continuity). Same
+    * freeze discipline: do NOT grow this set; freeze a new basket
+    * when needed. */
+  private val commonR13: Set[String] =
+    commonR11 + "pipeline_train_data_card" + "ml_spearman_shuffle"
+
   /** 1-minute system load average, or -1 where the JMX bean refuses
     * (it never does on Linux). Sampled once per rep sweep: the r4
     * driver host showed noisy-neighbor spikes (one rep 3x slow at
@@ -294,11 +304,37 @@ object Bench {
       Thread.sleep(100)
       if (ok) samples(name) = samples(name) :+ elapsed
     }
+    // min-of-5 for the slow tier (r13 verdict item #5: §7p.2 made
+    // min-of-many the only attributable statistic, and the ≥10 s
+    // queries are where round-over-round claims live):
+    // SPARK_GRAFT_BENCH_EXTRA_REPS_OVER=<secs> appends extra reps
+    // (default 2, → 5 samples at reps=3) to every query whose current
+    // MIN is at or above the threshold. Query-major is fine here —
+    // mins are robust to a load spike in a way medians are not, and
+    // that is the statistic the tier exists for.
+    val extraOver = sys.env.get("SPARK_GRAFT_BENCH_EXTRA_REPS_OVER")
+      .map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+    val extraReps = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt)
+    for (thr <- extraOver.toSeq; name <- names;
+         if samples(name).size == reps && samples(name).min >= thr;
+         _ <- 1 to extraReps) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      dropAllBlocks()
+      System.gc()
+      Thread.sleep(100)
+      if (ok) samples(name) = samples(name) :+ elapsed
+    }
     val results = names.map(n => (n, samples(n)))
     // a query is failed unless every rep succeeded: a partial sample is
     // not comparable to a full one, and folding a fail-fast elapsed
     // into the totals would make a broken round read as a speedup
-    val good = results.collect { case (k, ts) if ts.size == reps =>
+    // (>= reps: the slow tier legitimately carries extra samples)
+    val good = results.collect { case (k, ts) if ts.size >= reps =>
       val sorted = ts.sorted
       val median = // true median: mean of the middle two for even sizes
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
@@ -312,7 +348,7 @@ object Bench {
     // per-query minimum: the load-free estimate when medians are suspect
     val mins = good.map { case (k, _, mn, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts) if ts.size != reps => "\"" + k + "\"" }
+    val failed = results.collect { case (k, ts) if ts.size < reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     // per-rep GC seconds: rep i's delta is bounded by the next rep's
@@ -327,7 +363,10 @@ object Bench {
     val commonGood = good.filter(g => commonR11.contains(g._1))
     val commonTotal =
       if (commonGood.size == commonR11.size) f"${commonGood.map(_._2).sum}%.3f" else "null"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
+    val commonR13Good = good.filter(g => commonR13.contains(g._1))
+    val commonR13Total =
+      if (commonR13Good.size == commonR13.size) f"${commonR13Good.map(_._2).sum}%.3f" else "null"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     // stdout scraping is lossy: the round stamper keeps only the LAST
     // 2000 chars of sbt output, so a 180-query line loses its head and
@@ -344,7 +383,7 @@ object Bench {
           if (sb.nonEmpty) sb.append(',')
           sb.append("\"" + k + "\":" + f"$med%.3f")
         }
-        s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
       }
     println(stdoutLine)
     try {

@@ -25,14 +25,27 @@ import org.apache.spark.sql.functions._
   * derived-stride path ([[graft.functions.Pipeline]] `copyStrideOf`)
   * is exercised at scale, not just in the toy spec fixture.
   *
+  * `docMutate` (5th arg, default false) diversifies DOCUMENT TEXT per
+  * replica: every 5th token gets a replica-tag suffix, so cross-replica
+  * copies drop below every near-dup threshold (word-3-shingle Jaccard
+  * ≈ 0.25, char-5-gram ≈ 0.5, 60-bit simhash far apart) while
+  * WITHIN-replica near-dup structure is preserved (two docs of one
+  * replica mutate at the same token positions). Without it, a ×100
+  * replication gives every doc 100 identical copies, every MinHash
+  * band bucket blows past `LshBucketCap` = 15, and the dedup tier
+  * degenerates to a vacuous 0-pair run — the mutated corpus is the
+  * honest 100× shape: 100 content shards, pair volume linear in
+  * factor, cap/banding mechanics exercised at full scale.
+  *
   * Usage: runMain graft.ScaleGen [factor=10] [outDir=target/graft_tmp/sfgen_x<factor>]
-  *                               [skewLang] [skewMod=16]
+  *                               [skewLang] [skewMod=16] [docMutate=false]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val skewLang = if (args.length > 2) Some(args(2)) else None
     val skewMod = if (args.length > 3) args(3).toInt else 16
+    val docMutate = args.length > 4 && Set("true", "1").contains(args(4).toLowerCase)
     val out = if (args.length > 1) args(1)
       else s"target/graft_tmp/sfgen_x$factor${skewLang.map(l => s"_skew_$l").getOrElse("")}"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
@@ -68,10 +81,19 @@ object ScaleGen {
       _.withColumn("l_quantity",
         col("l_quantity") + col("__rep").cast("double") / 1000.0))
     replicate("orders", Seq("o_orderkey"))
-    replicate("documents", Seq("doc_id"), d => skewLang match {
-      case Some(l) =>
-        d.filter(col("lang") =!= l || pmod(col("doc_id"), lit(skewMod)) === 0)
-      case None => d
+    replicate("documents", Seq("doc_id"), d => {
+      val skewed = skewLang match {
+        case Some(l) =>
+          d.filter(col("lang") =!= l || pmod(col("doc_id"), lit(skewMod)) === 0)
+        case None => d
+      }
+      if (!docMutate) skewed
+      else skewed.withColumn("text", expr(
+        // every 5th token tagged with the replica index: deterministic,
+        // position-keyed (two same-replica docs mutate identically at
+        // shared positions, preserving their mutual near-dup structure)
+        """concat_ws(' ', transform(split(text, ' '),
+           (w, i) -> CASE WHEN i % 5 = 4 THEN concat(w, '~r', CAST(__rep AS STRING)) ELSE w END))"""))
     })
     replicate("embeddings", Seq("vec_id"))
     replicate("events", Seq("event_id", "user_id"))

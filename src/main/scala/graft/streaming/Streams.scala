@@ -958,8 +958,7 @@ object Streams {
     * the storage, or shrink `NumTables` with the batch plane. */
   def cosineBucketTable(staticVecs: DataFrame, id: String = "vec_id",
       vec: String = "embedding",
-      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket)(
-      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket): DataFrame = {
     import graft.similarity.Similarity
     graft.functions.Dot.ensure(staticVecs.sparkSession)
     val n = staticVecs
@@ -978,11 +977,12 @@ object Streams {
       // cap path reads `all` twice (bucket-size aggregate + anti-join
       // probe side); unpersisted, the standalone corpus-scale
       // snapshot-build path would recompute the whole LSH fan-out.
-      // Tracked scope → persist (caller releases); untracked → eager
-      // localCheckpoint (RDD blocks reclaimed by the ContextCleaner)
-      val mat =
-        if (scope ne graft.CacheScope.untracked) scope.persist(all)
-        else all.localCheckpoint(true)
+      // Eager localCheckpoint (not a scope persist: callers like
+      // [[embedNearDupStream]] already persist the capped RESULT —
+      // double-caching the fan-out would cost corpus × NumTables
+      // memory twice); blocks are reclaimed by the ContextCleaner
+      // once the frame is unreachable
+      val mat = all.localCheckpoint(true)
       val oversized = mat.groupBy(col("t"), col("bk"))
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucketSize)
@@ -991,6 +991,40 @@ object Streams {
         col("t") === col("f_t") && col("bk") === col("f_bk"), "left_anti")
     }
   }
+
+  /** Width-aware variant of [[cosineBucketTable]] (r13 verdict item
+    * #7): returns `(buckets, vectors)` where `buckets` carries ONLY
+    * `(static_id, t, bk)` — the NumTables× fan-out replicates 3
+    * scalars instead of the embedding — and `vectors` is the 1×
+    * `(static_id, sv, snrm)` side table the stream joins once per
+    * surviving candidate. CROSSOVER: the fat table stores
+    * `NumTables × corpus × width × 8 B` of vector payload (4× at the
+    * default NumTables=4) and verifies with zero extra joins; the
+    * slim pair stores it once but adds one hash join on `static_id`
+    * per microbatch. Prefer slim when the replicated payload
+    * dominates snapshot storage/IO — i.e. wide embeddings over large
+    * corpora, roughly `width ≥ ~1k` floats or whenever
+    * `(NumTables − 1) × corpus × width × 8 B` exceeds what the
+    * snapshot budget tolerates; prefer fat when embeddings are
+    * narrow and the per-trigger join is the scarcer resource. Same
+    * cap semantics and bucket expressions as [[cosineBucketTable]];
+    * [[embedNearDupStream]] accepts the slim pair via its
+    * `staticVecSide` parameter and produces identical flags
+    * (spec-pinned). */
+  def cosineBucketTableSlim(staticVecs: DataFrame, id: String = "vec_id",
+      vec: String = "embedding",
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket): (DataFrame, DataFrame) = {
+    val fat = cosineBucketTable(staticVecs, id, vec, maxBucketSize)
+    (fat.select(col("static_id"), col("t"), col("bk")),
+      // one row per corpus vector (the fan-out replicated it NumTables×,
+      // minus cap-dropped rows — distinct restores the 1× grain; a
+      // vector whose EVERY bucket was capped away still verifies fine,
+      // it just never receives candidates, same as in the fat table)
+      fat.select(col("static_id"), col("sv"), col("snrm")).distinct())
+  }
+
+  /** Column contract of [[cosineBucketTableSlim]]'s bucket half. */
+  private val cosineBucketSlimCols = Set("static_id", "t", "bk")
 
   /** Column contract of [[cosineBucketTable]], used to recognize a
     * pre-bucketed static side. A SUPERSET of these columns also counts
@@ -1050,31 +1084,55 @@ object Streams {
   def embedNearDupStream(vecs: DataFrame, staticVecs: DataFrame,
       id: String = "vec_id", tsCol: String = "ts", vecCol: String = "embedding",
       threshold: Double = 0.4, watermarkDelay: String = "10 minutes",
-      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket)(
+      maxBucketSize: Int = graft.similarity.Similarity.KnnGraphMaxBucket,
+      staticVecSide: Option[DataFrame] = None)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     import graft.similarity.Similarity
     graft.functions.Dot.ensure(vecs.sparkSession)
     val staticColSet = staticVecs.columns.toSet
-    val staticBk =
-      if (cosineBucketCols.subsetOf(staticColSet))
-        // pre-bucketed snapshot; extra columns (partition/date stamps
-        // a publisher added) are dropped, not a reason to re-bucket
-        staticVecs.select(cosineBucketCols.toSeq.sorted.map(col): _*)
-      else if ((staticColSet & cosineBucketMarkers).nonEmpty)
-        throw new IllegalArgumentException(
-          s"embedNearDupStream: static side carries bucket-table columns " +
-            s"${(staticColSet & cosineBucketMarkers).toSeq.sorted.mkString(", ")} but not the " +
-            s"full cosineBucketTable contract ${cosineBucketCols.toSeq.sorted.mkString(", ")} — " +
-            "re-publish the snapshot with cosineBucketTable(...) or pass the raw " +
-            "(id, embedding) corpus table")
-      else if (scope ne graft.CacheScope.untracked)
-        scope.persist(cosineBucketTable(staticVecs, id, vecCol, maxBucketSize))
-      else {
-        System.err.println("[graft] embedNearDupStream: raw corpus side used without " +
-          "a CacheScope — the LSH bucket build will recompute per microbatch. " +
-          "Wrap in CacheScope.withScope or pass cosineBucketTable(...) output.")
-        cosineBucketTable(staticVecs, id, vecCol, maxBucketSize)
-      }
+    val slimSideCols = Set("static_id", "sv", "snrm")
+    val staticJoin: DataFrame => DataFrame = staticVecSide match {
+      case Some(side) =>
+        // width-aware slim pair ([[cosineBucketTableSlim]]): buckets
+        // carry ids only; the 1x vector side joins per candidate
+        require(cosineBucketSlimCols.subsetOf(staticColSet),
+          s"embedNearDupStream: with staticVecSide, staticVecs must be the slim bucket " +
+            s"half ${cosineBucketSlimCols.toSeq.sorted.mkString(", ")} — got " +
+            staticColSet.toSeq.sorted.mkString(", "))
+        require(slimSideCols.subsetOf(side.columns.toSet),
+          s"embedNearDupStream: staticVecSide must carry ${slimSideCols.toSeq.sorted.mkString(", ")} " +
+            s"(cosineBucketTableSlim's vector half) — got ${side.columns.sorted.mkString(", ")}")
+        sk => sk.join(staticVecs.select(cosineBucketSlimCols.toSeq.sorted.map(col): _*), Seq("t", "bk"))
+          .join(side.select(slimSideCols.toSeq.sorted.map(col): _*), Seq("static_id"))
+      case None =>
+        val staticBk =
+          if (cosineBucketCols.subsetOf(staticColSet))
+            // pre-bucketed snapshot; extra columns (partition/date stamps
+            // a publisher added) are dropped, not a reason to re-bucket
+            staticVecs.select(cosineBucketCols.toSeq.sorted.map(col): _*)
+          else if ((staticColSet & cosineBucketMarkers).nonEmpty) {
+            val slim = cosineBucketSlimCols.subsetOf(staticColSet) &&
+              !staticColSet.contains("sv") && !staticColSet.contains("snrm")
+            throw new IllegalArgumentException(
+              if (slim)
+                "embedNearDupStream: static side looks like cosineBucketTableSlim's " +
+                  "bucket half — pass its vector half via staticVecSide"
+              else
+                s"embedNearDupStream: static side carries bucket-table columns " +
+                  s"${(staticColSet & cosineBucketMarkers).toSeq.sorted.mkString(", ")} but not the " +
+                  s"full cosineBucketTable contract ${cosineBucketCols.toSeq.sorted.mkString(", ")} — " +
+                  "re-publish the snapshot with cosineBucketTable(...) or pass the raw " +
+                  "(id, embedding) corpus table")
+          } else if (scope ne graft.CacheScope.untracked)
+            scope.persist(cosineBucketTable(staticVecs, id, vecCol, maxBucketSize))
+          else {
+            System.err.println("[graft] embedNearDupStream: raw corpus side used without " +
+              "a CacheScope — the LSH bucket build will recompute per microbatch. " +
+              "Wrap in CacheScope.withScope or pass cosineBucketTable(...) output.")
+            cosineBucketTable(staticVecs, id, vecCol, maxBucketSize)
+          }
+        sk => sk.join(staticBk, Seq("t", "bk"))
+    }
     val streamKeys = vecs
       .select(col(id).as("stream_id"), col(tsCol),
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
@@ -1086,7 +1144,7 @@ object Streams {
             expr(Similarity.bucketExprSparkFor(t)).as("bk"))): _*)).as("tb"))
       .select(col("stream_id"), col(tsCol), col("v"), col("nrm"),
         col("tb.t").as("t"), col("tb.bk").as("bk"))
-    streamKeys.join(staticBk, Seq("t", "bk"))
+    staticJoin(streamKeys)
       .filter(col("static_id") =!= col("stream_id"))
       .withColumn("c", expr("graft_dot(v, sv) / (nrm * snrm)"))
       .filter(col("c") >= threshold)

@@ -356,6 +356,123 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"pre-bucketed corpus side changed the flag set: $streamedPre vs $batchPairs")
   }
 
+  test("embedNearDupStream snapshot-refresh restart: checkpointed stream picks up a republished bucket table (r14)") {
+    import spark.implicits._
+    // The documented refresh contract, rehearsed end-to-end: publish a
+    // bucket snapshot → run a checkpointed stream → republish with an
+    // ENLARGED corpus → restart the SAME checkpoint against the new
+    // snapshot. Must hold: (a) already-processed input is not
+    // re-flagged (file-source log survives the restart), (b) new
+    // arrivals pair against vectors that exist ONLY in the new
+    // snapshot (the refresh is actually in effect).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpusV1 = emb.filter(col("vec_id") <= 40)
+    def vecOf(id: Long): Array[Float] =
+      corpusV1.filter(col("vec_id") === id).collect().head
+        .getSeq[Float](1).toArray
+    val base = Files.createTempDirectory("graft-embdup-restart").toString
+    val (snapV1, snapV2) = (s"$base/snap_v1", s"$base/snap_v2")
+    val (in, outDir, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    Streams.cosineBucketTable(corpusV1).write.parquet(snapV1)
+    // corpus v2 adds vec 50 (a copy of v1's vec 5) — republished snapshot
+    val corpusV2 = corpusV1.unionAll(
+      Seq((50L, vecOf(5).toSeq)).toDF("vec_id", "embedding"))
+    Streams.cosineBucketTable(corpusV2).write.parquet(snapV2)
+
+    val schema = "vec_id LONG, ts TIMESTAMP, embedding ARRAY<FLOAT>"
+    def runOnce(snap: String): Unit = {
+      val q = Streams.embedNearDupStream(
+          spark.readStream.schema(schema).parquet(s"$in/*"),
+          spark.read.parquet(snap))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    // run 1 against snapshot v1: stream vec 2001 = copy of corpus vec 1
+    Seq((2001L, ts("2024-01-01 00:00:00"), vecOf(1).toSeq))
+      .toDF("vec_id", "ts", "embedding").coalesce(1).write.parquet(s"$in/b000")
+    runOnce(snapV1)
+    def flagRows(): Seq[(Long, Long)] =
+      spark.read.parquet(outDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val run1 = flagRows()
+    assert(run1.contains((1L, 2001L)), s"run 1 must flag the planted copy: $run1")
+
+    // run 2, SAME checkpoint, snapshot v2: stream vec 2002 = copy of vec 5
+    Seq((2002L, ts("2024-01-01 00:01:00"), vecOf(5).toSeq))
+      .toDF("vec_id", "ts", "embedding").coalesce(1).write.parquet(s"$in/b001")
+    runOnce(snapV2)
+    val run2 = flagRows()
+    assert(run2.contains((50L, 2002L)),
+      s"restart must pair against the snapshot-v2-only vector 50: $run2")
+    assert(run2.contains((5L, 2002L)),
+      s"restart must still pair against the carried-over corpus: $run2")
+    assert(run2.count(_ == (1L, 2001L)) == 1,
+      s"already-processed input must not be re-flagged after the restart: $run2")
+    assert(run1.toSet.subsetOf(run2.toSet),
+      s"restart must not lose run-1 flags: run1=$run1 run2=$run2")
+  }
+
+  test("embedNearDupStream static-side recognition: superset = pre-bucketed, near-miss rejected (r14)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") <= 40)
+    val dup = corpus.filter(col("vec_id") === 1).collect().head
+      .getSeq[Float](1).toArray
+    val in = Files.createTempDirectory("graft-embdup-cols").toString
+    Seq((3001L, ts("2024-01-01 00:00:00"), dup.toSeq))
+      .toDF("vec_id", "ts", "embedding").coalesce(1).write.parquet(s"$in/b000")
+    val schema = "vec_id LONG, ts TIMESTAMP, embedding ARRAY<FLOAT>"
+    val bk = Streams.cosineBucketTable(corpus)
+    // a republished snapshot with an extra partition column is STILL
+    // pre-bucketed (r13 ADVICE: exact-set matching silently fell
+    // through to the raw path and re-bucketed the 5-column frame)
+    val q = Streams.embedNearDupStream(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        bk.withColumn("dt", lit("2024-01-01")))
+      .writeStream.format("memory").queryName("embdup_superset_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("embdup_superset_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3001L)),
+      s"superset-column snapshot must behave as pre-bucketed: $got")
+    // a NEAR-MISS (bucket-table columns present but contract
+    // incomplete) must fail loudly, not re-bucket or misjoin
+    val ex = intercept[IllegalArgumentException] {
+      Streams.embedNearDupStream(
+        spark.readStream.schema(schema).parquet(s"$in/*"), bk.drop("snrm"))
+    }
+    assert(ex.getMessage.contains("cosineBucketTable"),
+      s"near-miss error must point at the contract: ${ex.getMessage}")
+
+    // width-aware slim pair (r14): identical flags off the 1x-payload
+    // (buckets, vectors) snapshot
+    val (slimBk, slimVecs) = Streams.cosineBucketTableSlim(corpus)
+    val q3 = Streams.embedNearDupStream(
+        spark.readStream.schema(schema).parquet(s"$in/*"), slimBk,
+        staticVecSide = Some(slimVecs))
+      .writeStream.format("memory").queryName("embdup_slim_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val gotSlim = spark.table("embdup_slim_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotFat = spark.table("embdup_superset_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSlim == gotFat,
+      s"slim bucket pair changed the flag set: slim=$gotSlim fat=$gotFat")
+    // the slim bucket half WITHOUT its vector side must fail with the
+    // pointer at staticVecSide, not fall through to re-bucketing
+    val ex2 = intercept[IllegalArgumentException] {
+      Streams.embedNearDupStream(
+        spark.readStream.schema(schema).parquet(s"$in/*"), slimBk)
+    }
+    assert(ex2.getMessage.contains("staticVecSide"),
+      s"slim-half error must point at staticVecSide: ${ex2.getMessage}")
+  }
+
   test("streaming bloom decontamination flags exactly the batch-contaminated docs") {
     import spark.implicits._
     val benchText = "the held out benchmark question about rivers and mountains of europe today"

@@ -52,6 +52,33 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Round-robin fan-out for frames whose SOURCE file grain caps scan
+    * parallelism (opt guide §2.5: "one huge unsplittable file —
+    * repartition immediately after the read"). A parquet row group is
+    * the atomic scan unit, and the driver test tables are single-row-
+    * group files, so every per-row map attached to their scan stage
+    * (sigmoid gradients, md5 shingling, levenshtein verifies, ...)
+    * runs as ONE task at any core count — measured: every ML-tier
+    * gradient pass over the sf0.1 lineitem ran 1 real task with 31
+    * cores idle (JobProfile, r14). One exchange of the PRUNED columns
+    * (callers apply it after their projection — guide §2.3 "project
+    * before the exchange") buys cores-way execution of all downstream
+    * map work.
+    *
+    * Scale-adaptive, not a local[32] constant: the fan-out fires only
+    * when the frame's source has FEWER FILES than the session's
+    * default parallelism — a production multi-file table (or ScaleGen
+    * multi-part dir) already scans wide and skips the exchange
+    * entirely (`inputFiles` is plan metadata; no job). Row order is
+    * round-robin with Spark's sort-before-repartition retry
+    * determinism; every consumer downstream is merge-order-free by
+    * the house discipline (SURVEY §5), which the sf/CPU-varied gates
+    * prove. */
+  def fanout(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < par) df.repartition(par) else df
+  }
 }
 
 /** Standard local session builder shared by every entry point
@@ -74,6 +101,20 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Scan-split floor (opt guide §2.2/§6): openCostInBytes both
+      // charges a per-file open cost AND floors the split size when
+      // totalBytes/minPartitionNum < openCost. At its 4 MB default a
+      // table smaller than 4 MB × cores scans with totalBytes/4MB
+      // tasks — the r14 JobProfile measured every ML-tier gradient
+      // pass over the sf0.1 lineitem (11 MB) running as a 3-task job
+      // on a 32-core session, 90% of the box idle on every corpus
+      // pass. 128 KB is the honest per-open cost on local NVMe/page
+      // cache; at production scale splits are governed by
+      // maxPartitionBytes (files ≥ 128 MB), where this knob is
+      // irrelevant — it only stops SMALL inputs from defeating the
+      // core count. Env-overridable for slow-seek storage.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (128 * 1024).toString))
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
     s

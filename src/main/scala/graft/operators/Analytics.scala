@@ -225,8 +225,8 @@ object Analytics {
         round(1 - r.sse / (w.syy - w.sy * w.sy / w.n), 6) AS r2
       FROM w, r"""),
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val li = Tables.fanout(Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice")))
       val m = li.agg(
         count(lit(1)).cast(DoubleType).as("n"),
         sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
@@ -312,8 +312,8 @@ object Analytics {
       FROM w JOIN r ON w.lambda = r.lambda ORDER BY w.lambda""")
     },
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val li = Tables.fanout(Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount"), col("l_extendedprice")))
       val m = li.agg(
         count(lit(1)).cast(DoubleType).as("n"),
         sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("s1"),
@@ -366,9 +366,12 @@ object Analytics {
   /** The shared GD feature frame (x1, x2, y) off lineitem — the one
     * every ML gate trains/scores on. */
   def mlFeatures(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).selectExpr(
+    // fan the single-row-group scan out to cores-way parallelism
+    // BEFORE the GD/scoring passes (guide §2.5); the exchange carries
+    // only the 3 projected feature columns (§2.3)
+    Tables.fanout(Tables.lineitem(s, d).selectExpr(
       "l_quantity AS x1", "l_discount AS x2",
-      "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")
+      "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y"))
 
   /** The readout-REUSE surface (r7 verdict item 6): score a feature
     * frame (x1, x2, y) with a one-row weights frame (wa, wb, wc) →
@@ -494,9 +497,9 @@ object Analytics {
         FROM c ORDER BY bin""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      calibOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      calibOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // ------------------------------------- ml_brier_decomposition
@@ -598,9 +601,9 @@ object Analytics {
         FROM s""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      brierOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      brierOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // ------------------------------------------- pipeline_ml_readouts
@@ -671,7 +674,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       val w = logregWeights6(b)               // ONE training pass
       val zz = scope.persist(scoreWith(b, w)) // ONE corpus scoring scan
       val sweep = sweepOfScores(zz).selectExpr("'sweep' AS readout", "t AS k",
@@ -742,7 +745,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       val zz = scope.persist(scoreWith(b, logregWeights6(b)))
       val sw = sweepOfScores(zz).select(col("t"), col("tp"), col("fp"), col("fn"))
       val ep = zz.agg(
@@ -837,7 +840,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       rocAucOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
@@ -887,9 +890,9 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = scope.persist(Tables.lineitem(s, d).selectExpr(
+      val b = scope.persist(Tables.fanout(Tables.lineitem(s, d).selectExpr(
         "l_quantity AS x1", "l_discount AS x2",
-        s"CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$C2stCutDate' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y"))
+        s"CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$C2stCutDate' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")))
       rocAucOfScores(scoreWith(b, logregWeights6(b)))
         .selectExpr("n1", "n0", "n_values", "auc_roc",
           s"CAST(CASE WHEN abs(auc_roc - 0.5) > $C2stAucBand THEN 1 ELSE 0 END AS BIGINT) AS drift")
@@ -974,7 +977,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       averagePrecisionOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
@@ -1076,7 +1079,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       delongOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
@@ -1154,7 +1157,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       shapLinear(b, logregWeights6(b)).localCheckpoint(true)
     })
 
@@ -1331,9 +1334,11 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b)
+      // ONE training chain: w3 and w2 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds))
         .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
       mcnemarOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
         .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
@@ -1403,9 +1408,11 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b)
+      // ONE training chain: w3 and w2 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds))
         .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
       kappaOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
         .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
@@ -1484,11 +1491,13 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b)
+      // ONE training chain: w3, w2, w1 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds))
         .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
-      val wC = logregWeights6(b, rounds = GdRounds - 2)
+      val wC = round6(chain(GdRounds - 2))
         .selectExpr("wa AS wa1", "wb AS wb1", "wc AS wc1")
       cochranQOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
         .crossJoin(broadcast(wC))
@@ -1622,9 +1631,11 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b)
+      // ONE training chain: w3 and w2 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds))
         .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
       spearmanOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
         .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
@@ -1672,9 +1683,9 @@ object Analytics {
         FROM m"""
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      spearmanOfScores(Tables.lineitem(s, d)
+      spearmanOfScores(Tables.fanout(Tables.lineitem(s, d)
         .selectExpr("(l_quantity * l_extendedprice - l_discount) AS za",
-          "(l_extendedprice * (1 - l_discount) + l_quantity) AS zb"))
+          "(l_extendedprice * (1 - l_discount) + l_quantity) AS zb")))
         .localCheckpoint(true)
     })
 
@@ -1777,10 +1788,12 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b).selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      // ONE training chain: w3, w2, w1 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds)).selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
-      val wC = logregWeights6(b, rounds = GdRounds - 2)
+      val wC = round6(chain(GdRounds - 2))
         .selectExpr("wa AS wa1", "wb AS wb1", "wc AS wc1")
       val zz = scope.persist(
         b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB)).crossJoin(broadcast(wC))
@@ -1903,9 +1916,11 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      val wA = logregWeights6(b)
+      // ONE training chain: w3 and w2 are prefixes of the same run
+      val chain = logregWeightsChain(b)
+      val wA = round6(chain(GdRounds))
         .selectExpr("wa AS wa3", "wb AS wb3", "wc AS wc3")
-      val wB = logregWeights6(b, rounds = GdRounds - 1)
+      val wB = round6(chain(GdRounds - 1))
         .selectExpr("wa AS wa2", "wb AS wb2", "wc AS wc2")
       wilcoxonOfScores(b.crossJoin(broadcast(wA)).crossJoin(broadcast(wB))
         .selectExpr("(wa3 + wb3 * x1 + wc3 * x2) AS za",
@@ -2001,9 +2016,9 @@ object Analytics {
         FROM t""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      hosmerLemeshowOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      hosmerLemeshowOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // -------------------------------------------- isotonic calibration
@@ -2097,9 +2112,9 @@ object Analytics {
         FROM c JOIN ft ON c.bin = ft.bin ORDER BY c.bin""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      isotonicOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      isotonicOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // ------------------------------------------------ Poisson bootstrap
@@ -2247,9 +2262,10 @@ object Analytics {
         SELECT tp, fp, fn, tn, $f1Expr AS f1, $mccExpr AS mcc FROM cm""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
       confusionReadout(confusionOfScores(scoreWith(b, logregWeights6(b))))
+        .localCheckpoint(true)
     })
 
   // ------------------------------------------- ml_conformal_interval
@@ -2802,27 +2818,47 @@ object Analytics {
     * broadcasts — the textbook 100 TB batch-GD shape. The audit pass
     * (log-loss + accuracy) reuses the same discipline; accuracy
     * decides via `z > 0 ⇔ σ(z) > ½` in exact comparisons. */
-  /** The GD training loop alone: returns the one-row (wa, wb, wc)
-    * weight frame after `rounds` — shared by [[logregGd]] and the
-    * threshold sweep. */
-  def logregWeights(b: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame = {
+  /** The full GD training CHAIN: one-row (wa, wb, wc) weight frames
+    * after 0, 1, ..., `rounds` updates of ONE training run —
+    * `chain(i)` is bitwise the `logregWeights(b, lr, i)` result (the
+    * i-round weights are a prefix of the same fixed-order update
+    * sequence). The paired-comparison gates (McNemar/kappa/Cochran/
+    * Spearman/Wilcoxon/model-compare) need 2–3 round counts of the
+    * SAME schedule; training each separately re-ran the shared prefix
+    * (3+2+1 = 6 gradient passes where 3 suffice) — guide §1.2: remove
+    * passes that recompute what a previous pass already produced. The
+    * row count rides the gradient aggregate itself (`count(1)` in the
+    * same map-combinable fold) instead of a separate `b.count()` job,
+    * removing one full corpus pass per training run; n is the same
+    * exact BIGINT either way, so the lr·g/n update is bit-identical. */
+  def logregWeightsChain(b: DataFrame, lr: Double = GdLr,
+      rounds: Int = GdRounds): IndexedSeq[DataFrame] = {
     var w = b.sparkSession.range(1)
       .selectExpr("CAST(0 AS DOUBLE) AS wa", "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wc")
       .localCheckpoint(true)
-    val n = b.count().toDouble
+    val chain = IndexedSeq.newBuilder[DataFrame]
+    chain += w
     for (_ <- 1 to rounds) {
       val g = b.crossJoin(broadcast(w)).agg(
+        count(lit(1)).cast(LongType).as("cnt"),
         expr(gradSql("")).as("g0"),
         expr(gradSql(" * x1")).as("g1"),
         expr(gradSql(" * x2")).as("g2"))
       w = w.crossJoin(broadcast(g)).selectExpr(
-        s"wa - CAST($lr AS DOUBLE) * (g0 / CAST($n AS DOUBLE)) AS wa",
-        s"wb - CAST($lr AS DOUBLE) * (g1 / CAST($n AS DOUBLE)) AS wb",
-        s"wc - CAST($lr AS DOUBLE) * (g2 / CAST($n AS DOUBLE)) AS wc")
+        s"wa - CAST($lr AS DOUBLE) * (g0 / CAST(cnt AS DOUBLE)) AS wa",
+        s"wb - CAST($lr AS DOUBLE) * (g1 / CAST(cnt AS DOUBLE)) AS wb",
+        s"wc - CAST($lr AS DOUBLE) * (g2 / CAST(cnt AS DOUBLE)) AS wc")
         .localCheckpoint(true)
+      chain += w
     }
-    w
+    chain.result()
   }
+
+  /** The GD training loop alone: returns the one-row (wa, wb, wc)
+    * weight frame after `rounds` — shared by [[logregGd]] and the
+    * threshold sweep. */
+  def logregWeights(b: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame =
+    logregWeightsChain(b, lr, rounds).last
 
   /** The PUBLISHED weights: training weights rounded to the 6-dp
     * precision the ml_logreg_gd gate pins. Scoring queries (threshold
@@ -2837,9 +2873,15 @@ object Analytics {
     * 6-dp rounding is the one the ml_logreg_gd gate already proves
     * identical in both engines on this corpus. */
   def logregWeights6(b: DataFrame, lr: Double = GdLr, rounds: Int = GdRounds): DataFrame =
-    logregWeights(b, lr, rounds).selectExpr(
-      "round(wa, 6) AS wa", "round(wb, 6) AS wb", "round(wc, 6) AS wc")
-      .localCheckpoint(true)
+    round6(logregWeights(b, lr, rounds))
+
+  /** 6-dp publication rounding of a one-row weight frame — a lazy
+    * projection over the (already eagerly checkpointed) training
+    * output; the former extra `localCheckpoint(true)` here spent one
+    * whole job re-materializing a 1-row rounding (guide §1.2: per-task
+    * work that costs a scheduled pass). */
+  private def round6(w: DataFrame): DataFrame =
+    w.selectExpr("round(wa, 6) AS wa", "round(wb, 6) AS wb", "round(wc, 6) AS wc")
 
   /** Oracle twin of [[logregWeights6]] — appended after
     * `logregCtes(rounds)`. */
@@ -2904,9 +2946,9 @@ object Analytics {
         FROM b, w$GdRounds, nn GROUP BY nn.n, wa, wb, wc""")
       sb.toString
     },
-    (s, d) => logregGd(Tables.lineitem(s, d).selectExpr(
-      "l_quantity AS x1", "l_discount AS x2",
-      "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y")))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      logregGd(scope.persist(mlFeatures(s, d))).localCheckpoint(true)
+    })
 
   // ----------------------------------------------------------- q60
   /** q60: PSI drift monitor — the ML-monitoring staple (population
@@ -3095,8 +3137,8 @@ object Analytics {
       SELECT w.fold, w.n_train, w.n_test, round(sqrt(r.sse / w.n_test), 6) AS rmse
       FROM w JOIN r ON w.fold = r.fold ORDER BY w.fold"""),
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(expr("l_orderkey % 5").as("fold"),
-        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val li = Tables.fanout(Tables.lineitem(s, d).select(expr("l_orderkey % 5").as("fold"),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice")))
       // 5 rows of exact DECIMAL sums — totals and train moments derive
       // from them without touching the corpus again
       val fm = li.groupBy(col("fold")).agg(
@@ -3317,9 +3359,9 @@ object Analytics {
         FROM sc ORDER BY t""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      sweepOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      sweepOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // ------------------------------------------- cost-optimal threshold
@@ -3377,9 +3419,9 @@ object Analytics {
         FROM cg, bt ORDER BY t""")
       sb.toString
     },
-    (s, d) => {
-      val b = mlFeatures(s, d)
-      costOptOfScores(scoreWith(b, logregWeights6(b)))
+    (s, d) => graft.CacheScope.withScope { implicit scope =>
+      val b = scope.persist(mlFeatures(s, d))
+      costOptOfScores(scoreWith(b, logregWeights6(b))).localCheckpoint(true)
     })
 
   // ----------------------------------------------------------- q65
@@ -3584,7 +3626,7 @@ object Analytics {
       sb.toString
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
-      val b = mlFeatures(s, d)
+      val b = scope.persist(mlFeatures(s, d))
       liftOfScores(scoreWith(b, logregWeights6(b)))
         .localCheckpoint(true)
     })

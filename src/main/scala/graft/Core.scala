@@ -101,20 +101,15 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // Scan-split floor (opt guide §2.2/§6): openCostInBytes both
-      // charges a per-file open cost AND floors the split size when
-      // totalBytes/minPartitionNum < openCost. At its 4 MB default a
-      // table smaller than 4 MB × cores scans with totalBytes/4MB
-      // tasks — the r14 JobProfile measured every ML-tier gradient
-      // pass over the sf0.1 lineitem (11 MB) running as a 3-task job
-      // on a 32-core session, 90% of the box idle on every corpus
-      // pass. 128 KB is the honest per-open cost on local NVMe/page
-      // cache; at production scale splits are governed by
-      // maxPartitionBytes (files ≥ 128 MB), where this knob is
-      // irrelevant — it only stops SMALL inputs from defeating the
-      // core count. Env-overridable for slow-seek storage.
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (128 * 1024).toString))
+      // NOTE (r14, measured then reverted): lowering
+      // spark.sql.files.openCostInBytes to 128 KB to raise nominal
+      // scan splits was tried and A/B-measured — it cannot help here
+      // (the test tables are single-ROW-GROUP parquet, so extra
+      // splits are empty) and it regressed join-heavy plans
+      // (graph_pagerank 6.3 s → 9.2 s min-of-2, same session).
+      // Under-parallel small scans are fixed where it works instead:
+      // Tables.fanout (explicit round-robin of the pruned projection)
+      // at the heavy-map call sites.
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
     s

@@ -1642,7 +1642,12 @@ object Pipeline {
         corrupted_md5, target_md5
       FROM r ORDER BY doc_id"""
     },
-    (s, d) => spanCorruption(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+    // fanout kept HERE (alone among the documents gates): pure per-row
+    // token rewrite with no explode/groupBy fan-in — the r14 family
+    // bench measured 1.80 s → 0.96 s min-of-3, while the exchange hurt
+    // the explode→high-cardinality-groupBy dedup shapes (reverted there)
+    (s, d) => spanCorruption(Tables.fanout(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))))
 
   val defs: Seq[QueryDef] = Seq(splitStats, packShards, packSequences, packFfd,
     budgetSelect, stratifiedSample, chunk, decontaminate, decontaminateBloom,

@@ -418,7 +418,10 @@ object Analytics {
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     val zz = scope.persist(zz0.withColumn("grp", lit(0)))
     val th = graft.operators.ExactPercentiles.percentiles(zz, "grp", "z",
-        (1 to 9).map(_ / 10.0))
+        (1 to 9).map(_ / 10.0),
+        // the scored-margin domain is the bounded 6-dp-weight grid
+        // (~550 distinct z at any sf) — value-grain selection (r14)
+        valueGrain = true)
       .groupBy(col("g"))
       .agg((1 to 9).map(i =>
         min(when(col("p") === i / 10.0, col("value"))).as(s"t$i")).head,
@@ -3303,7 +3306,8 @@ object Analytics {
       // per-group state carry them together (3 selection passes would
       // triple the scan count for no reason)
       val unpiv = cust.selectExpr("stack(3, 'r', r, 'f', f, 'm', m) AS (metric, mv)")
-      val th = ExactPercentiles.percentiles(unpiv, "metric", "mv", Seq(0.2, 0.4, 0.6, 0.8))
+      val th = ExactPercentiles.percentiles(unpiv, "metric", "mv", Seq(0.2, 0.4, 0.6, 0.8),
+        valueGrain = true) // day/count grains dominate the unpivot (r14)
         .groupBy(lit(0).as("grp0"))
         .agg(Seq("r", "f", "m").flatMap(me => Seq(20, 40, 60, 80).map(pp =>
           min(when(col("g") === me && col("p") === pp / 100.0, col("value")))
@@ -3711,7 +3715,8 @@ object Analytics {
         .select(col("o_orderpriority").as("prio"),
           datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
             .cast(DoubleType).as("lead_days")))
-      val pct = ExactPercentiles.percentiles(lt, "prio", "lead_days", Seq(0.5, 0.9))
+      val pct = ExactPercentiles.percentiles(lt, "prio", "lead_days", Seq(0.5, 0.9),
+        valueGrain = true) // integer day gaps: bounded domain (r14)
         .groupBy(col("g").as("prio"))
         .agg(min(when(col("p") === 0.5, col("value"))).as("p50"),
           min(when(col("p") === 0.9, col("value"))).as("p90"))

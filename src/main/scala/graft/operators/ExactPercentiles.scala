@@ -52,23 +52,25 @@ object ExactPercentiles {
     * otherwise duplicate output rows: state is keyed by (g, p)). Nulls
     * in `value` are ignored (as Spark `percentile` does); a group with
     * zero non-null values yields no row. */
-  def percentiles(df: DataFrame, group: String, value: String, rawPs: Seq[Double])(
+  def percentiles(df: DataFrame, group: String, value: String, rawPs: Seq[Double],
+      valueGrain: Boolean = false)(
       implicit scope: CacheScope = CacheScope.untracked): DataFrame =
-    percentilesCounted(df, group, value, rawPs)._1
+    percentilesCounted(df, group, value, rawPs, valueGrain)._1
 
   /** [[percentiles]] plus the number of narrowing passes the selection
     * actually ran — observability for the early-exit contract (specs
     * assert low-cardinality domains resolve in ONE pass; see
     * `ExactPercentilesSpec`). */
-  private[graft] def percentilesCounted(df: DataFrame, group: String, value: String, rawPs: Seq[Double])(
+  private[graft] def percentilesCounted(df: DataFrame, group: String, value: String,
+      rawPs: Seq[Double], valueGrain: Boolean = false)(
       implicit scope: CacheScope = CacheScope.untracked): (DataFrame, Int) = {
     val ps = rawPs.distinct
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
-    val data = prepare(df, group, value)
+    val data = prepare(df, group, value, valueGrain)
 
     // per-group counts → the 0-based order-statistic ranks every p needs:
     // r = p·(n−1), order stats at ⌊r⌋ and ⌈r⌉ (deduped when integral)
-    val counts = data.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val counts = data.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
     val targets = counts
       .select(col("g"), col("n"), explode(array(ps.map(lit(_)): _*)).as("p"))
       .select(col("g"), col("p"), (col("p") * (col("n") - 1)).as("r"))
@@ -111,9 +113,10 @@ object ExactPercentiles {
     * ⌈(1−α)(n+1)⌉-th residual) rather than an interpolated p. A rank
     * outside [0, n) simply never resolves inside a real bucket and
     * yields no row — callers derive k from the group's own count. */
-  def orderStatistics(df: DataFrame, group: String, value: String, ranks: DataFrame)(
+  def orderStatistics(df: DataFrame, group: String, value: String, ranks: DataFrame,
+      valueGrain: Boolean = false)(
       implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
-    val data = prepare(df, group, value)
+    val data = prepare(df, group, value, valueGrain)
     // dedupe (g, k) like percentilesCounted does for its ranks frame: a
     // duplicate target would duplicate selection-state rows, and the
     // per-pass histogram (grouped by (g, k)) would then double-count
@@ -123,14 +126,38 @@ object ExactPercentiles {
       .select(col("g"), col("k"), col("v").as("value"))
   }
 
-  /** (g, x DOUBLE non-null, s order-isomorphic LONG), persisted. */
-  private def prepare(df: DataFrame, group: String, value: String)(
-      implicit scope: CacheScope): DataFrame = {
+  /** (g, x DOUBLE non-null, s order-isomorphic LONG, cnt ≥ 1),
+    * persisted. The selection state machine only ever reads
+    * per-bucket [Σcnt, min s, max s, min x], all identical over
+    * (value, count) rows and raw rows — so callers whose domain is a
+    * BOUNDED grid pass `valueGrain = true` to collapse to value grain
+    * once and run every narrowing pass over distinct values with
+    * weighted counts (opt guide §2.3: aggregate before the expensive
+    * stage); the per-pass `data ⋈ state` fan-out then multiplies
+    * |distinct| × targets instead of |rows| × targets — measured
+    * 38-46 CPU-seconds per pass on the lift-decile z grid (600k rows
+    * × 10 rank targets) against milliseconds at its ~550-value grain,
+    * and ml_lift_deciles / pipeline_ml_readouts dropped 0.71× / 0.78×
+    * min-of-3. Default false: on near-unique domains (q52_winsorize's
+    * prices) the collapse is a full extra shuffle for no narrowing
+    * benefit (measured +30%). Bucket decisions and interpolation
+    * inputs are bit-identical either way. */
+  private def prepare(df: DataFrame, group: String, value: String,
+      valueGrain: Boolean)(implicit scope: CacheScope): DataFrame = {
     graft.functions.DBits.ensure(df.sparkSession)
-    df.select(col(group).as("g"), col(value).cast("double").as("x"))
+    val rows = df.select(col(group).as("g"), col(value).cast("double").as("x"))
       .filter(col("x").isNotNull)
       .withColumn("s", graft.functions.DBits.ordered(col("x")))
-      .transform(scope.persist)
+    val grained =
+      if (valueGrain)
+        // group by the LONG s, not the double x: groupBy on doubles
+        // normalizes −0.0 into 0.0 (NormalizeFloatingNumbers), which
+        // would lose the −0.0 order statistic the interpolation
+        // contract preserves; every row of an s group shares the
+        // exact bit pattern, so min(x) recovers x losslessly
+        rows.groupBy(col("g"), col("s")).agg(min(col("x")).as("x"), count(lit(1)).as("cnt"))
+      else rows.withColumn("cnt", lit(1L))
+    grained.transform(scope.persist)
   }
 
   /** Core multi-pass selection: resolves every (g, k) target in
@@ -178,7 +205,7 @@ object ExactPercentiles {
         floor(offD / step).cast("int")))
       val hist = ranged
         .groupBy(col("g"), col("k"), b.as("b"))
-        .agg(count(lit(1)).as("c"), min(col("s")).as("bmin"), max(col("s")).as("bmax"),
+        .agg(sum(col("cnt")).as("c"), min(col("s")).as("bmin"), max(col("s")).as("bmax"),
           min(col("x")).as("bx"),
           min(col("rem")).as("rem")) // constant per (g, k) — carried through
       val w = Window.partitionBy(col("g"), col("k")).orderBy(col("b"))

@@ -392,7 +392,8 @@ object Extra {
       graft.CacheScope.withScope { implicit scope =>
         val qty = ExactPercentiles.percentiles(
           li.select(col("l_returnflag").as("g"), col("l_quantity").as("x")),
-          "g", "x", Seq(0.5, 0.9))
+          "g", "x", Seq(0.5, 0.9),
+          valueGrain = true) // 50-level quantity grid (r14)
         val price = ExactPercentiles.percentiles(
           li.select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")),
           "g", "x", Seq(0.99))

@@ -303,7 +303,8 @@ object Insights {
           datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
             .cast(LongType).as("gap"))
         .withColumn("gapd", col("gap").cast(DoubleType)))
-      val pct = ExactPercentiles.percentiles(gg, "prio", "gapd", Seq(0.5, 0.9))
+      val pct = ExactPercentiles.percentiles(gg, "prio", "gapd", Seq(0.5, 0.9),
+        valueGrain = true) // integer day gaps: bounded domain (r14)
         .groupBy(col("g").as("prio"))
         .agg(min(when(col("p") === 0.5, col("value"))).as("p50"),
           min(when(col("p") === 0.9, col("value"))).as("p90"))

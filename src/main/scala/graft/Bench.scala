@@ -218,9 +218,23 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // wall-clock budget (r14 verdict item #1: the driver's 32-core run
+    // died at its orchestration timeout with NOTHING written because
+    // results were assembled only at the very end). Seconds; 0 disables.
+    // When the budget runs tight the bench SHEDS work in hygiene order —
+    // remaining warmup first, then extra slow-tier reps, then whole rep
+    // sweeps — so a time-boxed run still emits a complete, parseable
+    // artifact over the reps it DID finish. Independently, the result
+    // file is (re)written after every rep sweep, so even a hard kill
+    // leaves the last sweep's parseable snapshot in place.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIME_BUDGET", "2700").toDouble
+    def budgetLeft(frac: Double): Double =
+      if (budgetSec <= 0) Double.MaxValue else budgetSec * frac - elapsedSec
     // ambient-load gate (the r5 artifact was recorded at load 13.6/32
     // and its numbers defamed unchanged code by up to 9x; the r8
     // round-stamp started at load 5.2 because the wait defaulted OFF
@@ -233,7 +247,10 @@ object Bench {
     // otherwise proceed but stamp `load_warn` so downstream tooling
     // knows the medians are suspect before comparing rounds.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
-    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt
+    // the load wait may not eat the budget the timed reps need
+    val loadWaitSec = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "900").toInt,
+      if (budgetSec > 0) (budgetSec / 6).toInt else Int.MaxValue)
     val deadline = System.nanoTime() + loadWaitSec * 1000L * 1000 * 1000
     while (loadAvg() > maxLoad && System.nanoTime() < deadline) {
       System.err.println(f"[bench] 1-min load ${loadAvg()}%.1f > $maxLoad%.1f, waiting...")
@@ -275,12 +292,19 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    // warmup sheds first when the budget is tight: it is rep-1 hygiene,
+    // not data — capped at 25% of the budget, checked per query
+    var warmupShed = 0
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
       for (name <- names) {
-        try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        dropAllBlocks()
+        if (budgetLeft(0.25) > 0) {
+          try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+          dropAllBlocks()
+        } else warmupShed += 1
       }
+      if (warmupShed > 0) System.err.println(
+        f"[bench] budget: shed warmup for $warmupShed queries at ${elapsedSec}%.0f s")
       System.gc()
     }
     // rep-major: time rep 1 of every query, then rep 2 of every query,
@@ -289,21 +313,50 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repGcStart = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (rep <- 1 to reps; name <- names) {
-      if (repLoads.size < rep) { repLoads += loadAvg(); repGcStart += gcMillis() } // once per rep sweep
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // per-query persists must not eat later reps'/queries' memory, and
-      // a GC+settle outside the timed section keeps one query's garbage
-      // from billing the next query's rep
-      dropAllBlocks()
-      System.gc()
-      Thread.sleep(100)
-      if (ok) samples(name) = samples(name) :+ elapsed
+    var repsDone = 0
+    var lastSweepSec = 0.0
+    var budgetTruncated = false
+    for (rep <- 1 to reps if !budgetTruncated) {
+      // shed whole sweeps past the first when the previous sweep would
+      // not fit in what remains of the budget
+      if (rep > 1 && budgetLeft(0.90) < lastSweepSec) {
+        budgetTruncated = true
+        System.err.println(
+          f"[bench] budget: stopping after $repsDone of $reps sweeps at ${elapsedSec}%.0f s")
+      } else {
+        val sweepT0 = System.nanoTime()
+        repLoads += loadAvg(); repGcStart += gcMillis() // once per rep sweep
+        for (name <- names if !budgetTruncated) {
+          val t0q = System.nanoTime()
+          val ok =
+            try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+          val elapsed = (System.nanoTime() - t0q) / 1e9
+          // per-query persists must not eat later reps'/queries' memory, and
+          // a GC+settle outside the timed section keeps one query's garbage
+          // from billing the next query's rep
+          dropAllBlocks()
+          System.gc()
+          Thread.sleep(100)
+          if (ok) samples(name) = samples(name) :+ elapsed
+          // hard mid-sweep stop: a partial last sweep still yields a
+          // parseable artifact over the completed sweeps
+          if (budgetLeft(0.97) < 0 && rep > 1) {
+            budgetTruncated = true
+            System.err.println(
+              f"[bench] budget: abandoning sweep $rep mid-way at ${elapsedSec}%.0f s")
+          }
+        }
+        if (!budgetTruncated) {
+          repsDone = rep
+          lastSweepSec = (System.nanoTime() - sweepT0) / 1e9
+          writeResult(emitLine(names, samples.toMap, math.min(rep, reps), reps,
+            repLoads.toSeq, repGcStart.toSeq, loadWarn, sfDir,
+            partial = rep < reps, warmupShed, budgetTruncated = false))
+        }
+      }
     }
+    val repsEff = math.max(1, repsDone)
     // min-of-5 for the slow tier (r13 verdict item #5: §7p.2 made
     // min-of-many the only attributable statistic, and the ≥10 s
     // queries are where round-over-round claims live):
@@ -316,31 +369,72 @@ object Bench {
       .map(_.trim).filter(_.nonEmpty).map(_.toDouble)
     val extraReps = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt)
+    var extraShed = 0
     for (thr <- extraOver.toSeq; name <- names;
-         if samples(name).size == reps && samples(name).min >= thr;
+         if samples(name).size == repsEff && samples(name).min >= thr;
          _ <- 1 to extraReps) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      dropAllBlocks()
-      System.gc()
-      Thread.sleep(100)
-      if (ok) samples(name) = samples(name) :+ elapsed
+      // extra slow-tier reps shed per run when what remains of the
+      // budget would not cover this query's fastest observed rep
+      if (budgetLeft(0.95) < samples(name).min) extraShed += 1
+      else {
+        val t0q = System.nanoTime()
+        val ok =
+          try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        val elapsed = (System.nanoTime() - t0q) / 1e9
+        dropAllBlocks()
+        System.gc()
+        Thread.sleep(100)
+        if (ok) samples(name) = samples(name) :+ elapsed
+      }
     }
-    val results = names.map(n => (n, samples(n)))
-    // a query is failed unless every rep succeeded: a partial sample is
-    // not comparable to a full one, and folding a fail-fast elapsed
-    // into the totals would make a broken round read as a speedup
-    // (>= reps: the slow tier legitimately carries extra samples)
-    val good = results.collect { case (k, ts) if ts.size >= reps =>
-      val sorted = ts.sorted
-      val median = // true median: mean of the middle two for even sizes
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-      (k, median, sorted.head, sorted.last)
-    }
+    if (extraShed > 0) System.err.println(
+      f"[bench] budget: shed $extraShed slow-tier extra reps at ${elapsedSec}%.0f s")
+    val line = emitLine(names, samples.toMap, repsEff, reps,
+      repLoads.toSeq, repGcStart.toSeq, loadWarn, sfDir,
+      partial = false, warmupShed, budgetTruncated)
+    val outPath = writeResult(line)
+    // stdout scraping is lossy: the round stamper keeps only the LAST
+    // 2000 chars of sbt output, so a 180-query line loses its head and
+    // parses as null (r10's stamp). Print the full line only when it
+    // fits that window with room for sbt's trailing lines; otherwise a
+    // complete-but-compact JSON object (totals + slowest queries under
+    // a char budget + the canonical file path). The file always holds
+    // the full result.
+    println(if (line.length <= 1400) line
+      else compactLine(names, samples.toMap, repsEff, reps,
+        repLoads.toSeq, repGcStart.toSeq, loadWarn, sfDir, outPath, budgetTruncated))
+    spark.stop()
+  }
+
+  /** Per-query (median, min, max) over every query whose sample count
+    * reached `repsEff` — a query is failed unless every counted rep
+    * succeeded: a partial sample is not comparable to a full one, and
+    * folding a fail-fast elapsed into the totals would make a broken
+    * round read as a speedup (>= : the slow tier legitimately carries
+    * extra samples). */
+  private def goodOf(names: Seq[String], samples: Map[String, Vector[Double]],
+      repsEff: Int): Seq[(String, Double, Double, Double)] =
+    names.map(n => (n, samples.getOrElse(n, Vector.empty)))
+      .collect { case (k, ts) if ts.size >= repsEff =>
+        val sorted = ts.sorted
+        val median = // true median: mean of the middle two for even sizes
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+        (k, median, sorted.head, sorted.last)
+      }
+
+  /** The full result line. `repsEff` is the number of COMPLETED rep
+    * sweeps (== requested `reps` on an un-truncated run); a
+    * budget-truncated or in-progress snapshot reports medians over the
+    * sweeps that finished, with `reps` stamped as what was actually
+    * comparable and `reps_requested`/`partial`/`budget_truncated`
+    * recording the difference (r14 verdict item #1). */
+  private def emitLine(names: Seq[String], samples: Map[String, Vector[Double]],
+      repsEff: Int, repsRequested: Int, repLoads: Seq[Double], repGcStart: Seq[Long],
+      loadWarn: Boolean, sfDir: String, partial: Boolean, warmupShed: Int,
+      budgetTruncated: Boolean): String = {
+    val good = goodOf(names, samples, repsEff)
     val qjson = good.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx) => "\"" + k + "\":[" + f"$mn%.3f,$mx%.3f]" }
@@ -348,8 +442,8 @@ object Bench {
     // per-query minimum: the load-free estimate when medians are suspect
     val mins = good.map { case (k, _, mn, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, ts) if ts.size < reps => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = names.filter(n => samples.getOrElse(n, Vector.empty).size < repsEff)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     // per-rep GC seconds: rep i's delta is bounded by the next rep's
     // start (the final rep by now)
@@ -366,32 +460,58 @@ object Bench {
     val commonR13Good = good.filter(g => commonR13.contains(g._1))
     val commonR13Total =
       if (commonR13Good.size == commonR13.size) f"${commonR13Good.map(_._2).sum}%.3f" else "null"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"queries":$qjson,"spread":$spread,"mins":$mins,"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"}"""
+    val extras = (if (partial) s""","partial":true""" else "") +
+      (if (repsEff != repsRequested) s""","reps_requested":$repsRequested""" else "") +
+      (if (warmupShed > 0) s""","warmup_shed":$warmupShed""" else "") +
+      (if (budgetTruncated) s""","budget_truncated":true""" else "")
+    s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"queries":$qjson,"spread":$spread,"mins":$mins,"reps":$repsEff,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"$extras}"""
+  }
+
+  /** Compact stdout form of the final result (totals + slowest queries
+    * + pointer to the full file). */
+  private def compactLine(names: Seq[String], samples: Map[String, Vector[Double]],
+      repsEff: Int, repsRequested: Int, repLoads: Seq[Double], repGcStart: Seq[Long],
+      loadWarn: Boolean, sfDir: String, outPath: String,
+      budgetTruncated: Boolean): String = {
+    val good = goodOf(names, samples, repsEff)
+    val total = good.map(_._2).sum
+    val commonGood = good.filter(g => commonR11.contains(g._1))
+    val commonTotal =
+      if (commonGood.size == commonR11.size) f"${commonGood.map(_._2).sum}%.3f" else "null"
+    val commonR13Good = good.filter(g => commonR13.contains(g._1))
+    val commonR13Total =
+      if (commonR13Good.size == commonR13.size) f"${commonR13Good.map(_._2).sum}%.3f" else "null"
+    val failed = names.filter(n => samples.getOrElse(n, Vector.empty).size < repsEff)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loads = repLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val gcEnds = repGcStart.drop(1) :+ gcMillis()
+    val gcs = repGcStart.zip(gcEnds).map { case (s, e) => f"${(e - s) / 1000.0}%.1f" }
+      .mkString("[", ",", "]")
+    val sb = new StringBuilder
+    for ((k, med, _, _) <- good.sortBy(-_._2) if sb.length < 700) {
+      if (sb.nonEmpty) sb.append(',')
+      sb.append("\"" + k + "\":" + f"$med%.3f")
+    }
+    val extras = (if (repsEff != repsRequested) s""","reps_requested":$repsRequested""" else "") +
+      (if (budgetTruncated) s""","budget_truncated":true""" else "")
+    s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"n_queries":${good.size},"queries_slowest":{$sb},"reps":$repsEff,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir"$extras,"full_result":"$outPath"}"""
+  }
+
+  /** Write (atomically replace) the result file; returns the path.
+    * Called after EVERY completed rep sweep, not just at the end, so a
+    * killed run still leaves the last sweep's parseable artifact. */
+  private def writeResult(line: String): String = {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
-    // stdout scraping is lossy: the round stamper keeps only the LAST
-    // 2000 chars of sbt output, so a 180-query line loses its head and
-    // parses as null (r10's stamp). Print the full line only when it
-    // fits that window with room for sbt's trailing lines; otherwise a
-    // complete-but-compact JSON object (totals + slowest queries under
-    // a char budget + the canonical file path). The file always holds
-    // the full result.
-    val stdoutLine =
-      if (line.length <= 1400) line
-      else {
-        val sb = new StringBuilder
-        for ((k, med, _, _) <- good.sortBy(-_._2) if sb.length < 700) {
-          if (sb.nonEmpty) sb.append(',')
-          sb.append("\"" + k + "\":" + f"$med%.3f")
-        }
-        s"""{"metric":"total","value":$total,"unit":"sec","common_total":$commonTotal,"common_n":${commonGood.size},"common_r13_total":$commonR13Total,"common_r13_n":${commonR13Good.size},"n_queries":${good.size},"queries_slowest":{$sb},"reps":$reps,"load_avg":$loads,"gc_sec":$gcs,"load_warn":$loadWarn,"failed":$failed,"sf":"$sfDir","full_result":"$outPath"}"""
-      }
-    println(stdoutLine)
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(p, line + "\n")
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       System.err.println(s"[bench] result written to $outPath")
     } catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
-    spark.stop()
+    outPath
   }
 }

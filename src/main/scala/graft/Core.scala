@@ -77,7 +77,57 @@ object Tables {
     * prove. */
   def fanout(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < par) df.repartition(par) else df
+    // Gate on the ACTUAL scan split count, not the file count (r15,
+    // closing the r14 ADVICE item): parquet is splittable, so one
+    // large multi-row-group file already scans wide and needs no
+    // exchange — `df.rdd.getNumPartitions` reads the planned
+    // FileSourceScan splits (maxPartitionBytes/openCost-derived,
+    // planning metadata only, no job). The driver's single-row-group
+    // test tables plan 1–3 splits and still fan out; a production
+    // file set whose splits reach the session parallelism skips the
+    // shuffle entirely.
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+}
+
+/** Overlap independent driver-side action chains (opt guide §2.6:
+  * "Spark's scheduler happily runs several jobs at once inside one
+  * application; actions are only sequential because your driver code
+  * calls them sequentially"). The composed readout pipelines interleave
+  * eager barriers (localCheckpoint / persist-materializing counts) with
+  * lazy frame building; running each independent readout chain on its
+  * own thread turns the sum of those barrier waits into their max.
+  * Results are untouched — every chain computes exactly what it
+  * computed serially (exact-arithmetic, merge-order-free by the house
+  * discipline); only the submission order changes. The first failure
+  * rethrows after all threads settle. */
+object Par {
+  def all[T](thunks: (() => T)*): IndexedSeq[T] = {
+    if (thunks.sizeIs <= 1) return thunks.map(_()).toIndexedSeq
+    val results = new Array[Any](thunks.size)
+    val firstErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = thunks.zipWithIndex.map { case (f, i) =>
+      val t = new Thread(() => {
+        try results(i) = f()
+        catch { case e: Throwable => firstErr.compareAndSet(null, e) }
+      }, s"graft-par-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    Option(firstErr.get).foreach(e => throw e)
+    results.toIndexedSeq.map(_.asInstanceOf[T])
+  }
+
+  def run2[A, B](a: => A, b: => B): (A, B) = {
+    val r = all[Any](() => a, () => b)
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+
+  def run3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    val r = all[Any](() => a, () => b, () => c)
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
   }
 }
 

@@ -56,8 +56,21 @@ object JobProfile {
     val times = (1 to reps).map { _ =>
       jobs.synchronized(jobs.clear()); stageToJob.synchronized(stageToJob.clear())
       val t = run()
-      // let the listener bus drain before reading
-      Thread.sleep(500)
+      // drain the listener bus: poll until every observed job has its
+      // end time AND the snapshot is stable across two polls (r14
+      // ADVICE: a fixed sleep could drop or misattribute late task-end
+      // events), with a bounded wait as the backstop
+      var prev = ""
+      var stable = false
+      val drainDeadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!stable && System.nanoTime() < drainDeadline) {
+        Thread.sleep(100)
+        val sig = jobs.synchronized(
+          jobs.map { case (id, j) => s"$id:${j.end}:${j.tasks}:${j.taskMs}" }.mkString(","))
+        val allEnded = jobs.synchronized(jobs.values.forall(_.end != 0L))
+        stable = allEnded && sig == prev
+        prev = sig
+      }
       val snap = jobs.synchronized(jobs.toVector)
       println(f"== $name rep: $t%.3f s, ${snap.size} jobs ==")
       snap.foreach { case (id, j) =>

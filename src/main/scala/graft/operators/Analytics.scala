@@ -1005,6 +1005,19 @@ object Analytics {
     * n₀ ≥ 2 (the sample variances divide by n−1). */
   def delongOfScores(zz: DataFrame)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val (cum, scal) = delongCumScal(zz)
+    delongReadout(cum, scal)
+  }
+
+  /** The ascending value-grain cumulative core of [[delongOfScores]]:
+    * returns (cum = persisted (z, p, q, cp, cq), scal = checkpointed
+    * one-row (n1, n0, u2)). Split out (r15) so [[scorecardOfScores]]
+    * can feed BOTH the DeLong readout and the exact average-precision
+    * readout from ONE value-grain collapse + ONE range-partition scan
+    * — AP's descending running counts are exact BIGINT identities of
+    * these ascending ones (see [[apFromDelongCum]]). */
+  private def delongCumScal(zz: DataFrame)(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.spark_partition_id
     val vg = zz.groupBy(col("z")).agg(
       sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("p"),
@@ -1029,6 +1042,11 @@ object Analytics {
         sum(col("q")).cast(LongType).as("n0"),
         sum(expr("CAST(p AS DECIMAL(19,0)) * (2 * (cq - q) + q)"))
           .cast(DecimalType(38, 0)).as("u2")).localCheckpoint(true)
+    (cum, scal)
+  }
+
+  /** The DeLong variance/CI readout over a ([[delongCumScal]]) pair. */
+  private def delongReadout(cum: DataFrame, scal: DataFrame): DataFrame = {
     val sums = cum.crossJoin(broadcast(scal))
       .selectExpr(
         "CAST(round(CAST(p AS DOUBLE) * ((CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) * (CAST(2 * (cq - q) + q AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) - CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))), 12) AS DECIMAL(28,12)) AS t10",
@@ -1043,6 +1061,28 @@ object Analytics {
       .selectExpr("n1", "n0", "auc_roc", "se_delong",
         "auc_roc - 1.96 * se_delong AS ci_lo",
         "auc_roc + 1.96 * se_delong AS ci_hi")
+  }
+
+  /** Exact average precision read off [[delongCumScal]]'s ASCENDING
+    * cumulative frame (r15, guide §1.2): the descending running counts
+    * AP needs are the exact BIGINT identities ctp = n1 − cp + p and
+    * cfp = n0 − cq + q, so every 12-dp term — the same
+    * CAST·CAST/CAST expression tree over the same exact integers —
+    * equals [[averagePrecisionOfScores]]' bit-for-bit, and the
+    * DECIMAL(28,12) sum is merge-order-free. Lets a composite drop
+    * AP's own value-grain collapse + descending range scan (one full
+    * zz pass and two exchanges); the standalone gate keeps its
+    * self-contained shape. */
+  private def apFromDelongCum(cum: DataFrame, scal: DataFrame): DataFrame = {
+    val nv = cum.agg(count(lit(1)).cast(LongType).as("n_values")).localCheckpoint(true)
+    val ap = cum.crossJoin(broadcast(scal))
+      .filter(col("p") > 0)
+      .selectExpr("CAST(round(CAST(p AS DOUBLE) * CAST(n1 - cp + p AS DOUBLE)" +
+        " / CAST((n1 - cp + p) + (n0 - cq + q) AS DOUBLE), 12) AS DECIMAL(28,12)) AS t")
+      .agg(sum(col("t")).as("ap_num")).localCheckpoint(true)
+    scal.crossJoin(broadcast(nv)).crossJoin(broadcast(ap))
+      .selectExpr("n1", "n0", "n_values",
+        "CAST(ap_num AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg_precision")
   }
 
   /** ml_auc_delong: DeLong SE + 95% CI for the gate's logreg ROC-AUC
@@ -1180,10 +1220,21 @@ object Analytics {
   def scorecardOfScores(b: DataFrame, w: DataFrame)(
       implicit scope: graft.CacheScope): DataFrame = {
     val zz = scope.persist(scoreWith(b, w))
-    val dl = delongOfScores(zz)
-    val ap = averagePrecisionOfScores(zz)
+    // ONE value-grain collapse + ONE ascending range scan feed BOTH
+    // rank readouts (r15): AP's descending cumulative counts are exact
+    // BIGINT identities of DeLong's ascending ones — before, each
+    // readout rebuilt its own (z, p, q) frame off zz (an extra full
+    // zz pass + two exchanges per composite; guide §1.2/§2.4). The
+    // rank chain and the SHAP moment chain are independent eager
+    // cascades — overlap them (guide §2.6); brier is a single lazy
+    // aggregate computed by the final union action.
+    val ((dl, ap), sh) = graft.Par.run2(
+      {
+        val (cum, scal) = delongCumScal(zz)
+        (delongReadout(cum, scal), apFromDelongCum(cum, scal))
+      },
+      shapLinear(b, w))
     val br = brierOfScores(zz)
-    val sh = shapLinear(b, w)
     dl.selectExpr("stack(6, 'n1', CAST(n1 AS DOUBLE), 'n0', CAST(n0 AS DOUBLE)," +
         " 'auc_roc', auc_roc, 'se_delong', se_delong, 'ci_lo', ci_lo, 'ci_hi', ci_hi)" +
         " AS (metric, value)")
@@ -1294,6 +1345,12 @@ object Analytics {
     * exact BIGINTs off ONE scan; the square rides DECIMAL(19,0)
     * (the q77 wrap lesson); the statistic is one IEEE tree over
     * exact operands; NULL (not 0) when no discordant pairs exist. */
+  /** McNemar readout fragments over the exact contingency counts —
+    * shared by the single gate and the fused composite pass (r15). */
+  private val mcnemarReadoutSql: Seq[String] = Seq(
+    "CASE WHEN n01 + n10 > 0 THEN CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS mcnemar_stat",
+    "CAST(CASE WHEN n01 + n10 > 0 AND CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+
   def mcnemarOfScores(zz: DataFrame): DataFrame =
     zz.agg(
         count(lit(1)).cast(LongType).as("n_pairs"),
@@ -1303,9 +1360,8 @@ object Analytics {
           .otherwise(0L)).cast(LongType).as("n01"),
         sum(when(expr("((za > 0) = (y > 0.5)) AND NOT ((zb > 0) = (y > 0.5))"), 1L)
           .otherwise(0L)).cast(LongType).as("n10"))
-      .selectExpr("n_pairs", "n_correct_a", "n_correct_b", "n01", "n10",
-        "CASE WHEN n01 + n10 > 0 THEN CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS mcnemar_stat",
-        "CAST(CASE WHEN n01 + n10 > 0 AND CAST(CAST(abs(n01 - n10) - 1 AS DECIMAL(19,0)) * (abs(n01 - n10) - 1) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+      .selectExpr("n_pairs" +: "n_correct_a" +: "n_correct_b" +: "n01" +: "n10" +:
+        mcnemarReadoutSql: _*)
 
   /** ml_mcnemar_test: McNemar's paired test between the gate's
     * 3-round GD classifier and its 2-round ancestor on the same rows
@@ -1578,9 +1634,19 @@ object Analytics {
   def spearmanOfScores(zz: DataFrame,
       maxBroadcastKeys: Long = RankMapBroadcastKeys)(
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
-    val z = scope.persist(zz.select(col("za"), col("zb")))
-    val (ra, ka) = fracRanks(z.select(col("za")), "za", "u")
-    val (rb, kb) = fracRanks(z.select(col("zb")), "zb", "v")
+    // EAGER one-shot materialization (r15; was a lazy scope persist):
+    // the two per-column rank-map chains below are independent
+    // scan+window+count cascades, so they run CONCURRENTLY (guide
+    // §2.6) — serially, each chain's eager actions (the key count, the
+    // nn checkpoint) waited on the other's. Materializing z first
+    // keeps the concurrent chains from racing to fill the cache and
+    // duplicating the upstream scan; the harness drops checkpoint
+    // blocks exactly like persists. Each chain's computation — and so
+    // every midrank — is bit-identical to the serial form.
+    val z = zz.select(col("za"), col("zb")).localCheckpoint(true)
+    val ((ra, ka), (rb, kb)) = graft.Par.run2(
+      fracRanks(z.select(col("za")), "za", "u"),
+      fracRanks(z.select(col("zb")), "zb", "v"))
     def hinted(m: DataFrame, keys: Long): DataFrame =
       if (keys <= maxBroadcastKeys) broadcast(m) else m
     def dsum(e: String, a: String) =
@@ -1812,11 +1878,53 @@ object Analytics {
       implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
     def row(name: String, df: DataFrame, valueExpr: String) =
       df.selectExpr(s"'$name' AS metric", s"CAST($valueExpr AS DOUBLE) AS value")
-    val mc = mcnemarOfScores(zz.select(col("za"), col("zb"), col("y"))).localCheckpoint(true)
-    val kp = kappaOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
-    val cq = cochranQOfScores(zz).localCheckpoint(true)
-    val sp = spearmanOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
-    val wx = wilcoxonOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true)
+    // ONE fused contingency pass (r15, guide §1.2): McNemar, kappa and
+    // Cochran's Q are plain map-combinable aggregates over the SAME
+    // persisted rows — before, each ran its own full zz scan behind its
+    // own checkpoint barrier (three scans + three eager jobs where one
+    // suffices). Counts are the identical exact-integer expressions,
+    // name-prefixed because mcnemar's n01 (A-wrong-B-right vs y) is NOT
+    // kappa's n01 (za≤0 ∧ zb>0); each readout then applies the SAME
+    // shared expression fragment as its single gate, so every surfaced
+    // value is bit-identical to the unfused form.
+    def cExpr(z: String) = s"(CASE WHEN (($z > 0) = (y > 0.5)) THEN 1 ELSE 0 END)"
+    val lExpr = s"(${cExpr("za")} + ${cExpr("zb")} + ${cExpr("zc")})"
+    // the three independent readout chains (fused contingency pass,
+    // Spearman's rank maps, Wilcoxon's |d| selection) each interleave
+    // eager barriers with lazy building — overlap them (guide §2.6);
+    // each chain's computation is bit-identical to its serial form
+    val (cc, sp, wx) = graft.Par.run3(
+      zz.agg(
+          count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(when(expr("((za > 0) = (y > 0.5))"), 1L).otherwise(0L)).cast(LongType).as("mc_nca"),
+          sum(when(expr("((zb > 0) = (y > 0.5))"), 1L).otherwise(0L)).cast(LongType).as("mc_ncb"),
+          sum(when(expr("NOT ((za > 0) = (y > 0.5)) AND ((zb > 0) = (y > 0.5))"), 1L)
+            .otherwise(0L)).cast(LongType).as("mc_n01"),
+          sum(when(expr("((za > 0) = (y > 0.5)) AND NOT ((zb > 0) = (y > 0.5))"), 1L)
+            .otherwise(0L)).cast(LongType).as("mc_n10"),
+          sum(when(expr("za > 0 AND zb > 0"), 1L).otherwise(0L)).cast(LongType).as("k_n11"),
+          sum(when(expr("za > 0 AND NOT (zb > 0)"), 1L).otherwise(0L)).cast(LongType).as("k_n10"),
+          sum(when(expr("NOT (za > 0) AND zb > 0"), 1L).otherwise(0L)).cast(LongType).as("k_n01"),
+          sum(when(expr("NOT (za > 0) AND NOT (zb > 0)"), 1L).otherwise(0L)).cast(LongType).as("k_n00"),
+          sum(expr(cExpr("za"))).cast(LongType).as("q_ga"),
+          sum(expr(cExpr("zb"))).cast(LongType).as("q_gb"),
+          sum(expr(cExpr("zc"))).cast(LongType).as("q_gc"),
+          sum(expr(lExpr)).cast(LongType).as("q_sum_l"),
+          sum(expr(s"$lExpr * $lExpr")).cast(LongType).as("q_sum_l2"))
+        .localCheckpoint(true),
+      spearmanOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true),
+      wilcoxonOfScores(zz.select(col("za"), col("zb"))).localCheckpoint(true))
+    val mc = cc.selectExpr("n_pairs", "mc_nca AS n_correct_a",
+        "mc_ncb AS n_correct_b", "mc_n01 AS n01", "mc_n10 AS n10")
+      .selectExpr("n_pairs" +: "n_correct_a" +: "n_correct_b" +: "n01" +: "n10" +:
+        mcnemarReadoutSql: _*)
+    val kp = cc.selectExpr("n_pairs", "k_n11 AS n11", "k_n10 AS n10",
+        "k_n01 AS n01", "k_n00 AS n00")
+      .selectExpr("n_pairs" +: "n11" +: "n10" +: "n01" +: "n00" +: kappaReadoutSql: _*)
+    val cq = cc.selectExpr("n_pairs AS n_rows", "q_ga AS ga", "q_gb AS gb",
+        "q_gc AS gc", "q_sum_l AS sum_l", "q_sum_l2 AS sum_l2")
+      .selectExpr("n_rows" +: "ga" +: "gb" +: "gc" +: "sum_l" +: "sum_l2" +:
+        cochranReadoutSql: _*)
     row("n", mc, "n_pairs")
       .unionAll(row("mcnemar_stat", mc, "mcnemar_stat"))
       .unionAll(row("kappa_po", kp, "po"))
@@ -2836,9 +2944,13 @@ object Analytics {
     * exact BIGINT either way, so the lr·g/n update is bit-identical. */
   def logregWeightsChain(b: DataFrame, lr: Double = GdLr,
       rounds: Int = GdRounds): IndexedSeq[DataFrame] = {
+    // the zero-weight init is a 1-row CONSTANT: left lazy (r15) — its
+    // former eager localCheckpoint spent one whole scheduled job per
+    // training run materializing `range(1)` (guide §1.2); every round's
+    // updated weights below are still eagerly checkpointed, so lineage
+    // never grows across rounds
     var w = b.sparkSession.range(1)
       .selectExpr("CAST(0 AS DOUBLE) AS wa", "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wc")
-      .localCheckpoint(true)
     val chain = IndexedSeq.newBuilder[DataFrame]
     chain += w
     for (_ <- 1 to rounds) {

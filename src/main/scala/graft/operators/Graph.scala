@@ -243,6 +243,8 @@ object Graph {
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
       .transform(scope.persist)
+    // persisted: consumed by the adjacency build AND the corner join
+    // (r15 — it was recomputed for each before)
     val ori = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("dg", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("dg", "dv"), Seq("v"))
@@ -251,6 +253,7 @@ object Graph {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("r"))
       .select(col("r.src"), col("r.dst"))
+      .transform(scope.persist)
     val adj = ori.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .transform(scope.persist)
@@ -274,9 +277,12 @@ object Graph {
         col("dst") === col("v_"))
       .select(col("src"), col("dst"),
         explode(expr("array_intersect(nu, nv)")).as("w"))
-    val tric = corners.select(col("src").as("node"))
-      .unionAll(corners.select(col("dst").as("node")))
-      .unionAll(corners.select(col("w").as("node")))
+    // ONE pass over the corner rows: the r11–r14 form unioned three
+    // projections of `corners`, re-running the heaviest join (adjacency
+    // intersect + explode) THREE times — exploding the 3-corner array
+    // once emits the identical (node) multiset (r15, guide §1.2)
+    val tric = corners
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("tri"))
     deg.filter(col("dg") >= 2)
       .join(tric, Seq("node"), "left")
@@ -605,7 +611,10 @@ object Graph {
       sb.toString
     },
     (s, d) => {
-      val e = edges(s, d)
+      // checkpoint the edge build ONCE: `nodes` and [[bfs]]'s internal
+      // checkpoint each materialized their own copy of the
+      // orders⋈lineitem distinct derivation before r15 (guide §1.2)
+      val e = edges(s, d).localCheckpoint(true)
       val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
       val seeds = nodes.filter(col("node") < SuppOffset &&
         col("node") % BfsSeedModulus === 0)
@@ -852,9 +861,13 @@ object Graph {
       sb.toString
     },
     (s, d) => {
-      val e = edges(s, d)
+      // ONE materialization of the edge build (r15, guide §1.2): the
+      // seed-modulus count, the seed collect, and the BFS's internal
+      // checkpoint each recomputed the orders⋈lineitem distinct
+      // derivation before; cust is likewise read twice (count + collect)
+      val e = edges(s, d).localCheckpoint(true)
       val cust = e.select(col("src").as("node")).distinct()
-        .filter(col("node") < SuppOffset)
+        .filter(col("node") < SuppOffset).localCheckpoint(true)
       closeness(e, closenessSeeds(cust))
     })
 
@@ -890,9 +903,13 @@ object Graph {
       sb.toString
     },
     (s, d) => {
-      val e = edges(s, d)
+      // ONE materialization of the edge build (r15, guide §1.2): the
+      // seed-modulus count, the seed collect, and the BFS's internal
+      // checkpoint each recomputed the orders⋈lineitem distinct
+      // derivation before; cust is likewise read twice (count + collect)
+      val e = edges(s, d).localCheckpoint(true)
       val cust = e.select(col("src").as("node")).distinct()
-        .filter(col("node") < SuppOffset)
+        .filter(col("node") < SuppOffset).localCheckpoint(true)
       anf(e, closenessSeeds(cust))
     })
 
@@ -932,9 +949,13 @@ object Graph {
       sb.toString
     },
     (s, d) => {
-      val e = edges(s, d)
+      // ONE materialization of the edge build (r15, guide §1.2): the
+      // seed-modulus count, the seed collect, and the BFS's internal
+      // checkpoint each recomputed the orders⋈lineitem distinct
+      // derivation before; cust is likewise read twice (count + collect)
+      val e = edges(s, d).localCheckpoint(true)
       val cust = e.select(col("src").as("node")).distinct()
-        .filter(col("node") < SuppOffset)
+        .filter(col("node") < SuppOffset).localCheckpoint(true)
       pipelineGraphCentrality(e, closenessSeeds(cust))
     })
 

@@ -246,10 +246,16 @@ object Relational {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
+      // one Percentile buffer+sort for the two quantity targets (r15,
+      // guide §1.2) — element extraction of the array form is the
+      // identical interpolation bit-for-bit
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("q_arr"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q_arr"), 1), 4).as("median_qty"),
+        round(element_at(col("q_arr"), 2), 4).as("p90_qty"),
+        col("p99_price"))
       .orderBy(col("l_returnflag")))
 
   // --------------------------------------------------------------- q14

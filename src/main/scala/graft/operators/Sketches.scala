@@ -61,13 +61,22 @@ object Sketches {
     (s, d) => {
       val qs = Seq(0.5, 0.9, 0.99)
       val eps = 0.01
+      // ONE exact-percentile aggregate for all 9 targets (r15, guide
+      // §1.2 — same fusion as approx_tdigest_quantiles below): the
+      // exact/lo/hi arrays each buffered and sorted the full per-group
+      // multiset independently; one buffer + one sort + nine extracts
+      // is the identical interpolation bit-for-bit
+      val allQs = qs ++ qs.map(q => math.max(0.0, q - eps)) ++
+        qs.map(q => math.min(1.0, q + eps))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), 1000)").as("approx_arr"),
-          expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("exact_arr"),
-          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.max(0.0, q - eps)).mkString(", ")}))").as("lo_arr"),
-          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.min(1.0, q + eps)).mkString(", ")}))").as("hi_arr"))
+          expr(s"percentile(l_extendedprice, array(${allQs.mkString(", ")}))").as("all_arr"))
+        .select(col("l_returnflag"), col("approx_arr"),
+          expr("slice(all_arr, 1, 3)").as("exact_arr"),
+          expr("slice(all_arr, 4, 3)").as("lo_arr"),
+          expr("slice(all_arr, 7, 3)").as("hi_arr"))
         .select(col("l_returnflag"),
           posexplode(expr(s"arrays_zip(approx_arr, exact_arr, lo_arr, hi_arr)")).as(Seq("i", "z")))
         .select(col("l_returnflag"),
@@ -207,13 +216,22 @@ object Sketches {
       graft.functions.TDigest.ensure(s)
       val qs = Seq(0.5, 0.9, 0.99)
       val eps = 0.01
+      // ONE percentile aggregate for all 9 targets (r15, guide §1.2):
+      // the exact/lo/hi arrays ran as THREE independent Percentile
+      // aggregates, each buffering and sorting the full per-group
+      // value multiset — one buffer, one sort, nine extracts is the
+      // same interpolation math bit-for-bit
+      val allQs = qs ++ qs.map(q => math.max(0.0, q - eps)) ++
+        qs.map(q => math.min(1.0, q + eps))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("graft_tdigest(CAST(l_extendedprice AS DOUBLE), 200)").as("dig"),
-          expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("exact_arr"),
-          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.max(0.0, q - eps)).mkString(", ")}))").as("lo_arr"),
-          expr(s"percentile(l_extendedprice, array(${qs.map(q => math.min(1.0, q + eps)).mkString(", ")}))").as("hi_arr"))
+          expr(s"percentile(l_extendedprice, array(${allQs.mkString(", ")}))").as("all_arr"))
+        .select(col("l_returnflag"), col("dig"),
+          expr("slice(all_arr, 1, 3)").as("exact_arr"),
+          expr("slice(all_arr, 4, 3)").as("lo_arr"),
+          expr("slice(all_arr, 7, 3)").as("hi_arr"))
         .select(col("l_returnflag"), col("dig"),
           posexplode(expr("arrays_zip(exact_arr, lo_arr, hi_arr)")).as(Seq("i", "z")))
         .select(col("l_returnflag"),

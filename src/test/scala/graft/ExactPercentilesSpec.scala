@@ -174,6 +174,55 @@ class ExactPercentilesSpec extends AnyFunSuite {
     }
   }
 
+  test("valueGrain=true equals valueGrain=false bit-for-bit on ties, ±0.0 and ulp neighbors") {
+    // r14 ADVICE: the value-grain collapse (grouped by the LONG s so
+    // −0.0 survives NormalizeFloatingNumbers) had only transitive
+    // oracle coverage — pin it directly on a domain with heavy ties,
+    // both zeros, and ulp-adjacent values, at more than one input
+    // partitioning
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    val rows: Seq[(Long, java.lang.Double)] =
+      (0 until 3000).map { i =>
+        val g = (i % 3).toLong
+        val x = rnd.nextInt(6) match {
+          case 0 => rnd.nextInt(8).toDouble            // heavy ties
+          case 1 => -rnd.nextInt(8).toDouble
+          case 2 => if (rnd.nextBoolean()) 0.0 else -0.0
+          case 3 => if (rnd.nextBoolean()) 0.3 else 0.1 + 0.2 // 1 dbits ulp apart
+          case 4 => if (rnd.nextBoolean()) 1.0 else math.nextUp(1.0)
+          case _ => rnd.nextDouble() * 1e6
+        }
+        (g, java.lang.Double.valueOf(x))
+      } :+ ((1L, null: java.lang.Double))
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("g", "x").repartition(parts)
+      def run(vg: Boolean) = CacheScope.withScope { implicit s =>
+        operators.ExactPercentiles.percentiles(df, "g", "x", Ps, valueGrain = vg)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)) ->
+            java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+      }
+      val (grained, raw) = (run(true), run(false))
+      assert(grained.keySet == raw.keySet)
+      for ((k, bits) <- raw)
+        assert(grained(k) == bits,
+          s"$k at parts=$parts: valueGrain ${java.lang.Double.longBitsToDouble(grained(k))} " +
+            s"!= raw ${java.lang.Double.longBitsToDouble(bits)}")
+    }
+  }
+
+  test("valueGrain: bounded domains still resolve in one pass") {
+    import spark.implicits._
+    val ints = (0 until 2000).map(i => ((i % 2).toLong, ((i * 7) % 50 + 1).toDouble)).toDF("g", "x")
+    val (out, passes) = CacheScope.withScope { implicit s =>
+      val (o, p) = operators.ExactPercentiles.percentilesCounted(
+        ints, "g", "x", Ps, valueGrain = true)
+      (o.collect(), p)
+    }
+    assert(out.nonEmpty)
+    assert(passes == 1, s"bounded domain under valueGrain must resolve in one pass, took $passes")
+  }
+
   test("orderStatistics: duplicate (g, k) targets select the TRUE rank, once") {
     // regression (r9 advice): a duplicated rank used to duplicate the
     // selection-state row, double-counting every histogram bucket while

@@ -465,6 +465,100 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  // ------------------- value-grain readout surface (r15, guide §2.3)
+  /** (z, p, q) value-grain collapse of a scored (z, y) frame — ONE
+    * corpus pass feeding every threshold/decile/bin readout below at
+    * distinct-score grain (the gate's 6-dp weight grid keeps it ~550
+    * rows at ANY sf). Counts are exact BIGINTs; every readout over
+    * this frame is bit-identical to its row-grain twin: integer
+    * conditional counts distribute over the collapse, and per-row
+    * DECIMAL terms are constant within a z group, so cnt·term equals
+    * the repeated decimal sum exactly. The z grain is the
+    * double-normalized grain (±0.0 merged) — indistinguishable to the
+    * readouts' z >/≥ comparisons, and the logit z domain cannot
+    * produce −0.0 (an IEEE sum of finite nonzero addends that cancels
+    * yields +0.0). */
+  def vgOfScores(zz: DataFrame): DataFrame =
+    zz.groupBy(col("z")).agg(
+      sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast(LongType).as("p"),
+      sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast(LongType).as("q"))
+
+  /** [[sweepOfScores]] over a (z, p, q) value-grain frame — identical
+    * exact counts (tp = Σ_v p_v·[v > e] = the row-grain conditional
+    * count), identical readout expressions. */
+  def sweepOfVg(vg: DataFrame): DataFrame = {
+    val edges = calibEdges.map(e => s"CAST($e AS DOUBLE)").mkString("array(", ", ", ")")
+    val th = vg.sparkSession.range(1, 10)
+      .selectExpr("CAST(id AS DOUBLE) / 10 AS t",
+        s"element_at($edges, CAST(id AS INT)) AS e")
+    vg.crossJoin(broadcast(th))
+      .groupBy(col("t")).agg(
+        expr("CAST(sum(CASE WHEN z > e THEN p ELSE 0 END) AS BIGINT)").as("tp"),
+        expr("CAST(sum(CASE WHEN z > e THEN q ELSE 0 END) AS BIGINT)").as("fp"),
+        expr("CAST(sum(CASE WHEN NOT (z > e) THEN p ELSE 0 END) AS BIGINT)").as("fn"))
+      .selectExpr("t", "tp", "fp", "fn",
+        "CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec",
+        "CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec")
+      .orderBy(col("t"))
+  }
+
+  /** [[liftOfScores]] over a (z, p, q) value-grain frame: decile edges
+    * ride [[ExactPercentiles.percentilesOfCounts]] on the SAME frame
+    * (no second corpus collapse), binning and the 10-row algebra are
+    * weighted exact counts. */
+  def liftOfVg(vg0: DataFrame)(
+      implicit scope: graft.CacheScope = graft.CacheScope.untracked): DataFrame = {
+    val vg = scope.persist(vg0)
+    val th = graft.operators.ExactPercentiles.percentilesOfCounts(
+        vg.selectExpr("0 AS grp", "z", "p + q AS cnt"), "grp", "z", "cnt",
+        (1 to 9).map(_ / 10.0))
+      .groupBy(col("g"))
+      .agg((1 to 9).map(i =>
+        min(when(col("p") === i / 10.0, col("value"))).as(s"t$i")).head,
+        (1 to 9).map(i =>
+          min(when(col("p") === i / 10.0, col("value"))).as(s"t$i")).tail: _*)
+      .drop("g")
+    val binSum = (1 to 9).map(i => s"(CASE WHEN z > t$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val dd = vg.crossJoin(broadcast(th))
+      .selectExpr(s"1 + $binSum AS decile", "p", "q")
+      .groupBy(col("decile"))
+      .agg(sum(col("p") + col("q")).as("n"), sum(col("p")).as("pos"))
+      .localCheckpoint(true) // 10 rows feed totals + cumulative
+    val tot = dd.agg(sum(col("n")).cast(DoubleType).as("tn"),
+      sum(col("pos")).cast(DoubleType).as("tp"))
+    val wdesc = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.withColumn("cpos", sum(col("pos")).over(wdesc).cast(DoubleType))
+      .crossJoin(broadcast(tot))
+      .selectExpr("decile", "n", "pos",
+        "round(CAST(pos AS DOUBLE) / n, 6) AS rate",
+        "round((CAST(pos AS DOUBLE) / n) / (tp / tn), 6) AS lift",
+        "round(cpos / tp, 6) AS cum_gain")
+      .orderBy(col("decile"))
+  }
+
+  /** [[calibOfScores]] over a (z, p, q) value-grain frame: the per-row
+    * 12-dp DECIMAL prediction term is constant within a z group, so
+    * cnt·round(σ(z), 12) is exactly the repeated decimal sum. */
+  def calibOfVg(vg: DataFrame): DataFrame = {
+    val binExpr = calibEdges.map(e =>
+      s"(CASE WHEN z >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)").mkString(" + ")
+    vg.selectExpr(s"$binExpr AS bin",
+        "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS pr", "p", "q")
+      .groupBy(col("bin"))
+      .agg(sum(col("p") + col("q")).as("n"),
+        sum(col("p")).as("pos"),
+        // operand widths chosen so the product type stays under
+        // precision 38 and therefore EXACT: σ(z) ∈ [0, 1] fits
+        // DECIMAL(13,12), cnt fits DECIMAL(19,0) → product
+        // DECIMAL(33,12) — a wider cnt type would push Spark past 38
+        // and silently shave the scale to 6 (caught by the oracle)
+        sum(expr("CAST(p + q AS DECIMAL(19,0)) * CAST(round(pr, 12) AS DECIMAL(13,12))")).as("sp"))
+      .selectExpr("bin", "n", "pos", "CAST(sp AS DOUBLE) / n AS avg_pred",
+        s"${graft.Portable.round6RatioSpark("pos", "n")} AS emp_rate")
+      .orderBy(col("bin"))
+  }
+
   /** ml_calibration: the reliability diagram for the GD classifier —
     * predicted-probability deciles vs empirical positive rate, the
     * readout that decides whether scores can be USED as
@@ -679,13 +773,17 @@ object Analytics {
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
       val w = logregWeights6(b)               // ONE training pass
-      val zz = scope.persist(scoreWith(b, w)) // ONE corpus scoring scan
-      val sweep = sweepOfScores(zz).selectExpr("'sweep' AS readout", "t AS k",
+      // ONE corpus pass past training (r15): score + collapse to the
+      // (z, p, q) value grain — all three readouts (and the decile
+      // edges' selection passes) then run at ~550-row grain instead of
+      // each re-scanning the persisted corpus-scale margins
+      val vg = scope.persist(vgOfScores(scoreWith(b, w)))
+      val sweep = sweepOfVg(vg).selectExpr("'sweep' AS readout", "t AS k",
         "tp AS n_a", "fp AS n_b", "fn AS n_c", "prec AS v1", "rec AS v2")
-      val lift = liftOfScores(zz).selectExpr("'lift' AS readout",
+      val lift = liftOfVg(vg).selectExpr("'lift' AS readout",
         "CAST(decile AS DOUBLE) AS k", "n AS n_a", "pos AS n_b",
         "CAST(0 AS BIGINT) AS n_c", "lift AS v1", "cum_gain AS v2")
-      val calib = calibOfScores(zz).selectExpr("'calib' AS readout",
+      val calib = calibOfVg(vg).selectExpr("'calib' AS readout",
         "CAST(bin AS DOUBLE) AS k", "n AS n_a", "pos AS n_b",
         "CAST(0 AS BIGINT) AS n_c", "avg_pred AS v1", "emp_rate AS v2")
       sweep.unionAll(lift).unionAll(calib)
@@ -3743,7 +3841,10 @@ object Analytics {
     },
     (s, d) => graft.CacheScope.withScope { implicit scope =>
       val b = scope.persist(mlFeatures(s, d))
-      liftOfScores(scoreWith(b, logregWeights6(b)))
+      // value-grain collapse before the readout (r15): the decile
+      // edges' selection passes and the binning then run at ~550-row
+      // grain off one corpus pass (see [[vgOfScores]])
+      liftOfVg(vgOfScores(scoreWith(b, logregWeights6(b))))
         .localCheckpoint(true)
     })
 

@@ -57,6 +57,31 @@ object ExactPercentiles {
       implicit scope: CacheScope = CacheScope.untracked): DataFrame =
     percentilesCounted(df, group, value, rawPs, valueGrain)._1
 
+  /** [[percentiles]] over an ALREADY value-grain-collapsed frame
+    * `(g, x DOUBLE, cnt BIGINT)` — for callers that have the weighted
+    * count frame in hand (e.g. a (z, p, q) readout collapse): skips
+    * the whole row-grain scan+collapse this operator would otherwise
+    * run (r15, guide §1.2). CAVEAT: the caller's grain defines the
+    * multiset — if the domain could contain BOTH −0.0 and +0.0 as
+    * distinct values, a double-keyed collapse has merged them
+    * (NormalizeFloatingNumbers) and the −0.0 order statistic is lost;
+    * use the row-grain `valueGrain = true` path there. Selection and
+    * interpolation are bit-identical to the row-grain paths on the
+    * same multiset. */
+  def percentilesOfCounts(grained: DataFrame, group: String, value: String,
+      cnt: String, rawPs: Seq[Double])(
+      implicit scope: CacheScope = CacheScope.untracked): DataFrame = {
+    graft.functions.DBits.ensure(grained.sparkSession)
+    val data = grained
+      .select(col(group).as("g"), col(value).cast("double").as("x"),
+        col(cnt).cast("long").as("cnt"))
+      .filter(col("x").isNotNull && col("cnt") > 0)
+      .withColumn("s", graft.functions.DBits.ordered(col("x")))
+      .select(col("g"), col("x"), col("s"), col("cnt"))
+      .transform(scope.persist)
+    selectAndInterpolate(data, rawPs)._1
+  }
+
   /** [[percentiles]] plus the number of narrowing passes the selection
     * actually ran — observability for the early-exit contract (specs
     * assert low-cardinality domains resolve in ONE pass; see
@@ -64,9 +89,17 @@ object ExactPercentiles {
   private[graft] def percentilesCounted(df: DataFrame, group: String, value: String,
       rawPs: Seq[Double], valueGrain: Boolean = false)(
       implicit scope: CacheScope = CacheScope.untracked): (DataFrame, Int) = {
+    val data = prepare(df, group, value, valueGrain)
+    selectAndInterpolate(data, rawPs)
+  }
+
+  /** Rank derivation + narrowing selection + interpolation over a
+    * prepared (g, x, s, cnt) frame — shared by the row-grain and
+    * pre-counted entry points. */
+  private def selectAndInterpolate(data: DataFrame, rawPs: Seq[Double])(
+      implicit scope: CacheScope): (DataFrame, Int) = {
     val ps = rawPs.distinct
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"ps must be in [0,1]: $ps")
-    val data = prepare(df, group, value, valueGrain)
 
     // per-group counts → the 0-based order-statistic ranks every p needs:
     // r = p·(n−1), order stats at ⌊r⌋ and ⌈r⌉ (deduped when integral)
